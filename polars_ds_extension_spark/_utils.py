@@ -1,0 +1,50 @@
+"""Shared helpers for the PySpark-native polars_ds engine.
+
+Parallels reference python/polars_ds/_utils.py:1-58 (str_to_expr /
+to_expr coercion), re-expressed for pyspark Columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+ColumnLike = "str | Column"
+
+
+def to_col(x) -> Column:
+    """Coerce a str column name / Column / numeric literal to a Column."""
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):
+        return F.col(x)
+    if isinstance(x, (int, float, bool)):
+        return F.lit(x)
+    raise TypeError(f"expected str | Column | numeric, got {type(x)}")
+
+
+def to_cols(xs: Iterable) -> list[Column]:
+    return [to_col(x) for x in xs]
+
+
+def group_window(by: Sequence | None) -> WindowSpec:
+    """A Window partitioned by ``by`` (global single partition if None).
+
+    A global window on a 100 TB table collapses to one partition — every
+    function that accepts ``by=None`` documents this; benchmark queries
+    always pass a grouping.
+    """
+    if by:
+        return Window.partitionBy(*to_cols(by))
+    return Window.partitionBy()
+
+
+def ordered_window(order_by, by: Sequence | None = None, desc: bool = False) -> WindowSpec:
+    ob = to_col(order_by)
+    ob = ob.desc() if desc else ob.asc()
+    if by:
+        return Window.partitionBy(*to_cols(by)).orderBy(ob)
+    return Window.partitionBy().orderBy(ob)

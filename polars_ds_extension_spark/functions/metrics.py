@@ -1,0 +1,329 @@
+"""ML evaluation metrics — Spark-native re-expression of the reference's
+metrics module (reference: python/polars_ds/exprs/metrics.py).
+
+Everything possible is an **aggregate Column expression** (composable in
+one ``groupBy().agg(...)`` pass — the reference's headline feature of
+evaluating many metrics per segment in one scan works identically here,
+with map-side partial aggregation). Rank-based metrics (ROC-AUC, DCG,
+Mann-Whitney-style) need a sort window first, so they ship as
+DataFrame-level operators: one sort-shuffle on (by, pred), then a groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col, group_window
+
+__all__ = [
+    "query_r2", "query_adj_r2", "query_log_cosh", "query_huber_loss",
+    "query_l1", "query_l2", "query_l_inf", "query_log_loss", "query_msle",
+    "query_mape", "query_smape", "query_mase_precomputed",
+    "query_cat_cross_entropy", "confusion_matrix_counts",
+    "query_binary_metrics", "query_mcc",
+    "query_mad", "roc_auc", "query_gini", "multi_roc_auc",
+    "query_dcg_score", "tpr_fpr",
+]
+
+
+# ------------------------------------------------------- agg Column exprs
+
+def query_r2(actual, pred) -> Column:
+    """R², single-pass algebraic form (map-side combinable):
+    1 - Σ(a-p)² / (Σa² - (Σa)²/n). Ref metrics.py:64."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    ss_res = F.sum((a - p) * (a - p))
+    ss_tot = F.sum(a * a) - F.sum(a) * F.sum(a) / F.count(a)
+    return 1 - ss_res / ss_tot
+
+
+def query_adj_r2(actual, pred, p: int) -> Column:
+    """Adjusted R² with p regressors. Ref metrics.py:84."""
+    a = to_col(actual)
+    n = F.count(a).cast("double")
+    r2 = query_r2(actual, pred)
+    return 1 - (1 - r2) * (n - 1) / (n - p - 1)
+
+
+def query_log_cosh(actual, pred, normalize: bool = True) -> Column:
+    """Σ log(cosh(p-a)) (/n). Ref metrics.py:108. cosh via exp to stay
+    JVM-side; uses |d| - log 2 + log1p(exp(-2|d|)) to avoid overflow."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    d = F.abs(p - a)
+    log_cosh = d + F.log1p(F.exp(-2 * d)) - F.lit(0.6931471805599453)
+    s = F.sum(log_cosh)
+    return s / F.count(a) if normalize else s
+
+
+def query_huber_loss(actual, pred, delta: float) -> Column:
+    """Huber loss (mean). Ref metrics.py:118 (query_hubor_loss)."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    d = F.abs(a - p)
+    cell = F.when(d <= delta, 0.5 * d * d).otherwise(delta * (d - 0.5 * delta))
+    return F.sum(cell) / F.count(a)
+
+
+def query_l1(actual, pred, normalize: bool = True) -> Column:
+    """MAE. Ref metrics.py:162."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    s = F.sum(F.abs(a - p))
+    return s / F.count(a) if normalize else s
+
+
+def query_l2(actual, pred, normalize: bool = True) -> Column:
+    """MSE. Ref metrics.py:141."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    s = F.sum((a - p) * (a - p))
+    return s / F.count(a) if normalize else s
+
+
+def query_l_inf(actual, pred) -> Column:
+    """max |a-p|. Ref metrics.py:182."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    return F.max(F.abs(a - p))
+
+
+def query_log_loss(actual, pred, normalize: bool = True) -> Column:
+    """Binary cross-entropy with xlogy semantics (0*log 0 = 0).
+    Ref metrics.py:198."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    t1 = F.when(a == 0, F.lit(0.0)).otherwise(a * F.log(p))
+    t2 = F.when(a == 1, F.lit(0.0)).otherwise((1 - a) * F.log(1 - p))
+    s = -F.sum(t1 + t2)
+    return s / F.count(a) if normalize else s
+
+
+def query_msle(actual, pred, normalize: bool = True) -> Column:
+    """Mean squared log error. Ref metrics.py:334."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    d = F.log1p(a) - F.log1p(p)
+    s = F.sum(d * d)
+    return s / F.count(a) if normalize else s
+
+
+def query_mape(actual, pred, weighted: bool = False) -> Column:
+    """MAPE / wMAPE. Ref metrics.py:229."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    if weighted:
+        return F.sum(F.abs(a - p)) / F.sum(F.abs(a))
+    return F.avg(F.abs(1 - p / a))
+
+
+def query_smape(actual, pred) -> Column:
+    """SMAPE (0..1, wikipedia 3rd version: no 100, |a|+|p| denominator).
+    Ref metrics.py:253."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    return F.avg(F.abs(a - p) / (F.abs(a) + F.abs(p)))
+
+
+def query_mase_precomputed(actual, pred, train_loss: float,
+                           use_mean: bool = True) -> Column:
+    """MASE with a precomputed naive-forecast training loss (the
+    reference's float-train branch, metrics.py:275). The column-train
+    branch is order-dependent → ts.mase_df."""
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    num = F.avg(F.abs(a - p)) if use_mean else F.median(F.abs(a - p))
+    return num / F.lit(train_loss)
+
+
+def query_cat_cross_entropy(actual, pred_probs) -> Column:
+    """Categorical cross-entropy: -avg(log(probs[actual])). ``actual`` is
+    an int class index, ``pred_probs`` an array<double> of probabilities.
+    Ref metrics.py:569. Stays JVM-side via element_at."""
+    a = to_col(actual).cast("int")
+    probs = to_col(pred_probs)
+    return -F.avg(F.log(F.element_at(probs, a + 1)))
+
+
+def confusion_matrix_counts(actual, pred, threshold: float = 0.5) -> Column:
+    """tp/fp/tn/fn counts as a struct (agg). Ref metrics.py:418."""
+    a = to_col(actual).cast("int")
+    yhat = (to_col(pred).cast("double") >= F.lit(threshold)).cast("int")
+    tp = F.sum(((a == 1) & (yhat == 1)).cast("long"))
+    fp = F.sum(((a == 0) & (yhat == 1)).cast("long"))
+    tn = F.sum(((a == 0) & (yhat == 0)).cast("long"))
+    fn = F.sum(((a == 1) & (yhat == 0)).cast("long"))
+    return F.struct(tp.alias("tp"), fp.alias("fp"), tn.alias("tn"), fn.alias("fn"))
+
+
+def query_binary_metrics(actual, pred, threshold: float = 0.5) -> Column:
+    """precision/recall/f1/accuracy struct in one agg pass.
+    Ref metrics.py:495."""
+    a = to_col(actual).cast("int")
+    yhat = (to_col(pred).cast("double") >= F.lit(threshold)).cast("int")
+    tp = F.sum(((a == 1) & (yhat == 1)).cast("double"))
+    fp = F.sum(((a == 0) & (yhat == 1)).cast("double"))
+    tn = F.sum(((a == 0) & (yhat == 0)).cast("double"))
+    fn = F.sum(((a == 1) & (yhat == 0)).cast("double"))
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    acc = (tp + tn) / (tp + tn + fp + fn)
+    return F.struct(
+        precision.alias("precision"), recall.alias("recall"),
+        f1.alias("f1"), acc.alias("accuracy"),
+    )
+
+
+def query_mcc(y_true, y_pred, threshold: float = 0.5) -> Column:
+    """Matthews correlation coefficient (agg). Ref metrics.py:599."""
+    a = to_col(y_true).cast("int")
+    yhat = (to_col(y_pred).cast("double") >= F.lit(threshold)).cast("int")
+    tp = F.sum(((a == 1) & (yhat == 1)).cast("double"))
+    fp = F.sum(((a == 0) & (yhat == 1)).cast("double"))
+    tn = F.sum(((a == 0) & (yhat == 0)).cast("double"))
+    fn = F.sum(((a == 1) & (yhat == 0)).cast("double"))
+    return (tp * tn - fp * fn) / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+
+
+# --------------------------------------------------- DataFrame-level metrics
+
+def query_mad(df: DataFrame, x: str, use_mean: bool = True,
+              by: Sequence[str] | None = None) -> DataFrame:
+    """Mean (or median) absolute deviation. Ref metrics.py:46.
+    Two-pass via a group window then aggregation — one shuffle."""
+    keys = list(by) if by else []
+    xx = to_col(x).cast("double")
+    w = group_window(keys or None)
+    centerer = F.mean(xx) if use_mean else F.median(xx)
+    dev = F.abs(xx - centerer.over(w))
+    step = df.select(*keys, dev.alias("__dev"))
+    out = F.mean("__dev") if use_mean else F.median("__dev")
+    if keys:
+        return step.groupBy(*keys).agg(out.alias("mad"))
+    return step.agg(out.alias("mad"))
+
+
+def _avg_rank(pred_col: str, keys: list[str]) -> Column:
+    """Tie-averaged (midrank) via rank() + tie-count window."""
+    wo = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(F.col(pred_col))
+    wt = (
+        Window.partitionBy(*keys, F.col(pred_col)) if keys
+        else Window.partitionBy(F.col(pred_col))
+    )
+    return F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+
+
+def roc_auc(df: DataFrame, actual: str, pred: str,
+            by: Sequence[str] | None = None,
+            out_name: str = "roc_auc") -> DataFrame:
+    """ROC AUC via the Mann-Whitney rank-sum identity with midranks
+    (exactly equals the trapezoidal ROC integral with tie handling).
+
+    Ref metrics.py:354 (Rust kernel sorts per group); here: one
+    sort-shuffle on (by, pred) for the rank window, then a groupBy —
+    both distributed, no collect. Output: ``by`` + out_name.
+    """
+    keys = list(by) if by else []
+    a = to_col(actual).cast("double")
+    r = _avg_rank_expr(df, pred, keys)
+    step = df.select(*keys, a.alias("__a"), r.alias("__r"))
+    npos = F.sum("__a")
+    nneg = F.count(F.lit(1)) - npos
+    rank_sum = F.sum(F.col("__r") * F.col("__a"))
+    auc = (rank_sum - npos * (npos + 1) / 2) / (npos * nneg)
+    if keys:
+        return step.groupBy(*keys).agg(auc.alias(out_name))
+    return step.agg(auc.alias(out_name))
+
+
+def _avg_rank_expr(df: DataFrame, pred: str, keys: list[str]) -> Column:
+    wo = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(pred))
+    wt = (
+        Window.partitionBy(*keys, to_col(pred)) if keys
+        else Window.partitionBy(to_col(pred))
+    )
+    return (F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0).cast("double")
+
+
+def query_gini(df: DataFrame, actual: str, pred: str,
+               by: Sequence[str] | None = None) -> DataFrame:
+    """Gini = 2*AUC - 1. Ref metrics.py:400."""
+    out = roc_auc(df, actual, pred, by=by, out_name="__auc")
+    keys = list(by) if by else []
+    return out.select(*keys, (F.col("__auc") * 2 - 1).alias("gini"))
+
+
+def multi_roc_auc(df: DataFrame, actual: str, pred_probs: str, n_classes: int,
+                  average: str = "macro",
+                  by: Sequence[str] | None = None) -> DataFrame:
+    """One-vs-rest multiclass ROC AUC (macro or weighted average).
+    Ref metrics.py:531. Per-class rank windows assembled in a single
+    unioned plan; n_classes sort-shuffles of the same frame."""
+    keys = list(by) if by else []
+    per_class = []
+    for c in range(n_classes):
+        cls = df.select(
+            *keys,
+            (to_col(actual).cast("int") == c).cast("double").alias("__a"),
+            F.element_at(to_col(pred_probs), c + 1).alias("__p"),
+        )
+        auc_c = roc_auc(cls, "__a", "__p", by=keys or None, out_name="auc")
+        w_c = cls.groupBy(*keys).agg(F.sum("__a").alias("w")) if keys else cls.agg(
+            F.sum("__a").alias("w")
+        )
+        joined = auc_c.join(w_c, on=keys) if keys else auc_c.crossJoin(w_c)
+        per_class.append(joined)
+    u = per_class[0]
+    for other in per_class[1:]:
+        u = u.unionByName(other)
+    if average == "weighted":
+        agg = (F.sum(F.col("auc") * F.col("w")) / F.sum("w")).alias("roc_auc")
+    else:
+        agg = F.avg("auc").alias("roc_auc")
+    return u.groupBy(*keys).agg(agg) if keys else u.agg(agg)
+
+
+def query_dcg_score(df: DataFrame, actual: str, pred: str, k: int | None = None,
+                    log_base: float = 2.0, by: Sequence[str] | None = None,
+                    normalize: bool = False) -> DataFrame:
+    """(N)DCG: Σ rel_i / log(1+pos_i) with positions ordered by pred desc
+    (ideal ordering by rel desc for the normalizer). Ref metrics.py:670,736.
+    Two rank windows + one agg — sort-shuffles on (by, pred)/(by, rel)."""
+    keys = list(by) if by else []
+    rel = to_col(actual).cast("double")
+    wp = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        to_col(pred).desc()
+    )
+    wi = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(rel.desc())
+    pos = F.row_number().over(wp).cast("double")
+    ipos = F.row_number().over(wi).cast("double")
+    gain = rel / (F.log(F.lit(log_base), pos + 1))
+    igain = rel / (F.log(F.lit(log_base), ipos + 1))
+    if k is not None:
+        gain = F.when(pos <= k, gain).otherwise(F.lit(0.0))
+        igain = F.when(ipos <= k, igain).otherwise(F.lit(0.0))
+    step = df.select(*keys, gain.alias("__g"), igain.alias("__ig"))
+    if normalize:
+        agg = (F.sum("__g") / F.sum("__ig")).alias("ndcg")
+    else:
+        agg = F.sum("__g").alias("dcg")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def tpr_fpr(df: DataFrame, actual: str, pred: str,
+            by: Sequence[str] | None = None) -> DataFrame:
+    """TPR/FPR at every distinct predicted-probability threshold (for ROC
+    curves). Ref metrics.py:379. Cumulative windows over pred desc."""
+    keys = list(by) if by else []
+    a = to_col(actual).cast("double")
+    step = df.select(*keys, a.alias("__a"), to_col(pred).alias("__p"))
+    wcum = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy(F.col("__p").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    gw = group_window(keys or None)
+    tp = F.sum("__a").over(wcum)
+    fp = F.count(F.lit(1)).over(wcum) - tp
+    npos = F.sum("__a").over(gw)
+    nneg = F.count(F.lit(1)).over(gw) - npos
+    out = step.select(
+        *keys, F.col("__p").alias("threshold"),
+        (tp / npos).alias("tpr"), (fp / nneg).alias("fpr"),
+    )
+    return out.dropDuplicates(keys + ["threshold"])

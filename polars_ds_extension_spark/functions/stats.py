@@ -1,0 +1,513 @@
+"""Statistics — Spark-native re-expression of the reference's stats module
+(reference: python/polars_ds/exprs/stats.py).
+
+Shapes:
+  * aggregate Column expressions (weighted moments, cosine_sim, hmean,
+    t-statistics, normality K²) — composable inside ``groupBy().agg()``,
+    map-side combinable, no shuffle beyond the groupBy;
+  * DataFrame-level tests that need ranks/contingency (KS, Mann-Whitney,
+    chi2, one-way F) — one window + one aggregation;
+  * random generators — pure `rand()`/`randn()` transforms (JVM).
+
+p-values: where the CDF is elementary (normal, chi2 with 2 dof, erf-based)
+they are computed JVM-side; Student-t / general chi2 / F p-values use the
+pure-numpy special functions in `_special.py` applied on the *aggregated*
+(tiny) result via mapInPandas — never on raw rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col, group_window, ordered_window
+
+__all__ = [
+    "hmean", "weighted_hmean", "gmean", "weighted_gmean",
+    "weighted_mean", "weighted_var", "weighted_cov", "weighted_corr",
+    "cosine_sim", "weighted_cosine_sim",
+    "ttest_1samp_stat", "ttest_ind_stat", "ttest_ind_from_stats",
+    "normal_test", "winsorize",
+    "ks_2samp", "mann_whitney_u", "chi2", "f_test",
+    "corr", "xi_corr", "bicor", "kendall_tau",
+    "random", "random_int", "random_normal", "random_exp",
+    "random_binomial", "random_str", "random_null", "jitter", "perturb",
+    "add_noise",
+]
+
+
+# ----------------------------------------------------------- agg expressions
+
+def hmean(x) -> Column:
+    """Harmonic mean (agg). Ref stats.py:756."""
+    xx = to_col(x)
+    return F.count(xx) / F.sum(F.lit(1.0) / xx)
+
+
+def weighted_hmean(x, weights) -> Column:
+    """Weighted harmonic mean (agg). Ref stats.py:769."""
+    xx, ww = to_col(x), to_col(weights)
+    return F.sum(ww) / F.sum(ww / xx)
+
+
+def gmean(x) -> Column:
+    """Geometric mean (agg). Ref stats.py:793."""
+    return F.exp(F.avg(F.log(to_col(x))))
+
+
+def weighted_gmean(x, weights) -> Column:
+    """Weighted geometric mean (agg). Ref stats.py:805."""
+    xx, ww = to_col(x), to_col(weights)
+    return F.exp(F.sum(ww * F.log(xx)) / F.sum(ww))
+
+
+def weighted_mean(x, weights) -> Column:
+    """sum(x*w)/sum(w) (agg). Ref stats.py:827."""
+    xx, ww = to_col(x), to_col(weights)
+    return F.sum(xx * ww) / F.sum(ww)
+
+
+def weighted_var(x, weights, freq_weights: bool = False) -> Column:
+    """Weighted variance (agg), algebraically expanded so it is a single
+    map-side-combinable aggregation (no two-pass mean). Ref stats.py:852.
+
+    freq_weights=True → divide by (sum(w) - 1); else by sum(w).
+    """
+    xx, ww = to_col(x).cast("double"), to_col(weights).cast("double")
+    sw = F.sum(ww)
+    swx = F.sum(ww * xx)
+    swx2 = F.sum(ww * xx * xx)
+    num = swx2 - swx * swx / sw
+    denom = (sw - 1) if freq_weights else sw
+    return num / denom
+
+
+def weighted_cov(x, y, weights) -> Column:
+    """Weighted covariance (agg, single pass). Ref stats.py:881."""
+    xx, yy, ww = to_col(x).cast("double"), to_col(y).cast("double"), to_col(weights).cast("double")
+    sw = F.sum(ww)
+    return (F.sum(ww * xx * yy) - F.sum(ww * xx) * F.sum(ww * yy) / sw) / sw
+
+
+def weighted_corr(x, y, weights) -> Column:
+    """Weighted Pearson correlation (agg, single pass). Ref stats.py:906."""
+    return weighted_cov(x, y, weights) / F.sqrt(
+        weighted_var(x, weights) * weighted_var(y, weights)
+    )
+
+
+def cosine_sim(x, y) -> Column:
+    """Column-wise cosine similarity (agg). Ref stats.py:934."""
+    xx, yy = to_col(x), to_col(y)
+    return F.sum(xx * yy) / F.sqrt(F.sum(xx * xx) * F.sum(yy * yy))
+
+
+def weighted_cosine_sim(x, y, weights) -> Column:
+    """Weighted cosine similarity (agg). Ref stats.py:951."""
+    xx, yy, ww = to_col(x), to_col(y), to_col(weights)
+    return F.sum(ww * xx * yy) / F.sqrt(F.sum(ww * xx * xx) * F.sum(ww * yy * yy))
+
+
+def ttest_1samp_stat(x, pop_mean: float) -> Column:
+    """One-sample t statistic (agg). Ref stats.py:134 (statistic field;
+    p-value via _special.t_sf on the aggregated row)."""
+    xx = to_col(x)
+    n = F.count(xx).cast("double")
+    return (F.mean(xx) - F.lit(pop_mean)) / (F.stddev_samp(xx) / F.sqrt(n))
+
+
+def ttest_ind_stat(x, y, equal_var: bool = False) -> Column:
+    """Two-sample (Welch by default) t statistic for two columns of the
+    same frame (agg). Ref stats.py:58."""
+    xx, yy = to_col(x), to_col(y)
+    mx, my = F.mean(xx), F.mean(yy)
+    vx, vy = F.var_samp(xx), F.var_samp(yy)
+    nx, ny = F.count(xx).cast("double"), F.count(yy).cast("double")
+    if equal_var:
+        sp = ((nx - 1) * vx + (ny - 1) * vy) / (nx + ny - 2)
+        return (mx - my) / F.sqrt(sp * (1 / nx + 1 / ny))
+    return (mx - my) / F.sqrt(vx / nx + vy / ny)
+
+
+def ttest_ind_from_stats(mean1, std1, cnt1, mean2, std2, cnt2,
+                         equal_var: bool = False) -> Column:
+    """t statistic from already-aggregated stats (elementwise).
+    Ref stats.py:170."""
+    m1, s1, n1 = to_col(mean1), to_col(std1), to_col(cnt1).cast("double")
+    m2, s2, n2 = to_col(mean2), to_col(std2), to_col(cnt2).cast("double")
+    if equal_var:
+        sp = ((n1 - 1) * s1 * s1 + (n2 - 1) * s2 * s2) / (n1 + n2 - 2)
+        return (m1 - m2) / F.sqrt(sp * (1 / n1 + 1 / n2))
+    return (m1 - m2) / F.sqrt(s1 * s1 / n1 + s2 * s2 / n2)
+
+
+def normal_test(x) -> Column:
+    """D'Agostino-Pearson K² omnibus normality test (agg) → struct
+    (statistic, pvalue). Ref stats.py:493.
+
+    Both the skew/kurtosis Z-transforms and the chi2(2dof) survival
+    function exp(-k2/2) are elementary → fully JVM-side including p-value.
+    """
+    xx = to_col(x).cast("double")
+    n = F.count(xx).cast("double")
+    b1 = F.skewness(xx)          # m3 / m2^1.5 (population, matches scipy)
+    b2 = F.kurtosis(xx) + 3.0    # Spark returns excess kurtosis
+
+    # skewtest (D'Agostino 1970)
+    y = b1 * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = 3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    w2 = -1 + F.sqrt(2 * (beta2 - 1))
+    delta = 1 / F.sqrt(F.lit(0.5) * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1))
+    y_safe = F.when(y == 0, F.lit(1.0)).otherwise(y)
+    zs = delta * F.log(y_safe / alpha + F.sqrt(F.pow(y_safe / alpha, 2) + 1))
+    zs = F.when(y == 0, F.lit(0.0)).otherwise(zs)
+
+    # kurtosistest (Anscombe & Glynn 1983)
+    e = 3 * (n - 1) / (n + 1)
+    var_b2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    xk = (b2 - e) / F.sqrt(var_b2)
+    sqrt_beta1 = (
+        6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * F.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6 + 8 / sqrt_beta1 * (2 / sqrt_beta1 + F.sqrt(1 + 4 / (sqrt_beta1 * sqrt_beta1)))
+    term = (1 - 2 / a) / (1 + xk * F.sqrt(2 / (a - 4)))
+    zk = (
+        (1 - 2 / (9 * a)) - F.pow(term, F.lit(1.0) / 3)
+    ) / F.sqrt(2 / (9 * a))
+
+    k2 = zs * zs + zk * zk
+    pval = F.exp(-k2 / 2)  # chi2(2 dof) survival function
+    return F.struct(k2.alias("statistic"), pval.alias("pvalue"))
+
+
+def winsorize(x, lower: float = 0.05, upper: float = 0.95,
+              by: Sequence | None = None) -> Column:
+    """Percentile clip within the group (windowed). Ref stats.py:375."""
+    xx = to_col(x)
+    w = group_window(by)
+    lo = F.percentile(xx, F.lit(lower)).over(w)
+    hi = F.percentile(xx, F.lit(upper)).over(w)
+    return F.when(xx < lo, lo).when(xx > hi, hi).otherwise(xx)
+
+
+# ------------------------------------------------------ DataFrame-level tests
+
+def ks_2samp(df: DataFrame, x: str, group: str,
+             by: Sequence[str] | None = None) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the two values of
+    ``group``. Ref stats.py:232.
+
+    ECDF difference at every sample point via two cumulative windows — a
+    single sort-shuffle on (by, x); no collect.
+    Output: ``by`` + `statistic`.
+    """
+    keys = list(by) if by else []
+    g = to_col(group)
+    gvals = [r[0] for r in df.select(g.cast("string")).distinct().limit(2).collect()]
+    if len(gvals) != 2:
+        raise ValueError("ks_2samp: group column must have exactly 2 values")
+    is_a = (g.cast("string") == gvals[0]).cast("double")
+    is_b = (g.cast("string") == gvals[1]).cast("double")
+    w = ordered_window(x, keys or None).rangeBetween(Window.unboundedPreceding, 0)
+    gw = group_window(keys or None)
+    step = df.select(*keys, to_col(x).alias("__x"), is_a.alias("__a"), is_b.alias("__b"))
+    cum_a = F.sum("__a").over(
+        Window.partitionBy(*keys).orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
+        if keys else Window.partitionBy().orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot_a = F.sum("__a").over(gw)
+    cum_b = F.sum("__b").over(
+        Window.partitionBy(*keys).orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
+        if keys else Window.partitionBy().orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot_b = F.sum("__b").over(gw)
+    d = F.abs(cum_a / tot_a - cum_b / tot_b)
+    step2 = step.select(*keys, d.alias("__d"))
+    if keys:
+        return step2.groupBy(*keys).agg(F.max("__d").alias("statistic"))
+    return step2.agg(F.max("__d").alias("statistic"))
+
+
+def mann_whitney_u(df: DataFrame, x: str, group: str,
+                   by: Sequence[str] | None = None) -> DataFrame:
+    """Mann-Whitney U statistic (two-sided rank-sum, tie-averaged ranks).
+
+    Ref stats.py:331. Average ranks via rank() + tie-count window — one
+    sort-shuffle. Output: ``by`` + `u1`, `u2`, `statistic` (= u2 to match
+    scipy's two-sided convention used by the reference).
+    """
+    keys = list(by) if by else []
+    g = to_col(group)
+    gvals = sorted(r[0] for r in df.select(g.cast("string")).distinct().limit(3).collect())
+    if len(gvals) != 2:
+        raise ValueError("mann_whitney_u: group column must have exactly 2 values")
+    wo = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(x))
+    wt = (Window.partitionBy(*keys, to_col(x)) if keys else Window.partitionBy(to_col(x)))
+    avg_rank = F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    is_a = (g.cast("string") == gvals[0]).cast("double")
+    step = df.select(*keys, avg_rank.alias("__r"), is_a.alias("__a"))
+    aggs = [
+        F.sum(F.col("__r") * F.col("__a")).alias("__r1"),
+        F.sum("__a").alias("__n1"),
+        F.sum(F.lit(1.0) - F.col("__a")).alias("__n2"),
+    ]
+    agg = step.groupBy(*keys).agg(*aggs) if keys else step.agg(*aggs)
+    u1 = F.col("__r1") - F.col("__n1") * (F.col("__n1") + 1) / 2
+    u2 = F.col("__n1") * F.col("__n2") - u1
+    return agg.select(*keys, u1.alias("u1"), u2.alias("u2"),
+                      F.greatest(u1, u2).alias("statistic"))
+
+
+def chi2(df: DataFrame, var1: str, var2: str) -> DataFrame:
+    """Chi-square statistic of independence between two discrete columns.
+
+    Ref stats.py:301. Contingency counts via one groupBy; expected
+    frequencies via two windowed margins over the (tiny) contingency
+    table. Output: one row `statistic`, `dof`.
+    """
+    obs = df.groupBy(var1, var2).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    w1 = Window.partitionBy(var1)
+    w2 = Window.partitionBy(var2)
+    wa = Window.partitionBy()
+    e = F.sum("o").over(w1) * F.sum("o").over(w2) / F.sum("o").over(wa)
+    cells = obs.select(
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("cell"),
+        F.col(var1), F.col(var2),
+    )
+    return cells.agg(
+        F.sum("cell").alias("statistic"),
+        ((F.count_distinct(F.col(var1)) - 1)
+         * (F.count_distinct(F.col(var2)) - 1)).alias("dof"),
+    )
+
+
+def f_test(df: DataFrame, x: str, group: str) -> DataFrame:
+    """One-way ANOVA F statistic of x across the levels of ``group``.
+
+    Ref stats.py:280. Per-level partial aggregates (sum, sumsq, count) →
+    tiny table; between/within mean squares assembled there.
+    Output: one row `statistic`, `df_between`, `df_within`.
+    """
+    lev = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(to_col(x)).alias("s"),
+        F.sum(to_col(x) * to_col(x)).alias("ss"),
+    )
+    w = Window.partitionBy()
+    grand_n = F.sum("n").over(w)
+    grand_s = F.sum("s").over(w)
+    k = F.count(F.lit(1)).over(w).cast("double")
+    between_cell = F.col("s") * F.col("s") / F.col("n")
+    within_cell = F.col("ss") - between_cell
+    lev2 = lev.select(
+        between_cell.alias("b"), within_cell.alias("wi"),
+        (grand_s * grand_s / grand_n).alias("corr_term"),
+        grand_n.alias("N"), k.alias("k"),
+    )
+    return lev2.agg(
+        (
+            (F.sum("b") - F.first("corr_term")) / (F.first("k") - 1)
+            / ((F.sum("wi")) / (F.first("N") - F.first("k")))
+        ).alias("statistic"),
+        (F.first("k") - 1).alias("df_between"),
+        (F.first("N") - F.first("k")).alias("df_within"),
+    )
+
+
+def corr(df: DataFrame, x: str, y: str, method: str = "pearson",
+         by: Sequence[str] | None = None) -> DataFrame:
+    """Correlation between two columns: pearson | spearman | kendall |
+    xi | bicor. Ref stats.py:1083. Output: ``by`` + `corr`."""
+    keys = list(by) if by else []
+    if method == "pearson":
+        agg = [F.corr(to_col(x), to_col(y)).alias("corr")]
+        return df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+    if method == "spearman":
+        wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(x))
+        wy = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(y))
+        wtx = Window.partitionBy(*keys, to_col(x)) if keys else Window.partitionBy(to_col(x))
+        wty = Window.partitionBy(*keys, to_col(y)) if keys else Window.partitionBy(to_col(y))
+        rx = F.rank().over(wx) + (F.count(F.lit(1)).over(wtx) - 1) / 2.0
+        ry = F.rank().over(wy) + (F.count(F.lit(1)).over(wty) - 1) / 2.0
+        step = df.select(*keys, rx.alias("__rx"), ry.alias("__ry"))
+        agg = [F.corr("__rx", "__ry").alias("corr")]
+        return step.groupBy(*keys).agg(*agg) if keys else step.agg(*agg)
+    if method == "xi":
+        return xi_corr(df, x, y, by=keys or None)
+    if method == "bicor":
+        return bicor(df, x, y, by=keys or None)
+    if method == "kendall":
+        return kendall_tau(df, x, y, by=keys or None)
+    raise ValueError(f"unknown method {method}")
+
+
+def xi_corr(df: DataFrame, x: str, y: str, by: Sequence[str] | None = None) -> DataFrame:
+    """Chatterjee's xi correlation (no-ties formulation, matching the
+    reference's default). Ref stats.py:1039.
+
+    xi = 1 - 3 * sum|r_{i+1} - r_i| / (n² - 1), where r is the rank of y
+    ordered by x. Two windows + one agg, one sort-shuffle.
+    """
+    keys = list(by) if by else []
+    wy = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(y))
+    r = F.rank().over(wy).cast("double")
+    step = df.select(*keys, to_col(x).alias("__x"), r.alias("__r"))
+    wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy("__x")
+    dr = F.abs(F.col("__r") - F.lag("__r").over(wx))
+    step2 = step.select(*keys, dr.alias("__dr"))
+    n = F.count(F.lit(1)).cast("double") + 1  # +1: lag drops first row
+    aggs = [(F.lit(1.0) - 3.0 * F.sum("__dr") / (n * n - 1)).alias("corr")]
+    return step2.groupBy(*keys).agg(*aggs) if keys else step2.agg(*aggs)
+
+
+def bicor(df: DataFrame, x: str, y: str, c: float = 9.0,
+          by: Sequence[str] | None = None) -> DataFrame:
+    """Biweight midcorrelation. Ref stats.py:1001.
+
+    Pass 1 (windowed): per-group median and MAD for both columns;
+    pass 2: weighted products aggregation. Two shuffles on ``by``.
+    """
+    keys = list(by) if by else []
+    gw = group_window(keys or None)
+    xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
+    mx, my = F.median(xx).over(gw), F.median(yy).over(gw)
+    step = df.select(*keys, xx.alias("__x"), yy.alias("__y"),
+                     (xx - mx).alias("__dx"), (yy - my).alias("__dy"))
+    gw2 = group_window(keys or None)
+    madx = F.median(F.abs(F.col("__dx"))).over(gw2)
+    mady = F.median(F.abs(F.col("__dy"))).over(gw2)
+    ux = F.col("__dx") / (F.lit(c) * madx)
+    uy = F.col("__dy") / (F.lit(c) * mady)
+    wx_ = F.when(F.abs(ux) < 1, F.pow(1 - ux * ux, 2)).otherwise(F.lit(0.0))
+    wy_ = F.when(F.abs(uy) < 1, F.pow(1 - uy * uy, 2)).otherwise(F.lit(0.0))
+    ax = F.col("__dx") * wx_
+    ay = F.col("__dy") * wy_
+    step2 = step.select(*keys, (ax * ay).alias("__xy"), (ax * ax).alias("__x2"),
+                        (ay * ay).alias("__y2"))
+    aggs = [(F.sum("__xy") / F.sqrt(F.sum("__x2") * F.sum("__y2"))).alias("corr")]
+    return step2.groupBy(*keys).agg(*aggs) if keys else step2.agg(*aggs)
+
+
+def kendall_tau(df: DataFrame, x: str, y: str,
+                by: Sequence[str] | None = None) -> DataFrame:
+    """Kendall's tau-b. Ref stats.py:978.
+
+    Distributed strategy: tau-b needs concordant/discordant pair counts —
+    computed per group with an Arrow-batched applyInPandas (pandas'
+    O(n log n) mergesort implementation). Groups must fit an executor;
+    for the global case on huge data, pre-aggregate or sample first.
+    """
+    import pandas as pd
+
+    keys = list(by) if by else []
+    schema_keys = ", ".join(f"{k} string" for k in keys)
+    schema = (schema_keys + ", " if keys else "") + "corr double"
+
+    def _tau(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[x].corr(pdf[y], method="kendall")
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["corr"] = [t]
+        return pd.DataFrame(out)
+
+    if keys:
+        return df.select(*keys, x, y).groupBy(*keys).applyInPandas(_tau, schema)
+    return (
+        df.select(F.lit(1).alias("__g"), x, y)
+        .groupBy("__g").applyInPandas(
+            lambda pdf: pd.DataFrame({"corr": [pdf[x].corr(pdf[y], method="kendall")]}),
+            "corr double",
+        )
+    )
+
+
+# ------------------------------------------------------------------ random
+
+def random(lower: float = 0.0, upper: float = 1.0, seed: int | None = None) -> Column:
+    """Uniform random in [lower, upper). Ref stats.py:523."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return F.lit(lower) + r * F.lit(upper - lower)
+
+
+def random_int(lower: int, upper: int, seed: int | None = None) -> Column:
+    """Uniform random int in [lower, upper). Ref stats.py:578."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return F.floor(F.lit(lower) + r * F.lit(upper - lower)).cast("int")
+
+
+def random_normal(mean: float = 0.0, std: float = 1.0, seed: int | None = None) -> Column:
+    """Gaussian random. Ref stats.py:721."""
+    r = F.randn(seed) if seed is not None else F.randn()
+    return F.lit(mean) + r * F.lit(std)
+
+
+def random_exp(lambda_: float = 1.0, seed: int | None = None) -> Column:
+    """Exponential via inverse CDF. Ref stats.py:692."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return -F.log1p(-r) / F.lit(lambda_)
+
+
+def random_binomial(n: int, p: float, seed: int | None = None) -> Column:
+    """Binomial as a sum of n Bernoulli draws, built with higher-order
+    array functions (JVM-side, no UDF). Ref stats.py:655."""
+    base = F.rand(seed) if seed is not None else F.rand()
+    # n independent-ish draws from one uniform stream via splitmix-style
+    # re-hash of (row uniform, trial index) — deterministic given the seed.
+    draws = F.transform(
+        F.sequence(F.lit(1), F.lit(n)),
+        lambda i: (
+            F.pmod(F.hash((base * 1e9).cast("long"), i), F.lit(1000000)).cast("double")
+            / 1e6 < F.lit(p)
+        ).cast("int"),
+    )
+    return F.aggregate(draws, F.lit(0), lambda acc, v: acc + v)
+
+
+_ALPHANUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def random_str(min_size: int = 1, max_size: int = 10, seed: int | None = None) -> Column:
+    """Random alphanumeric string with length in [min_size, max_size].
+    Ref stats.py:618."""
+    base = F.rand(seed) if seed is not None else F.rand()
+    ln = F.floor(F.lit(min_size) + base * F.lit(max_size - min_size + 1)).cast("int")
+    chars = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda i: F.substring(
+            F.lit(_ALPHANUM),
+            (F.pmod(F.hash((base * 1e9).cast("long"), i), F.lit(len(_ALPHANUM))) + 1).cast("int"),
+            1,
+        ),
+    )
+    return F.array_join(chars, "")
+
+
+def random_null(x, pct: float, seed: int | None = None) -> Column:
+    """Null out ~pct of values. Ref stats.py:556."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return F.when(r < F.lit(pct), F.lit(None)).otherwise(to_col(x))
+
+
+def jitter(x, std: float = 1.0, seed: int | None = None) -> Column:
+    """Add N(0, std) noise. Ref stats.py:443."""
+    r = F.randn(seed) if seed is not None else F.randn()
+    return to_col(x) + r * F.lit(std)
+
+
+def perturb(x, lower: float, upper: float, seed: int | None = None) -> Column:
+    """Add U(lower, upper) noise. Ref stats.py:406."""
+    return to_col(x) + random(lower, upper, seed)
+
+
+def add_noise(x, noise_type: str = "gaussian", **kwargs) -> Column:
+    """Dispatch: gaussian → jitter, uniform → perturb. Ref stats.py:471."""
+    if noise_type == "gaussian":
+        return jitter(x, kwargs.get("std", 1.0), kwargs.get("seed"))
+    if noise_type == "uniform":
+        return perturb(x, kwargs.get("lower", -1.0), kwargs.get("upper", 1.0), kwargs.get("seed"))
+    raise ValueError(f"unknown noise_type {noise_type}")

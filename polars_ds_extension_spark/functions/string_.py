@@ -1,0 +1,426 @@
+"""String similarity & cleaning — Spark-native re-expression of the
+reference's string module (reference: python/polars_ds/exprs/string.py).
+
+JVM-side wherever Spark has the machinery: levenshtein is a built-in;
+hamming and the n-gram set similarities (jaccard / sorensen-dice /
+overlap / tversky) are higher-order-array expressions over char n-grams;
+case/cleaning ops are regexp expressions. Jaro(-Winkler), Damerau-
+Levenshtein, OSA, LCS and fuzzy ratio have no JVM building block, so they
+are Arrow-batched pandas UDFs (clearly the slow path — documented).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .._utils import to_col
+
+__all__ = [
+    "str_leven", "filter_by_levenshtein", "str_hamming", "filter_by_hamming",
+    "ngrams", "str_jaccard", "str_overlap_coeff", "str_sorensen_dice",
+    "str_tversky_sim", "str_jaro", "str_jw", "str_d_leven", "str_osa",
+    "str_lcs_subseq", "str_lcs_subseq_dist", "str_lcs_substr", "str_fuzz",
+    "to_camel_case", "to_snake_case", "to_pascal_case", "to_constant_case",
+    "extract_numbers", "replace_non_ascii", "remove_diacritics",
+    "normalize_whitespace", "map_words", "similar_to_vocab", "str_nearest",
+]
+
+
+# ------------------------------------------------------------ JVM-side
+
+def str_leven(c, other, return_sim: bool = False) -> Column:
+    """Levenshtein distance (Spark built-in, JVM). Ref string.py:504.
+    return_sim → 1 - dist/max_len."""
+    a, b = to_col(c), to_col(other)
+    d = F.levenshtein(a, b)
+    if return_sim:
+        ml = F.greatest(F.length(a), F.length(b))
+        return F.when(ml == 0, F.lit(1.0)).otherwise(1.0 - d / ml)
+    return d
+
+
+def filter_by_levenshtein(c, other, bound: int) -> Column:
+    """Boolean: levenshtein(a,b) <= bound. Spark's built-in threshold
+    variant short-circuits the DP early. Ref string.py:42."""
+    return F.levenshtein(to_col(c), to_col(other), F.lit(bound)) >= 0
+
+
+def str_hamming(c, other, pad: bool = False) -> Column:
+    """Hamming distance between strings; null if lengths differ (pad=False)
+    or count the length gap as mismatches (pad=True). Ref string.py:117.
+    Pure higher-order array expression — JVM-side."""
+    a, b = to_col(c), to_col(other)
+    la, lb = F.length(a), F.length(b)
+    n = F.least(la, lb)
+    mismatches = F.aggregate(
+        F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>")),
+        F.lit(0),
+        lambda acc, i: acc + (a.substr(i, F.lit(1)) != b.substr(i, F.lit(1))).cast("int"),
+    )
+    if pad:
+        return mismatches + F.abs(la - lb)
+    return F.when(la == lb, mismatches).otherwise(F.lit(None))
+
+
+def filter_by_hamming(c, other, bound: int, pad: bool = False) -> Column:
+    """Boolean hamming filter. Ref string.py:78."""
+    return str_hamming(c, other, pad=pad) <= bound
+
+
+def ngrams(c, n: int = 2, distinct: bool = True) -> Column:
+    """Char n-gram array of a string (JVM higher-order expr)."""
+    s = to_col(c)
+    cnt = F.length(s) - (n - 1)
+    grams = F.when(cnt >= 1, F.transform(
+        F.sequence(F.lit(1), cnt), lambda i: s.substr(i, F.lit(n))
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def _set_sizes(c, other, substr_size: int):
+    sa = ngrams(c, substr_size)
+    sb = ngrams(other, substr_size)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return sa, sb, inter
+
+
+def str_jaccard(c, other, substr_size: int = 2) -> Column:
+    """Jaccard over char n-gram sets. Ref string.py:230."""
+    sa, sb, inter = _set_sizes(c, other, substr_size)
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def str_overlap_coeff(c, other, substr_size: int = 2) -> Column:
+    """Overlap coefficient: |A∩B| / min(|A|,|B|). Ref string.py:269."""
+    sa, sb, inter = _set_sizes(c, other, substr_size)
+    m = F.least(F.size(sa), F.size(sb))
+    return F.when(m == 0, F.lit(1.0)).otherwise(inter / m)
+
+
+def str_sorensen_dice(c, other, substr_size: int = 2) -> Column:
+    """Sorensen-Dice: 2|A∩B| / (|A|+|B|). Ref string.py:308."""
+    sa, sb, inter = _set_sizes(c, other, substr_size)
+    tot = F.size(sa) + F.size(sb)
+    return F.when(tot == 0, F.lit(1.0)).otherwise(2 * inter / tot)
+
+
+def str_tversky_sim(c, other, alpha: float, beta: float, substr_size: int = 2) -> Column:
+    """Tversky: |A∩B| / (|A∩B| + a|A−B| + b|B−A|). Ref string.py:347."""
+    if alpha < 0 or beta < 0:
+        raise ValueError("alpha and beta must be >= 0")
+    sa, sb, inter = _set_sizes(c, other, substr_size)
+    a_only = F.size(sa) - inter
+    b_only = F.size(sb) - inter
+    denom = inter + F.lit(alpha) * a_only + F.lit(beta) * b_only
+    return F.when(denom == 0, F.lit(1.0)).otherwise(inter / denom)
+
+
+# ------------------------------------------------ pandas-UDF slow path
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    match_dist = max(n1, n2) // 2 - 1
+    f1 = [False] * n1
+    f2 = [False] * n2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(n2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == ch:
+                f1[i] = f2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if f1[i]:
+            while not f2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    m = float(matches)
+    return (m / n1 + m / n2 + (m - t) / m) / 3.0
+
+
+def _jw(s1: str, s2: str, weight: float = 0.1) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * weight * (1 - j)
+
+
+def _osa(s1: str, s2: str) -> int:
+    # optimal string alignment distance (restricted damerau)
+    n1, n2 = len(s1), len(s2)
+    d = [[0] * (n2 + 1) for _ in range(n1 + 1)]
+    for i in range(n1 + 1):
+        d[i][0] = i
+    for j in range(n2 + 1):
+        d[0][j] = j
+    for i in range(1, n1 + 1):
+        for j in range(1, n2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return d[n1][n2]
+
+
+def _dleven(s1: str, s2: str) -> int:
+    # full damerau-levenshtein (with alphabet tracking)
+    da: dict[str, int] = {}
+    n1, n2 = len(s1), len(s2)
+    maxdist = n1 + n2
+    d = [[maxdist] * (n2 + 2) for _ in range(n1 + 2)]
+    for i in range(n1 + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = maxdist
+    for j in range(n2 + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = maxdist
+    for i in range(1, n1 + 1):
+        db = 0
+        for j in range(1, n2 + 1):
+            k = da.get(s2[j - 1], 0)
+            l_ = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[n1 + 1][n2 + 1]
+
+
+def _lcs_subseq_len(s1: str, s2: str) -> int:
+    n1, n2 = len(s1), len(s2)
+    prev = [0] * (n2 + 1)
+    for i in range(1, n1 + 1):
+        cur = [0] * (n2 + 1)
+        c1 = s1[i - 1]
+        for j in range(1, n2 + 1):
+            if c1 == s2[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[n2]
+
+
+def _lcs_substr(s1: str, s2: str) -> str:
+    n1, n2 = len(s1), len(s2)
+    best, best_end = 0, 0
+    prev = [0] * (n2 + 1)
+    for i in range(1, n1 + 1):
+        cur = [0] * (n2 + 1)
+        for j in range(1, n2 + 1):
+            if s1[i - 1] == s2[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best, best_end = cur[j], i
+        prev = cur
+    return s1[best_end - best: best_end]
+
+
+def _pair_udf(fn, ret: str):
+    @pandas_udf(ret)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if x is None or y is None else fn(x, y) for x, y in zip(a, b)]
+        )
+    return _udf
+
+
+def str_jaro(c, other) -> Column:
+    """Jaro similarity (Arrow-batched pandas UDF). Ref string.py:439."""
+    return _pair_udf(_jaro, "double")(to_col(c), to_col(other))
+
+
+def str_jw(c, other, weight: float = 0.1) -> Column:
+    """Jaro-Winkler similarity. Ref string.py:404."""
+    return _pair_udf(lambda a, b: _jw(a, b, weight), "double")(to_col(c), to_col(other))
+
+
+def str_d_leven(c, other, return_sim: bool = False) -> Column:
+    """Damerau-Levenshtein distance (or similarity). Ref string.py:461."""
+    if return_sim:
+        return _pair_udf(
+            lambda a, b: 1.0 - _dleven(a, b) / max(len(a), len(b), 1), "double"
+        )(to_col(c), to_col(other))
+    return _pair_udf(_dleven, "int")(to_col(c), to_col(other))
+
+
+def str_osa(c, other, return_sim: bool = False) -> Column:
+    """Optimal-string-alignment distance. Ref string.py:643."""
+    if return_sim:
+        return _pair_udf(
+            lambda a, b: 1.0 - _osa(a, b) / max(len(a), len(b), 1), "double"
+        )(to_col(c), to_col(other))
+    return _pair_udf(_osa, "int")(to_col(c), to_col(other))
+
+
+def str_lcs_subseq(c, other) -> Column:
+    """Longest common subsequence length. Ref string.py:575."""
+    return _pair_udf(_lcs_subseq_len, "int")(to_col(c), to_col(other))
+
+
+def str_lcs_subseq_dist(c, other) -> Column:
+    """LCS edit distance: n1 + n2 - 2*lcs. Ref string.py:603."""
+    return _pair_udf(
+        lambda a, b: len(a) + len(b) - 2 * _lcs_subseq_len(a, b), "int"
+    )(to_col(c), to_col(other))
+
+
+def str_lcs_substr(c, other) -> Column:
+    """Longest common substring. Ref string.py:547."""
+    return _pair_udf(_lcs_substr, "string")(to_col(c), to_col(other))
+
+
+def str_fuzz(c, other) -> Column:
+    """Fuzzy (indel) ratio as in fuzzywuzzy/rapidfuzz ratio:
+    1 - indel_dist/(n1+n2), indel = LCS edit distance. Ref string.py:679."""
+    return _pair_udf(
+        lambda a, b: 1.0 if not a and not b else
+        1.0 - (len(a) + len(b) - 2 * _lcs_subseq_len(a, b)) / (len(a) + len(b)),
+        "double",
+    )(to_col(c), to_col(other))
+
+
+# ----------------------------------------------------------- case & clean
+
+def to_snake_case(c) -> Column:
+    """camelCase → snake_case (regexp, JVM). Ref string.py:161."""
+    s = F.regexp_replace(to_col(c), r"([a-z0-9])([A-Z])", r"$1_$2")
+    return F.lower(F.regexp_replace(s, r"[\s\-]+", "_"))
+
+
+def to_camel_case(c) -> Column:
+    """snake_case → camelCase. Ref string.py:152. Implemented with a
+    higher-order transform over '_'-split parts (JVM)."""
+    parts = F.split(to_col(c), "_")
+    recap = F.transform(
+        parts,
+        lambda p, i: F.when(i == 0, p).otherwise(
+            F.concat(F.upper(p.substr(F.lit(1), F.lit(1))), p.substr(F.lit(2), F.length(p)))
+        ),
+    )
+    return F.array_join(recap, "")
+
+
+def to_pascal_case(c) -> Column:
+    """snake_case → PascalCase. Ref string.py:170."""
+    parts = F.split(to_col(c), "_")
+    recap = F.transform(
+        parts,
+        lambda p: F.concat(F.upper(p.substr(F.lit(1), F.lit(1))), p.substr(F.lit(2), F.length(p))),
+    )
+    return F.array_join(recap, "")
+
+
+def to_constant_case(c) -> Column:
+    """→ CONSTANT_CASE. Ref string.py:179."""
+    return F.upper(to_snake_case(c))
+
+
+def extract_numbers(c, join_by: str | None = None, dtype: str | None = None) -> Column:
+    """All numeric substrings as an array (optionally joined/cast).
+    Ref string.py:762."""
+    arr = F.regexp_extract_all(to_col(c), F.lit(r"(\d+\.?\d*)"), 1)
+    if join_by is not None:
+        return F.array_join(arr, join_by)
+    if dtype is not None:
+        return F.transform(arr, lambda x: x.cast(dtype))
+    return arr
+
+
+def replace_non_ascii(c, value: str = "") -> Column:
+    """Strip/replace non-ASCII chars (regexp, JVM). Ref string.py:853."""
+    return F.regexp_replace(to_col(c), r"[^\x00-\x7F]", value)
+
+
+_DIACRITICS_SRC = "áàâäãåāăąçćčĉéèêëēĕėęěíìîïĩīĭįñńņňóòôöõøōŏőśŝşšúùûüũūŭůűýÿźżž"
+_DIACRITICS_DST = "aaaaaaaaacccceeeeeeeeeiiiiiiiinnnnooooooooossssuuuuuuuuuyyzzz"
+
+
+def remove_diacritics(c) -> Column:
+    """Fold common Latin diacritics to ASCII via translate (JVM).
+    Ref string.py:894."""
+    s = to_col(c)
+    return F.translate(
+        F.translate(s, _DIACRITICS_SRC, _DIACRITICS_DST),
+        _DIACRITICS_SRC.upper(), _DIACRITICS_DST.upper(),
+    )
+
+
+def normalize_whitespace(c, only_spaces: bool = False) -> Column:
+    """Collapse whitespace runs. Ref string.py:963."""
+    pat = " +" if only_spaces else r"\s+"
+    return F.regexp_replace(to_col(c), pat, " ")
+
+
+def map_words(c, mapping: Dict[str, str]) -> Column:
+    """Replace whole words by a small literal mapping (chained regexps,
+    JVM). Ref string.py:927."""
+    out = to_col(c)
+    for k, v in mapping.items():
+        out = F.regexp_replace(out, rf"\b{k}\b", v)
+    return out
+
+
+def similar_to_vocab(c, vocab: Sequence[str], threshold: float,
+                     metric: str = "lv", strategy: str = "avg") -> Column:
+    """Boolean: similarity of c to the (small, literal) vocab passes the
+    threshold under avg/all/any strategy. Ref string.py:702. The vocab is
+    inlined as literals → flat JVM expression, no join."""
+    if metric != "lv":
+        raise NotImplementedError("round 1 supports levenshtein similarity")
+    sims = [str_leven(c, F.lit(v), return_sim=True) for v in vocab]
+    if strategy == "avg":
+        total = sims[0]
+        for s_ in sims[1:]:
+            total = total + s_
+        return (total / F.lit(len(sims))) >= threshold
+    conds = [s_ >= threshold for s_ in sims]
+    out = conds[0]
+    for cc in conds[1:]:
+        out = (out & cc) if strategy == "all" else (out | cc)
+    return out
+
+
+def str_nearest(df: DataFrame, c: str, vocab: Sequence[str],
+                metric: str = "lv", out_name: str = "nearest") -> DataFrame:
+    """For each row, the vocab word nearest to column c by levenshtein.
+    Ref string.py:188. Vocab inlined via array+array_min (broadcast-free
+    for small vocab; for big vocab use a broadcast crossJoin + min)."""
+    structs = F.array(*[
+        F.struct(
+            F.levenshtein(to_col(c), F.lit(v)).alias("d"), F.lit(v).alias("w")
+        ) for v in vocab
+    ])
+    best = F.array_min(structs)  # struct ordering: by first field (d)
+    return df.withColumn(out_name, best.getField("w"))

@@ -1,0 +1,285 @@
+"""Time-series features — Spark-native re-expression of the reference's
+ts_features module (reference: python/polars_ds/exprs/ts_features.py).
+
+Polars series are ordered; Spark DataFrames are not. Order-dependent
+features therefore take an explicit ``order_by`` column and partition
+keys ``by``, and are DataFrame-level: one sort-shuffle on (by, order_by)
+feeds every lag/lead, then a single groupBy aggregates. Order-free
+features stay pure aggregate Column expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col, group_window, ordered_window
+
+__all__ = [
+    "query_mid_range", "query_symm_ratio", "query_abs_energy", "query_cv",
+    "query_range_count", "query_mean_n_abs_max", "query_first_digit_cnt",
+    "query_benford",
+    "query_count_uniques", "query_entropy", "query_cond_entropy",
+    "query_mean_abs_change", "query_c3_stats", "query_cid_ce",
+    "query_time_reversal_asymmetry_stats", "query_auto_corr",
+    "query_longest_streak", "query_avg_streak", "query_streak",
+]
+
+
+# ------------------------------------------------------- agg Column exprs
+
+def query_mid_range(x) -> Column:
+    """(max - min)/2 (agg). Ref ts_features.py:51."""
+    xx = to_col(x)
+    return (F.max(xx) - F.min(xx)) / 2
+
+
+def query_symm_ratio(x) -> Column:
+    """|mean - median| / (max - min) (agg). Ref ts_features.py:59."""
+    xx = to_col(x)
+    return F.abs(F.mean(xx) - F.median(xx)) / (F.max(xx) - F.min(xx))
+
+
+def query_abs_energy(x) -> Column:
+    """Σ x² (agg). Ref ts_features.py:68."""
+    xx = to_col(x)
+    return F.sum(xx * xx)
+
+
+def query_cv(x, ddof: int = 1) -> Column:
+    """std/mean (agg). Ref ts_features.py:92."""
+    xx = to_col(x)
+    std = F.stddev_samp(xx) if ddof == 1 else F.stddev_pop(xx)
+    return std / F.mean(xx)
+
+
+def query_range_count(x, lower: float, upper: float) -> Column:
+    """Count of values in [lower, upper] (agg). Ref ts_features.py:114."""
+    xx = to_col(x)
+    return F.sum(((xx >= lower) & (xx <= upper)).cast("long"))
+
+
+def query_mean_n_abs_max(x, n_maxima: int) -> Column:
+    """Mean of the top n |x| (agg). Ref ts_features.py:83.
+
+    No top-k aggregate exists in Spark SQL; uses sort_array over a
+    collected group — intended for per-group series that fit an executor
+    (same contract as the reference's per-group kernel).
+    """
+    if n_maxima <= 0:
+        raise ValueError("n_maxima must be > 0")
+    arr = F.slice(
+        F.sort_array(F.collect_list(F.abs(to_col(x))), asc=False), 1, n_maxima
+    )
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v) / F.size(arr)
+
+
+def _first_digit(x) -> Column:
+    xx = F.abs(to_col(x).cast("double"))
+    return F.floor(xx / F.pow(F.lit(10.0), F.floor(F.log10(xx)))).cast("int")
+
+
+def query_first_digit_cnt(x) -> Column:
+    """Counts of leading digits 1..9 as an array (agg).
+    Ref ts_features.py:209."""
+    d = _first_digit(x)
+    return F.array(*[F.sum((d == i).cast("long")) for i in range(1, 10)])
+
+
+def query_benford(x) -> Column:
+    """First-digit distribution (fractions) for Benford's-law checks
+    (agg). Ref ts_features.py:231."""
+    d = _first_digit(x)
+    n = F.count(d).cast("double")
+    return F.array(*[(F.sum((d == i).cast("long")) / n) for i in range(1, 10)])
+
+
+# ------------------------------------------------ DataFrame-level features
+
+def query_count_uniques(df: DataFrame, x: str,
+                        by: Sequence[str] | None = None) -> DataFrame:
+    """Count of values occurring exactly once (polars `is_unique().sum()`
+    semantics). Ref ts_features.py:107. Two groupBys, both map-side
+    combinable."""
+    keys = list(by) if by else []
+    vc = df.groupBy(*keys, to_col(x).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    agg = F.sum((F.col("__c") == 1).cast("long")).alias("n_unique")
+    return vc.groupBy(*keys).agg(agg) if keys else vc.agg(agg)
+
+
+def query_entropy(df: DataFrame, x: str, base: float | None = None,
+                  by: Sequence[str] | None = None) -> DataFrame:
+    """Shannon entropy of the value distribution (natural log by default,
+    matching polars `.entropy()`). Ref ts_features.py:484."""
+    import math as _m
+
+    keys = list(by) if by else []
+    vc = df.groupBy(*keys, to_col(x).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    w = group_window(keys or None)
+    p = F.col("__c") / F.sum("__c").over(w)
+    step = vc.select(*keys, (-p * F.log(p)).alias("__e"))
+    e = F.sum("__e")
+    if base is not None:
+        e = e / F.lit(_m.log(base))
+    agg = e.alias("entropy")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_cond_entropy(df: DataFrame, x: str, y: str,
+                       by: Sequence[str] | None = None) -> DataFrame:
+    """Conditional entropy H(x|y) (agg over joint value counts).
+    Ref ts_features.py:500."""
+    keys = list(by) if by else []
+    joint = df.groupBy(*keys, to_col(x).alias("__x"), to_col(y).alias("__y")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wall = group_window(keys or None)
+    wy = Window.partitionBy(*(keys + ["__y"])) if keys else Window.partitionBy("__y")
+    p_xy = F.col("__c") / F.sum("__c").over(wall)
+    p_x_given_y = F.col("__c") / F.sum("__c").over(wy)
+    step = joint.select(*keys, (-p_xy * F.log(p_x_given_y)).alias("__e"))
+    agg = F.sum("__e").alias("cond_entropy")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_mean_abs_change(df: DataFrame, x: str, order_by,
+                          by: Sequence[str] | None = None) -> DataFrame:
+    """mean |x_i - x_{i-1}| along order_by. Ref ts_features.py:76."""
+    keys = list(by) if by else []
+    w = ordered_window(order_by, keys or None)
+    xx = to_col(x)
+    d = F.abs(xx - F.lag(xx).over(w))
+    step = df.select(*keys, d.alias("__d"))
+    agg = F.avg("__d").alias("mean_abs_change")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_c3_stats(df: DataFrame, x: str, lag: int, order_by,
+                   by: Sequence[str] | None = None) -> DataFrame:
+    """c3 non-linearity: Σ x_i·x_{i-lag}·x_{i-2lag} / (n - 2lag).
+    Ref ts_features.py:336."""
+    keys = list(by) if by else []
+    w = ordered_window(order_by, keys or None)
+    xx = to_col(x)
+    prod = xx * F.lag(xx, lag).over(w) * F.lag(xx, 2 * lag).over(w)
+    step = df.select(*keys, prod.alias("__p"))
+    agg = (F.sum("__p") / (F.count(F.lit(1)) - 2 * lag)).alias("c3")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_cid_ce(df: DataFrame, x: str, order_by,
+                 by: Sequence[str] | None = None,
+                 normalize: bool = False) -> DataFrame:
+    """Complexity estimate sqrt(Σ (x_i - x_{i+1})²), optionally on the
+    z-normalized series. Ref ts_features.py:356."""
+    keys = list(by) if by else []
+    xx = to_col(x).cast("double")
+    if normalize:
+        gw = group_window(keys or None)
+        xx = (xx - F.mean(xx).over(gw)) / F.stddev_samp(xx).over(gw)
+        df = df.select(*keys, xx.alias("__z"), to_col(order_by).alias("__o"))
+        xx, order_by = F.col("__z"), "__o"
+    w = ordered_window(order_by, keys or None)
+    d = xx - F.lead(xx).over(w)
+    step = df.select(*keys, (d * d).alias("__d2"))
+    agg = F.sqrt(F.sum("__d2")).alias("cid_ce")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_time_reversal_asymmetry_stats(df: DataFrame, x: str, n_lags: int,
+                                        order_by,
+                                        by: Sequence[str] | None = None) -> DataFrame:
+    """mean(L(x)·(L²(x)+x)·(L²(x)-x)) with leads of n_lags.
+    Ref ts_features.py:382."""
+    keys = list(by) if by else []
+    w = ordered_window(order_by, keys or None)
+    xx = to_col(x)
+    one = F.lead(xx, n_lags).over(w)
+    two = F.lead(xx, 2 * n_lags).over(w)
+    cell = one * (two + xx) * (two - xx)
+    step = df.select(*keys, cell.alias("__c"))
+    agg = F.avg("__c").alias("time_reversal_asymmetry")
+    return step.groupBy(*keys).agg(agg) if keys else step.agg(agg)
+
+
+def query_auto_corr(df: DataFrame, x: str, lag: int, order_by,
+                    by: Sequence[str] | None = None, ddof: int = 0,
+                    normalize: bool = True) -> DataFrame:
+    """Autocorrelation at the given lag: dot(x_m, lead(x_m, lag)) /
+    ((n-lag)·var). Ref ts_features.py:393."""
+    keys = list(by) if by else []
+    gw = group_window(keys or None)
+    xx = to_col(x).cast("double")
+    xm = xx - F.mean(xx).over(gw)
+    var = F.var_samp(xx).over(gw) if ddof == 1 else F.var_pop(xx).over(gw)
+    step = df.select(*keys, to_col(order_by).alias("__o"), xm.alias("__xm"),
+                     var.alias("__var"), xx.alias("__x"))
+    w = ordered_window("__o", keys or None)
+    if normalize:
+        prod = F.col("__xm") * F.lead("__xm", lag).over(w)
+        step2 = step.select(*keys, prod.alias("__p"), F.col("__var"))
+        agg = (F.sum("__p") / ((F.count(F.lit(1)) - lag) * F.first("__var"))).alias("auto_corr")
+    else:
+        prod = F.col("__x") * F.lead("__x", lag).over(w)
+        step2 = step.select(*keys, prod.alias("__p"))
+        agg = F.avg("__p").alias("auto_corr")
+    return step2.groupBy(*keys).agg(agg) if keys else step2.agg(agg)
+
+
+def _streak_lengths(df: DataFrame, where, order_by,
+                    keys: list[str]) -> DataFrame:
+    """Run-length encode the boolean `where` along order_by: classic
+    gaps-and-islands (row_number - conditional row_number)."""
+    cond = to_col(where).cast("boolean")
+    w = ordered_window(order_by, keys or None)
+    rn = F.row_number().over(w)
+    step = df.select(*keys, cond.alias("__c"), rn.alias("__rn"))
+    wc = (
+        Window.partitionBy(*keys, "__c") if keys else Window.partitionBy("__c")
+    ).orderBy("__rn")
+    island = F.col("__rn") - F.row_number().over(wc)
+    runs = step.select(*keys, F.col("__c"), island.alias("__i"))
+    return runs.groupBy(*keys, "__c", "__i").agg(F.count(F.lit(1)).alias("len"))
+
+
+def query_longest_streak(df: DataFrame, where, order_by,
+                         by: Sequence[str] | None = None) -> DataFrame:
+    """Longest run where the condition holds. Ref ts_features.py:121."""
+    keys = list(by) if by else []
+    runs = _streak_lengths(df, where, order_by, keys).where(F.col("__c"))
+    agg = F.max("len").alias("longest_streak")
+    return runs.groupBy(*keys).agg(agg) if keys else runs.agg(agg)
+
+
+def query_avg_streak(df: DataFrame, where, order_by,
+                     by: Sequence[str] | None = None) -> DataFrame:
+    """Average true-run length. Ref ts_features.py:152."""
+    keys = list(by) if by else []
+    runs = _streak_lengths(df, where, order_by, keys).where(F.col("__c"))
+    agg = F.avg("len").alias("avg_streak")
+    return runs.groupBy(*keys).agg(agg) if keys else runs.agg(agg)
+
+
+def query_streak(df: DataFrame, where, order_by,
+                 by: Sequence[str] | None = None) -> DataFrame:
+    """Per-row current streak length of the condition (gaps-and-islands
+    cumulative count). Ref ts_features.py:184."""
+    keys = list(by) if by else []
+    cond = to_col(where).cast("boolean")
+    w = ordered_window(order_by, keys or None)
+    rn = F.row_number().over(w)
+    step = df.select("*", cond.alias("__c"), rn.alias("__rn"))
+    wc = (
+        Window.partitionBy(*keys, "__c") if keys else Window.partitionBy("__c")
+    ).orderBy("__rn")
+    step = step.withColumn("__island", F.col("__rn") - F.row_number().over(wc))
+    wi = (
+        Window.partitionBy(*keys, "__c", "__island")
+        if keys else Window.partitionBy("__c", "__island")
+    ).orderBy("__rn")
+    return step.withColumn("streak", F.row_number().over(wi)).drop(
+        "__c", "__rn", "__island"
+    )
