@@ -157,8 +157,10 @@ def _jaro(s1: str, s2: str) -> float:
     return (m / n1 + m / n2 + (m - t) / m) / 3.0
 
 
-def _jw(s1: str, s2: str, weight: float = 0.1) -> float:
+def _jw(s1: str, s2: str, weight: float = 0.1, boost_threshold: float = 0.7) -> float:
     j = _jaro(s1, s2)
+    if j <= boost_threshold:  # standard JW: boost only above threshold
+        return j
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:
