@@ -325,14 +325,20 @@ def digamma(x) -> Column:
     xx = to_col(x).cast("double")
     shift = F.lit(0.0)
     z = xx
-    for _ in range(6):
+    for _ in range(8):
         shift = shift + F.lit(1.0) / z
         z = z + F.lit(1.0)
     inv2 = F.lit(1.0) / (z * z)
     series = (
         F.log(z)
         - F.lit(0.5) / z
-        - inv2 * (F.lit(1.0 / 12.0) - inv2 * (F.lit(1.0 / 120.0) - inv2 * F.lit(1.0 / 252.0)))
+        - inv2 * (
+            F.lit(1.0 / 12.0)
+            - inv2 * (
+                F.lit(1.0 / 120.0)
+                - inv2 * (F.lit(1.0 / 252.0) - inv2 * F.lit(1.0 / 240.0))
+            )
+        )
     )
     return series - shift
 

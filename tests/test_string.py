@@ -1,0 +1,113 @@
+"""String similarity vs known values (mirrors reference tests/test_string.py
+which checks against python reference impls / published examples)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.functions import string_ as S
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+CASES = [
+    ("kitten", "sitting"),
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("apple", "aple"),
+    ("", "abc"),
+    ("identical", "identical"),
+    ("ca", "abc"),
+]
+
+
+def test_levenshtein_and_friends(spark):
+    df = _pairs(spark, CASES)
+    rows = df.select(
+        "a", "b",
+        S.str_leven("a", "b").alias("lev"),
+        S.str_d_leven("a", "b").alias("dlev"),
+        S.str_osa("a", "b").alias("osa"),
+        S.str_jaro("a", "b").alias("jaro"),
+        S.str_jw("a", "b").alias("jw"),
+        S.str_lcs_subseq("a", "b").alias("lcs"),
+    ).collect()
+    by = {(r["a"], r["b"]): r for r in rows}
+    assert by[("kitten", "sitting")]["lev"] == 3
+    # classic: full damerau('ca','abc') = 2, OSA = 3
+    assert by[("ca", "abc")]["dlev"] == 2
+    assert by[("ca", "abc")]["osa"] == 3
+    assert by[("martha", "marhta")]["jaro"] == pytest.approx(0.9444444444, rel=1e-8)
+    assert by[("martha", "marhta")]["jw"] == pytest.approx(0.9611111111, rel=1e-8)
+    assert by[("dixon", "dicksonx")]["jw"] == pytest.approx(0.8133333333, rel=1e-8)
+    assert by[("", "abc")]["jaro"] == 0.0
+    assert by[("identical", "identical")]["jw"] == 1.0
+    assert by[("kitten", "sitting")]["lcs"] == 4
+
+
+def test_ngram_sims(spark):
+    df = _pairs(spark, [("apple", "aple")])
+    row = df.select(
+        S.str_jaccard("a", "b", 2).alias("jac"),
+        S.str_sorensen_dice("a", "b", 2).alias("dice"),
+        S.str_overlap_coeff("a", "b", 2).alias("ov"),
+        S.str_tversky_sim("a", "b", 0.5, 0.5, 2).alias("tv"),
+    ).first()
+    # apple: {ap,pp,pl,le}; aple: {ap,pl,le} → inter=3, union=4
+    assert row["jac"] == pytest.approx(3 / 4)
+    assert row["dice"] == pytest.approx(2 * 3 / 7)
+    assert row["ov"] == pytest.approx(1.0)
+    assert row["tv"] == pytest.approx(3 / (3 + 0.5 * 1 + 0.5 * 0))
+
+
+def test_hamming(spark):
+    df = _pairs(spark, [("karolin", "kathrin"), ("abc", "ab")])
+    rows = df.select("a", S.str_hamming("a", "b").alias("h"),
+                     S.str_hamming("a", "b", pad=True).alias("hp")).collect()
+    by = {r["a"]: r for r in rows}
+    assert by["karolin"]["h"] == 3
+    assert by["abc"]["h"] is None
+    assert by["abc"]["hp"] == 1
+
+
+def test_case_conversions(spark):
+    df = spark.range(1)
+    row = df.select(
+        S.to_snake_case(F.lit("someCamelCase")).alias("s"),
+        S.to_camel_case(F.lit("some_snake_case")).alias("c"),
+        S.to_pascal_case(F.lit("some_snake_case")).alias("p"),
+        S.to_constant_case(F.lit("someCamelCase")).alias("k"),
+    ).first()
+    assert row["s"] == "some_camel_case"
+    assert row["c"] == "someSnakeCase"
+    assert row["p"] == "SomeSnakeCase"
+    assert row["k"] == "SOME_CAMEL_CASE"
+
+
+def test_cleaning(spark):
+    df = spark.range(1)
+    row = df.select(
+        S.replace_non_ascii(F.lit("héllo wörld")).alias("ascii"),
+        S.remove_diacritics(F.lit("café naïve")).alias("dia"),
+        S.normalize_whitespace(F.lit("a   b\t\tc")).alias("ws"),
+        S.map_words(F.lit("the cat sat"), {"cat": "dog"}).alias("mw"),
+        S.extract_numbers(F.lit("x1 y2.5"), join_by="|").alias("nums"),
+    ).first()
+    assert row["ascii"] == "hllo wrld"
+    assert row["dia"] == "cafe naive"
+    assert row["ws"] == "a b c"
+    assert row["mw"] == "the dog sat"
+    assert row["nums"] == "1|2.5"
+
+
+def test_fuzz_and_vocab(spark):
+    df = _pairs(spark, [("apple", "apples"), ("zzz", "apple")])
+    rows = df.select("a", S.str_fuzz("a", "b").alias("f")).collect()
+    by = {r["a"]: r["f"] for r in rows}
+    assert by["apple"] == pytest.approx(1 - 1 / 11)  # one insertion
+    assert by["zzz"] < 0.3
+
+    near = S.str_nearest(df, "a", ["apples", "zebra"]).collect()
+    byn = {r["a"]: r["nearest"] for r in near}
+    assert byn["apple"] == "apples"
