@@ -18,6 +18,10 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The testdata writes TIMESTAMP(NANOS) which Spark rejects unless this
+    # runtime-settable conf is on. Set it here (not only in session.py) so an
+    # externally-constructed SparkSession — e.g. the driver's — can read too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanos timestamps surface as long when legacy.parquet.nanosAsLong is
     # on — normalize to a proper timestamp column.

@@ -55,13 +55,19 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 def main() -> int:
     import __spark_entry__ as e
-    from polars_ds_extension_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    spark = get_spark()
+    # Vanilla session (NO extra configs) so this gate mirrors the driver's
+    # environment — round 1 used get_spark() and false-greened 22 queries.
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, oracles = e.queries(), e.oracle_sql()
