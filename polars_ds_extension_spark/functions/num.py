@@ -170,16 +170,17 @@ def is_decreasing(df: DataFrame, x, order_by, by: Sequence[str] | None = None,
 def gcd(x, y) -> Column:
     """GCD of two int columns. Ref num.py:291.
 
-    Pure JVM-side Euclid: a 46-step `a, b = b, a % b` fold (worst case for
-    32-bit ints is ~47 steps, consecutive Fibonacci numbers) expressed as
-    `aggregate(sequence(1,46), struct(a,b), step)` — the loop runs in the
+    Pure JVM-side Euclid: a 92-step `a, b = b, a % b` fold (worst case for
+    64-bit ints is ~92 steps, consecutive Fibonacci numbers) expressed as
+    `aggregate(sequence(1,92), struct(a,b), step)` — the loop runs in the
     executor at runtime, the plan stays constant-size, and once b==0 the
-    state is a fixed point. No Python ever runs.
+    state is a fixed point (extra steps are free). No Python ever runs.
+    Returns long to avoid silent 32-bit truncation.
     """
     a = F.abs(to_col(x).cast("long"))
     b = F.abs(to_col(y).cast("long")) if not isinstance(y, int) else F.lit(abs(y)).cast("long")
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(46)),
+        F.sequence(F.lit(1), F.lit(92)),
         F.struct(a.alias("a"), b.alias("b")),
         lambda acc, _i: F.struct(
             F.when(acc["b"] == 0, acc["a"]).otherwise(acc["b"]).alias("a"),
@@ -187,15 +188,15 @@ def gcd(x, y) -> Column:
             .otherwise(acc["a"] % acc["b"]).alias("b"),
         ),
         lambda acc: acc["a"],
-    ).cast("int")
+    )
 
 
 def lcm(x, y) -> Column:
     """LCM via |x*y| / gcd. Ref num.py:314."""
     xx = F.abs(to_col(x).cast("long"))
     yy = F.abs(to_col(y).cast("long")) if not isinstance(y, int) else F.lit(abs(y)).cast("long")
-    g = gcd(x, y).cast("long")
-    return F.when(g == 0, F.lit(0)).otherwise((xx / g).cast("long") * yy).cast("int")
+    g = gcd(x, y)
+    return F.when(g == 0, F.lit(0).cast("long")).otherwise((xx / g).cast("long") * yy)
 
 
 def haversine(x_lat, x_long, y_lat, y_long, radius: float = 6371.0) -> Column:
@@ -386,8 +387,14 @@ def convolve(
     keys = list(by) if by else []
     w = ordered_window(order_by, keys or None)
     # y[i] = sum_j kernel[j] * x[i - j]  (direct convolution, kernel reversed
-    # relative to cross-correlation — matches numpy.convolve)
-    lagged = [F.coalesce(F.lag(xx, j).over(w), F.lit(0.0)) * F.lit(kern[j]) for j in range(n_k)]
+    # relative to cross-correlation — matches numpy.convolve).
+    # 'same' centers the kernel: output row i is full-conv row i+(n_k-1)//2,
+    # i.e. lag offsets shift by -(n_k-1)//2 (negative lag == lead).
+    shift = (n_k - 1) // 2 if mode == "same" else 0
+    lagged = [
+        F.coalesce(F.lag(xx, j - shift).over(w), F.lit(0.0)) * F.lit(kern[j])
+        for j in range(n_k)
+    ]
     conv = sum(lagged[1:], lagged[0])
     out = df.withColumn(out_name, conv)
     if mode == "valid":

@@ -177,9 +177,10 @@ def normal_test(x) -> Column:
     )
     a = 6 + 8 / sqrt_beta1 * (2 / sqrt_beta1 + F.sqrt(1 + 4 / (sqrt_beta1 * sqrt_beta1)))
     term = (1 - 2 / a) / (1 + xk * F.sqrt(2 / (a - 4)))
-    zk = (
-        (1 - 2 / (9 * a)) - F.pow(term, F.lit(1.0) / 3)
-    ) / F.sqrt(2 / (9 * a))
+    # signed cube root — F.pow(negative, 1/3) is NaN, but term < 0 happens
+    # for strongly platykurtic samples (scipy uses np.sign(term)*|term|^(1/3))
+    cbrt_term = F.signum(term) * F.pow(F.abs(term), F.lit(1.0) / 3)
+    zk = ((1 - 2 / (9 * a)) - cbrt_term) / F.sqrt(2 / (9 * a))
 
     k2 = zs * zs + zk * zk
     pval = F.exp(-k2 / 2)  # chi2(2 dof) survival function
@@ -209,7 +210,7 @@ def ks_2samp(df: DataFrame, x: str, group: str,
     """
     keys = list(by) if by else []
     g = to_col(group)
-    gvals = [r[0] for r in df.select(g.cast("string")).distinct().limit(2).collect()]
+    gvals = [r[0] for r in df.select(g.cast("string")).distinct().limit(3).collect()]
     if len(gvals) != 2:
         raise ValueError("ks_2samp: group column must have exactly 2 values")
     is_a = (g.cast("string") == gvals[0]).cast("double")
@@ -361,7 +362,9 @@ def xi_corr(df: DataFrame, x: str, y: str, by: Sequence[str] | None = None) -> D
     wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy("__x")
     dr = F.abs(F.col("__r") - F.lag("__r").over(wx))
     step2 = step.select(*keys, dr.alias("__dr"))
-    n = F.count(F.lit(1)).cast("double") + 1  # +1: lag drops first row
+    # lag nulls the first row's diff but count() over lit(1) still counts
+    # every row, so n here IS the sample size (no +1).
+    n = F.count(F.lit(1)).cast("double")
     aggs = [(F.lit(1.0) - 3.0 * F.sum("__dr") / (n * n - 1)).alias("corr")]
     return step2.groupBy(*keys).agg(*aggs) if keys else step2.agg(*aggs)
 
@@ -394,23 +397,81 @@ def bicor(df: DataFrame, x: str, y: str, c: float = 9.0,
     return step2.groupBy(*keys).agg(*aggs) if keys else step2.agg(*aggs)
 
 
+def _tau_b_numpy(xv, yv) -> float:
+    """Kendall tau-b on two 1-D float arrays — pure numpy Knight O(n log n):
+    sort by (x, y), count discordant pairs as y-inversions via a
+    divide-and-conquer searchsorted merge; tie corrections from run lengths.
+    (pandas' kendall delegates to scipy, which isn't installed here.)
+    """
+    import numpy as np
+
+    mask = ~(np.isnan(xv) | np.isnan(yv))
+    x, y = xv[mask], yv[mask]
+    n = x.size
+    if n < 2:
+        return float("nan")
+    perm = np.lexsort((y, x))  # sort by x, ties broken by y ascending
+    x, y = x[perm], y[perm]
+
+    def _inv(a):
+        # returns (sorted a, #inversions) — strict inversions a[i] > a[j], i<j
+        m = a.size
+        if m <= 1:
+            return a, 0
+        l, cl = _inv(a[: m // 2])
+        r, cr = _inv(a[m // 2:])
+        # cross pairs (i in left, j in right) with l_i > r_j
+        cross = int(np.sum(l.size - np.searchsorted(l, r, side="right")))
+        merged = np.empty(m, dtype=a.dtype)
+        idx = np.searchsorted(l, r, side="left") + np.arange(r.size)
+        rmask = np.zeros(m, dtype=bool)
+        rmask[idx] = True
+        merged[rmask], merged[~rmask] = r, l
+        return merged, cl + cr + cross
+
+    # within equal-x runs y is ascending → inversions only cross x groups,
+    # and equal y never counts (strict) → dis = discordant pair count
+    _, dis = _inv(y)
+
+    def _tie_term(a):
+        _, cnt = np.unique(a, return_counts=True)
+        return int((cnt * (cnt - 1) // 2).sum())
+
+    xtie = _tie_term(x)
+    ytie = _tie_term(y)
+    # joint ties: runs of equal (x, y) — already sorted lexicographically
+    both = np.flatnonzero(np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1]), True])
+    cnt = np.diff(both).astype("int64")
+    ntie = int((cnt * (cnt - 1) // 2).sum())
+
+    tot = n * (n - 1) // 2
+    if tot == xtie or tot == ytie:
+        return float("nan")
+    con_minus_dis = tot - xtie - ytie + ntie - 2 * dis
+    return float(con_minus_dis / math.sqrt(tot - xtie) / math.sqrt(tot - ytie))
+
+
 def kendall_tau(df: DataFrame, x: str, y: str,
                 by: Sequence[str] | None = None) -> DataFrame:
     """Kendall's tau-b. Ref stats.py:978.
 
     Distributed strategy: tau-b needs concordant/discordant pair counts —
-    computed per group with an Arrow-batched applyInPandas (pandas'
-    O(n log n) mergesort implementation). Groups must fit an executor;
-    for the global case on huge data, pre-aggregate or sample first.
+    computed per group with an Arrow-batched applyInPandas running the
+    numpy Knight kernel above. Groups must fit an executor; for the
+    global case on huge data, pre-aggregate or sample first.
     """
     import pandas as pd
 
     keys = list(by) if by else []
-    schema_keys = ", ".join(f"{k} string" for k in keys)
+    # preserve key dtypes — build the output schema from the input schema
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema_keys = ", ".join(f"{k} {key_fields[k]}" for k in keys)
     schema = (schema_keys + ", " if keys else "") + "corr double"
 
     def _tau(pdf: pd.DataFrame) -> pd.DataFrame:
-        t = pdf[x].corr(pdf[y], method="kendall")
+        t = _tau_b_numpy(
+            pdf[x].to_numpy(dtype="float64"), pdf[y].to_numpy(dtype="float64")
+        )
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["corr"] = [t]
         return pd.DataFrame(out)
@@ -419,10 +480,8 @@ def kendall_tau(df: DataFrame, x: str, y: str,
         return df.select(*keys, x, y).groupBy(*keys).applyInPandas(_tau, schema)
     return (
         df.select(F.lit(1).alias("__g"), x, y)
-        .groupBy("__g").applyInPandas(
-            lambda pdf: pd.DataFrame({"corr": [pdf[x].corr(pdf[y], method="kendall")]}),
-            "corr double",
-        )
+        .groupBy("__g")
+        .applyInPandas(_tau, "corr double")
     )
 
 

@@ -269,7 +269,7 @@ WITH t AS (
 ), d AS (
   SELECT ABS(r - LAG(r) OVER (ORDER BY xv)) AS dr FROM ry
 )
-SELECT ROUND(1 - 3.0*SUM(dr)/((COUNT(*)+1)*(COUNT(*)+1)::DOUBLE - 1), 6) AS corr FROM d
+SELECT ROUND(1 - 3.0*SUM(dr)/(COUNT(*)*COUNT(*)::DOUBLE - 1), 6) AS corr FROM d
 """)
 def xi_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-free ordering column so the lag sequence is deterministic
@@ -491,8 +491,8 @@ def softmax_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("gcd_lcm", """
 SELECT l_orderkey, l_linenumber,
-  GCD(l_orderkey + 1, l_partkey + 1)::INT AS g,
-  LCM(l_linenumber::BIGINT, 6)::INT AS l
+  GCD(l_orderkey + 1, l_partkey + 1)::BIGINT AS g,
+  LCM(l_linenumber::BIGINT, 6)::BIGINT AS l
 FROM lineitem
 """)
 def gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,3 +933,29 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", _r(F.exp(F.sum(F.log(1 - F.col("d_t") / F.col("n_t"))).over(w_asc))).alias("survival")
     )
     return out
+
+
+@query("kendall", """
+WITH t AS (
+  SELECT ROW_NUMBER() OVER () AS i, value AS x, user_id::DOUBLE AS y
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT SIGN(a.x - b.x) AS dx, SIGN(a.y - b.y) AS dy
+  FROM t a JOIN t b ON a.i < b.i
+), c AS (
+  SELECT SUM(CASE WHEN dx <> 0 AND dx = dy THEN 1 ELSE 0 END)::DOUBLE AS con,
+         SUM(CASE WHEN dx <> 0 AND dy <> 0 AND dx <> dy THEN 1 ELSE 0 END)::DOUBLE AS dis,
+         SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::DOUBLE AS xt,
+         SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::DOUBLE AS yt,
+         COUNT(*)::DOUBLE AS tot
+  FROM p
+)
+SELECT ROUND((con - dis) / SQRT(tot - xt) / SQRT(tot - yt), 6) AS corr FROM c
+""")
+def kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b via the numpy Knight O(n log n) kernel
+    (functions/stats.py:_tau_b_numpy). Oracle counts pairs by brute-force
+    self-join — only viable at oracle SF, which is the point of it."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    out = S.kendall_tau(ev, "value", "user_id")
+    return out.select(_r(F.col("corr")).alias("corr"))

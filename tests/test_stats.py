@@ -115,7 +115,22 @@ def test_corr_methods(spark, df):
     ry = pd.Series(Y).rank().values
     assert sp == pytest.approx(float(np.corrcoef(rx, ry)[0, 1]), rel=1e-9)
     kt = S.corr(df, "x", "y", method="kendall").first()["corr"]
-    assert kt == pytest.approx(pd.Series(X).corr(pd.Series(Y), method="kendall"), rel=1e-9)
+
+    # brute-force O(n^2) tau-b reference (pandas' kendall needs scipy)
+    def _tau_brute(x, y):
+        n = len(x)
+        con = dis = xtie = ytie = 0
+        for i in range(n):
+            dx = np.sign(x[i] - x[i + 1:])
+            dy = np.sign(y[i] - y[i + 1:])
+            con += int(np.sum((dx != 0) & (dx == dy)))
+            dis += int(np.sum((dx != 0) & (dy != 0) & (dx != dy)))
+            xtie += int(np.sum(dx == 0))
+            ytie += int(np.sum(dy == 0))
+        tot = n * (n - 1) // 2
+        return (con - dis) / np.sqrt(float(tot - xtie)) / np.sqrt(float(tot - ytie))
+
+    assert kt == pytest.approx(_tau_brute(np.asarray(X, float), np.asarray(Y, float)), rel=1e-9)
 
 
 def test_ks_mann_whitney(spark):
