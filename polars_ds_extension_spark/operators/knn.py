@@ -1,0 +1,258 @@
+"""KNN / similarity search over embedding columns (array<float|double>).
+
+Mirrors the reference's spatial queries (ref exprs/expr_knn.py:100
+query_knn_ptwise, :265 knn_avg, :471 radius_ptwise, :601 nb_cnt) but
+Spark-shaped:
+
+  * vector math is JVM higher-order (`zip_with`/`aggregate`) — no Python;
+  * the correctness path broadcasts the reference set (dims tables are
+    small: centroids, label prototypes, a query batch) so the scan side
+    streams through a broadcast-hash join — no shuffle of the big side;
+  * the scale path is random-hyperplane LSH: signatures scan-side, ONE
+    shuffle on the bucket key, exact re-rank inside buckets — never a
+    cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------ vector algebra
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def l2(a: Column, b: Column) -> Column:
+    return F.sqrt(l2_sq(a, b))
+
+
+_METRICS = {"cosine": lambda a, b: -cosine(a, b), "l2": l2, "l2_sq": l2_sq}
+
+
+# ---------------------------------------------------- brute force (broadcast)
+
+def knn_join(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    k: int = 5, metric: str = "cosine",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors of each query among ``index`` rows.
+
+    Ref expr_knn.py:100 (query_knn_ptwise). The index side is broadcast
+    (correctness/centroid path — the big side streams, no shuffle of it);
+    per-query top-k via window over (q_id). For index sets too big to
+    broadcast, use `ann_lsh_join`.
+    Output: (q_id, i_id, dist, rank), rank 1..k.
+    """
+    dist_fn = _METRICS[metric]
+    idx = index.select(F.col(i_id).alias("__iid"), F.col(i_vec).alias("__ivec"))
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    q = queries.select(F.col(q_id).alias("__qid"), F.col(q_vec).alias("__qvec"))
+    scored = q.join(idx, q["__qid"] != idx["__iid"]).select(
+        "__qid", "__iid", dist_fn(F.col("__qvec"), F.col("__ivec")).alias("__d")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__d").asc(), F.col("__iid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(q_id), F.col("__iid").alias("neighbor_id"),
+                (-F.col("__d") if metric == "cosine" else F.col("__d")).alias(
+                    "cosine" if metric == "cosine" else "dist"),
+                "rank")
+    )
+
+
+def knn_avg(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str, value: str,
+    k: int = 5, metric: str = "cosine",
+) -> DataFrame:
+    """Mean of ``value`` over each query's k nearest index rows.
+    Ref expr_knn.py:265."""
+    nn = knn_join(queries, q_id, q_vec, index, i_id, i_vec, k, metric)
+    vals = index.select(F.col(i_id).alias("neighbor_id"), F.col(value).alias("__v"))
+    return (
+        nn.join(F.broadcast(vals), "neighbor_id")
+        .groupBy(q_id)
+        .agg(F.avg("__v").alias(f"knn_avg_{value}"))
+    )
+
+
+def radius_count(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    radius: float, metric: str = "l2",
+) -> DataFrame:
+    """Count of index rows within ``radius`` of each query.
+    Ref expr_knn.py:601 (nb_cnt)."""
+    dist_fn = _METRICS[metric]
+    idx = F.broadcast(
+        index.select(F.col(i_id).alias("__iid"), F.col(i_vec).alias("__ivec"))
+    )
+    q = queries.select(F.col(q_id).alias("__qid"), F.col(q_vec).alias("__qvec"))
+    scored = q.join(idx, q["__qid"] != idx["__iid"])
+    return (
+        scored.where(dist_fn(F.col("__qvec"), F.col("__ivec")) <= radius)
+        .groupBy(F.col("__qid").alias(q_id))
+        .agg(F.count(F.lit(1)).alias("nb_cnt"))
+    )
+
+
+# --------------------------------------------------------- LSH scale path
+
+def hyperplane_signature(vec: Column, n_planes: int = 16, seed: int = 7) -> Column:
+    """Random-hyperplane (SRP) bit signature packed into a long.
+
+    Plane p's normal components are derived per-dimension from
+    xxhash64(seed, p, dim) — deterministic, no stored model, computed
+    scan-side. sign(v·r_p) gives bit p. Charikar STOC'02.
+    """
+    dim = F.size(vec)
+    sig = F.lit(0).cast("long")
+
+    # factory closure (pyspark lambdas treat default args as lambda vars)
+    def _component(p):
+        return lambda x, d: x.cast("double") * (
+            F.xxhash64(F.lit(seed), F.lit(p), d).cast("double") / 9.223372036854776e18
+        )
+
+    # unrolled over planes (n_planes is small and fixed) — each term is
+    # one flat dot-product aggregate.
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), dim - 1), _component(p)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def ann_lsh_join(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 5,
+    n_tables: int = 4, n_planes: int = 12,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Approximate self-KNN via multi-table SRP-LSH.
+
+    Each row gets ``n_tables`` independent signatures; rows sharing any
+    (table, signature) bucket are candidates — ONE shuffle on the bucket
+    key, exact cosine re-rank per query. No cartesian product: candidate
+    count is bounded by bucket sizes, tunable via n_planes.
+    Output: (id, neighbor_id, cosine, rank) — rank over found candidates.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    # one signature per table, each with a distinct hash seed
+    sigs = base.select(
+        "__id", "__vec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     hyperplane_signature(F.col("__vec"), n_planes,
+                                          seed=7 + 131 * t).alias("sig"))
+            for t in range(n_tables)
+        ])).alias("__b"),
+    ).select("__id", "__vec", "__b.t", "__b.sig")
+    a = sigs.select("t", "sig", F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    b = sigs.select("t", "sig", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    cand = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine"))
+    )
+    if min_cosine is not None:
+        cand = cand.where(F.col("cosine") >= min_cosine)
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------- IVF scale path
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str,
+    centroids: DataFrame, c_id: str, c_vec: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (l2, deterministic
+    tie-break on centroid id via lexicographic struct-min).
+
+    Centroids broadcast; the big side streams — no shuffle for the
+    distance scan, one partial-agg shuffle on id for the argmin.
+    Output: (id_col, centroid_id).
+    """
+    c = F.broadcast(centroids.select(F.col(c_id).alias("__cid"),
+                                     F.col(c_vec).alias("__cvec")))
+    q = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    scored = q.crossJoin(c).select(
+        "__id", "__cid", l2_sq(F.col("__vec"), F.col("__cvec")).alias("__d")
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"))
+        .select(F.col("__id").alias(id_col), F.col("__m.__cid").alias("centroid_id"))
+    )
+
+
+def ivf_knn_join(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16, k: int = 5,
+) -> DataFrame:
+    """Approximate self-KNN via an IVF (inverted-file) index.
+
+    Seed centroids are the first ``n_centroids`` ids (deterministic — a
+    production build would k-means these; the partition/join shape is
+    identical). Vectors are bucketed by nearest centroid (broadcast
+    scan), then neighbors are searched ONLY within the bucket: one
+    shuffle on centroid_id, per-bucket pairs, window top-k. At 100 TB:
+    n_centroids ~ sqrt(N) keeps buckets executor-sized, and the
+    all-pairs term n²/C is C× cheaper than brute force.
+    Output: (id, neighbor_id, cosine, rank).
+    """
+    cents = df.where(F.col(id_col) < n_centroids)
+    asg = ivf_assign(df, id_col, vec_col, cents, id_col, vec_col)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
+    a = tagged.select(F.col("centroid_id").alias("__c"),
+                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    b = tagged.select(F.col("centroid_id").alias("__c"),
+                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    cand = (
+        a.join(b, "__c")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
+                "cosine", "rank")
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, fingerprinting — all pure
+JVM Column expressions (scan-side, zero shuffle, zero Python in the hot
+path), so they compose into any filter/groupBy at 100 TB for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _t(text) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+# ------------------------------------------------------------- token counts
+
+def whitespace_tokens(text) -> Column:
+    return F.split(F.trim(_t(text)), r"\s+")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, and non-space punctuation —
+# the GPT-2 pre-tokenizer shape without the lookbehind (unsupported in
+# Java regex used by regexp_* here and in DuckDB's RE2 oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpeish_token_count(text) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer's piece count."""
+    return F.size(F.regexp_extract_all(_t(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def char_count(text) -> Column:
+    return F.length(_t(text))
+
+
+def distinct_token_ratio(text) -> Column:
+    """distinct/total tokens — low values flag boilerplate/spam."""
+    toks = whitespace_tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+# ----------------------------------------------------------- quality scoring
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
+    "on", "with", "as", "at", "by", "it", "be", "are", "this", "that",
+]
+
+
+def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords. Natural text ≈ 0.25-0.55;
+    keyword spam ≈ 0; boilerplate lists ≈ 0."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or _STOPWORDS)])
+    toks = whitespace_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(text) -> Column:
+    """Punctuation chars / all chars."""
+    t = _t(text)
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    return (F.length(t) - F.length(stripped)).cast("double") / F.length(t)
+
+
+def mean_token_length(text) -> Column:
+    toks = whitespace_tokens(text)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.size(toks)
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + token-length sanity + low punctuation. Deterministic and cheap —
+    meant as a first-pass filter before model-based scoring."""
+    t = _t(text)
+    n = F.length(t)
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 30, 0.5).otherwise(0.0)
+    sw = stopword_ratio(t)
+    sw_ok = F.when((sw >= 0.1) & (sw <= 0.7), 1.0).otherwise(0.0)
+    mtl = mean_token_length(t)
+    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(t) <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + sw_ok + mtl_ok + punct_ok) / 4.0
+
+
+# -------------------------------------------------------------- language id
+
+# Tiny per-language stopword votes — an n-gram/stopword heuristic in the
+# fasttext-lid spirit, deterministic and fully expressible in SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "para", "con", "del"],
+    "pt": ["o", "os", "uma", "os", "das", "nao", "com", "por", "mais", "como"],
+    "it": ["il", "di", "che", "e", "la", "per", "una", "sono", "non", "con"],
+}
+
+
+def lang_scores(text, markers: dict[str, list[str]] | None = None) -> Column:
+    """Struct of per-language stopword hit counts."""
+    m = markers or LANG_MARKERS
+    toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
+    fields = []
+    for lang, words in m.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        fields.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(lang)
+        )
+    return F.struct(*fields)
+
+
+def language_id(text, markers: dict[str, list[str]] | None = None,
+                default: str = "und") -> Column:
+    """argmax-language by marker votes; ``default`` when no marker hits.
+
+    Ties break by the (fixed) language order in ``markers`` — the same
+    deterministic rule the SQL oracle expresses.
+    """
+    m = markers or LANG_MARKERS
+    scores = lang_scores(text, m)
+    langs = list(m.keys())
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit(default)
+    for lang in reversed(langs):  # earlier languages win ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit(default))
+
+
+# ------------------------------------------------------------ fingerprinting
+
+def content_fingerprint(text) -> Column:
+    """Canonical content hash: md5 of lowercased, whitespace-collapsed
+    text. Robust to case/spacing-only edits; identical across engines
+    (md5 is md5 everywhere) so it doubles as the cross-engine dedup key."""
+    canon = F.lower(F.regexp_replace(F.trim(_t(text)), r"\s+", " "))
+    return F.md5(canon)
+
+
+def rolling_fingerprint(text, window: int = 4, mod: int = 1_000_003) -> Column:
+    """Winnowing-style fingerprint: min of polynomial rolling hashes over
+    word windows, mod a prime (Schleimer et al., SIGMOD'03 'winnowing').
+
+    Arithmetic stays < 2^63 (acc ≤ mod·31 + mod), so it is safe under
+    ANSI mode and reproducible in any engine with integer ops.
+    """
+    toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
+    # per-token value: polynomial hash of chars mod `mod`
+    tokval = lambda t: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.substring(t, i, 1))) % mod,
+    )
+    vals = F.transform(toks, tokval)
+    n_win = F.greatest(F.size(vals) - (window - 1), F.lit(1))
+    win_hash = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.aggregate(
+            F.slice(vals, i, window),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 37 + v) % mod,
+        ),
+    )
+    return F.array_min(win_hash)

@@ -959,3 +959,8 @@ def kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
     out = S.kendall_tau(ev, "value", "user_id")
     return out.select(_r(F.col("corr")).alias("corr"))
+
+
+# Register the LLM-pipeline catalog (dedup / text / similarity search).
+# Import at module bottom: queries_llm needs `query`/`_r` from this module.
+from . import queries_llm  # noqa: E402,F401

@@ -1,0 +1,347 @@
+"""Catalog queries for the LLM-training-data-pipeline operators
+(dedup / similarity search / text analysis) over the `documents` and
+`embeddings` tables.
+
+Oracle notes:
+  * hash functions (xxhash64) never appear in outputs — LSH/IVF only
+    generate candidates, results are exact-verified (Jaccard / cosine),
+    so DuckDB can compute the identical set;
+  * the near-dup oracles use a sparse similarity join (unnest shingles →
+    join on shingle → count) instead of all-pairs list_intersect — same
+    result, ~150× faster;
+  * duplicate pairs are injected in-query (docs ∪ perturbed copies) since
+    the synthetic corpus has no natural dups — both engines build the
+    same union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import knn as K
+from .operators import text as T
+from .queries import _r, query
+from .sources import load_table
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies shifted by 100000 — exact-dup corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.select("doc_id", "text").unionByName(dup)
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ one-suffix-perturbed copies — near-dup corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pert = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz dup marker")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(pert)
+
+
+_SQL_DUP_UNION = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+_SQL_NEAR_DUP_UNION = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+@query("dedup_stats", f"""
+WITH u AS ({_SQL_DUP_UNION})
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+FROM u
+""")
+def dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate summary via 8-byte hash shuffle (operators/dedup.py
+    duplicate_stats) on documents ∪ exact copies."""
+    return D.duplicate_stats(_docs_with_dups(spark, sf_dir), ["text"])
+
+
+@query("exact_dedup", f"""
+WITH u AS ({_SQL_DUP_UNION})
+SELECT MIN(doc_id) AS doc_id FROM u GROUP BY text
+""")
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping min doc_id per distinct text."""
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir), ["text"], "doc_id").select("doc_id")
+
+
+@query("near_dup_minhash", f"""
+WITH u AS ({_SQL_NEAR_DUP_UNION}), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM u
+), sh AS (
+  SELECT doc_id, unnest(s) AS g FROM shl
+), ln AS (
+  SELECT doc_id, len(s) AS n FROM shl
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c::DOUBLE / (la.n + lb.n - c), 6) AS jaccard
+FROM shared JOIN ln la ON la.doc_id = id_a JOIN ln lb ON lb.doc_id = id_b
+WHERE c::DOUBLE / (la.n + lb.n - c) >= 0.6
+""")
+def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (char-12 shingles, 96 hashes, 32×3
+    bands), exact-Jaccard verified at 0.6 — LSH recall on this corpus is
+    exactly 1, checked against the all-pairs oracle."""
+    u = _docs_with_near_dups(spark, sf_dir)
+    nd = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
+    return nd.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+@query("blocked_jaccard", r"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS sp
+  FROM documents
+), g AS (
+  SELECT doc_id, source, list_distinct(list_transform(
+    range(1, greatest(len(sp) - 2, 1) + 1),
+    i -> array_to_string(list_slice(sp, i, i + 2), ' '))) AS s
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+""")
+def blocked_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard for all doc pairs sharing a `source` block —
+    the classic blocked entity-resolution join (shuffle on block key,
+    pairs only inside blocks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.blocked_jaccard_pairs(docs, "doc_id", "text", "source", n_gram=3)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+@query("near_dup_simhash")
+def near_dup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-blocked near-dup pairs (8 bands × 8 bits), Jaccard-verified.
+    Rows-only: simhash blocking recall is < 1 by design (cheaper blocking);
+    the minhash query above carries the exact-parity check."""
+    u = _docs_with_near_dups(spark, sf_dir)
+    sd = D.simhash_near_dup_pairs(u, "doc_id", "text", threshold=0.6)
+    return sd.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+# ------------------------------------------------------------ text analysis
+
+@query("token_stats", r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS sp FROM documents
+)
+SELECT doc_id,
+  len(sp) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+  len(text) AS n_chars,
+  ROUND(len(list_distinct(sp))::DOUBLE / len(sp), 6) AS distinct_ratio
+FROM t
+""")
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpeish_token_count("text").alias("n_bpeish"),
+        T.char_count("text").alias("n_chars"),
+        _r(T.distinct_token_ratio("text")).alias("distinct_ratio"),
+    )
+
+
+_SW_SQL = "'" + "','".join(T._STOPWORDS) + "'"
+
+@query("text_quality", rf"""
+WITH t AS (
+  SELECT doc_id, text, len(text) AS n,
+         string_split_regex(trim(text), '\s+') AS sp
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+    len(list_filter(sp, x -> lower(x) IN ({_SW_SQL})))::DOUBLE / len(sp) AS swr,
+    list_aggregate(list_transform(sp, x -> len(x)), 'sum')::DOUBLE / len(sp) AS mtl,
+    (n - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / n AS pr
+  FROM t
+)
+SELECT doc_id,
+  ROUND(swr, 6) AS stopword_ratio,
+  ROUND(mtl, 6) AS mean_token_len,
+  ROUND(pr, 6) AS punct_ratio,
+  ROUND((
+    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN swr >= 0.1 AND swr <= 0.7 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0, 6) AS quality
+FROM m
+""")
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _r(T.stopword_ratio("text")).alias("stopword_ratio"),
+        _r(T.mean_token_length("text")).alias("mean_token_len"),
+        _r(T.punct_ratio("text")).alias("punct_ratio"),
+        _r(T.quality_score("text")).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, words in T.LANG_MARKERS.items():
+        in_list = "'" + "','".join(words) + "'"
+        score_cols.append(
+            f"len(list_filter(tk, x -> x IN ({in_list}))) AS {lang}"
+        )
+    langs = list(T.LANG_MARKERS.keys())
+    best = "greatest(" + ", ".join(langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN {lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM t
+)
+SELECT doc_id, {case} AS lid FROM s
+"""
+
+
+@query("language_id", _lang_sql())
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax with fixed tie
+    order, expressed identically in the SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.language_id("text").alias("lid"))
+
+
+@query("fingerprints", r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS tk
+  FROM documents
+), v AS (
+  SELECT doc_id, text,
+    list_transform(tk, tok -> list_reduce(
+      list_prepend(0::BIGINT,
+        list_transform(range(1, len(tok) + 1), i -> ascii(substr(tok, i, 1))::BIGINT)),
+      (a, c) -> (a * 31 + c) % 1000003)) AS vals
+  FROM t
+)
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_fp,
+  list_min(list_transform(
+    range(1, greatest(len(vals) - 3, 1) + 1),
+    i -> list_reduce(list_prepend(0::BIGINT, list_slice(vals, i, i + 3)),
+                     (a, v) -> (a * 37 + v) % 1000003))) AS rolling_fp
+FROM v
+""")
+def fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content (md5-canonical) + winnowing rolling-hash fingerprints —
+    pure integer/md5 arithmetic, reproduced exactly in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.content_fingerprint("text").alias("content_fp"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+@query("knn_cosine", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)::INT AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+) WHERE rank <= 3
+""")
+def knn_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 (broadcast index, window top-k) for the
+    first 50 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = K.knn_join(emb.where(F.col("vec_id") < 50), "vec_id", "embedding",
+                    emb, "vec_id", "embedding", k=3, metric="cosine")
+    return nn.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+@query("knn_avg_label", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, ROUND(AVG(label), 6) AS knn_avg_label FROM (
+  SELECT a.vec_id, b.label,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+) WHERE rank <= 5 GROUP BY vec_id
+""")
+def knn_avg_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean neighbor label over each vector's 5 cosine-NN
+    (ref expr_knn.py:265 knn_avg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_avg(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+                    "label", k=5, metric="cosine")
+    return out.select("vec_id", _r(F.col("knn_avg_label")).alias("knn_avg_label"))
+
+
+@query("radius_nb_cnt", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id, COUNT(*) AS nb_cnt
+FROM e a JOIN e b ON a.vec_id <> b.vec_id
+WHERE list_distance(a.v, b.v) <= 1.3
+GROUP BY a.vec_id
+""")
+def radius_nb_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor count within l2 radius 1.3 (ref expr_knn.py:601 nb_cnt)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.radius_count(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+                          radius=1.3, metric="l2")
+
+
+@query("ivf_ann", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)::INT AS rank
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+) WHERE rank <= 3
+""")
+def ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate self-KNN: bucket by nearest of 16 seed centroids
+    (broadcast scan), search only within buckets — the n²/C scale path.
+    Deterministic, so the oracle reproduces it exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.ivf_knn_join(emb, "vec_id", "embedding", n_centroids=16, k=3)
+    return out.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")

@@ -1,0 +1,167 @@
+"""Tests for the LLM-pipeline operators: dedup, text analysis, knn."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.operators import dedup as D
+from polars_ds_extension_spark.operators import knn as K
+from polars_ds_extension_spark.operators import text as T
+
+
+# ------------------------------------------------------------------- dedup
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "txt": ["aa", "bb", "aa", "cc", "bb"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = D.exact_dedup(sdf, ["txt"], "id").orderBy("id").toPandas()
+    assert list(out["id"]) == [1, 2, 4]
+    stats = D.duplicate_stats(sdf, ["txt"]).first()
+    assert (stats["n_rows"], stats["n_distinct"], stats["n_dupes"]) == (5, 3, 2)
+
+
+def test_char_shingles_and_jaccard(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"a": ["abcdef"], "b": ["bcdefg"]}))
+    row = sdf.select(
+        D.char_shingles("a", 3).alias("sa"),
+        D.char_shingles("b", 3).alias("sb"),
+    ).select(D.jaccard(F.col("sa"), F.col("sb")).alias("j")).first()
+    # shingles(a) = {abc,bcd,cde,def}; shingles(b) = {bcd,cde,def,efg}
+    assert row["j"] == pytest.approx(3 / 5)
+
+
+def test_near_dup_pairs_finds_planted_dups(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    rows = [{"id": i, "txt": t} for i, t in enumerate(texts)]
+    rows += [{"id": 100 + i, "txt": t + " extra"} for i, t in enumerate(texts[:5])]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = D.near_dup_pairs(sdf, "id", "txt", threshold=0.6).toPandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    assert {(i, 100 + i) for i in range(5)} <= found
+    assert (out["jaccard"] >= 0.6).all()
+
+
+def test_simhash_properties(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "a": ["the quick brown fox jumps over the lazy dog"],
+        "b": ["the quick brown fox jumps over the lazy cat"],
+        "c": ["completely different words entirely unrelated text here now"],
+    }))
+    row = sdf.select(
+        D.simhash("a").alias("ha"), D.simhash("b").alias("hb"),
+        D.simhash("c").alias("hc"),
+    ).select(
+        D.hamming64(F.col("ha"), F.col("ha")).alias("self"),
+        D.hamming64(F.col("ha"), F.col("hb")).alias("near"),
+        D.hamming64(F.col("ha"), F.col("hc")).alias("far"),
+    ).first()
+    assert row["self"] == 0
+    assert row["near"] < row["far"]
+
+
+# -------------------------------------------------------------------- text
+
+def test_token_counts(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"t": ["Hello world, 42 foo-bar!"]}))
+    row = sdf.select(
+        T.token_count("t").alias("tc"),
+        T.bpeish_token_count("t").alias("bc"),
+        T.char_count("t").alias("cc"),
+    ).first()
+    assert row["tc"] == 4
+    # Hello, world, ',', 4, 2, foo, -, bar, '!'
+    assert row["bc"] == 9
+    assert row["cc"] == 24
+
+
+def test_quality_and_language(spark):
+    good = ("The quick brown fox jumps over the lazy dog and it was a very "
+            "good day for all of the animals in the big green forest today.")
+    sdf = spark.createDataFrame(pd.DataFrame({"t": [good, "x y z"]}))
+    out = sdf.select(
+        T.quality_score("t").alias("q"), T.language_id("t").alias("lid")
+    ).collect()
+    assert out[0]["q"] == 1.0
+    assert out[0]["lid"] == "en"
+    assert out[1]["q"] < 0.5
+    assert out[1]["lid"] == "und"
+    de = "der Hund und die Katze sind nicht auf der Couch"
+    lid = spark.createDataFrame(pd.DataFrame({"t": [de]})).select(
+        T.language_id("t").alias("l")).first()["l"]
+    assert lid == "de"
+
+
+def test_fingerprints(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "a": ["Hello   World"], "b": ["hello world"], "c": ["other text"],
+    }))
+    row = sdf.select(
+        T.content_fingerprint("a").alias("fa"),
+        T.content_fingerprint("b").alias("fb"),
+        T.content_fingerprint("c").alias("fc"),
+        T.rolling_fingerprint("a").alias("ra"),
+        T.rolling_fingerprint("b").alias("rb"),
+    ).first()
+    assert row["fa"] == row["fb"] != row["fc"]  # canonicalization
+    assert row["ra"] == row["rb"]
+
+
+# --------------------------------------------------------------------- knn
+
+def _vecs():
+    return pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "v": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]],
+    })
+
+
+def test_knn_join_brute(spark):
+    sdf = spark.createDataFrame(_vecs())
+    out = K.knn_join(sdf, "id", "v", sdf, "id", "v", k=1, metric="cosine").toPandas()
+    nn = dict(zip(out["id"], out["neighbor_id"]))
+    assert nn[0] == 1 and nn[1] == 0
+    # cosine values exact
+    got = out.set_index("id")["cosine"]
+    assert got[0] == pytest.approx(0.9 / np.sqrt(0.81 + 0.01))
+
+
+def test_knn_avg_and_radius(spark):
+    pdf = _vecs()
+    pdf["lab"] = [10.0, 20.0, 30.0, 40.0]
+    sdf = spark.createDataFrame(pdf)
+    avg = K.knn_avg(sdf, "id", "v", sdf, "id", "v", "lab", k=2,
+                    metric="cosine").toPandas().set_index("id")
+    assert avg.loc[0, "knn_avg_lab"] == pytest.approx((20.0 + 30.0) / 2)
+    rc = K.radius_count(sdf, "id", "v", sdf, "id", "v", radius=0.2,
+                        metric="l2").toPandas()
+    assert dict(zip(rc["id"], rc["nb_cnt"])) == {0: 1, 1: 1}
+
+
+def test_ivf_matches_brute_when_one_bucket(spark):
+    # with a single centroid every vector lands in one bucket → IVF == brute
+    sdf = spark.createDataFrame(_vecs())
+    ivf = K.ivf_knn_join(sdf, "id", "v", n_centroids=1, k=2).toPandas()
+    brute = K.knn_join(sdf, "id", "v", sdf, "id", "v", k=2,
+                       metric="cosine").toPandas()
+    ivf_s = ivf.sort_values(["id", "rank"]).reset_index(drop=True)
+    brute_s = brute.sort_values(["id", "rank"]).reset_index(drop=True)
+    assert list(ivf_s["neighbor_id"]) == list(brute_s["neighbor_id"])
+
+
+def test_ann_lsh_self_similarity(spark):
+    # near-identical vectors must share buckets and be found
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    rows = [{"id": i, "v": base[i].tolist()} for i in range(20)]
+    rows += [{"id": 100 + i, "v": (base[i] + 1e-4).tolist()} for i in range(5)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = K.ann_lsh_join(sdf, "id", "v", k=1, n_tables=4, n_planes=8).toPandas()
+    nn = dict(zip(out["id"], out["neighbor_id"]))
+    for i in range(5):
+        assert nn.get(i) == 100 + i or nn.get(100 + i) == i
