@@ -1,0 +1,243 @@
+"""Linear models — Spark-native re-expression of the reference's linear
+module (ref exprs/expr_linear.py:44 simple_lin_reg, :105 lin_reg, :277
+logistic_reg, :413/:482 recursive/rolling, :561 lin_reg_report;
+linear_models.py:127 LR, :343 ElasticNet).
+
+Design for 100 TB:
+  * everything reduces to ONE distributed aggregation of sufficient
+    statistics (X'X upper triangle + X'y — k(k+3)/2 doubles for k
+    features), map-side combinable, then a k×k solve on the driver.
+    No row ever leaves the executors; the shuffle payload is O(k²)
+    per partition regardless of data size;
+  * logistic regression is IRLS: each iteration is one such aggregation
+    pass (X'WX, X'(y-p)) with the current β broadcast as literals;
+  * rolling/grouped simple regression stays fully distributed (windowed
+    or grouped covariance algebra — no driver involvement).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col
+
+__all__ = [
+    "simple_lin_reg_coeffs", "simple_lin_reg", "rolling_lin_reg",
+    "recursive_lin_reg", "lin_reg", "lin_reg_predict", "lin_reg_report",
+    "logistic_reg",
+]
+
+
+# ------------------------------------------------------- simple (closed form)
+
+def simple_lin_reg_coeffs(x, y) -> Column:
+    """Aggregate expression → struct(slope, intercept) of y ~ x.
+    Single-pass expanded moments (map-side combinable). Ref
+    expr_linear.py:44."""
+    xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(xx), F.sum(yy)
+    sxx, sxy = F.sum(xx * xx), F.sum(xx * yy)
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n
+    return F.struct(slope.alias("slope"), intercept.alias("intercept"))
+
+
+def simple_lin_reg(df: DataFrame, x: str, y: str,
+                   by: Sequence[str] | None = None) -> DataFrame:
+    """Per-group slope/intercept DataFrame. Output: by + slope, intercept."""
+    keys = list(by) if by else []
+    agg = simple_lin_reg_coeffs(x, y).alias("c")
+    out = df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+    return out.select(*keys, F.col("c.slope").alias("slope"),
+                      F.col("c.intercept").alias("intercept"))
+
+
+def rolling_lin_reg(df: DataFrame, x: str, y: str, order_by, window: int,
+                    by: Sequence[str] | None = None,
+                    out_name: str = "rolling_slope") -> DataFrame:
+    """Rolling-window slope of y ~ x ordered by ``order_by`` within
+    groups. Ref expr_linear.py:482. Windowed moment sums — one
+    sort-shuffle on the group key, no driver round-trip."""
+    keys = list(by) if by else []
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(to_col(order_by)).rowsBetween(-(window - 1), 0)
+    xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(xx).over(w), F.sum(yy).over(w)
+    sxx, sxy = F.sum(xx * xx).over(w), F.sum(xx * yy).over(w)
+    # CASE guards the division: ANSI mode (Spark 4 default) errors on the
+    # 1-row window's 0/0 instead of returning NaN
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return df.withColumn(out_name, slope)
+
+
+def recursive_lin_reg(df: DataFrame, x: str, y: str, order_by,
+                      by: Sequence[str] | None = None,
+                      out_name: str = "recursive_slope") -> DataFrame:
+    """Expanding-window (recursive) slope — every prefix of the ordered
+    series. Ref expr_linear.py:413. Same shape as rolling with an
+    unbounded-preceding frame."""
+    keys = list(by) if by else []
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(to_col(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+    xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(xx).over(w), F.sum(yy).over(w)
+    sxx, sxy = F.sum(xx * xx).over(w), F.sum(xx * yy).over(w)
+    # CASE guards the division: ANSI mode (Spark 4 default) errors on the
+    # 1-row window's 0/0 instead of returning NaN
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return df.withColumn(out_name, slope)
+
+
+# ------------------------------------------------ multi-feature (normal eq.)
+
+def _suffstats(df: DataFrame, features: Sequence[str], target: str,
+               add_bias: bool) -> tuple[np.ndarray, np.ndarray, float]:
+    """One aggregation pass → (X'X, X'y, n) as numpy. The collect is a
+    single row of k(k+3)/2 + 1 doubles — O(k²), independent of |df|."""
+    cols = [to_col(f).cast("double") for f in features]
+    if add_bias:
+        cols = cols + [F.lit(1.0)]
+    yy = to_col(target).cast("double")
+    k = len(cols)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+        aggs.append(F.sum(cols[i] * yy).alias(f"xy_{i}"))
+    aggs.append(F.count(F.lit(1)).cast("double").alias("n"))
+    row = df.agg(*aggs).first()
+    xtx = np.zeros((k, k))
+    xty = np.zeros(k)
+    for i in range(k):
+        for j in range(i, k):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+        xty[i] = row[f"xy_{i}"]
+    return xtx, xty, float(row["n"])
+
+
+def lin_reg(df: DataFrame, features: Sequence[str], target: str,
+            add_bias: bool = True, l2: float = 0.0) -> list[float]:
+    """OLS / ridge coefficients via distributed X'X, X'y + driver solve.
+    Ref expr_linear.py:105. Returns [coef_0..coef_{k-1}(, bias)]."""
+    xtx, xty, _ = _suffstats(df, features, target, add_bias)
+    if l2 > 0.0:
+        reg = np.eye(xtx.shape[0]) * l2
+        if add_bias:
+            reg[-1, -1] = 0.0  # bias is conventionally unpenalized
+        xtx = xtx + reg
+    return np.linalg.solve(xtx, xty).tolist()
+
+
+def lin_reg_predict(df: DataFrame, features: Sequence[str], target: str,
+                    add_bias: bool = True, l2: float = 0.0,
+                    out_name: str = "pred") -> DataFrame:
+    """Fit (one pass) then attach predictions/residuals as JVM column
+    expressions — the coefficients ride along as literals, so scoring is
+    scan-speed with zero Python."""
+    beta = lin_reg(df, features, target, add_bias, l2)
+    pred = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
+    for i, f in enumerate(features):
+        pred = pred + F.lit(float(beta[i])) * to_col(f).cast("double")
+    return df.withColumn(out_name, pred).withColumn(
+        "resid", to_col(target).cast("double") - F.col(out_name)
+    )
+
+
+def lin_reg_report(df: DataFrame, features: Sequence[str], target: str,
+                   add_bias: bool = True) -> DataFrame:
+    """Coefficients with std errors / t values / p values.
+    Ref expr_linear.py:561.
+
+    Needs (X'X)⁻¹ and SSE: one extra aggregation for SSE using the fitted
+    β (two passes total, each a tiny collect). p-values via the survival
+    function of t_{n-k} computed with a numpy continued fraction — on k
+    numbers, driver-side.
+    """
+    from ._special import t_sf
+
+    xtx, xty, n = _suffstats(df, features, target, add_bias)
+    beta = np.linalg.solve(xtx, xty)
+    names = list(features) + (["__bias__"] if add_bias else [])
+    pred = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
+    for i, f in enumerate(features):
+        pred = pred + F.lit(float(beta[i])) * to_col(f).cast("double")
+    resid = to_col(target).cast("double") - pred
+    sse = float(df.agg(F.sum(resid * resid)).first()[0])
+    k = len(names)
+    dof = n - k
+    sigma2 = sse / dof
+    cov = np.linalg.inv(xtx) * sigma2
+    se = np.sqrt(np.diag(cov))
+    tvals = beta / se
+    pvals = [2.0 * t_sf(abs(float(t)), dof) for t in tvals]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(names[i], float(beta[i]), float(se[i]), float(tvals[i]), float(pvals[i]))
+         for i in range(k)],
+        "feature string, coef double, std_err double, t_value double, p_value double",
+    )
+
+
+# ----------------------------------------------------------------- logistic
+
+def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
+                 add_bias: bool = True, n_iters: int = 8,
+                 l2: float = 0.0) -> list[float]:
+    """Logistic regression via IRLS / Newton. Ref expr_linear.py:277.
+
+    Per iteration: broadcast current β as literals, aggregate X'WX and
+    the score X'(y−p) in ONE pass (k(k+3)/2 doubles), Newton step on the
+    driver. n_iters passes total; each is a full scan but shuffles only
+    the tiny partial aggregates — the 100 TB shape for GLM fitting.
+    """
+    cols = [to_col(f).cast("double") for f in features]
+    if add_bias:
+        cols = cols + [F.lit(1.0)]
+    yy = to_col(target).cast("double")
+    k = len(cols)
+    beta = np.zeros(k)
+    for _ in range(n_iters):
+        eta = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
+        for i in range(k - 1 if add_bias else k):
+            eta = eta + F.lit(float(beta[i])) * cols[i]
+        if not add_bias:
+            eta = sum((F.lit(float(beta[i])) * cols[i] for i in range(k)),
+                      F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+            aggs.append(F.sum((yy - p) * cols[i]).alias(f"g_{i}"))
+        row = df.agg(*aggs).first()
+        hess = np.zeros((k, k))
+        grad = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+            grad[i] = row[f"g_{i}"]
+        if l2 > 0.0:
+            reg = np.eye(k) * l2
+            if add_bias:
+                reg[-1, -1] = 0.0
+            hess += reg
+            grad -= l2 * np.where(
+                np.arange(k) == k - 1, 0.0, beta) if add_bias else l2 * beta
+        step = np.linalg.solve(hess, grad)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < 1e-10:
+            break
+    return beta.tolist()

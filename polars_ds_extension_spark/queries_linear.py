@@ -1,0 +1,160 @@
+"""Catalog queries for the linear-models module.
+
+Oracles: simple/rolling regression via DuckDB's REGR_* aggregates;
+multi-feature OLS via Cramer's rule on the same sufficient statistics
+(3×3 normal system spelled out in SQL). Logistic regression has no
+SQL-expressible oracle (iterative) — rows-only, parity is covered by
+tests/test_linear.py against a numpy IRLS mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import linear as L
+from .queries import _r, query
+from .sources import load_table
+
+
+@query("simple_lin_reg", """
+SELECT l_returnflag,
+  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept
+FROM lineitem GROUP BY l_returnflag
+""")
+def simple_lin_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form slope/intercept (ref expr_linear.py:44) —
+    one map-side-combinable aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = L.simple_lin_reg(li, "l_quantity", "l_extendedprice", by=["l_returnflag"])
+    return out.select("l_returnflag", _r(F.col("slope")).alias("slope"),
+                      _r(F.col("intercept")).alias("intercept"))
+
+
+@query("lin_reg_multi", """
+WITH s AS (
+  SELECT SUM(l_quantity*l_quantity) AS s11, SUM(l_quantity*l_discount) AS s12,
+         SUM(l_quantity) AS s1, SUM(l_discount*l_discount) AS s22,
+         SUM(l_discount) AS s2, COUNT(*)::DOUBLE AS n,
+         SUM(l_quantity*l_extendedprice) AS t1,
+         SUM(l_discount*l_extendedprice) AS t2, SUM(l_extendedprice) AS ty
+  FROM lineitem
+)
+SELECT
+  ROUND((t1*(s22*n - s2*s2) - s12*(t2*n - s2*ty) + s1*(t2*s2 - s22*ty))
+        / (s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1)), 6)
+        AS coef_quantity,
+  ROUND((s11*(t2*n - ty*s2) - t1*(s12*n - s2*s1) + s1*(s12*ty - t2*s1))
+        / (s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1)), 6)
+        AS coef_discount,
+  ROUND((s11*(s22*ty - s2*t2) - s12*(s12*ty - t2*s1) + t1*(s12*s2 - s22*s1))
+        / (s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1)), 6)
+        AS intercept
+FROM s
+""")
+def lin_reg_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS via distributed X'X/X'y + driver k×k solve
+    (ref expr_linear.py:105). The oracle solves the identical normal
+    system with Cramer's rule in SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    beta = L.lin_reg(li, ["l_quantity", "l_discount"], "l_extendedprice")
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6), round(beta[2], 6))],
+        "coef_quantity double, coef_discount double, intercept double",
+    )
+
+
+@query("lin_reg_report", """
+WITH s AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(l_quantity) AS sx,
+         SUM(l_quantity*l_quantity) AS sxx, SUM(l_extendedprice) AS sy,
+         SUM(l_quantity*l_extendedprice) AS sxy,
+         SUM(l_extendedprice*l_extendedprice) AS syy
+  FROM lineitem
+), c AS (
+  SELECT n, sx, sxx,
+    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+    (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS icept,
+    (sxx - sx*sx/n) AS ssx,
+    (syy - sy*sy/n) - POW(n*sxy - sx*sy, 2) / (n * (n*sxx - sx*sx)) AS sse
+  FROM s
+)
+SELECT 'l_quantity' AS feature, ROUND(slope, 6) AS coef,
+       ROUND(SQRT(sse/(n-2)/ssx), 6) AS std_err,
+       ROUND(slope / SQRT(sse/(n-2)/ssx), 6) AS t_value
+FROM c
+UNION ALL
+SELECT '__bias__', ROUND(icept, 6),
+       ROUND(SQRT(sse/(n-2)*(1.0/n + (sx/n)*(sx/n)/ssx)), 6),
+       ROUND(icept / SQRT(sse/(n-2)*(1.0/n + (sx/n)*(sx/n)/ssx)), 6)
+FROM c
+""")
+def lin_reg_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient report with std errors / t values (ref
+    expr_linear.py:561); p-values exist in the API (tested vs quadrature
+    in pytest) but are excluded here since SQL lacks a t CDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = L.lin_reg_report(li, ["l_quantity"], "l_extendedprice")
+    return rep.select("feature", _r(F.col("coef")).alias("coef"),
+                      _r(F.col("std_err")).alias("std_err"),
+                      _r(F.col("t_value")).alias("t_value"))
+
+
+@query("rolling_lin_reg", """
+SELECT event_id, ROUND(slope, 6) AS rolling_slope FROM (
+  SELECT event_id,
+    REGR_SLOPE(value, user_id) OVER (
+      PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn >= 30
+""")
+def rolling_lin_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-row rolling slope per event_type (ref expr_linear.py:482) —
+    windowed moment sums, one sort-shuffle, no driver round-trip."""
+    ev = load_table(spark, sf_dir, "events")
+    out = L.rolling_lin_reg(ev, "user_id", "value", "event_id", 30,
+                            by=["event_type"])
+    from pyspark.sql.window import Window
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id"))
+    return (out.withColumn("__rn", rn).where(F.col("__rn") >= 30)
+            .select("event_id", _r(F.col("rolling_slope")).alias("rolling_slope")))
+
+
+@query("recursive_lin_reg", """
+SELECT event_id, ROUND(slope, 6) AS recursive_slope FROM (
+  SELECT event_id,
+    REGR_SLOPE(value, user_id) OVER (
+      PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn >= 5
+""")
+def recursive_lin_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window slope per event_type (ref expr_linear.py:413)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = L.recursive_lin_reg(ev, "user_id", "value", "event_id",
+                              by=["event_type"])
+    from pyspark.sql.window import Window
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id"))
+    return (out.withColumn("__rn", rn).where(F.col("__rn") >= 5)
+            .select("event_id", _r(F.col("recursive_slope")).alias("recursive_slope")))
+
+
+@query("logistic_reg")
+def logistic_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRLS logistic regression (ref expr_linear.py:277): one sufficient-
+    statistics aggregation per Newton iteration. Rows-only driver check
+    (iterative — not SQL-expressible); numpy parity in tests/test_linear.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.withColumn("__y", (F.col("l_discount") > 0.05).cast("double"))
+    beta = L.logistic_reg(df, ["l_quantity", "l_tax"], "__y", n_iters=8)
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6), round(beta[2], 6))],
+        "coef_quantity double, coef_tax double, intercept double",
+    )

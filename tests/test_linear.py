@@ -1,0 +1,104 @@
+"""Tests: linear models vs numpy, special functions vs quadrature."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.functions import _special as sp
+from polars_ds_extension_spark.functions import linear as L
+
+RNG = np.random.default_rng(0)
+N = 2000
+X1 = RNG.normal(size=N)
+X2 = RNG.normal(size=N)
+Y = 2.0 * X1 - 1.5 * X2 + 0.7 + RNG.normal(0, 0.5, N)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(pd.DataFrame({"x1": X1, "x2": X2, "y": Y}))
+
+
+def test_lin_reg_matches_numpy(df):
+    beta = L.lin_reg(df, ["x1", "x2"], "y")
+    X = np.column_stack([X1, X2, np.ones(N)])
+    want = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert np.allclose(beta, want, atol=1e-9)
+    # ridge shrinks feature coefs toward zero but not the bias
+    ridged = L.lin_reg(df, ["x1", "x2"], "y", l2=100.0)
+    assert abs(ridged[0]) < abs(beta[0]) and abs(ridged[1]) < abs(beta[1])
+
+
+def test_lin_reg_report(df):
+    rep = L.lin_reg_report(df, ["x1", "x2"], "y").toPandas().set_index("feature")
+    X = np.column_stack([X1, X2, np.ones(N)])
+    beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+    resid = Y - X @ beta
+    sigma2 = resid @ resid / (N - 3)
+    se = np.sqrt(np.diag(np.linalg.inv(X.T @ X) * sigma2))
+    assert rep.loc["x1", "coef"] == pytest.approx(beta[0], rel=1e-9)
+    assert rep.loc["x1", "std_err"] == pytest.approx(se[0], rel=1e-9)
+    assert rep.loc["__bias__", "t_value"] == pytest.approx(beta[2] / se[2], rel=1e-9)
+    assert 0.0 <= rep["p_value"].min() and rep["p_value"].max() <= 1.0
+
+
+def test_logistic_matches_numpy_irls(df):
+    yb = (Y > np.mean(Y)).astype(float)
+    sdf = df.withColumn("yb", (F.col("y") > float(np.mean(Y))).cast("double"))
+    got = np.array(L.logistic_reg(sdf, ["x1", "x2"], "yb", n_iters=12))
+    X = np.column_stack([X1, X2, np.ones(N)])
+    b = np.zeros(3)
+    for _ in range(60):
+        p = 1.0 / (1.0 + np.exp(-(X @ b)))
+        w = p * (1 - p)
+        step = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (yb - p))
+        b += step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    assert np.allclose(got, b, atol=1e-6)
+
+
+def test_rolling_and_recursive(spark):
+    n = 120
+    x = RNG.normal(size=n)
+    y = 3.0 * x + RNG.normal(0, 0.1, n)
+    pdf = pd.DataFrame({"i": range(n), "x": x, "y": y})
+    sdf = spark.createDataFrame(pdf)
+    out = (L.rolling_lin_reg(sdf, "x", "y", "i", 30)
+           .orderBy("i").toPandas())
+    # manual rolling slope at the last row
+    xs, ys = x[-30:], y[-30:]
+    want = np.cov(xs, ys, ddof=1)[0, 1] / np.var(xs, ddof=1)
+    assert out["rolling_slope"].iloc[-1] == pytest.approx(want, rel=1e-9)
+    rec = (L.recursive_lin_reg(sdf, "x", "y", "i").orderBy("i").toPandas())
+    want_full = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    assert rec["recursive_slope"].iloc[-1] == pytest.approx(want_full, rel=1e-9)
+
+
+# ------------------------------------------------------- special functions
+
+def _t_sf_quad(t, df):
+    x = np.linspace(t, t + 300, 1_000_001)
+    c = math.exp(math.lgamma((df + 1) / 2) - math.lgamma(df / 2)) / math.sqrt(df * math.pi)
+    return float(np.trapz(c * (1 + x ** 2 / df) ** (-(df + 1) / 2), x))
+
+
+def _chi2_sf_quad(x0, k):
+    x = np.linspace(x0, x0 + 400, 1_000_001)
+    y = x ** (k / 2 - 1) * np.exp(-x / 2) / (2 ** (k / 2) * math.exp(math.lgamma(k / 2)))
+    return float(np.trapz(y, x))
+
+
+def test_special_functions_vs_quadrature():
+    assert sp.t_sf(2.0, 10) == pytest.approx(_t_sf_quad(2.0, 10), abs=1e-6)
+    assert sp.t_sf(-1.5, 20) == pytest.approx(1 - _t_sf_quad(1.5, 20), abs=1e-6)
+    assert sp.chi2_sf(3.841459, 1) == pytest.approx(0.05, abs=1e-6)
+    assert sp.chi2_sf(10.0, 4) == pytest.approx(_chi2_sf_quad(10.0, 4), abs=1e-6)
+    assert sp.norm_sf(1.959964) == pytest.approx(0.025, abs=1e-6)
+    # F via the beta identity at a point with known symmetry
+    assert sp.f_sf(1.0, 5, 5) == pytest.approx(0.5, abs=1e-9)
+    assert sp.betainc_reg(2.0, 3.0, 0.0) == 0.0
+    assert sp.betainc_reg(2.0, 3.0, 1.0) == 1.0
