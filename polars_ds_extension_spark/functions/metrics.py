@@ -220,8 +220,15 @@ def roc_auc(df: DataFrame, actual: str, pred: str,
     """
     keys = list(by) if by else []
     a = to_col(actual).cast("double")
-    r = _avg_rank_expr(df, pred, keys)
-    step = df.select(*keys, a.alias("__a"), r.alias("__r"))
+    if keys:
+        r = _avg_rank_expr(df, pred, keys)
+        step = df.select(*keys, a.alias("__a"), r.alias("__r"))
+    else:
+        # global path: two-pass range-partitioned ranks — no
+        # single-partition sort (plans/ranks.py)
+        from ..plans import global_avg_rank
+        pre = df.select(a.alias("__a"), to_col(pred).alias("__p"))
+        step = global_avg_rank(pre, "__p", out_name="__r")
     npos = F.sum("__a")
     nneg = F.count(F.lit(1)) - npos
     rank_sum = F.sum(F.col("__r") * F.col("__a"))

@@ -199,60 +199,81 @@ def winsorize(x, lower: float = 0.05, upper: float = 0.95,
 
 # ------------------------------------------------------ DataFrame-level tests
 
+def _two_group_labels(df: DataFrame, g: Column,
+                      groups: Sequence | None, fn: str) -> list[str]:
+    if groups is not None:
+        vals = [str(v) for v in groups]
+        if len(vals) != 2:
+            raise ValueError(f"{fn}: groups must have exactly 2 values")
+        return vals
+    gvals = sorted(
+        r[0] for r in df.select(g.cast("string")).distinct().limit(3).collect()
+    )
+    if len(gvals) != 2:
+        raise ValueError(f"{fn}: group column must have exactly 2 values")
+    return gvals
+
+
 def ks_2samp(df: DataFrame, x: str, group: str,
-             by: Sequence[str] | None = None) -> DataFrame:
+             by: Sequence[str] | None = None,
+             groups: Sequence | None = None) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the two values of
     ``group``. Ref stats.py:232.
 
-    ECDF difference at every sample point via two cumulative windows — a
-    single sort-shuffle on (by, x); no collect.
+    Pass ``groups=(a, b)`` to skip label discovery (one less job).
+    Grouped path: ECDF via cumulative windows partitioned on ``by``
+    (parallel across groups). Global path: the two-pass range-partitioned
+    prefix-sum plan (plans/ranks.py) — no single-partition sort.
     Output: ``by`` + `statistic`.
     """
     keys = list(by) if by else []
     g = to_col(group)
-    gvals = [r[0] for r in df.select(g.cast("string")).distinct().limit(3).collect()]
-    if len(gvals) != 2:
-        raise ValueError("ks_2samp: group column must have exactly 2 values")
+    gvals = _two_group_labels(df, g, groups, "ks_2samp")
     is_a = (g.cast("string") == gvals[0]).cast("double")
     is_b = (g.cast("string") == gvals[1]).cast("double")
-    w = ordered_window(x, keys or None).rangeBetween(Window.unboundedPreceding, 0)
-    gw = group_window(keys or None)
     step = df.select(*keys, to_col(x).alias("__x"), is_a.alias("__a"), is_b.alias("__b"))
-    cum_a = F.sum("__a").over(
-        Window.partitionBy(*keys).orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
-        if keys else Window.partitionBy().orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
-    )
-    tot_a = F.sum("__a").over(gw)
-    cum_b = F.sum("__b").over(
-        Window.partitionBy(*keys).orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
-        if keys else Window.partitionBy().orderBy("__x").rangeBetween(Window.unboundedPreceding, 0)
-    )
-    tot_b = F.sum("__b").over(gw)
-    d = F.abs(cum_a / tot_a - cum_b / tot_b)
-    step2 = step.select(*keys, d.alias("__d"))
     if keys:
-        return step2.groupBy(*keys).agg(F.max("__d").alias("statistic"))
-    return step2.agg(F.max("__d").alias("statistic"))
+        wc = Window.partitionBy(*keys).orderBy("__x") \
+            .rangeBetween(Window.unboundedPreceding, 0)
+        gw = group_window(keys)
+        d = F.abs(
+            F.sum("__a").over(wc) / F.sum("__a").over(gw)
+            - F.sum("__b").over(wc) / F.sum("__b").over(gw)
+        )
+        return step.select(*keys, d.alias("__d")) \
+            .groupBy(*keys).agg(F.max("__d").alias("statistic"))
+    from ..plans import global_cumsum
+    tot = step.agg(F.sum("__a").alias("a"), F.sum("__b").alias("b")).first()
+    cum = global_cumsum(step, "__x", ["__a", "__b"])
+    d = F.abs(F.col("cum___a") / F.lit(float(tot["a"]))
+              - F.col("cum___b") / F.lit(float(tot["b"])))
+    return cum.select(d.alias("__d")).agg(F.max("__d").alias("statistic"))
 
 
 def mann_whitney_u(df: DataFrame, x: str, group: str,
-                   by: Sequence[str] | None = None) -> DataFrame:
+                   by: Sequence[str] | None = None,
+                   groups: Sequence | None = None) -> DataFrame:
     """Mann-Whitney U statistic (two-sided rank-sum, tie-averaged ranks).
 
-    Ref stats.py:331. Average ranks via rank() + tie-count window — one
-    sort-shuffle. Output: ``by`` + `u1`, `u2`, `statistic` (= u2 to match
-    scipy's two-sided convention used by the reference).
+    Ref stats.py:331. Pass ``groups=(a, b)`` to skip label discovery.
+    Grouped path: rank windows partitioned on ``by`` (parallel). Global
+    path: two-pass range-partitioned ranks (plans/ranks.py) — no
+    single-partition sort. Output: ``by`` + `u1`, `u2`, `statistic`
+    (= max(u1, u2), scipy's two-sided convention).
     """
     keys = list(by) if by else []
     g = to_col(group)
-    gvals = sorted(r[0] for r in df.select(g.cast("string")).distinct().limit(3).collect())
-    if len(gvals) != 2:
-        raise ValueError("mann_whitney_u: group column must have exactly 2 values")
-    wo = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(x))
-    wt = (Window.partitionBy(*keys, to_col(x)) if keys else Window.partitionBy(to_col(x)))
-    avg_rank = F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    gvals = _two_group_labels(df, g, groups, "mann_whitney_u")
     is_a = (g.cast("string") == gvals[0]).cast("double")
-    step = df.select(*keys, avg_rank.alias("__r"), is_a.alias("__a"))
+    if keys:
+        wo = Window.partitionBy(*keys).orderBy(to_col(x))
+        wt = Window.partitionBy(*keys, to_col(x))
+        avg_rank = F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        step = df.select(*keys, avg_rank.alias("__r"), is_a.alias("__a"))
+    else:
+        from ..plans import global_avg_rank
+        pre = df.select(to_col(x).alias("__x"), is_a.alias("__a"))
+        step = global_avg_rank(pre, "__x", out_name="__r")
     aggs = [
         F.sum(F.col("__r") * F.col("__a")).alias("__r1"),
         F.sum("__a").alias("__n1"),
@@ -330,15 +351,21 @@ def corr(df: DataFrame, x: str, y: str, method: str = "pearson",
         agg = [F.corr(to_col(x), to_col(y)).alias("corr")]
         return df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
     if method == "spearman":
-        wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(x))
-        wy = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(y))
-        wtx = Window.partitionBy(*keys, to_col(x)) if keys else Window.partitionBy(to_col(x))
-        wty = Window.partitionBy(*keys, to_col(y)) if keys else Window.partitionBy(to_col(y))
-        rx = F.rank().over(wx) + (F.count(F.lit(1)).over(wtx) - 1) / 2.0
-        ry = F.rank().over(wy) + (F.count(F.lit(1)).over(wty) - 1) / 2.0
-        step = df.select(*keys, rx.alias("__rx"), ry.alias("__ry"))
-        agg = [F.corr("__rx", "__ry").alias("corr")]
-        return step.groupBy(*keys).agg(*agg) if keys else step.agg(*agg)
+        if keys:
+            wx = Window.partitionBy(*keys).orderBy(to_col(x))
+            wy = Window.partitionBy(*keys).orderBy(to_col(y))
+            wtx = Window.partitionBy(*keys, to_col(x))
+            wty = Window.partitionBy(*keys, to_col(y))
+            rx = F.rank().over(wx) + (F.count(F.lit(1)).over(wtx) - 1) / 2.0
+            ry = F.rank().over(wy) + (F.count(F.lit(1)).over(wty) - 1) / 2.0
+            step = df.select(*keys, rx.alias("__rx"), ry.alias("__ry"))
+            return step.groupBy(*keys).agg(F.corr("__rx", "__ry").alias("corr"))
+        # global: two-pass range-partitioned ranks, one per column
+        from ..plans import global_avg_rank
+        step = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
+        step = global_avg_rank(step, "__x", out_name="__rx")
+        step = global_avg_rank(step, "__y", out_name="__ry")
+        return step.agg(F.corr("__rx", "__ry").alias("corr"))
     if method == "xi":
         return xi_corr(df, x, y, by=keys or None)
     if method == "bicor":
@@ -353,15 +380,24 @@ def xi_corr(df: DataFrame, x: str, y: str, by: Sequence[str] | None = None) -> D
     reference's default). Ref stats.py:1039.
 
     xi = 1 - 3 * sum|r_{i+1} - r_i| / (n² - 1), where r is the rank of y
-    ordered by x. Two windows + one agg, one sort-shuffle.
+    ordered by x. Grouped: two partitioned windows (parallel). Global:
+    range-partitioned rank + cross-partition lag (plans/ranks.py).
     """
     keys = list(by) if by else []
-    wy = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(to_col(y))
-    r = F.rank().over(wy).cast("double")
-    step = df.select(*keys, to_col(x).alias("__x"), r.alias("__r"))
-    wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy("__x")
-    dr = F.abs(F.col("__r") - F.lag("__r").over(wx))
-    step2 = step.select(*keys, dr.alias("__dr"))
+    if keys:
+        wy = Window.partitionBy(*keys).orderBy(to_col(y))
+        r = F.rank().over(wy).cast("double")
+        step = df.select(*keys, to_col(x).alias("__x"), r.alias("__r"))
+        wx = Window.partitionBy(*keys).orderBy("__x")
+        dr = F.abs(F.col("__r") - F.lag("__r").over(wx))
+        step2 = step.select(*keys, dr.alias("__dr"))
+    else:
+        from ..plans import global_lag, global_min_rank
+        pre = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
+        ranked = global_min_rank(pre, "__y", out_name="__r")
+        lagged = global_lag(ranked, "__x", "__r", out_name="__lr")
+        dr = F.abs(F.col("__r") - F.col("__lr"))
+        step2 = lagged.select(dr.alias("__dr"))
     # lag nulls the first row's diff but count() over lit(1) still counts
     # every row, so n here IS the sample size (no +1).
     n = F.count(F.lit(1)).cast("double")
