@@ -1,0 +1,334 @@
+"""Fit/transform steps — Spark-native re-expression of the reference's
+pipeline transforms (ref pipeline/transforms.py:26 impute, :173 scale,
+:320 one_hot_encode, :503 target_encode, :562 woe_encode).
+
+Pattern: `fit(df)` runs ONE aggregation and stores a small params dict
+(JSON-serializable — floats / category lists, never data); `transform`
+emits pure Column expressions with the params as literals. Fitting cost
+is one distributed agg per step; scoring cost is scan-speed with zero
+Python and zero shuffles, so a fitted pipeline composes into any
+downstream plan for free at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_CATEGORIES = 10_000
+
+
+class Transform:
+    """Base: subclasses set self.params in fit() and build exprs in
+    transform(). `name` keys the JSON serialization."""
+
+    name = "base"
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+        self.params: dict[str, Any] | None = None
+
+    def fit(self, df: DataFrame) -> "Transform":
+        self.params = {}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def to_dict(self) -> dict:
+        return {"name": self.name, "kwargs": self.kwargs, "params": self.params}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Transform":
+        t = _REGISTRY[d["name"]](**d["kwargs"])
+        t.params = d["params"]
+        return t
+
+
+class Impute(Transform):
+    """Fill nulls with mean / median / mode / constant. Ref
+    transforms.py:26."""
+
+    name = "impute"
+
+    def __init__(self, cols: Sequence[str], strategy: str = "mean",
+                 value: float | None = None):
+        super().__init__(cols=list(cols), strategy=strategy, value=value)
+
+    def fit(self, df: DataFrame) -> "Impute":
+        cols = self.kwargs["cols"]
+        strat = self.kwargs["strategy"]
+        if strat == "const":
+            self.params = {c: float(self.kwargs["value"]) for c in cols}
+            return self
+        if strat == "mean":
+            aggs = [F.avg(F.col(c)).alias(c) for c in cols]
+        elif strat == "median":
+            aggs = [F.median(F.col(c)).alias(c) for c in cols]
+        elif strat == "mode":
+            aggs = [F.mode(F.col(c)).alias(c) for c in cols]
+        else:
+            raise ValueError(f"unknown strategy {strat}")
+        row = df.agg(*aggs).first()
+        self.params = {c: float(row[c]) for c in cols}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, v in self.params.items():
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+        return df
+
+
+class Scale(Transform):
+    """standard | minmax | robust (median/IQR) scaling. Ref
+    transforms.py:173."""
+
+    name = "scale"
+
+    def __init__(self, cols: Sequence[str], method: str = "standard"):
+        super().__init__(cols=list(cols), method=method)
+
+    def fit(self, df: DataFrame) -> "Scale":
+        cols = self.kwargs["cols"]
+        method = self.kwargs["method"]
+        aggs = []
+        for c in cols:
+            cc = F.col(c).cast("double")
+            if method == "standard":
+                aggs += [F.avg(cc).alias(f"{c}__a"), F.stddev_samp(cc).alias(f"{c}__b")]
+            elif method == "minmax":
+                aggs += [F.min(cc).alias(f"{c}__a"), F.max(cc).alias(f"{c}__b")]
+            elif method == "robust":
+                aggs += [F.median(cc).alias(f"{c}__a"),
+                         (F.percentile(cc, F.lit(0.75))
+                          - F.percentile(cc, F.lit(0.25))).alias(f"{c}__b")]
+            else:
+                raise ValueError(f"unknown method {method}")
+        row = df.agg(*aggs).first()
+        self.params = {c: [float(row[f"{c}__a"]), float(row[f"{c}__b"])] for c in cols}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        method = self.kwargs["method"]
+        for c, (a, b) in self.params.items():
+            cc = F.col(c).cast("double")
+            if method == "minmax":
+                expr = (cc - F.lit(a)) / F.lit(b - a)
+            else:
+                expr = (cc - F.lit(a)) / F.lit(b)
+            df = df.withColumn(c, expr)
+        return df
+
+
+class Winsorize(Transform):
+    """Clip to fitted percentiles. Ref transforms.py (winsorize)."""
+
+    name = "winsorize"
+
+    def __init__(self, cols: Sequence[str], lower: float = 0.05,
+                 upper: float = 0.95):
+        super().__init__(cols=list(cols), lower=lower, upper=upper)
+
+    def fit(self, df: DataFrame) -> "Winsorize":
+        cols = self.kwargs["cols"]
+        lo, hi = self.kwargs["lower"], self.kwargs["upper"]
+        aggs = []
+        for c in cols:
+            cc = F.col(c).cast("double")
+            aggs += [F.percentile(cc, F.lit(lo)).alias(f"{c}__lo"),
+                     F.percentile(cc, F.lit(hi)).alias(f"{c}__hi")]
+        row = df.agg(*aggs).first()
+        self.params = {c: [float(row[f"{c}__lo"]), float(row[f"{c}__hi"])] for c in cols}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, (lo, hi) in self.params.items():
+            cc = F.col(c).cast("double")
+            df = df.withColumn(
+                c, F.when(cc < lo, F.lit(lo)).when(cc > hi, F.lit(hi)).otherwise(cc))
+        return df
+
+
+class OneHot(Transform):
+    """One-hot encode to <col>_<value> 0/1 columns; categories fitted
+    sorted (capped). Ref transforms.py:320."""
+
+    name = "one_hot"
+
+    def __init__(self, cols: Sequence[str], drop_first: bool = False,
+                 drop_original: bool = True):
+        super().__init__(cols=list(cols), drop_first=drop_first,
+                         drop_original=drop_original)
+
+    def fit(self, df: DataFrame) -> "OneHot":
+        self.params = {}
+        for c in self.kwargs["cols"]:
+            vals = [
+                r[0] for r in df.select(F.col(c).cast("string"))
+                .where(F.col(c).isNotNull())
+                .distinct().limit(_MAX_CATEGORIES + 1).collect()
+            ]
+            if len(vals) > _MAX_CATEGORIES:
+                raise ValueError(f"one_hot: {c} exceeds {_MAX_CATEGORIES} categories")
+            self.params[c] = sorted(vals)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, vals in self.params.items():
+            use = vals[1:] if self.kwargs["drop_first"] else vals
+            for v in use:
+                df = df.withColumn(
+                    f"{c}_{v}",
+                    (F.col(c).cast("string") == F.lit(v)).cast("int"))
+            if self.kwargs["drop_original"]:
+                df = df.drop(c)
+        return df
+
+
+class Ordinal(Transform):
+    """Map categories to their sorted index. Ref transforms.py
+    (ordinal/rank hot)."""
+
+    name = "ordinal"
+
+    def __init__(self, cols: Sequence[str]):
+        super().__init__(cols=list(cols))
+
+    def fit(self, df: DataFrame) -> "Ordinal":
+        self.params = {}
+        for c in self.kwargs["cols"]:
+            vals = sorted(
+                r[0] for r in df.select(F.col(c).cast("string"))
+                .where(F.col(c).isNotNull())
+                .distinct().limit(_MAX_CATEGORIES + 1).collect()
+            )
+            if len(vals) > _MAX_CATEGORIES:
+                raise ValueError(f"ordinal: {c} exceeds {_MAX_CATEGORIES} categories")
+            self.params[c] = vals
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, vals in self.params.items():
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(v) for v in vals]),
+                F.array(*[F.lit(i) for i in range(len(vals))]),
+            )
+            df = df.withColumn(c, mapping[F.col(c).cast("string")])
+        return df
+
+
+class TargetEncode(Transform):
+    """Smoothed mean-target encoding (m-estimate):
+    (cnt·mean_cat + m·mean_global) / (cnt + m). Ref transforms.py:503."""
+
+    name = "target_encode"
+
+    def __init__(self, cols: Sequence[str], target: str, smoothing: float = 20.0):
+        super().__init__(cols=list(cols), target=target, smoothing=smoothing)
+
+    def fit(self, df: DataFrame) -> "TargetEncode":
+        tgt = F.col(self.kwargs["target"]).cast("double")
+        m = self.kwargs["smoothing"]
+        g = float(df.agg(F.avg(tgt)).first()[0])
+        self.params = {"__global__": g}
+        for c in self.kwargs["cols"]:
+            rows = (
+                df.groupBy(F.col(c).cast("string").alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"), F.avg(tgt).alias("m"))
+                .limit(_MAX_CATEGORIES + 1).collect()
+            )
+            if len(rows) > _MAX_CATEGORIES:
+                raise ValueError(f"target_encode: {c} exceeds {_MAX_CATEGORIES}")
+            self.params[c] = {
+                r["k"]: (r["n"] * r["m"] + m * g) / (r["n"] + m) for r in rows
+            }
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = self.params["__global__"]
+        for c, enc in self.params.items():
+            if c == "__global__":
+                continue
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in enc]),
+                F.array(*[F.lit(float(v)) for v in enc.values()]),
+            )
+            df = df.withColumn(
+                c, F.coalesce(mapping[F.col(c).cast("string")], F.lit(g)))
+        return df
+
+
+class WoeEncode(Transform):
+    """Weight-of-evidence encoding vs a binary target:
+    ln((pos_cat/pos_tot)/(neg_cat/neg_tot)). Ref transforms.py:562."""
+
+    name = "woe_encode"
+
+    def __init__(self, cols: Sequence[str], target: str):
+        super().__init__(cols=list(cols), target=target)
+
+    def fit(self, df: DataFrame) -> "WoeEncode":
+        import math
+
+        tgt = F.col(self.kwargs["target"]).cast("double")
+        tot = df.agg(F.sum(tgt).alias("p"),
+                     F.sum(1 - tgt).alias("n")).first()
+        pt, nt = float(tot["p"]), float(tot["n"])
+        self.params = {}
+        for c in self.kwargs["cols"]:
+            rows = (
+                df.groupBy(F.col(c).cast("string").alias("k"))
+                .agg(F.sum(tgt).alias("p"), F.sum(1 - tgt).alias("n"))
+                .limit(_MAX_CATEGORIES + 1).collect()
+            )
+            if len(rows) > _MAX_CATEGORIES:
+                raise ValueError(f"woe_encode: {c} exceeds {_MAX_CATEGORIES}")
+            # pure categories (all-pos or all-neg) have undefined WoE —
+            # they are left out of the map and transform to NULL
+            self.params[c] = {
+                r["k"]: math.log((float(r["p"]) / pt) / (float(r["n"]) / nt))
+                for r in rows if r["p"] and r["n"]
+            }
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, enc in self.params.items():
+            if not enc:
+                df = df.withColumn(c, F.lit(None).cast("double"))
+                continue
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in enc]),
+                F.array(*[F.lit(float(v)) for v in enc.values()]),
+            )
+            df = df.withColumn(c, mapping[F.col(c).cast("string")])
+        return df
+
+
+class Polynomial(Transform):
+    """Degree-2 polynomial / interaction features (stateless). Ref
+    transforms.py (polynomial_features)."""
+
+    name = "polynomial"
+
+    def __init__(self, cols: Sequence[str], interaction_only: bool = False):
+        super().__init__(cols=list(cols), interaction_only=interaction_only)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.kwargs["cols"]
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                if a == b and self.kwargs["interaction_only"]:
+                    continue
+                name = f"{a}_x_{b}" if a != b else f"{a}_sq"
+                df = df.withColumn(
+                    name, F.col(a).cast("double") * F.col(b).cast("double"))
+        return df
+
+
+_REGISTRY = {
+    t.name: t for t in
+    [Impute, Scale, Winsorize, OneHot, Ordinal, TargetEncode, WoeEncode,
+     Polynomial]
+}

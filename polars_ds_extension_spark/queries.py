@@ -965,3 +965,4 @@ def kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Import at module bottom: queries_llm needs `query`/`_r` from this module.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_linear  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,87 @@
+"""Pipeline fit/transform + serialization round-trip tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_ds_extension_spark.pipeline import Pipeline
+from polars_ds_extension_spark.pipeline.transforms import (
+    Impute, OneHot, Ordinal, Polynomial, Scale, TargetEncode, Winsorize,
+    WoeEncode,
+)
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    pdf = pd.DataFrame({
+        "x": [1.0, 2.0, None, 4.0, 100.0],
+        "z": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "cat": ["a", "b", "a", "c", "b"],
+        "y": [0.0, 1.0, 0.0, 1.0, 0.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_impute_scale(df):
+    pipe = Pipeline([Impute(["x"], "mean"), Scale(["z"], "standard")]).fit(df)
+    out = pipe.transform(df).toPandas()
+    assert out["x"].iloc[2] == pytest.approx((1 + 2 + 4 + 100) / 4)
+    z = np.array([10, 20, 30, 40, 50.0])
+    assert out["z"].values == pytest.approx((z - z.mean()) / z.std(ddof=1))
+
+
+def test_minmax_and_winsorize(df):
+    out = Pipeline([Scale(["z"], "minmax")]).fit(df).transform(df).toPandas()
+    assert out["z"].min() == 0.0 and out["z"].max() == 1.0
+    w = Pipeline([Winsorize(["z"], 0.25, 0.75)]).fit(df).transform(df).toPandas()
+    assert w["z"].max() == 40.0 and w["z"].min() == 20.0
+
+
+def test_one_hot_and_ordinal(df):
+    out = Pipeline([OneHot(["cat"])]).fit(df).transform(df).toPandas()
+    assert {"cat_a", "cat_b", "cat_c"} <= set(out.columns)
+    assert out["cat_a"].tolist() == [1, 0, 1, 0, 0]
+    o = Pipeline([Ordinal(["cat"])]).fit(df).transform(df).toPandas()
+    assert o["cat"].tolist() == [0, 1, 0, 2, 1]
+
+
+def test_target_and_woe_encode(df):
+    pdf = df.toPandas()
+    pipe = Pipeline([TargetEncode(["cat"], "y", smoothing=2.0)]).fit(df)
+    out = pipe.transform(df).toPandas()
+    g = pdf["y"].mean()
+    grp = pdf.groupby("cat")["y"].agg(["count", "mean"])
+    want_a = (grp.loc["a", "count"] * grp.loc["a", "mean"] + 2 * g) / (grp.loc["a", "count"] + 2)
+    assert out["cat"].iloc[0] == pytest.approx(want_a)
+    w = Pipeline([WoeEncode(["cat"], "y")]).fit(df).transform(df).toPandas()
+    pt, nt = pdf["y"].sum(), (1 - pdf["y"]).sum()
+    pb = pdf[pdf["cat"] == "b"]["y"]
+    want_b = np.log((pb.sum() / pt) / ((1 - pb).sum() / nt))
+    assert w["cat"].iloc[1] == pytest.approx(want_b)
+    # pure categories (all-pos / all-neg) have undefined WoE → NULL
+    assert pd.isna(w["cat"].iloc[0]) and pd.isna(w["cat"].iloc[3])
+
+
+def test_polynomial(df):
+    out = Pipeline([Polynomial(["x", "z"])]).fit(df).transform(df).toPandas()
+    assert out["x_sq"].iloc[0] == 1.0
+    assert out["x_x_z"].iloc[1] == pytest.approx(2.0 * 20.0)
+
+
+def test_json_round_trip(df, spark):
+    pipe = Pipeline([
+        Impute(["x"], "median"), Scale(["z"], "robust"),
+        OneHot(["cat"]), Polynomial(["z"]),
+    ]).fit(df)
+    blob = pipe.to_json()
+    revived = Pipeline.from_json(blob)
+    a = pipe.transform(df).toPandas()
+    b = revived.transform(df).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_transform_before_fit_raises(df):
+    with pytest.raises(RuntimeError):
+        Pipeline([Scale(["z"])]).transform(df)
