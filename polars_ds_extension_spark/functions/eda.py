@@ -1,0 +1,88 @@
+"""EDA diagnostics — ref eda/diagnosis.py (null/distinct/moment report,
+constant & id-like column detection).
+
+One aggregation pass computes every metric for every requested column
+(all map-side combinable); the wide single row is then unpivoted to the
+long (column, metric...) report on the driver side of the agg — the
+data is scanned exactly once regardless of column count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Long-format numeric profile: column, n, null_cnt, n_distinct,
+    mean, std, min, max, median."""
+    cols = list(cols) if cols else [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in
+        ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+    ]
+    aggs = []
+    for c in cols:
+        cc = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(cc.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.avg(cc).alias(f"{c}__mean"),
+            F.stddev_samp(cc).alias(f"{c}__std"),
+            F.min(cc).alias(f"{c}__min"),
+            F.max(cc).alias(f"{c}__max"),
+            F.median(cc).alias(f"{c}__med"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [
+        (
+            c, int(row[f"{c}__n"]), int(row[f"{c}__nulls"]), int(row[f"{c}__nd"]),
+            float(row[f"{c}__mean"]) if row[f"{c}__mean"] is not None else None,
+            float(row[f"{c}__std"]) if row[f"{c}__std"] is not None else None,
+            float(row[f"{c}__min"]) if row[f"{c}__min"] is not None else None,
+            float(row[f"{c}__max"]) if row[f"{c}__max"] is not None else None,
+            float(row[f"{c}__med"]) if row[f"{c}__med"] is not None else None,
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n bigint, null_cnt bigint, n_distinct bigint, "
+        "mean double, std double, min double, max double, median double",
+    )
+
+
+def null_report(df: DataFrame) -> DataFrame:
+    """Per-column null counts/percentages for ALL columns (one pass)."""
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    out = [(c, int(row[c]), float(row[c]) / n if n else None) for c in cols]
+    return df.sparkSession.createDataFrame(
+        out, "column string, null_cnt bigint, null_pct double")
+
+
+def column_flags(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Degenerate-column detection: constant (1 distinct) and id-like
+    (distinct == non-null count) flags. Ref eda/diagnosis.py."""
+    cols = list(cols) if cols else df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [
+        (c, int(row[f"{c}__nd"]) <= 1,
+         int(row[f"{c}__nd"]) == int(row[f"{c}__n"]) and int(row[f"{c}__n"]) > 0)
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column string, is_constant boolean, is_id_like boolean")

@@ -18,6 +18,8 @@ from __future__ import annotations
 import math
 from typing import Iterable, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -565,3 +567,197 @@ def target_encode(df: DataFrame, x: str, target: str,
         F.lit(1.0) + F.exp(-(F.col("cnt") - F.lit(float(min_samples_leaf))) / F.lit(smoothing))
     )
     return agg.select(F.col("value"), (gm * (1 - s) + F.col("level_mean") * s).alias("to"))
+
+
+# ------------------------------------------------------- matrix / signal ops
+
+def _cov_matrix(df: DataFrame, cols: Sequence[str]):
+    """Sample covariance matrix via ONE aggregation of k(k+3)/2 sums —
+    the distributed half of PCA/SVD; O(k²) driver payload."""
+    import numpy as np
+
+    k = len(cols)
+    cc = [to_col(c).cast("double") for c in cols]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(cc[i]).alias(f"s_{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(cc[i] * cc[j]).alias(f"q_{i}_{j}"))
+    row = df.agg(*aggs).first()
+    n = float(row["n"])
+    s = np.array([row[f"s_{i}"] for i in range(k)])
+    cov = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cov[i, j] = cov[j, i] = (row[f"q_{i}_{j}"] - s[i] * s[j] / n) / (n - 1)
+    return cov, n
+
+
+def singular_values(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Singular values of the centered data matrix: sqrt((n-1)·eig(cov)).
+    Ref num.py:369. Output: (component, singular_value), descending."""
+    import numpy as np
+
+    cov, n = _cov_matrix(df, cols)
+    eig = np.linalg.eigvalsh(cov)[::-1]
+    sv = np.sqrt(np.maximum(eig, 0.0) * (n - 1))
+    return df.sparkSession.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(sv)],
+        "component int, singular_value double",
+    )
+
+
+def pca(df: DataFrame, cols: Sequence[str], k: int | None = None) -> DataFrame:
+    """Eigendecomposition of the covariance matrix (distributed agg +
+    driver eigh). Ref num.py:398. Output: (component,
+    explained_variance, explained_variance_ratio, loadings array)."""
+    import numpy as np
+
+    cov, _ = _cov_matrix(df, cols)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1]
+    eigval, eigvec = eigval[order], eigvec[:, order]
+    k = k or len(cols)
+    tot = float(eigval.sum())
+    rows = [
+        (i, float(eigval[i]), float(eigval[i] / tot),
+         [float(v) for v in eigvec[:, i]])
+        for i in range(k)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, explained_variance double, "
+        "explained_variance_ratio double, loadings array<double>",
+    )
+
+
+def principal_components(df: DataFrame, cols: Sequence[str], k: int,
+                         prefix: str = "pc") -> DataFrame:
+    """Project rows onto the top-k principal axes — the eigenvectors ride
+    along as literals, so projection is scan-speed JVM arithmetic.
+    Ref num.py:434."""
+    import numpy as np
+
+    cov, _ = _cov_matrix(df, cols)
+    means = df.agg(*[F.avg(to_col(c).cast("double")).alias(c) for c in cols]).first()
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1]
+    eigvec = eigvec[:, order]
+    out = df
+    for comp in range(k):
+        expr = F.lit(0.0)
+        for i, c in enumerate(cols):
+            expr = expr + F.lit(float(eigvec[i, comp])) * (
+                to_col(c).cast("double") - F.lit(float(means[c]))
+            )
+        out = out.withColumn(f"{prefix}{comp + 1}", expr)
+    return out
+
+
+def isotonic_regression(df: DataFrame, y: str, order_by,
+                        by: Sequence[str] | None = None,
+                        increasing: bool = True,
+                        out_name: str = "isotonic") -> DataFrame:
+    """Isotonic regression via pool-adjacent-violators, per ordered
+    group. Ref num.py:1106. PAVA is inherently sequential → whole-series
+    numpy kernel per group (executor-sized groups; same constraint as
+    the reference's per-series kernel).
+    Output: ``by`` + order + y + out_name (one row per input row)."""
+    import numpy as np
+    import pandas as pd
+
+    keys = list(by) if by else []
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys) + (", " if keys else "")
+              + f"__o {key_types.get(order_by if isinstance(order_by, str) else '', 'double')}"
+              + f", __y double, {out_name} double")
+
+    def _pava(v: "np.ndarray") -> "np.ndarray":
+        n = v.size
+        sol = v.astype("float64").copy()
+        wts = np.ones(n)
+        # pool adjacent violators with weighted block merging
+        blocks = [[sol[i], 1.0, i, i] for i in range(n)]  # mean, weight, lo, hi
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) > 1 and out[-2][0] > out[-1][0]:
+                m2, w2, lo2, hi2 = out.pop()
+                m1, w1, lo1, hi1 = out.pop()
+                w = w1 + w2
+                out.append([(m1 * w1 + m2 * w2) / w, w, lo1, hi2])
+        res = np.empty(n)
+        for m, w, lo, hi in out:
+            res[lo:hi + 1] = m
+        return res
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__o").reset_index(drop=True)
+        v = pdf["__y"].to_numpy(dtype="float64")
+        fit = _pava(v if increasing else -v)
+        pdf[out_name] = fit if increasing else -fit
+        return pdf
+
+    step = df.select(*keys, to_col(order_by).alias("__o"),
+                     to_col(y).cast("double").alias("__y"))
+    if keys:
+        return step.groupBy(*keys).applyInPandas(_apply, schema)
+    return step.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _apply(pdf.drop(columns="__g")), schema)
+
+
+def rfft(df: DataFrame, x: str, order_by, by: Sequence[str] | None = None,
+         n_coeffs: int | None = None) -> DataFrame:
+    """Real FFT per ordered series (numpy kernel per group — FFT needs
+    the whole series; the reference's Rust kernel has the same shape).
+    Ref num.py:1043. Output: ``by`` + freq_idx, re, im, one row per
+    retained coefficient."""
+    import numpy as np
+    import pandas as pd
+
+    keys = list(by) if by else []
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys) + (", " if keys else "")
+              + "freq_idx int, re double, im double")
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__o")
+        z = np.fft.rfft(pdf["__x"].to_numpy(dtype="float64"))
+        m = len(z) if n_coeffs is None else min(n_coeffs, len(z))
+        out = {k: [pdf[k].iloc[0]] * m for k in keys}
+        out["freq_idx"] = list(range(m))
+        out["re"] = z.real[:m]
+        out["im"] = z.imag[:m]
+        return pd.DataFrame(out)
+
+    step = df.select(*keys, to_col(order_by).alias("__o"),
+                     to_col(x).cast("double").alias("__x"))
+    if keys:
+        return step.groupBy(*keys).applyInPandas(_apply, schema)
+    return step.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _apply(pdf.drop(columns="__g")), schema)
+
+
+def next_up(x) -> Column:
+    """Smallest double greater than x (IEEE nextafter +inf). Ref
+    num.py (next_up). Arrow-vectorized numpy — no JVM equivalent."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _nu(s: "pd.Series") -> "pd.Series":
+        return pd.Series(np.nextafter(s.to_numpy(dtype="float64"), np.inf))
+
+    return _nu(to_col(x).cast("double"))
+
+
+def next_down(x) -> Column:
+    """Largest double smaller than x (IEEE nextafter −inf)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _nd(s: "pd.Series") -> "pd.Series":
+        return pd.Series(np.nextafter(s.to_numpy(dtype="float64"), -np.inf))
+
+    return _nd(to_col(x).cast("double"))

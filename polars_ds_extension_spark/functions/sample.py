@@ -1,0 +1,112 @@
+"""Sampling & splitting — ref sample_and_split.py:15 (sample), :140
+(volume_neutral), :238 (downsample), :416 (split_by_ratio).
+
+Two flavors:
+  * `*_random`: Spark's native Bernoulli sampling (fast, seedable, not
+    reproducible across engines);
+  * deterministic variants keyed on an id column via modulus buckets —
+    reproducible everywhere (the driver's DuckDB oracle included) and
+    stable across reruns/appends, which is what a 100 TB training-data
+    pipeline actually wants for train/val/test splits.
+All are scan-side filters — no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col
+
+__all__ = [
+    "sample_random", "sample_deterministic", "downsample", "volume_neutral",
+    "split_by_ratio", "stratified_sample", "split_col",
+]
+
+_BUCKETS = 10_000
+
+
+def _bucket(id_col) -> Column:
+    # Fibonacci-hash scramble keeps sequential ids uniform across buckets
+    # while staying a one-line integer expression any engine reproduces.
+    return F.pmod(to_col(id_col).cast("long") * F.lit(2654435761), F.lit(_BUCKETS))
+
+
+def sample_random(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:
+    """Bernoulli row sample (Spark-native). Ref sample_and_split.py:15."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose scrambled id bucket < fraction — reproducible
+    sampling keyed on data, not on RNG state."""
+    return df.where(_bucket(id_col) < int(fraction * _BUCKETS))
+
+
+def downsample(df: DataFrame, condition: Column, id_col: str,
+               fraction: float) -> DataFrame:
+    """Keep all rows failing ``condition``; deterministically thin the
+    rows matching it to ``fraction``. Ref sample_and_split.py:238
+    (classic majority-class downsampling)."""
+    return df.where(
+        (~condition) | (_bucket(id_col) < int(fraction * _BUCKETS))
+    )
+
+
+def volume_neutral(df: DataFrame, class_col: str, id_col: str,
+                   target: int | None = None) -> DataFrame:
+    """Equalize class volumes: keep the first ``target`` rows per class
+    (by id order); default target = size of the smallest class.
+    Ref sample_and_split.py:140.
+
+    One groupBy for class counts (tiny collect) + one parallel window
+    partitioned by class — no global sort.
+    """
+    if target is None:
+        counts = df.groupBy(class_col).count().collect()
+        target = min(r["count"] for r in counts)
+    w = Window.partitionBy(class_col).orderBy(to_col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= target)
+        .drop("__rn")
+    )
+
+
+def split_col(id_col, ratios: Sequence[float],
+              names: Sequence[str] | None = None) -> Column:
+    """Label column assigning each row to a split by its id bucket —
+    deterministic, engine-independent. Ref sample_and_split.py:416."""
+    names = list(names) if names else [f"split_{i}" for i in range(len(ratios))]
+    assert len(names) == len(ratios)
+    b = _bucket(id_col)
+    acc = 0.0
+    expr = None
+    for name, r in zip(names, ratios):
+        acc += r
+        cond = b < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit(names[-1]))
+
+
+def split_by_ratio(df: DataFrame, id_col: str, ratios: Sequence[float],
+                   names: Sequence[str] | None = None) -> dict[str, DataFrame]:
+    """Materialize the splits as a dict of DataFrames (each a pushdown
+    filter on the same scan)."""
+    names = list(names) if names else [f"split_{i}" for i in range(len(ratios))]
+    lab = split_col(id_col, ratios, names)
+    return {n: df.where(lab == n) for n in names}
+
+
+def stratified_sample(df: DataFrame, strata: Sequence[str], id_col: str,
+                      fraction: float) -> DataFrame:
+    """Deterministic per-stratum sampling: the bucket hash mixes the
+    stratum so each stratum gets an independent ~fraction. Ref
+    sample_and_split.py (stratified)."""
+    b = F.pmod(
+        F.xxhash64(*[F.col(s) for s in strata], to_col(id_col)), F.lit(_BUCKETS)
+    )
+    return df.where(b < int(fraction * _BUCKETS))

@@ -283,3 +283,177 @@ def query_streak(df: DataFrame, where, order_by,
     return step.withColumn("streak", F.row_number().over(wi)).drop(
         "__c", "__rn", "__island"
     )
+
+
+# ----------------------------------------------------------- model features
+
+def query_ar_coeffs(df: DataFrame, x: str, order_by, p: int,
+                    by: Sequence[str] | None = None) -> DataFrame:
+    """AR(p) coefficients via Yule-Walker. Ref ts_features.py:419.
+
+    Distributed shape: autocovariances c_0..c_p from lagged products
+    (one sort-shuffle), then the p×p Toeplitz solve runs per group on
+    the TINY aggregated frame (applyInPandas over G rows — the series
+    itself never leaves the executors).
+    Output: ``by`` + phi_1..phi_p.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(by) if by else []
+    xx = to_col(x).cast("double")
+    gw = group_window(keys or None)
+    dx = (xx - F.mean(xx).over(gw)).alias("__dx")
+    step = df.select(*keys, to_col(order_by).alias("__o"), dx)
+    wo = ordered_window("__o", keys or None)
+    step2 = step.select(*keys, "__dx",
+                        *[F.lag("__dx", k).over(wo).alias(f"__l{k}")
+                          for k in range(p + 1)])
+    aggs = [
+        (F.sum(F.col("__dx") * F.col(f"__l{k}")) / F.count(F.lit(1))).alias(f"__c{k}")
+        for k in range(p + 1)
+    ]
+    cov = step2.groupBy(*keys).agg(*aggs) if keys else step2.agg(*aggs)
+
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys)
+              + (", " if keys else "")
+              + ", ".join(f"phi_{i} double" for i in range(1, p + 1)))
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: pdf[k] for k in keys}
+        c = pdf[[f"__c{k}" for k in range(p + 1)]].to_numpy(dtype="float64")
+        phis = np.full((len(pdf), p), np.nan)
+        for i in range(len(pdf)):
+            r = c[i] / c[i][0]
+            toep = np.array([[r[abs(a - b)] for b in range(p)] for a in range(p)])
+            try:
+                phis[i] = np.linalg.solve(toep, r[1:p + 1])
+            except np.linalg.LinAlgError:
+                pass
+        for j in range(p):
+            out[f"phi_{j + 1}"] = phis[:, j]
+        return pd.DataFrame(out)
+
+    if keys:
+        return cov.groupBy(*keys).applyInPandas(_solve, schema)
+    return cov.withColumn("__g", F.lit(1)).groupBy("__g") \
+        .applyInPandas(lambda pdf: _solve(pdf.drop(columns="__g")), schema)
+
+
+def _series_apply(df: DataFrame, x: str, order_by,
+                  by: Sequence[str] | None, fn, out_cols: str) -> DataFrame:
+    """Run a numpy kernel per ordered series group (executor-sized
+    groups — documented constraint shared with the reference's
+    whole-series kernels)."""
+    import pandas as pd
+
+    keys = list(by) if by else []
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys)
+              + (", " if keys else "") + out_cols)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__o")
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out.update(fn(pdf["__x"].to_numpy(dtype="float64")))
+        return pd.DataFrame(out)
+
+    step = df.select(*keys, to_col(order_by).alias("__o"),
+                     to_col(x).cast("double").alias("__x"))
+    if keys:
+        return step.groupBy(*keys).applyInPandas(_apply, schema)
+    return step.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _apply(pdf.drop(columns="__g")), schema)
+
+
+def _entropy_counts(xv, m: int, r: float) -> int:
+    """#template pairs (i<j) of length m within Chebyshev distance r."""
+    import numpy as np
+
+    n = xv.size - m + 1
+    if n <= 1:
+        return 0
+    tmpl = np.lib.stride_tricks.sliding_window_view(xv, m)
+    total = 0
+    for i in range(n - 1):
+        d = np.max(np.abs(tmpl[i + 1:] - tmpl[i]), axis=1)
+        total += int((d <= r).sum())
+    return total
+
+
+def query_sample_entropy(df: DataFrame, x: str, order_by,
+                         by: Sequence[str] | None = None,
+                         m: int = 2, r_factor: float = 0.2) -> DataFrame:
+    """Sample entropy −ln(A/B) with r = r_factor·std (Richman & Moorman
+    2000). Ref ts_features.py:519. Whole-series numpy kernel per group.
+    Output: ``by`` + sample_entropy."""
+    import math
+
+    import numpy as np
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        if xv.size < m + 2:
+            return {"sample_entropy": [float("nan")]}
+        r = r_factor * float(np.std(xv, ddof=0))
+        b = _entropy_counts(xv, m, r)
+        a = _entropy_counts(xv, m + 1, r)
+        if a == 0 or b == 0:
+            return {"sample_entropy": [float("nan")]}
+        return {"sample_entropy": [-math.log(a / b)]}
+
+    return _series_apply(df, x, order_by, by, _kernel, "sample_entropy double")
+
+
+def query_approx_entropy(df: DataFrame, x: str, order_by,
+                         by: Sequence[str] | None = None,
+                         m: int = 2, r_factor: float = 0.2) -> DataFrame:
+    """Approximate entropy Φ_m − Φ_{m+1} (Pincus 1991, self-matches
+    included). Ref ts_features.py:571. Output: ``by`` + approx_entropy."""
+    import numpy as np
+
+    def _phi(xv, mm, r):
+        n = xv.size - mm + 1
+        tmpl = np.lib.stride_tricks.sliding_window_view(xv, mm)
+        tot = 0.0
+        for i in range(n):
+            d = np.max(np.abs(tmpl - tmpl[i]), axis=1)
+            tot += np.log((d <= r).sum() / n)
+        return tot / n
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        if xv.size < m + 2:
+            return {"approx_entropy": [float("nan")]}
+        r = r_factor * float(np.std(xv, ddof=0))
+        return {"approx_entropy": [_phi(xv, m, r) - _phi(xv, m + 1, r)]}
+
+    return _series_apply(df, x, order_by, by, _kernel, "approx_entropy double")
+
+
+def query_lempel_ziv(df: DataFrame, x: str, order_by,
+                     by: Sequence[str] | None = None,
+                     as_ratio: bool = True) -> DataFrame:
+    """LZ76 complexity of the series binarized at its median
+    (Lempel & Ziv 1976). Ref ts_features.py:314.
+    Output: ``by`` + lempel_ziv (count, or count/n when as_ratio)."""
+    import numpy as np
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        if xv.size == 0:
+            return {"lempel_ziv": [float("nan")]}
+        s = bytes((xv > np.median(xv)).astype(np.uint8))
+        n = len(s)
+        seen: set[bytes] = set()
+        ind, inc = 0, 1
+        while ind + inc <= n:
+            sub = s[ind:ind + inc]
+            if sub in seen:
+                inc += 1
+            else:
+                seen.add(sub)
+                ind += inc
+                inc = 1
+        out = len(seen) / n if as_ratio else float(len(seen))
+        return {"lempel_ziv": [out]}
+
+    return _series_apply(df, x, order_by, by, _kernel, "lempel_ziv double")

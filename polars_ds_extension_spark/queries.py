@@ -966,3 +966,4 @@ def kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_llm  # noqa: E402,F401
 from . import queries_linear  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_misc  # noqa: E402,F401

@@ -1,0 +1,227 @@
+"""Catalog queries: sampling/splitting, EDA diagnostics, ts/num tails."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import eda as E
+from .functions import sample as SMP
+from .queries import _r, query
+from .sources import load_table
+
+_B = 10_000
+_SCRAMBLE = 2654435761
+
+
+@query("sample_split", f"""
+WITH t AS (
+  SELECT *, (event_id::BIGINT * {_SCRAMBLE}) % {_B} AS b FROM events
+)
+SELECT CASE WHEN b < {int(0.8 * _B)} THEN 'train'
+            WHEN b < {int(0.9 * _B)} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM t GROUP BY 1
+""")
+def sample_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via scrambled-id buckets (ref
+    sample_and_split.py:416) — reproducible across engines and appends,
+    pure scan-side filter."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = SMP.split_col("event_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    return (
+        ev.withColumn("split", lab).groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@query("volume_neutral", """
+WITH c AS (
+  SELECT MIN(cnt) AS m FROM (
+    SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+)
+SELECT event_type, COUNT(*) AS n, SUM(event_id)::BIGINT AS sum_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+), c WHERE rn <= c.m GROUP BY event_type
+""")
+def volume_neutral_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subset: first min-class-count rows per class by id
+    (ref sample_and_split.py:140)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SMP.volume_neutral(ev, "event_type", "event_id")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id"))
+
+
+@query("downsample", f"""
+SELECT COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE NOT (event_type = 'view')
+   OR (event_id::BIGINT * {_SCRAMBLE}) % {_B} < {int(0.25 * _B)}
+""")
+def downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically thin the majority class ('view') to 25% while
+    keeping every other row (ref sample_and_split.py:238)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SMP.downsample(ev, F.col("event_type") == "view", "event_id", 0.25)
+    return out.agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@query("eda_describe", """
+SELECT 'l_quantity' AS column, COUNT(*) AS n,
+  SUM((l_quantity IS NULL)::INT)::BIGINT AS null_cnt,
+  COUNT(DISTINCT l_quantity) AS n_distinct,
+  ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+  ROUND(MIN(l_quantity), 6) AS min, ROUND(MAX(l_quantity), 6) AS max,
+  ROUND(MEDIAN(l_quantity), 6) AS median
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), SUM((l_discount IS NULL)::INT)::BIGINT,
+  COUNT(DISTINCT l_discount), ROUND(AVG(l_discount), 6),
+  ROUND(STDDEV_SAMP(l_discount), 6), ROUND(MIN(l_discount), 6),
+  ROUND(MAX(l_discount), 6), ROUND(MEDIAN(l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), SUM((l_extendedprice IS NULL)::INT)::BIGINT,
+  COUNT(DISTINCT l_extendedprice), ROUND(AVG(l_extendedprice), 6),
+  ROUND(STDDEV_SAMP(l_extendedprice), 6), ROUND(MIN(l_extendedprice), 6),
+  ROUND(MAX(l_extendedprice), 6), ROUND(MEDIAN(l_extendedprice), 6)
+FROM lineitem
+""")
+def eda_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric profile (ref eda/diagnosis.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = E.describe(li, ["l_quantity", "l_discount", "l_extendedprice"])
+    return out.select(
+        "column", "n", "null_cnt", "n_distinct",
+        _r(F.col("mean")).alias("mean"), _r(F.col("std")).alias("std"),
+        _r(F.col("min")).alias("min"), _r(F.col("max")).alias("max"),
+        _r(F.col("median")).alias("median"),
+    )
+
+
+@query("eda_flags", """
+SELECT 'event_id' AS column,
+       (COUNT(DISTINCT event_id) <= 1) AS is_constant,
+       (COUNT(DISTINCT event_id) = COUNT(event_id) AND COUNT(event_id) > 0)
+         AS is_id_like
+FROM events
+UNION ALL
+SELECT 'event_type', (COUNT(DISTINCT event_type) <= 1),
+       (COUNT(DISTINCT event_type) = COUNT(event_type) AND COUNT(event_type) > 0)
+FROM events
+""")
+def eda_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant / id-like column detection (ref eda/diagnosis.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return E.column_flags(ev, ["event_id", "event_type"])
+
+
+# ------------------------------------------------------------- ts/num tails
+
+from .functions import num as N  # noqa: E402
+from .functions import ts as TS  # noqa: E402
+
+
+@query("ar_coeffs", """
+WITH m AS (
+  SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type, e.event_id, e.value - m.mu AS dx
+  FROM events e JOIN m USING (event_type)
+), l AS (
+  SELECT event_type, dx,
+    LAG(dx, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS l1,
+    LAG(dx, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS l2
+  FROM d
+), c AS (
+  SELECT event_type,
+    SUM(dx*dx)/COUNT(*) AS c0, SUM(dx*l1)/COUNT(*) AS c1,
+    SUM(dx*l2)/COUNT(*) AS c2
+  FROM l GROUP BY event_type
+)
+SELECT event_type,
+  ROUND((c1/c0) * (1 - c2/c0) / (1 - (c1/c0)*(c1/c0)), 6) AS phi_1,
+  ROUND((c2/c0 - (c1/c0)*(c1/c0)) / (1 - (c1/c0)*(c1/c0)), 6) AS phi_2
+FROM c
+""")
+def ar_coeffs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker per event_type (ref ts_features.py:419): lagged
+    autocovariance aggregates + tiny per-group Toeplitz solve. The SQL
+    oracle uses the p=2 closed form of the same system."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.query_ar_coeffs(ev, "value", "event_id", p=2, by=["event_type"])
+    return out.select("event_type", _r(F.col("phi_1")).alias("phi_1"),
+                      _r(F.col("phi_2")).alias("phi_2"))
+
+
+@query("series_entropy")
+def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy + approximate entropy + Lempel-Ziv complexity per
+    event_type (ref ts_features.py:519, :571, :314). Whole-series numpy
+    kernels per group — rows-only check (O(n²) pair semantics are not
+    SQL-expressible); numpy parity in tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    se = TS.query_sample_entropy(ev, "value", "event_id", by=["event_type"])
+    ae = TS.query_approx_entropy(ev, "value", "event_id", by=["event_type"])
+    lz = TS.query_lempel_ziv(ev, "value", "event_id", by=["event_type"])
+    return (
+        se.join(ae, "event_type").join(lz, "event_type")
+        .select("event_type", _r(F.col("sample_entropy")).alias("sample_entropy"),
+                _r(F.col("approx_entropy")).alias("approx_entropy"),
+                _r(F.col("lempel_ziv")).alias("lempel_ziv"))
+    )
+
+
+@query("pca")
+def pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of three lineitem measures (ref num.py:369-434): one k(k+3)/2
+    aggregation + driver eigh. Rows-only check (eigendecomposition is
+    not SQL-expressible); numpy parity in tests/test_tails.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = N.pca(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "component", _r(F.col("explained_variance")).alias("explained_variance"),
+        _r(F.col("explained_variance_ratio")).alias("evr"))
+
+
+@query("isotonic", """
+SELECT COUNT(*)::BIGINT AS n, ROUND(AVG(value), 6) AS fit_mean
+FROM events WHERE event_type = 'click'
+""")
+def isotonic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) fit over the click series ordered by event_id
+    (ref num.py:1106). The oracle checks the PAVA invariants that ARE
+    SQL-expressible: row count and mean preservation (PAVA is a
+    projection, so mean(fit) == mean(y) exactly); monotonicity + block
+    values are covered by tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    fit = N.isotonic_regression(ev, "value", "event_id")
+    return fit.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg("isotonic")).alias("fit_mean"),
+    )
+
+
+@query("rfft")
+def rfft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 16 real-FFT coefficients of each event_type's value series
+    (ref num.py:1043). Rows-only; exact numpy parity in
+    tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = N.rfft(ev, "value", "event_id", by=["event_type"], n_coeffs=16)
+    return out.select("event_type", "freq_idx",
+                      _r(F.col("re")).alias("re"), _r(F.col("im")).alias("im"))
+
+
+@query("singular_values")
+def singular_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singular values of the centered lineitem measure matrix
+    (ref num.py:369)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = N.singular_values(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("component", _r(F.col("singular_value")).alias("singular_value"))

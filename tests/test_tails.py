@@ -1,0 +1,162 @@
+"""Tests for ts/num tail operators: ar_coeffs, entropies, lempel_ziv,
+pca, isotonic, rfft, nextafter, sampling, eda."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.functions import eda as E
+from polars_ds_extension_spark.functions import num as N
+from polars_ds_extension_spark.functions import sample as SMP
+from polars_ds_extension_spark.functions import ts as TS
+
+RNG = np.random.default_rng(11)
+
+
+def _series_df(spark, x):
+    return spark.createDataFrame(
+        pd.DataFrame({"i": range(len(x)), "x": x}))
+
+
+def test_ar_coeffs_recovers_ar2(spark):
+    # simulate AR(2) with known phi
+    n, phi1, phi2 = 4000, 0.5, -0.3
+    x = np.zeros(n)
+    eps = RNG.normal(0, 1, n)
+    for t in range(2, n):
+        x[t] = phi1 * x[t - 1] + phi2 * x[t - 2] + eps[t]
+    out = TS.query_ar_coeffs(_series_df(spark, x), "x", "i", p=2).first()
+    # numpy Yule-Walker mirror
+    dx = x - x.mean()
+    c = [np.sum(dx[k:] * dx[:n - k]) / n for k in range(3)]
+    r1, r2 = c[1] / c[0], c[2] / c[0]
+    want1 = r1 * (1 - r2) / (1 - r1 ** 2)
+    want2 = (r2 - r1 ** 2) / (1 - r1 ** 2)
+    assert out["phi_1"] == pytest.approx(want1, abs=1e-9)
+    assert out["phi_2"] == pytest.approx(want2, abs=1e-9)
+    assert abs(out["phi_1"] - phi1) < 0.1 and abs(out["phi_2"] - phi2) < 0.1
+
+
+def test_sample_entropy_brute(spark):
+    x = RNG.normal(size=200)
+    out = TS.query_sample_entropy(_series_df(spark, x), "x", "i").first()
+    # brute-force reference
+    m, r = 2, 0.2 * np.std(x)
+
+    def count(mm):
+        t = np.lib.stride_tricks.sliding_window_view(x, mm)
+        c = 0
+        for i in range(len(t)):
+            for j in range(i + 1, len(t)):
+                if np.max(np.abs(t[i] - t[j])) <= r:
+                    c += 1
+        return c
+
+    want = -math.log(count(m + 1) / count(m))
+    assert out["sample_entropy"] == pytest.approx(want, rel=1e-12)
+
+
+def test_lempel_ziv_known(spark):
+    # alternating series binarizes to 0101...: complexity grows ~log n
+    x = [float(i % 2) for i in range(16)]
+    out = TS.query_lempel_ziv(_series_df(spark, x), "x", "i", as_ratio=False).first()
+    # dictionary parse of 0101...: {0,1,01,010,1...} — verify vs direct parse
+    s = bytes(int(v > 0.5) for v in x)
+    seen, ind, inc = set(), 0, 1
+    while ind + inc <= len(s):
+        sub = s[ind:ind + inc]
+        if sub in seen:
+            inc += 1
+        else:
+            seen.add(sub)
+            ind += inc
+            inc = 1
+    assert out["lempel_ziv"] == float(len(seen))
+
+
+def test_pca_matches_numpy(spark):
+    X = RNG.normal(size=(500, 3)) @ np.array(
+        [[2.0, 0.3, 0.0], [0.0, 1.0, 0.1], [0.0, 0.0, 0.2]])
+    sdf = spark.createDataFrame(pd.DataFrame(X, columns=["a", "b", "c"]))
+    out = N.pca(sdf, ["a", "b", "c"]).toPandas()
+    want = np.linalg.eigvalsh(np.cov(X.T, ddof=1))[::-1]
+    assert out["explained_variance"].values == pytest.approx(want, rel=1e-9)
+    sv = N.singular_values(sdf, ["a", "b", "c"]).toPandas()
+    Xc = X - X.mean(0)
+    want_sv = np.linalg.svd(Xc, compute_uv=False)
+    assert sv["singular_value"].values == pytest.approx(want_sv, rel=1e-9)
+    proj = N.principal_components(sdf, ["a", "b", "c"], k=2).toPandas()
+    # projected variance equals the top eigenvalues
+    assert np.var(proj["pc1"], ddof=1) == pytest.approx(want[0], rel=1e-9)
+
+
+def test_isotonic_pava(spark):
+    y = np.array([1.0, 3.0, 2.0, 4.0, 3.5, 5.0])
+    out = (N.isotonic_regression(_series_df(spark, y), "x", "i")
+           .orderBy("__o").toPandas())
+    fit = out["isotonic"].values
+    assert (np.diff(fit) >= -1e-12).all()          # monotone
+    assert fit.sum() == pytest.approx(y.sum())     # projection preserves sum
+    assert fit[1] == pytest.approx(2.5) and fit[2] == pytest.approx(2.5)
+    dec = (N.isotonic_regression(_series_df(spark, y[::-1].copy()), "x", "i",
+                                 increasing=False).orderBy("__o").toPandas())
+    assert (np.diff(dec["isotonic"].values) <= 1e-12).all()
+
+
+def test_rfft_matches_numpy(spark):
+    x = RNG.normal(size=128)
+    out = (N.rfft(_series_df(spark, x), "x", "i", n_coeffs=10)
+           .orderBy("freq_idx").toPandas())
+    want = np.fft.rfft(x)[:10]
+    assert out["re"].values == pytest.approx(want.real, rel=1e-12)
+    assert out["im"].values == pytest.approx(want.imag, rel=1e-12, abs=1e-12)
+
+
+def test_nextafter(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"x": [1.0, 0.0, -2.5]}))
+    out = sdf.select(N.next_up("x").alias("u"), N.next_down("x").alias("d")).toPandas()
+    assert out["u"].values == pytest.approx(np.nextafter([1.0, 0.0, -2.5], np.inf))
+    assert out["d"].values == pytest.approx(np.nextafter([1.0, 0.0, -2.5], -np.inf))
+    assert (out["u"].values > [1.0, 0.0, -2.5]).all()
+
+
+def test_sampling(spark):
+    pdf = pd.DataFrame({"id": range(1000),
+                        "cls": ["a"] * 700 + ["b"] * 300})
+    sdf = spark.createDataFrame(pdf)
+    s = SMP.sample_deterministic(sdf, "id", 0.3)
+    assert 200 < s.count() < 400
+    # deterministic: same result twice
+    assert s.count() == SMP.sample_deterministic(sdf, "id", 0.3).count()
+    vn = SMP.volume_neutral(sdf, "cls", "id")
+    counts = {r["cls"]: r["count"] for r in vn.groupBy("cls").count().collect()}
+    assert counts == {"a": 300, "b": 300}
+    splits = SMP.split_by_ratio(sdf, "id", [0.8, 0.2], ["tr", "te"])
+    n_tr, n_te = splits["tr"].count(), splits["te"].count()
+    assert n_tr + n_te == 1000 and 700 < n_tr < 900
+    ds = SMP.downsample(sdf, F.col("cls") == "a", "id", 0.5)
+    assert ds.where(F.col("cls") == "b").count() == 300
+    assert 250 < ds.where(F.col("cls") == "a").count() < 450
+    st = SMP.stratified_sample(sdf, ["cls"], "id", 0.5)
+    assert 400 < st.count() < 600
+
+
+def test_eda(spark):
+    pdf = pd.DataFrame({
+        "a": [1.0, 2.0, None, 4.0],
+        "const": [7, 7, 7, 7],
+        "id": [1, 2, 3, 4],
+    })
+    sdf = spark.createDataFrame(pdf)
+    d = E.describe(sdf, ["a"]).first()
+    assert d["null_cnt"] == 1 and d["n_distinct"] == 3
+    assert d["mean"] == pytest.approx(7 / 3)
+    nr = {r["column"]: r["null_pct"] for r in E.null_report(sdf).collect()}
+    assert nr["a"] == 0.25 and nr["const"] == 0.0
+    fl = {r["column"]: (r["is_constant"], r["is_id_like"])
+          for r in E.column_flags(sdf).collect()}
+    assert fl["const"] == (True, False)
+    assert fl["id"] == (False, True)
