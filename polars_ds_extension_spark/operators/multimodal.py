@@ -1,0 +1,181 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Convention: media rides in an opaque `binary` column next to a typed
+metadata struct — the lakehouse-standard layout. Everything that can be
+computed from raw bytes IS computed for real (size, hashes, magic-byte
+container sniffing, byte histograms/entropy); the codec-dependent steps
+(pixel decode, resample, resize) are STUBBED behind
+``NotImplementedError`` or a clearly-marked deterministic fake, because
+image/audio codecs are not available in this environment. The
+Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning — is real and tested, so dropping in a real
+decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# metadata struct convention for media columns
+MEDIA_META_SCHEMA = (
+    "mime string, n_bytes long, content_hash long, "
+    "width int, height int, duration_ms int"
+)
+
+# container magic numbers (hex of leading bytes → mime)
+_MAGIC = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),     # RIFF (also webp/avi — refined below)
+    ("494433", "audio/mpeg"),      # ID3
+    ("664C6143", "audio/flac"),
+    ("1A45DFA3", "video/webm"),
+]
+
+
+def sniff_mime(binary_col) -> Column:
+    """Container type from magic bytes — pure JVM (hex prefix compare)."""
+    b = F.col(binary_col) if isinstance(binary_col, str) else binary_col
+    head = F.hex(F.expr(f"substring({binary_col}, 1, 8)")) if isinstance(binary_col, str) \
+        else F.hex(b.substr(1, 8))
+    out = F.lit("application/octet-stream")
+    for magic, mime in reversed(_MAGIC):
+        out = F.when(head.startswith(magic), F.lit(mime)).otherwise(out)
+    return out
+
+
+def blob_stats(binary_col) -> Column:
+    """struct(n_bytes, content_hash, mime) — scan-side, no Python."""
+    b = F.col(binary_col) if isinstance(binary_col, str) else binary_col
+    return F.struct(
+        F.length(b).cast("long").alias("n_bytes"),
+        F.xxhash64(b).alias("content_hash"),
+        sniff_mime(binary_col).alias("mime"),
+    )
+
+
+def byte_histogram(df: DataFrame, binary_col: str,
+                   out_name: str = "byte_hist") -> DataFrame:
+    """256-bin normalized byte histogram per blob — a REAL codec-free
+    content feature (spam/encrypted/corrupt detection, near-dup on raw
+    bytes). Arrow-batched numpy over mapInPandas; output adds
+    array<double>[256]."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    # copy — StructType.add mutates the DataFrame's cached schema in place
+    schema = StructType(df.schema.fields
+                        + [StructField(out_name, ArrayType(DoubleType()))])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hists = []
+            for blob in pdf[binary_col]:
+                if blob is None or len(blob) == 0:
+                    hists.append([0.0] * 256)
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                h = np.bincount(arr, minlength=256).astype("float64") / arr.size
+                hists.append(h.tolist())
+            pdf = pdf.copy()
+            pdf[out_name] = hists
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)
+
+
+def byte_entropy(df: DataFrame, binary_col: str,
+                 out_name: str = "byte_entropy") -> DataFrame:
+    """Shannon entropy of the byte distribution (bits/byte): ~8 for
+    compressed/encrypted payloads, lower for structured data."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_name, DoubleType())])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ents = []
+            for blob in pdf[binary_col]:
+                if blob is None or len(blob) == 0:
+                    ents.append(float("nan"))
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                p = np.bincount(arr, minlength=256) / arr.size
+                nz = p[p > 0]
+                ents.append(float(-(nz * np.log2(nz)).sum()))
+            pdf = pdf.copy()
+            pdf[out_name] = ents
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)
+
+
+# ------------------------------------------------------- codec-bound (STUBS)
+
+DECODED_IMAGE_SCHEMA = "height int, width int, channels int, pixels binary"
+
+
+def decode_image(df: DataFrame, binary_col: str, *, fake: bool = False,
+                 out_name: str = "decoded") -> DataFrame:
+    """Decode image bytes to (height, width, channels, raw pixels).
+
+    STUB: real decoding needs an image codec (PIL/opencv — not in this
+    container). With ``fake=True`` a deterministic stand-in fills the
+    struct from the content hash so downstream plumbing (schema, batch
+    shape, partition flow) is exercised end-to-end; otherwise raises.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField(out_name, StructType.fromDDL(DECODED_IMAGE_SCHEMA))])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "decode_image: no image codec in this environment — "
+                    "pass fake=True for plumbing tests or plug a decoder here"
+                )
+            out = []
+            for blob in pdf[binary_col]:
+                h = hash(blob) & 0x7FFFFFFF
+                hh, ww = 1 + h % 64, 1 + (h >> 8) % 64
+                out.append({"height": hh, "width": ww, "channels": 3,
+                            "pixels": bytes(3)})
+            pdf = pdf.copy()
+            pdf[out_name] = out
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)
+
+
+def frame_sample_indices(duration_ms, fps: float = 1.0,
+                         max_frames: int = 16) -> Column:
+    """Frame indices to sample from a video of given duration — REAL
+    arithmetic (uniform stride capped at max_frames); the decode of the
+    chosen frames is codec-bound and stubbed in `decode_image`."""
+    d = F.col(duration_ms) if isinstance(duration_ms, str) else duration_ms
+    n = F.least(F.greatest((d / F.lit(1000.0) * fps).cast("int"), F.lit(1)),
+                F.lit(max_frames))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i * d / n).cast("int"),
+    )
+
+
+def resize_image(df: DataFrame, decoded_col: str, width: int, height: int):
+    """STUB: resampling needs pixel access → codec-bound."""
+    raise NotImplementedError(
+        "resize_image requires an image codec; wire a Pandas-UDF resampler "
+        "over the decoded struct (same mapInPandas shape as decode_image)"
+    )

@@ -345,3 +345,52 @@ def ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = K.ivf_knn_join(emb, "vec_id", "embedding", n_centroids=16, k=3)
     return out.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+@query("multimodal_blobs", """
+WITH b AS (
+  SELECT doc_id,
+    unhex(CASE doc_id % 3 WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
+          ELSE '494433' END) || encode(text) AS c
+  FROM documents
+), h AS (
+  SELECT doc_id, c, hex(c) AS hx, octet_length(c)::BIGINT AS n_bytes FROM b
+), e AS (
+  SELECT doc_id, n_bytes,
+    CASE WHEN starts_with(hx, '89504E47') THEN 'image/png'
+         WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+         WHEN starts_with(hx, '494433') THEN 'audio/mpeg'
+         ELSE 'application/octet-stream' END AS mime,
+    list_transform(range(1, n_bytes + 1),
+                   i -> substr(hx, (i - 1) * 2 + 1, 2)) AS bl
+  FROM h
+)
+SELECT doc_id, n_bytes, mime,
+  ROUND(-list_sum(list_transform(list_distinct(bl),
+    bb -> (len(list_filter(bl, x -> x = bb))::DOUBLE / len(bl))
+          * log2(len(list_filter(bl, x -> x = bb))::DOUBLE / len(bl)))), 6)
+    AS byte_entropy
+FROM e
+""")
+def multimodal_blobs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing over synthesized blobs (magic header
+    by doc_id%3 + utf-8 text): size + container sniffing (pure JVM) and
+    byte entropy (Arrow-batched numpy over mapInPandas) — the codec-free
+    slice of operators/multimodal.py, mirrored exactly in SQL."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes.fromhex("89504E47")))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes.fromhex("FFD8FFE0")))
+        .otherwise(F.lit(bytes.fromhex("494433")))
+    )
+    blobs = docs.select(
+        "doc_id", F.concat(magic, F.encode("text", "utf-8")).alias("content"))
+    withent = MM.byte_entropy(blobs, "content")
+    return withent.select(
+        "doc_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        MM.sniff_mime("content").alias("mime"),
+        _r(F.col("byte_entropy")).alias("byte_entropy"),
+    )

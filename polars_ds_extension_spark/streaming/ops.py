@@ -1,0 +1,119 @@
+"""Structured-Streaming operators (SURVEY §2.12).
+
+Streams are just unbounded DataFrames here: every transformation is
+built from the same Column expressions as the batch operators, so a
+fitted pipeline / quality filter / dedup key applies to a readStream
+frame unchanged. These helpers add the streaming-specific parts —
+watermarks, windows, and state:
+
+  * windowed aggregation: watermark + tumbling/sliding window → the
+    standard late-data-tolerant rollup; state is bounded by the
+    watermark horizon;
+  * streaming dedup: dropDuplicatesWithinWatermark on the exact-dedup
+    hash — state holds one 8-byte key per doc within the horizon, the
+    streaming twin of operators/dedup.exact_dedup;
+  * sessionization: F.session_window (gap-based);
+  * running stats: applyInPandasWithState keeping O(1) sufficient
+    statistics (count/mean/M2 via Welford merge) per key — the template
+    for custom stateful operators.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_windowed_agg(
+    df: DataFrame, ts_col: str, window: str,
+    aggs: dict[str, Column],
+    by: Sequence[str] | None = None,
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation."""
+    keys = [F.col(k) for k in (by or [])]
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    return out
+
+
+def stream_dedup(df: DataFrame, cols: Sequence[str], ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Exact dedup on a stream: first arrival of each cols-hash within
+    the watermark horizon wins; state is one 8-byte key per distinct
+    value and is purged as the watermark advances."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    return (
+        df.withColumn("__h", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+
+
+def stream_sessionize(
+    df: DataFrame, ts_col: str, gap: str,
+    by: Sequence[str],
+    aggs: dict[str, Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows per key."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 *[F.col(k) for k in by])
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+
+
+def stream_running_stats(df: DataFrame, key: str, value: str,
+                         ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator template: per-key running count/mean/std
+    via applyInPandasWithState, merging each micro-batch's partial
+    moments into O(1) state (Chan/Welford parallel merge).
+
+    Output (per key per batch): key, n, mean, std.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} string, n long, mean double, std double"
+    state_schema = "n long, mean double, m2 double"
+
+    def _update(k, pdf_iter, state: GroupState):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        for pdf in pdf_iter:
+            v = pdf[value].astype("float64")
+            bn = int(v.size)
+            if bn == 0:
+                continue
+            bmean = float(v.mean())
+            bm2 = float(((v - bmean) ** 2).sum())
+            delta = bmean - mean
+            tot = n + bn
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            mean = mean + delta * bn / tot
+            n = tot
+        state.update((n, mean, m2))
+        std = (m2 / (n - 1)) ** 0.5 if n > 1 else float("nan")
+        yield pd.DataFrame({key: [k[0]], "n": [n], "mean": [mean], "std": [std]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

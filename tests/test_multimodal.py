@@ -1,0 +1,62 @@
+"""Multimodal column plumbing tests: binary blobs + metadata, real
+byte-level features, stubbed codec steps."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rng = np.random.default_rng(13)
+    rows = [
+        {"id": 0, "content": bytes.fromhex("89504E470D0A1A0A") + rng.bytes(100)},
+        {"id": 1, "content": bytes.fromhex("FFD8FFE0") + rng.bytes(50)},
+        {"id": 2, "content": bytes.fromhex("494433") + rng.bytes(80)},
+        {"id": 3, "content": b"\x00" * 64},
+        {"id": 4, "content": rng.bytes(256)},
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_sniff_and_stats(blobs):
+    out = blobs.select("id", MM.blob_stats("content").alias("s")).orderBy("id").collect()
+    assert out[0]["s"]["mime"] == "image/png"
+    assert out[1]["s"]["mime"] == "image/jpeg"
+    assert out[2]["s"]["mime"] == "audio/mpeg"
+    assert out[3]["s"]["mime"] == "application/octet-stream"
+    assert out[0]["s"]["n_bytes"] == 108
+    assert out[0]["s"]["content_hash"] is not None
+
+
+def test_byte_histogram_and_entropy(blobs, spark):
+    hist = MM.byte_histogram(blobs, "content").orderBy("id").toPandas()
+    h3 = np.array(hist["byte_hist"].iloc[3])
+    assert h3[0] == 1.0 and h3[1:].sum() == 0.0      # all-zero blob
+    h0 = np.array(hist["byte_hist"].iloc[0])
+    assert h0.sum() == pytest.approx(1.0)
+    ent = MM.byte_entropy(blobs, "content").orderBy("id").toPandas()
+    assert ent["byte_entropy"].iloc[3] == 0.0         # constant bytes
+    assert ent["byte_entropy"].iloc[4] > 6.5          # random bytes ≈ 8 bits
+
+
+def test_decode_stub(blobs):
+    fake = MM.decode_image(blobs, "content", fake=True).orderBy("id").collect()
+    assert fake[0]["decoded"]["channels"] == 3
+    assert 1 <= fake[0]["decoded"]["height"] <= 64
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        MM.decode_image(blobs, "content").collect()
+
+
+def test_frame_sampling(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"dur": [5000, 100000, 500]}))
+    out = sdf.select(MM.frame_sample_indices("dur", fps=1.0, max_frames=8)
+                     .alias("idx")).collect()
+    assert len(out[0]["idx"]) == 5       # 5s @ 1fps
+    assert len(out[1]["idx"]) == 8       # capped
+    assert len(out[2]["idx"]) == 1       # at least one frame
+    assert out[0]["idx"][0] == 0
+    assert all(b > a for a, b in zip(out[0]["idx"], out[0]["idx"][1:]))

@@ -1,0 +1,102 @@
+"""Structured-Streaming operator tests: file source → memory sink with
+availableNow trigger, asserting against the batch equivalents."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark import streaming as STR
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="pds_stream_")
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=100, freq="30s"),
+        "user": [f"u{i % 5}" for i in range(100)],
+        "text": [f"doc {i % 20}" for i in range(100)],  # 5 dups per text
+        "value": [float(i) for i in range(100)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, out_df, name, mode="append"):
+    q = (out_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _read_stream(spark, d):
+    schema = "ts timestamp, user string, text string, value double"
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def test_stream_windowed_agg(spark, stream_dir):
+    s = _read_stream(spark, stream_dir)
+    out = STR.stream_windowed_agg(
+        s, "ts", "10 minutes",
+        {"n": F.count(F.lit(1)), "sum_v": F.sum("value")},
+        by=["user"], watermark="0 seconds",
+    )
+    name = f"m{uuid.uuid4().hex[:8]}"
+    got = (_run_stream(spark, out, name)
+           .select(F.col("window.start").alias("ws"), "user", "n", "sum_v")
+           .toPandas())
+    # 100 rows * 30s = 50 min → 5 windows × 5 users; append mode emits
+    # only closed windows (watermark passed) → at least the first 4
+    assert len(got) >= 20
+    batch = (spark.read.parquet(stream_dir)
+             .groupBy(F.window("ts", "10 minutes").alias("window"), "user")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+             .select(F.col("window.start").alias("ws"), "user", "n", "sum_v"))
+    bp = batch.toPandas()
+    merged = got.merge(bp, on=["ws", "user"], suffixes=("_s", "_b"))
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (merged["sum_v_s"] == merged["sum_v_b"]).all()
+
+
+def test_stream_dedup(spark, stream_dir):
+    s = _read_stream(spark, stream_dir)
+    out = STR.stream_dedup(s, ["text"], "ts", watermark="1 hour")
+    name = f"m{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, out, name).toPandas()
+    assert len(got) == 20            # 20 distinct texts
+    assert got["text"].nunique() == 20
+
+
+def test_stream_sessionize(spark, stream_dir):
+    s = _read_stream(spark, stream_dir)
+    # per-user events are 150s apart > 1min gap → every event is its own
+    # session; append mode emits sessions once the watermark passes their
+    # end, i.e. all but the trailing ones
+    out = STR.stream_sessionize(s, "ts", "1 minute", ["user"],
+                                watermark="0 seconds")
+    name = f"m{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, out, name).toPandas()
+    assert got["user"].nunique() == 5
+    assert len(got) >= 90
+    assert (got["n_events"] == 1).all()
+
+
+def test_stream_running_stats(spark, stream_dir):
+    s = _read_stream(spark, stream_dir)
+    out = STR.stream_running_stats(s, "user", "value", "ts")
+    name = f"m{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, out, name, mode="update").toPandas()
+    # final state per user must equal the batch moments
+    batch = (spark.read.parquet(stream_dir).groupBy("user")
+             .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean"),
+                  F.stddev_samp("value").alias("std")).toPandas())
+    last = got.groupby("user").last().reset_index()
+    merged = last.merge(batch, on="user", suffixes=("_s", "_b"))
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert merged["mean_s"].values == pytest.approx(merged["mean_b"].values)
+    assert merged["std_s"].values == pytest.approx(merged["std_b"].values)
