@@ -20,17 +20,49 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .._utils import to_col, group_window, ordered_window
 
+
+def _sf2(fn, a: Column, b: Column) -> Column:
+    """Apply a python survival function to two aggregated columns via an
+    Arrow-batched pandas UDF — runs on the tiny post-agg frame only."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _u(x: "pd.Series", y: "pd.Series") -> "pd.Series":
+        return pd.Series([
+            float(fn(float(xi), float(yi))) if xi is not None and yi is not None
+            else float("nan")
+            for xi, yi in zip(x, y)
+        ])
+
+    return _u(a, b)
+
+
+def _sf3(fn, a: Column, b: Column, c: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _u(x: "pd.Series", y: "pd.Series", z: "pd.Series") -> "pd.Series":
+        return pd.Series([
+            float(fn(float(xi), float(yi), float(zi)))
+            if xi is not None and yi is not None and zi is not None
+            else float("nan")
+            for xi, yi, zi in zip(x, y, z)
+        ])
+
+    return _u(a, b, c)
+
 __all__ = [
     "hmean", "weighted_hmean", "gmean", "weighted_gmean",
     "weighted_mean", "weighted_var", "weighted_cov", "weighted_corr",
     "cosine_sim", "weighted_cosine_sim",
-    "ttest_1samp_stat", "ttest_ind_stat", "ttest_ind_from_stats",
+    "ttest_1samp_stat", "ttest_ind_stat", "ttest_ind_from_stats", "ttest_ind",
     "normal_test", "winsorize",
     "ks_2samp", "mann_whitney_u", "chi2", "f_test",
     "corr", "xi_corr", "bicor", "kendall_tau",
@@ -145,6 +177,40 @@ def ttest_ind_from_stats(mean1, std1, cnt1, mean2, std2, cnt2,
     return (m1 - m2) / F.sqrt(s1 * s1 / n1 + s2 * s2 / n2)
 
 
+def ttest_ind(df: DataFrame, x, y, equal_var: bool = False) -> DataFrame:
+    """Two-sample t test between two columns of the same frame →
+    one row (statistic, dof, pvalue). Ref stats.py:58 (reference returns
+    statistic+p like scipy). One aggregation; Welch–Satterthwaite dof for
+    the unequal-variance default; p via the t survival function on the
+    aggregated row."""
+    from ._special import t_sf
+
+    xx, yy = to_col(x), to_col(y)
+    agg = df.agg(
+        F.mean(xx).alias("mx"), F.mean(yy).alias("my"),
+        F.var_samp(xx).alias("vx"), F.var_samp(yy).alias("vy"),
+        F.count(xx).cast("double").alias("nx"),
+        F.count(yy).cast("double").alias("ny"),
+    )
+    mx, my = F.col("mx"), F.col("my")
+    vx, vy, nx, ny = F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny")
+    if equal_var:
+        sp = ((nx - 1) * vx + (ny - 1) * vy) / (nx + ny - 2)
+        stat = (mx - my) / F.sqrt(sp * (1 / nx + 1 / ny))
+        dof = nx + ny - 2
+    else:
+        stat = (mx - my) / F.sqrt(vx / nx + vy / ny)
+        dof = (
+            F.pow(vx / nx + vy / ny, 2)
+            / (F.pow(vx / nx, 2) / (nx - 1) + F.pow(vy / ny, 2) / (ny - 1))
+        )
+    out = agg.select(stat.alias("statistic"), dof.alias("dof"))
+    two_sided = lambda t, d: 2.0 * t_sf(abs(t), d)  # noqa: E731
+    return out.select(
+        "statistic", "dof",
+        _sf2(two_sided, F.col("statistic"), F.col("dof")).alias("pvalue"))
+
+
 def normal_test(x) -> Column:
     """D'Agostino-Pearson K² omnibus normality test (agg) → struct
     (statistic, pvalue). Ref stats.py:493.
@@ -232,6 +298,8 @@ def ks_2samp(df: DataFrame, x: str, group: str,
     is_a = (g.cast("string") == gvals[0]).cast("double")
     is_b = (g.cast("string") == gvals[1]).cast("double")
     step = df.select(*keys, to_col(x).alias("__x"), is_a.alias("__a"), is_b.alias("__b"))
+    from ._special import ks_sf
+
     if keys:
         wc = Window.partitionBy(*keys).orderBy("__x") \
             .rangeBetween(Window.unboundedPreceding, 0)
@@ -240,14 +308,24 @@ def ks_2samp(df: DataFrame, x: str, group: str,
             F.sum("__a").over(wc) / F.sum("__a").over(gw)
             - F.sum("__b").over(wc) / F.sum("__b").over(gw)
         )
-        return step.select(*keys, d.alias("__d")) \
-            .groupBy(*keys).agg(F.max("__d").alias("statistic"))
+        agg = step.select(*keys, "__a", "__b", d.alias("__d")) \
+            .groupBy(*keys).agg(F.max("__d").alias("statistic"),
+                                F.sum("__a").alias("__na"),
+                                F.sum("__b").alias("__nb"))
+        return agg.select(
+            *keys, "statistic",
+            _sf3(ks_sf, F.col("statistic"), F.col("__na"),
+                 F.col("__nb")).alias("pvalue"))
     from ..plans import global_cumsum
     tot = step.agg(F.sum("__a").alias("a"), F.sum("__b").alias("b")).first()
     cum = global_cumsum(step, "__x", ["__a", "__b"])
     d = F.abs(F.col("cum___a") / F.lit(float(tot["a"]))
               - F.col("cum___b") / F.lit(float(tot["b"])))
-    return cum.select(d.alias("__d")).agg(F.max("__d").alias("statistic"))
+    agg = cum.select(d.alias("__d")).agg(F.max("__d").alias("statistic"))
+    return agg.select(
+        "statistic",
+        _sf3(ks_sf, F.col("statistic"), F.lit(float(tot["a"])),
+             F.lit(float(tot["b"]))).alias("pvalue"))
 
 
 def mann_whitney_u(df: DataFrame, x: str, group: str,
@@ -280,10 +358,30 @@ def mann_whitney_u(df: DataFrame, x: str, group: str,
         F.sum(F.lit(1.0) - F.col("__a")).alias("__n2"),
     ]
     agg = step.groupBy(*keys).agg(*aggs) if keys else step.agg(*aggs)
+    # tie correction Σ(t³−t) from distinct-value counts (tiny frame)
+    tie_src = df.select(*keys, to_col(x).alias("__x"))
+    tie_cnt = tie_src.groupBy(*keys, "__x").agg(F.count(F.lit(1)).alias("__c"))
+    tie_aggs = [F.sum(F.pow(F.col("__c"), 3) - F.col("__c")).alias("__ties")]
+    ties = (tie_cnt.groupBy(*keys).agg(*tie_aggs) if keys
+            else tie_cnt.agg(*tie_aggs))
+    agg = agg.join(ties, keys) if keys else agg.crossJoin(ties)
     u1 = F.col("__r1") - F.col("__n1") * (F.col("__n1") + 1) / 2
     u2 = F.col("__n1") * F.col("__n2") - u1
+    from ._special import mann_whitney_p
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _p4(u: "pd.Series", n1: "pd.Series", n2: "pd.Series",
+            t: "pd.Series") -> "pd.Series":
+        return pd.Series([
+            float(mann_whitney_p(float(a), float(b), float(c), float(d)))
+            for a, b, c, d in zip(u, n1, n2, t)
+        ])
+
     return agg.select(*keys, u1.alias("u1"), u2.alias("u2"),
-                      F.greatest(u1, u2).alias("statistic"))
+                      F.greatest(u1, u2).alias("statistic"),
+                      _p4(F.greatest(u1, u2), F.col("__n1"), F.col("__n2"),
+                          F.col("__ties")).alias("pvalue"))
 
 
 def chi2(df: DataFrame, var1: str, var2: str) -> DataFrame:
@@ -302,11 +400,17 @@ def chi2(df: DataFrame, var1: str, var2: str) -> DataFrame:
         ((F.col("o") - e) * (F.col("o") - e) / e).alias("cell"),
         F.col(var1), F.col(var2),
     )
-    return cells.agg(
+    from ._special import chi2_sf
+
+    agg = cells.agg(
         F.sum("cell").alias("statistic"),
         ((F.count_distinct(F.col(var1)) - 1)
          * (F.count_distinct(F.col(var2)) - 1)).alias("dof"),
     )
+    return agg.select(
+        "statistic", "dof",
+        _sf2(chi2_sf, F.col("statistic"),
+             F.col("dof").cast("double")).alias("pvalue"))
 
 
 def f_test(df: DataFrame, x: str, group: str) -> DataFrame:
@@ -332,7 +436,9 @@ def f_test(df: DataFrame, x: str, group: str) -> DataFrame:
         (grand_s * grand_s / grand_n).alias("corr_term"),
         grand_n.alias("N"), k.alias("k"),
     )
-    return lev2.agg(
+    from ._special import f_sf
+
+    agg = lev2.agg(
         (
             (F.sum("b") - F.first("corr_term")) / (F.first("k") - 1)
             / ((F.sum("wi")) / (F.first("N") - F.first("k")))
@@ -340,6 +446,10 @@ def f_test(df: DataFrame, x: str, group: str) -> DataFrame:
         (F.first("k") - 1).alias("df_between"),
         (F.first("N") - F.first("k")).alias("df_within"),
     )
+    return agg.select(
+        "statistic", "df_between", "df_within",
+        _sf3(f_sf, F.col("statistic"), F.col("df_between"),
+             F.col("df_within")).alias("pvalue"))
 
 
 def corr(df: DataFrame, x: str, y: str, method: str = "pearson",

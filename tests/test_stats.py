@@ -180,3 +180,29 @@ def test_winsorize(spark, df):
     lo, hi = np.percentile(X, [5, 95], method="linear")
     assert out.min() == pytest.approx(lo, rel=1e-9)
     assert out.max() == pytest.approx(hi, rel=1e-9)
+
+
+def test_pvalues_present_and_sane(spark):
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 1, 300)
+    b = rng.normal(0, 1, 300)  # same distribution → non-significant
+    pdf = pd.DataFrame({"v": np.concatenate([a, b]),
+                        "g": ["a"] * 300 + ["b"] * 300})
+    sdf = spark.createDataFrame(pdf)
+    ks = S.ks_2samp(sdf, "v", "g", groups=("a", "b")).first()
+    assert 0.0 <= ks["pvalue"] <= 1.0 and ks["pvalue"] > 0.01
+    mw = S.mann_whitney_u(sdf, "v", "g", groups=("a", "b")).first()
+    assert 0.0 <= mw["pvalue"] <= 1.0 and mw["pvalue"] > 0.01
+    ft = S.f_test(sdf, "v", "g").first()
+    assert 0.0 <= ft["pvalue"] <= 1.0
+    sdf2 = sdf.withColumn("vb", F.col("v") > 0)
+    c2 = S.chi2(sdf2, "g", "vb").first()
+    assert 0.0 <= c2["pvalue"] <= 1.0
+    # shifted distribution → highly significant
+    c = rng.normal(2.0, 1, 300)
+    pdf2 = pd.DataFrame({"v": np.concatenate([a, c]),
+                         "g": ["a"] * 300 + ["b"] * 300})
+    sdf3 = spark.createDataFrame(pdf2)
+    assert S.ks_2samp(sdf3, "v", "g", groups=("a", "b")).first()["pvalue"] < 1e-6
+    tt = S.ttest_ind(spark.createDataFrame(pd.DataFrame({"x": a, "y": c})), "x", "y").first()
+    assert tt["pvalue"] < 1e-10 and tt["dof"] > 100
