@@ -258,18 +258,171 @@ def _pair_udf(fn, ret: str):
     return _udf
 
 
+# ---------------------------------------------- batch-vectorized kernels
+# The DP/matching loops run over (i, j) character positions in Python but
+# every inner operation is vectorized across the WHOLE Arrow batch with
+# numpy — O(maxlen²) python iterations per batch instead of per row,
+# a ~batch-size speedup over scalar kernels for the common short-string
+# case. Padding code is -1 (never a real code point).
+
+def _codes_batch(vals: list) -> tuple["np.ndarray", "np.ndarray"]:
+    import numpy as np
+
+    lens = np.array([0 if v is None else len(v) for v in vals], dtype=np.int64)
+    lmax = int(lens.max()) if len(lens) and lens.max() > 0 else 1
+    A = np.full((len(vals), lmax), -1, dtype=np.int64)
+    for r, v in enumerate(vals):
+        if v:
+            A[r, : len(v)] = np.frombuffer(v.encode("utf-32-le"), dtype=np.uint32)
+    return A, lens
+
+
+def _jaro_batch(A, la, B2, lb):
+    import numpy as np
+
+    Bn, L1 = A.shape
+    L2 = B2.shape[1]
+    d = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used2 = np.zeros((Bn, L2), dtype=bool)
+    m1 = np.zeros((Bn, L1), dtype=bool)
+    jidx = np.arange(L2)
+    for i in range(L1):
+        active = i < la
+        if not active.any():
+            break
+        cand = (
+            (jidx >= (i - d)[:, None]) & (jidx <= (i + d)[:, None])
+            & (jidx < lb[:, None]) & ~used2
+            & (B2 == A[:, i][:, None]) & active[:, None]
+        )
+        has = cand.any(1)
+        jm = cand.argmax(1)
+        used2[has, jm[has]] = True
+        m1[has, i] = True
+    m = used2.sum(1).astype(np.float64)
+    maxm = int(m.max()) if Bn else 0
+    t = np.zeros(Bn)
+    if maxm > 0:
+        M1 = np.full((Bn, maxm), -1, dtype=np.int64)
+        M2 = np.full((Bn, maxm), -1, dtype=np.int64)
+        pos1 = m1.cumsum(1) - 1
+        pos2 = used2.cumsum(1) - 1
+        r1, c1 = np.nonzero(m1)
+        M1[r1, pos1[r1, c1]] = A[r1, c1]
+        r2, c2 = np.nonzero(used2)
+        M2[r2, pos2[r2, c2]] = B2[r2, c2]
+        t = ((M1 != M2) & (M1 != -1)).sum(1) // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res = (m / la + m / lb + (m - t) / m) / 3.0
+    res = np.where(m == 0, 0.0, res)
+    res = np.where((la == 0) & (lb == 0), 1.0, res)
+    return res
+
+
+def _jw_batch(A, la, B2, lb, weight: float):
+    import numpy as np
+
+    j = _jaro_batch(A, la, B2, lb)
+    upto = min(4, A.shape[1], B2.shape[1])
+    if upto == 0:
+        return j
+    eq = (A[:, :upto] == B2[:, :upto]) & (A[:, :upto] != -1)
+    prefix = (eq.cumprod(1)).sum(1)
+    return np.where(j > 0.7, j + prefix * weight * (1 - j), j)
+
+
+def _osa_batch(A, la, B2, lb):
+    import numpy as np
+
+    Bn, L1 = A.shape
+    L2 = B2.shape[1]
+    prev2 = None
+    prev = np.tile(np.arange(L2 + 1, dtype=np.int64), (Bn, 1))
+    final = np.where(la == 0, lb, 0)
+    for i in range(1, L1 + 1):
+        cur = np.empty((Bn, L2 + 1), dtype=np.int64)
+        cur[:, 0] = i
+        c1 = A[:, i - 1]
+        for j in range(1, L2 + 1):
+            cost = (c1 != B2[:, j - 1]).astype(np.int64)
+            v = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+            v = np.minimum(v, cur[:, j - 1] + 1)
+            if i > 1 and j > 1:
+                trans = (c1 == B2[:, j - 2]) & (A[:, i - 2] == B2[:, j - 1]) \
+                        & (c1 != -1)
+                v = np.where(trans, np.minimum(v, prev2[:, j - 2] + cost), v)
+            cur[:, j] = v
+        hit = la == i
+        if hit.any():
+            final = np.where(hit, np.take_along_axis(cur, lb[:, None], 1)[:, 0],
+                             final)
+        prev2, prev = prev, cur
+    return final
+
+
+def _lcs_batch(A, la, B2, lb):
+    import numpy as np
+
+    Bn, L1 = A.shape
+    L2 = B2.shape[1]
+    prev = np.zeros((Bn, L2 + 1), dtype=np.int64)
+    final = np.zeros(Bn, dtype=np.int64)
+    for i in range(1, L1 + 1):
+        cur = np.zeros((Bn, L2 + 1), dtype=np.int64)
+        c1 = A[:, i - 1]
+        for j in range(1, L2 + 1):
+            match = (c1 == B2[:, j - 1]) & (c1 != -1)
+            cur[:, j] = np.where(
+                match, prev[:, j - 1] + 1,
+                np.maximum(prev[:, j], cur[:, j - 1]))
+        hit = la == i
+        if hit.any():
+            final = np.where(hit, np.take_along_axis(cur, lb[:, None], 1)[:, 0],
+                             final)
+        prev = cur
+    return final
+
+
+def _batch_udf(kernel, ret: str, post=None):
+    """Wrap a (A, la, B2, lb) → ndarray batch kernel as a pandas UDF with
+    null passthrough."""
+    import numpy as np
+
+    @pandas_udf(ret)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        va, vb = a.tolist(), b.tolist()
+        null = np.array([x is None or y is None for x, y in zip(va, vb)])
+        A, la = _codes_batch(va)
+        B2, lb = _codes_batch(vb)
+        out = kernel(A, la, B2, lb)
+        if post is not None:
+            out = post(out, la, lb)
+        res = pd.Series(out)
+        res[null] = None
+        return res
+
+    return _udf
+
+
 def str_jaro(c, other) -> Column:
-    """Jaro similarity (Arrow-batched pandas UDF). Ref string.py:439."""
-    return _pair_udf(_jaro, "double")(to_col(c), to_col(other))
+    """Jaro similarity (batch-vectorized numpy kernel). Ref string.py:439."""
+    return _batch_udf(_jaro_batch, "double")(to_col(c), to_col(other))
 
 
 def str_jw(c, other, weight: float = 0.1) -> Column:
     """Jaro-Winkler similarity. Ref string.py:404."""
-    return _pair_udf(lambda a, b: _jw(a, b, weight), "double")(to_col(c), to_col(other))
+    return _batch_udf(
+        lambda A, la, B2, lb: _jw_batch(A, la, B2, lb, weight), "double"
+    )(to_col(c), to_col(other))
 
 
 def str_d_leven(c, other, return_sim: bool = False) -> Column:
-    """Damerau-Levenshtein distance (or similarity). Ref string.py:461."""
+    """Damerau-Levenshtein distance (or similarity). Ref string.py:461.
+
+    Full DL needs per-row last-occurrence tracking and random DP-matrix
+    access, which defeats batch vectorization — this one stays a per-row
+    kernel (use str_osa for the vectorized restricted variant).
+    """
     if return_sim:
         return _pair_udf(
             lambda a, b: 1.0 - _dleven(a, b) / max(len(a), len(b), 1), "double"
@@ -278,38 +431,48 @@ def str_d_leven(c, other, return_sim: bool = False) -> Column:
 
 
 def str_osa(c, other, return_sim: bool = False) -> Column:
-    """Optimal-string-alignment distance. Ref string.py:643."""
+    """Optimal-string-alignment distance (batch DP, vectorized across the
+    Arrow batch). Ref string.py:643."""
     if return_sim:
-        return _pair_udf(
-            lambda a, b: 1.0 - _osa(a, b) / max(len(a), len(b), 1), "double"
+        import numpy as np
+
+        return _batch_udf(
+            _osa_batch, "double",
+            post=lambda out, la, lb: 1.0 - out / np.maximum(np.maximum(la, lb), 1),
         )(to_col(c), to_col(other))
-    return _pair_udf(_osa, "int")(to_col(c), to_col(other))
+    return _batch_udf(_osa_batch, "int")(to_col(c), to_col(other))
 
 
 def str_lcs_subseq(c, other) -> Column:
-    """Longest common subsequence length. Ref string.py:575."""
-    return _pair_udf(_lcs_subseq_len, "int")(to_col(c), to_col(other))
+    """Longest common subsequence length (batch DP). Ref string.py:575."""
+    return _batch_udf(_lcs_batch, "int")(to_col(c), to_col(other))
 
 
 def str_lcs_subseq_dist(c, other) -> Column:
     """LCS edit distance: n1 + n2 - 2*lcs. Ref string.py:603."""
-    return _pair_udf(
-        lambda a, b: len(a) + len(b) - 2 * _lcs_subseq_len(a, b), "int"
+    return _batch_udf(
+        _lcs_batch, "int", post=lambda out, la, lb: la + lb - 2 * out
     )(to_col(c), to_col(other))
 
 
 def str_lcs_substr(c, other) -> Column:
-    """Longest common substring. Ref string.py:547."""
+    """Longest common substring (per-row DP — returns the string itself,
+    not a length, so the batch codes trick doesn't apply). Ref
+    string.py:547."""
     return _pair_udf(_lcs_substr, "string")(to_col(c), to_col(other))
 
 
 def str_fuzz(c, other) -> Column:
     """Fuzzy (indel) ratio as in fuzzywuzzy/rapidfuzz ratio:
-    1 - indel_dist/(n1+n2), indel = LCS edit distance. Ref string.py:679."""
-    return _pair_udf(
-        lambda a, b: 1.0 if not a and not b else
-        1.0 - (len(a) + len(b) - 2 * _lcs_subseq_len(a, b)) / (len(a) + len(b)),
-        "double",
+    1 - indel_dist/(n1+n2), indel = LCS edit distance (batch DP).
+    Ref string.py:679."""
+    import numpy as np
+
+    return _batch_udf(
+        _lcs_batch, "double",
+        post=lambda out, la, lb: np.where(
+            la + lb == 0, 1.0,
+            1.0 - (la + lb - 2 * out) / np.maximum(la + lb, 1)),
     )(to_col(c), to_col(other))
 
 
