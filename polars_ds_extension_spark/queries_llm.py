@@ -131,12 +131,15 @@ def blocked_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("near_dup_simhash")
 def near_dup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-blocked near-dup pairs (8 bands × 8 bits), Jaccard-verified.
-    Rows-only: simhash blocking recall is < 1 by design (cheaper blocking);
-    the minhash query above carries the exact-parity check."""
-    u = _docs_with_near_dups(spark, sf_dir)
-    sd = D.simhash_near_dup_pairs(u, "doc_id", "text", threshold=0.6)
-    return sd.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+    """SimHash near-exact dup pairs: hamming <= 3 over 64-bit
+    fingerprints, 4x16-bit pigeonhole banding (recall exactly 1 for the
+    hamming criterion; Manku et al. WWW'07). Corpus: documents + EXACT
+    copies, which collide at hamming 0. Rows-only: fingerprints are
+    hash-defined, so no SQL oracle; the minhash query carries the
+    exact-parity near-dup check."""
+    u = _docs_with_dups(spark, sf_dir)
+    sd = D.simhash_near_dup_pairs(u, "doc_id", "text", max_hamming=3)
+    return sd.select("id_a", "id_b", "hamming")
 
 
 # ------------------------------------------------------------ text analysis
