@@ -241,3 +241,49 @@ def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
         if float(np.max(np.abs(step))) < 1e-10:
             break
     return beta.tolist()
+
+
+def lin_reg_rcond(df: DataFrame, features: Sequence[str], target: str,
+                  add_bias: bool = True, rcond: float = 1e-15) -> list[float]:
+    """OLS via pseudo-inverse with singular-value cutoff — the
+    rank-deficient-safe variant (ref expr_linear.py lin_reg_w_rcond).
+    Same one-pass sufficient statistics; pinv on the k×k driver matrix."""
+    xtx, xty, _ = _suffstats(df, features, target, add_bias)
+    return (np.linalg.pinv(xtx, rcond=rcond) @ xty).tolist()
+
+
+def elastic_net(df: DataFrame, features: Sequence[str], target: str,
+                l1: float = 0.1, l2: float = 0.1,
+                add_bias: bool = True, n_iters: int = 200,
+                tol: float = 1e-10) -> list[float]:
+    """Elastic net via cyclic coordinate descent on the SUFFICIENT
+    STATISTICS (ref linear_models.py:343 ElasticNet).
+
+    One distributed pass builds X'X / X'y; every descent iteration is
+    then pure O(k²) driver arithmetic — the data is never rescanned, so
+    fitting cost is independent of row count beyond the single pass.
+    Penalties follow the reference (objective ½‖y−Xβ‖²/n + λ₁‖β‖₁ +
+    ½λ₂‖β‖²; bias unpenalized).
+    """
+    xtx, xty, n = _suffstats(df, features, target, add_bias)
+    k = xtx.shape[0]
+    beta = np.zeros(k)
+    pen_mask = np.ones(k)
+    if add_bias:
+        pen_mask[-1] = 0.0
+    for _ in range(n_iters):
+        max_delta = 0.0
+        for j in range(k):
+            # partial residual correlation: r_j = (X'y - X'X β)_j + X'X_jj β_j
+            rho = xty[j] - xtx[j] @ beta + xtx[j, j] * beta[j]
+            denom = xtx[j, j] + n * l2 * pen_mask[j]
+            if pen_mask[j]:
+                thr = n * l1
+                new = np.sign(rho) * max(abs(rho) - thr, 0.0) / denom
+            else:
+                new = rho / denom
+            max_delta = max(max_delta, abs(new - beta[j]))
+            beta[j] = new
+        if max_delta < tol:
+            break
+    return beta.tolist()

@@ -761,3 +761,11 @@ def next_down(x) -> Column:
         return pd.Series(np.nextafter(s.to_numpy(dtype="float64"), -np.inf))
 
     return _nd(to_col(x).cast("double"))
+
+
+def add_at(df: DataFrame, idx: str, values: str) -> DataFrame:
+    """np.add.at semantics: sum `values` per index. Ref num.py (add_at).
+    One groupBy — the distributed scatter-add.
+    Output: (idx, sum)."""
+    return df.groupBy(F.col(idx).alias("idx")).agg(
+        F.sum(to_col(values).cast("double")).alias("sum"))

@@ -457,3 +457,62 @@ def query_lempel_ziv(df: DataFrame, x: str, order_by,
         return {"lempel_ziv": [out]}
 
     return _series_apply(df, x, order_by, by, _kernel, "lempel_ziv double")
+
+
+def query_permute_entropy(df: DataFrame, x: str, order_by,
+                          by: Sequence[str] | None = None,
+                          m: int = 3) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002), embedding dim 3:
+    −Σ p(π)·ln p(π) over ordinal patterns of consecutive triples.
+    Ref ts_features.py (permute_entropy).
+
+    Fully JVM: two lags encode the pattern via pairwise comparisons
+    (stable tie-break by position, matching argsort), then a tiny
+    pattern-frequency aggregation — no whole-series kernel needed.
+    Output: ``by`` + permute_entropy.
+    """
+    if m != 3:
+        raise NotImplementedError("JVM path implements m=3; use the "
+                                  "series kernels for other dims")
+    keys = list(by) if by else []
+    xx = to_col(x).cast("double")
+    w = ordered_window(order_by, keys or None)
+    b = F.lead(xx, 1).over(w)
+    c = F.lead(xx, 2).over(w)
+    # stable-argsort pattern id from pairwise strict comparisons
+    pat = (
+        (b < xx).cast("int") * 4 + (c < xx).cast("int") * 2 + (c < b).cast("int")
+    )
+    # drop the last two positions of each series (incomplete triples)
+    step = df.select(*keys, pat.alias("__p"), c.alias("__c")) \
+        .where(F.col("__c").isNotNull())
+    cnt = step.groupBy(*keys, "__p").agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tot = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    p = F.col("__n") / F.sum("__n").over(tot)
+    ent = cnt.select(*keys, (-p * F.log(p)).alias("__e"))
+    agg = [F.sum("__e").alias("permute_entropy")]
+    return ent.groupBy(*keys).agg(*agg) if keys else ent.agg(*agg)
+
+
+def query_similar_count(df: DataFrame, x: str, order_by,
+                        by: Sequence[str] | None = None,
+                        window: int = 6, threshold: float = 0.5,
+                        metric: str = "l2") -> DataFrame:
+    """Count of sliding windows within ``threshold`` of the SERIES'
+    LEADING window (self-similarity count). Ref ts_features.py:239.
+    Whole-series numpy kernel per group.
+    Output: ``by`` + similar_count."""
+    import numpy as np
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        if xv.size < window:
+            return {"similar_count": [0]}
+        t = np.lib.stride_tricks.sliding_window_view(xv, window)
+        ref = t[0]
+        if metric == "l2":
+            d = np.sqrt(((t - ref) ** 2).sum(1))
+        else:
+            d = np.max(np.abs(t - ref), axis=1)
+        return {"similar_count": [int((d[1:] <= threshold).sum())]}
+
+    return _series_apply(df, x, order_by, by, _kernel, "similar_count bigint")

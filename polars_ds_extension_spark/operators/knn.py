@@ -333,3 +333,40 @@ def ivf_knn_join(
         .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
                 "cosine", "rank")
     )
+
+
+def dist_from_kth_nb(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, metric: str = "l2",
+) -> DataFrame:
+    """Distance to each point's k-th nearest neighbor — the core of
+    LOF-style outlier scores. Ref expr_knn.py (query_dist_from_kth_nb).
+    Output: (id, kth_dist)."""
+    nn = knn_join(df, id_col, vec_col, df, id_col, vec_col, k=k, metric=metric)
+    val = "cosine" if metric == "cosine" else "dist"
+    return nn.where(F.col("rank") == k).select(
+        F.col(id_col), F.col(val).alias("kth_dist"))
+
+
+def within_dist_from(
+    df: DataFrame, id_col: str, vec_col: str,
+    target: list, radius: float, metric: str = "l2",
+) -> DataFrame:
+    """Rows within ``radius`` of a fixed target vector — a pure scan-side
+    filter (no join at all). Ref expr_knn.py (within_dist_from)."""
+    t = F.array(*[F.lit(float(v)) for v in target])
+    d = {"l2": l2, "l2_sq": l2_sq, "cosine": lambda a, b: 1.0 - cosine(a, b)}[metric]
+    return df.where(d(F.col(vec_col), t) <= radius)
+
+
+def is_knn_from(
+    df: DataFrame, id_col: str, vec_col: str,
+    target: list, k: int, metric: str = "l2",
+) -> DataFrame:
+    """The k rows nearest to a fixed target vector (scan + global top-k
+    via sort-limit — Spark's TakeOrdered, no full sort materialized).
+    Ref expr_knn.py (is_knn_from)."""
+    t = F.array(*[F.lit(float(v)) for v in target])
+    dfn = {"l2": l2, "l2_sq": l2_sq, "cosine": lambda a, b: 1.0 - cosine(a, b)}[metric]
+    return (df.withColumn("__d", dfn(F.col(vec_col), t))
+            .orderBy(F.col("__d").asc(), F.col(id_col).asc()).limit(k))

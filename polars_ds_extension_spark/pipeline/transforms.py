@@ -332,3 +332,145 @@ _REGISTRY = {
     [Impute, Scale, Winsorize, OneHot, Ordinal, TargetEncode, WoeEncode,
      Polynomial]
 }
+
+
+class ConditionalImpute(Transform):
+    """Impute nulls with a statistic computed over rows satisfying a SQL
+    condition (e.g. fill with the mean of the non-outlier subset).
+    Ref transforms.py (conditional_impute)."""
+
+    name = "conditional_impute"
+
+    def __init__(self, cols: Sequence[str], condition: str,
+                 strategy: str = "mean"):
+        super().__init__(cols=list(cols), condition=condition, strategy=strategy)
+
+    def fit(self, df: DataFrame) -> "ConditionalImpute":
+        sub = df.where(F.expr(self.kwargs["condition"]))
+        strat = self.kwargs["strategy"]
+        agg = {"mean": F.avg, "median": F.median, "mode": F.mode}[strat]
+        row = sub.agg(*[agg(F.col(c)).alias(c) for c in self.kwargs["cols"]]).first()
+        self.params = {c: float(row[c]) for c in self.kwargs["cols"]}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, v in self.params.items():
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+        return df
+
+
+class IvEncode(Transform):
+    """Information-value encoding: each category maps to its IV
+    contribution (p_i − n_i)·WoE_i against a binary target.
+    Ref transforms.py (iv_encode)."""
+
+    name = "iv_encode"
+
+    def __init__(self, cols: Sequence[str], target: str):
+        super().__init__(cols=list(cols), target=target)
+
+    def fit(self, df: DataFrame) -> "IvEncode":
+        import math
+
+        tgt = F.col(self.kwargs["target"]).cast("double")
+        tot = df.agg(F.sum(tgt).alias("p"), F.sum(1 - tgt).alias("n")).first()
+        pt, nt = float(tot["p"]), float(tot["n"])
+        self.params = {}
+        for c in self.kwargs["cols"]:
+            rows = (
+                df.groupBy(F.col(c).cast("string").alias("k"))
+                .agg(F.sum(tgt).alias("p"), F.sum(1 - tgt).alias("n"))
+                .limit(_MAX_CATEGORIES + 1).collect()
+            )
+            if len(rows) > _MAX_CATEGORIES:
+                raise ValueError(f"iv_encode: {c} exceeds {_MAX_CATEGORIES}")
+            enc = {}
+            for r in rows:
+                if r["p"] and r["n"]:
+                    pi, ni = float(r["p"]) / pt, float(r["n"]) / nt
+                    enc[r["k"]] = (pi - ni) * math.log(pi / ni)
+            self.params[c] = enc
+        return self
+
+    transform = WoeEncode.transform  # same literal-map scoring
+
+
+class RankHot(Transform):
+    """Rank-hot (thermometer) encoding for ordinal categories: for sorted
+    categories v_1 < … < v_m, emit <col>_ge_<v_i> = 1 iff value ≥ v_i
+    (i ≥ 2). Ref transforms.py (rank_hot_encode)."""
+
+    name = "rank_hot"
+
+    def __init__(self, cols: Sequence[str], drop_original: bool = True):
+        super().__init__(cols=list(cols), drop_original=drop_original)
+
+    def fit(self, df: DataFrame) -> "RankHot":
+        self.params = {}
+        for c in self.kwargs["cols"]:
+            vals = sorted(
+                r[0] for r in df.select(F.col(c).cast("string"))
+                .where(F.col(c).isNotNull())
+                .distinct().limit(_MAX_CATEGORIES + 1).collect()
+            )
+            if len(vals) > _MAX_CATEGORIES:
+                raise ValueError(f"rank_hot: {c} exceeds {_MAX_CATEGORIES}")
+            self.params[c] = vals
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for c, vals in self.params.items():
+            rank_map = F.map_from_arrays(
+                F.array(*[F.lit(v) for v in vals]),
+                F.array(*[F.lit(i) for i in range(len(vals))]),
+            )
+            rk = rank_map[F.col(c).cast("string")]
+            for i, v in enumerate(vals[1:], start=1):
+                df = df.withColumn(f"{c}_ge_{v}", (rk >= i).cast("int"))
+            if self.kwargs["drop_original"]:
+                df = df.drop(c)
+        return df
+
+
+def select_by_std(df: DataFrame, cols: Sequence[str],
+                  min_std: float) -> DataFrame:
+    """Drop near-constant numeric columns (std ≤ min_std) — one agg pass.
+    Ref transforms.py (select_by_std)."""
+    row = df.agg(*[F.stddev_samp(F.col(c).cast("double")).alias(c)
+                   for c in cols]).first()
+    drop = [c for c in cols if row[c] is None or row[c] <= min_std]
+    return df.drop(*drop)
+
+
+_REGISTRY.update({t.name: t for t in [ConditionalImpute, IvEncode, RankHot]})
+
+
+def linear_impute(df: DataFrame, cols: Sequence[str], order_by: str,
+                  by: Sequence[str] | None = None) -> DataFrame:
+    """Fill nulls by linear interpolation along ``order_by`` within
+    groups (ref transforms.py linear_impute / polars interpolate).
+
+    Pure window algebra: previous/next non-null value and position via
+    ignorenulls last() over forward/backward frames, then the straight
+    line between them; leading/trailing nulls take the nearest non-null.
+    One sort-shuffle on (by, order_by), stateless.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by) if by else []
+    o = F.col(order_by).cast("double")
+    wf = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(F.col(order_by).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(F.col(order_by).desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in cols:
+        cc = F.col(c).cast("double")
+        pv = F.last(cc, ignorenulls=True).over(wf)
+        po = F.last(F.when(cc.isNotNull(), o), ignorenulls=True).over(wf)
+        nv = F.last(cc, ignorenulls=True).over(wb)
+        no = F.last(F.when(cc.isNotNull(), o), ignorenulls=True).over(wb)
+        interp = pv + (nv - pv) * (o - po) / (no - po)
+        df = df.withColumn(c, F.coalesce(cc, interp, pv, nv))
+    return df

@@ -166,7 +166,7 @@ def ks_2samp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
     )
-    out = S.ks_2samp(ev, "value", "event_type")
+    out = S.ks_2samp(ev, "value", "event_type", groups=("click", "view"))
     return out.select(_r(F.col("statistic")).alias("statistic"))
 
 
@@ -190,7 +190,7 @@ def mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
     )
-    out = S.mann_whitney_u(ev, "value", "event_type")
+    out = S.mann_whitney_u(ev, "value", "event_type", groups=("click", "view"))
     return out.select(
         _r(F.col("u1")).alias("u1"), _r(F.col("u2")).alias("u2"),
         _r(F.col("statistic")).alias("statistic"),

@@ -125,6 +125,7 @@ def eda_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .functions import num as N  # noqa: E402
 from .functions import ts as TS  # noqa: E402
+from .operators import knn as K  # noqa: E402
 
 
 @query("ar_coeffs", """
@@ -231,3 +232,124 @@ def singular_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = N.singular_values(li, ["l_quantity", "l_extendedprice", "l_discount"])
     return out.select("component", _r(F.col("singular_value")).alias("singular_value"))
+
+
+@query("permute_entropy", """
+WITH l AS (
+  SELECT event_type, value AS a,
+    LEAD(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS b,
+    LEAD(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS c
+  FROM events
+), p AS (
+  SELECT event_type,
+    (b < a)::INT * 4 + (c < a)::INT * 2 + (c < b)::INT AS pat
+  FROM l WHERE c IS NOT NULL
+), cnt AS (
+  SELECT event_type, pat, COUNT(*)::DOUBLE AS n FROM p GROUP BY 1, 2
+), pr AS (
+  SELECT event_type, n / SUM(n) OVER (PARTITION BY event_type) AS pp FROM cnt
+)
+SELECT event_type, ROUND(SUM(-pp * LN(pp)), 6) AS permute_entropy
+FROM pr GROUP BY event_type
+""")
+def permute_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy m=3 per event_type (Bandt & Pompe 2002; ref
+    ts_features.py permute_entropy) — fully JVM via two leads + a tiny
+    pattern-frequency aggregation, mirrored exactly in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.query_permute_entropy(ev, "value", "event_id", by=["event_type"])
+    return out.select("event_type", _r(F.col("permute_entropy")).alias("permute_entropy"))
+
+
+@query("similar_count")
+def similar_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-similarity count (windows within eps of the leading window,
+    ref ts_features.py:239) per event_type. Rows-only; numpy parity in
+    tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.query_similar_count(ev, "value", "event_id", by=["event_type"],
+                                 window=6, threshold=60.0)
+    return out.select("event_type", "similar_count")
+
+
+@query("linear_impute", """
+WITH holed AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), w AS (
+  SELECT event_id, event_type, v, event_id::DOUBLE AS o,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN event_id::DOUBLE END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN event_id::DOUBLE END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS no
+  FROM holed
+)
+SELECT event_id,
+  ROUND(COALESCE(v, pv + (nv - pv) * (o - po) / (no - po), pv, nv), 6) AS v
+FROM w
+""")
+def linear_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of punched-out values along event_id within
+    event_type (ref transforms.py linear_impute)."""
+    from .pipeline.transforms import linear_impute
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    out = linear_impute(ev, ["v"], "event_id", by=["event_type"])
+    return out.select("event_id", _r(F.col("v")).alias("v"))
+
+
+@query("elastic_net")
+def elastic_net_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-net coefficients via coordinate descent on sufficient
+    statistics (ref linear_models.py:343). Rows-only (iterative); ridge/
+    OLS limit cases verified in tests/test_linear.py."""
+    from .functions import linear as L
+
+    li = load_table(spark, sf_dir, "lineitem")
+    beta = L.elastic_net(li, ["l_quantity", "l_discount"], "l_extendedprice",
+                         l1=0.5, l2=0.5)
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6), round(beta[2], 6))],
+        "coef_quantity double, coef_discount double, intercept double",
+    )
+
+
+@query("add_at", """
+SELECT (l_orderkey % 100)::BIGINT AS idx, ROUND(SUM(l_extendedprice), 4) AS sum
+FROM lineitem GROUP BY 1
+""")
+def add_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.add.at as a distributed scatter-add (ref num.py add_at)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 100).alias("i"), "l_extendedprice")
+    out = N.add_at(li, "i", "l_extendedprice")
+    return out.select(F.col("idx").cast("bigint").alias("idx"),
+                      F.round(F.col("sum"), 4).alias("sum"))
+
+
+@query("dist_kth_nb", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, ROUND(kd, 6) AS kth_dist FROM (
+  SELECT a.vec_id, b.vec_id AS nb, list_distance(a.v, b.v) AS kd,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_distance(a.v, b.v), b.vec_id) AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+) WHERE rank = 5
+""")
+def dist_kth_nb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance to the 5th nearest neighbor (LOF building block, ref
+    expr_knn.py query_dist_from_kth_nb)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.dist_from_kth_nb(emb, "vec_id", "embedding", k=5, metric="l2")
+    return out.select("vec_id", _r(F.col("kth_dist")).alias("kth_dist"))

@@ -102,3 +102,23 @@ def test_special_functions_vs_quadrature():
     assert sp.f_sf(1.0, 5, 5) == pytest.approx(0.5, abs=1e-9)
     assert sp.betainc_reg(2.0, 3.0, 0.0) == 0.0
     assert sp.betainc_reg(2.0, 3.0, 1.0) == 1.0
+
+
+def test_elastic_net_limits(df):
+    # l1=0, l2=0 → OLS
+    beta = np.array(L.elastic_net(df, ["x1", "x2"], "y", l1=0.0, l2=0.0))
+    X = np.column_stack([X1, X2, np.ones(N)])
+    want = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert np.allclose(beta, want, atol=1e-7)
+    # l1=0 → ridge closed form (bias unpenalized)
+    lam = 0.5
+    ridge = np.array(L.elastic_net(df, ["x1", "x2"], "y", l1=0.0, l2=lam))
+    reg = np.diag([N * lam, N * lam, 0.0])
+    want_r = np.linalg.solve(X.T @ X + reg, X.T @ Y)
+    assert np.allclose(ridge, want_r, atol=1e-7)
+    # l1 shrinks coefficients toward zero
+    lasso = np.array(L.elastic_net(df, ["x1", "x2"], "y", l1=1.0, l2=0.0))
+    assert abs(lasso[0]) < abs(want[0])
+    # pinv variant agrees with solve on full-rank data
+    pv = np.array(L.lin_reg_rcond(df, ["x1", "x2"], "y"))
+    assert np.allclose(pv, want, atol=1e-9)

@@ -85,3 +85,38 @@ def test_json_round_trip(df, spark):
 def test_transform_before_fit_raises(df):
     with pytest.raises(RuntimeError):
         Pipeline([Scale(["z"])]).transform(df)
+
+
+def test_conditional_impute_and_iv_rankhot(spark):
+    from polars_ds_extension_spark.pipeline.transforms import (
+        ConditionalImpute, IvEncode, RankHot, linear_impute, select_by_std)
+
+    pdf = pd.DataFrame({
+        "x": [1.0, None, 3.0, 100.0],
+        "cat": ["lo", "hi", "lo", "hi"],
+        "y": [0.0, 1.0, 1.0, 0.0],
+        "const": [5.0, 5.0, 5.0, 5.0],
+    })
+    sdf = spark.createDataFrame(pdf)
+    # impute with mean over x < 50 (outlier excluded): (1+3)/2 = 2
+    ci = Pipeline([ConditionalImpute(["x"], "x < 50")]).fit(sdf)
+    assert ci.transform(sdf).toPandas()["x"].iloc[1] == pytest.approx(2.0)
+    iv = Pipeline([IvEncode(["cat"], "y")]).fit(sdf).transform(sdf).toPandas()
+    # lo: p=1/2, n=1/2 → IV term 0; hi same by symmetry here
+    assert iv["cat"].iloc[0] == pytest.approx(0.0)
+    rh = Pipeline([RankHot(["cat"])]).fit(sdf).transform(sdf).toPandas()
+    assert rh["cat_ge_lo"].tolist() == [1, 0, 1, 0]  # 'hi' < 'lo' lexically
+    out = select_by_std(sdf, ["x", "const"], min_std=1e-9)
+    assert "const" not in out.columns and "x" in out.columns
+
+
+def test_linear_impute(spark):
+    from polars_ds_extension_spark.pipeline.transforms import linear_impute
+
+    pdf = pd.DataFrame({
+        "o": [0, 1, 2, 3, 4, 5],
+        "v": [None, 10.0, None, None, 40.0, None],
+    })
+    out = (linear_impute(spark.createDataFrame(pdf), ["v"], "o")
+           .orderBy("o").toPandas())
+    assert out["v"].tolist() == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]

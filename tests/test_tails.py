@@ -160,3 +160,44 @@ def test_eda(spark):
           for r in E.column_flags(sdf).collect()}
     assert fl["const"] == (True, False)
     assert fl["id"] == (False, True)
+
+
+def test_permute_entropy(spark):
+    # strictly increasing series → single pattern → entropy 0
+    inc = _series_df(spark, [float(i) for i in range(50)])
+    assert TS.query_permute_entropy(inc, "x", "i").first()["permute_entropy"] == 0.0
+    # random series → entropy near ln(6)
+    rnd = _series_df(spark, RNG.normal(size=3000))
+    e = TS.query_permute_entropy(rnd, "x", "i").first()["permute_entropy"]
+    assert abs(e - math.log(6)) < 0.05
+
+
+def test_similar_count(spark):
+    x = np.concatenate([np.zeros(6), RNG.normal(10, 1, 50), np.zeros(6)])
+    out = TS.query_similar_count(_series_df(spark, x), "x", "i",
+                                 window=6, threshold=0.5).first()
+    # the trailing zero-window matches the leading one
+    assert out["similar_count"] >= 1
+
+
+def test_knn_extras(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "v": [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0], [5.0, 5.0]],
+    })
+    from polars_ds_extension_spark.operators import knn as K
+    sdf = spark.createDataFrame(pdf)
+    kd = K.dist_from_kth_nb(sdf, "id", "v", k=2, metric="l2").toPandas()
+    got = dict(zip(kd["id"], kd["kth_dist"]))
+    assert got[0] == pytest.approx(2.0)       # 2nd-nearest of origin is (0,2)
+    w = K.within_dist_from(sdf, "id", "v", [0.0, 0.0], 2.1, metric="l2").toPandas()
+    assert set(w["id"]) == {0, 1, 2}
+    topk = K.is_knn_from(sdf, "id", "v", [0.0, 0.0], 2, metric="l2").toPandas()
+    assert set(topk["id"]) == {0, 1}
+
+
+def test_add_at(spark):
+    pdf = pd.DataFrame({"i": [0, 1, 0, 2, 1], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    from polars_ds_extension_spark.functions import num as N2
+    out = N2.add_at(spark.createDataFrame(pdf), "i", "v").toPandas()
+    assert dict(zip(out["idx"], out["sum"])) == {0: 4.0, 1: 7.0, 2: 4.0}
