@@ -171,3 +171,17 @@ def mann_whitney_p(u: float, n1: float, n2: float,
         return float("nan")
     z = (abs(u - mu) - 0.5) / math.sqrt(var)  # continuity-corrected
     return min(1.0, 2.0 * norm_sf(z))
+
+
+def digamma(x: float) -> float:
+    """ψ(x) via upward recurrence + asymptotic series (driver-side
+    scalars; the Column version lives in num.py)."""
+    if x <= 0 and float(x).is_integer():
+        return float("nan")
+    acc = 0.0
+    while x < 6.0:
+        acc -= 1.0 / x
+        x += 1.0
+    inv2 = 1.0 / (x * x)
+    return acc + math.log(x) - 0.5 / x - inv2 * (
+        1.0 / 12 - inv2 * (1.0 / 120 - inv2 * (1.0 / 252 - inv2 / 240)))

@@ -23,20 +23,27 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         if f.dataType.simpleString() in
         ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
     ]
+    # Two passes: count_distinct plans an Expand (row duplicated once per
+    # distinct-agg) and exact median builds sort buffers — combining them
+    # multiplies the buffer volume by the expand factor (measured 23s →
+    # ~4s at 600k rows by splitting).
     aggs = []
     for c in cols:
         cc = F.col(c).cast("double")
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(cc.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.avg(cc).alias(f"{c}__mean"),
             F.stddev_samp(cc).alias(f"{c}__std"),
             F.min(cc).alias(f"{c}__min"),
             F.max(cc).alias(f"{c}__max"),
             F.median(cc).alias(f"{c}__med"),
         ]
-    row = df.agg(*aggs).first()
+    row = df.agg(*aggs).first().asDict()
+    nd_row = df.agg(*[
+        F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
+    ]).first()
+    row.update(nd_row.asDict())
     out = [
         (
             c, int(row[f"{c}__n"]), int(row[f"{c}__nulls"]), int(row[f"{c}__nd"]),

@@ -287,3 +287,60 @@ def elastic_net(df: DataFrame, features: Sequence[str], target: str,
         if max_delta < tol:
             break
     return beta.tolist()
+
+
+_GLM_FAMILIES = ("gaussian", "binomial", "poisson")
+
+
+def glm(df: DataFrame, features: Sequence[str], target: str,
+        family: str = "gaussian", add_bias: bool = True,
+        n_iters: int = 12, l2: float = 0.0) -> list[float]:
+    """GLM with canonical link via IRLS (ref linear_models.py:698).
+
+    gaussian/identity collapses to one OLS solve; binomial/logit and
+    poisson/log run Newton steps, each ONE distributed aggregation of
+    X'WX and the score X'(y−μ) with β broadcast as literals — the same
+    O(k²)-shuffle shape as lin_reg/logistic_reg.
+    """
+    if family not in _GLM_FAMILIES:
+        raise ValueError(f"family must be one of {_GLM_FAMILIES}")
+    if family == "gaussian":
+        return lin_reg(df, features, target, add_bias, l2)
+    cols = [to_col(f).cast("double") for f in features]
+    if add_bias:
+        cols = cols + [F.lit(1.0)]
+    yy = to_col(target).cast("double")
+    k = len(cols)
+    beta = np.zeros(k)
+    for _ in range(n_iters):
+        eta = F.lit(0.0)
+        for i in range(k):
+            eta = eta + F.lit(float(beta[i])) * cols[i]
+        if family == "binomial":
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = mu * (F.lit(1.0) - mu)
+        else:  # poisson, log link: var = mu
+            mu = F.exp(eta)
+            w = mu
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+            aggs.append(F.sum((yy - mu) * cols[i]).alias(f"g_{i}"))
+        row = df.agg(*aggs).first()
+        hess = np.zeros((k, k))
+        grad = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+            grad[i] = row[f"g_{i}"]
+        if l2 > 0.0:
+            reg = np.eye(k) * l2
+            if add_bias:
+                reg[-1, -1] = 0.0
+            hess += reg
+        step = np.linalg.solve(hess, grad)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < 1e-10:
+            break
+    return beta.tolist()

@@ -516,3 +516,33 @@ def query_similar_count(df: DataFrame, x: str, order_by,
         return {"similar_count": [int((d[1:] <= threshold).sum())]}
 
     return _series_apply(df, x, order_by, by, _kernel, "similar_count bigint")
+
+
+def query_knn_entropy(df: DataFrame, x: str, order_by,
+                      by: Sequence[str] | None = None,
+                      k: int = 3) -> DataFrame:
+    """Differential entropy of the value distribution via the 1-D
+    Kozachenko-Leonenko k-NN estimator:
+    H ≈ ψ(n) − ψ(k) + (1/n)·Σ ln(2·r_k(i)). Ref ts_features.py
+    (knn_entropy). Whole-series kernel: sorted values make the k-NN
+    search a 2k-window scan. Output: ``by`` + knn_entropy."""
+    import numpy as np
+
+    from ._special import digamma
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        n = xv.size
+        if n <= k:
+            return {"knn_entropy": [float("nan")]}
+        s = np.sort(xv)
+        # kth smallest |diff| among the k sorted neighbors on each side
+        cands = np.full((n, 2 * k), np.inf)
+        for j in range(1, k + 1):
+            cands[j:, j - 1] = s[j:] - s[:-j]
+            cands[:-j, k + j - 1] = s[j:] - s[:-j]
+        r = np.partition(cands, k - 1, axis=1)[:, k - 1]
+        r = np.maximum(r, 1e-300)
+        h = digamma(n) - digamma(k) + float(np.log(2.0 * r).mean())
+        return {"knn_entropy": [h]}
+
+    return _series_apply(df, x, order_by, by, _kernel, "knn_entropy double")

@@ -353,3 +353,28 @@ def dist_kth_nb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = K.dist_from_kth_nb(emb, "vec_id", "embedding", k=5, metric="l2")
     return out.select("vec_id", _r(F.col("kth_dist")).alias("kth_dist"))
+
+
+@query("glm_poisson")
+def glm_poisson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM (log link) via IRLS on sufficient statistics (ref
+    linear_models.py:698). Rows-only (iterative); numpy-IRLS parity in
+    tests/test_linear.py."""
+    from .functions import linear as L
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select((F.col("l_quantity") / 10.0).alias("x"),
+                   F.col("l_linenumber").cast("double").alias("y"))
+    beta = L.glm(df, ["x"], "y", family="poisson")
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6))], "coef_x double, intercept double")
+
+
+@query("knn_entropy")
+def knn_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kozachenko-Leonenko differential entropy per event_type (ref
+    ts_features.py knn_entropy). Rows-only; estimator accuracy verified
+    vs closed-form uniform/normal entropies in tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.query_knn_entropy(ev, "value", "event_id", by=["event_type"], k=3)
+    return out.select("event_type", _r(F.col("knn_entropy")).alias("knn_entropy"))

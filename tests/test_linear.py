@@ -122,3 +122,33 @@ def test_elastic_net_limits(df):
     # pinv variant agrees with solve on full-rank data
     pv = np.array(L.lin_reg_rcond(df, ["x1", "x2"], "y"))
     assert np.allclose(pv, want, atol=1e-9)
+
+
+def test_glm_families(spark):
+    # poisson: y ~ Poisson(exp(0.8*x + 0.2))
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=4000)
+    lam = np.exp(0.8 * x + 0.2)
+    y = rng.poisson(lam).astype(float)
+    sdf = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    beta = L.glm(sdf, ["x"], "y", family="poisson")
+    # numpy IRLS mirror
+    X = np.column_stack([x, np.ones(len(x))])
+    b = np.zeros(2)
+    for _ in range(50):
+        mu = np.exp(X @ b)
+        step = np.linalg.solve(X.T @ (X * mu[:, None]), X.T @ (y - mu))
+        b += step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    assert np.allclose(beta, b, atol=1e-6)
+    assert abs(beta[0] - 0.8) < 0.05 and abs(beta[1] - 0.2) < 0.05
+    # binomial == logistic_reg
+    yb = (rng.uniform(size=len(x)) < 1 / (1 + np.exp(-x))).astype(float)
+    sdf2 = spark.createDataFrame(pd.DataFrame({"x": x, "yb": yb}))
+    g = L.glm(sdf2, ["x"], "yb", family="binomial")
+    lr = L.logistic_reg(sdf2, ["x"], "yb")
+    assert np.allclose(g, lr, atol=1e-8)
+    # gaussian == OLS
+    assert np.allclose(L.glm(sdf, ["x"], "y", family="gaussian"),
+                       L.lin_reg(sdf, ["x"], "y"), atol=1e-12)

@@ -201,3 +201,17 @@ def test_add_at(spark):
     from polars_ds_extension_spark.functions import num as N2
     out = N2.add_at(spark.createDataFrame(pdf), "i", "v").toPandas()
     assert dict(zip(out["idx"], out["sum"])) == {0: 4.0, 1: 7.0, 2: 4.0}
+
+
+def test_knn_entropy(spark):
+    from polars_ds_extension_spark.functions._special import digamma
+    # digamma sanity: psi(1) = -gamma, psi(2) = 1 - gamma
+    assert digamma(1.0) == pytest.approx(-0.5772156649, abs=1e-9)
+    assert digamma(2.0) == pytest.approx(1 - 0.5772156649, abs=1e-9)
+    # KL estimator on uniform(0,1): H = 0; on N(0,1): H = 0.5*ln(2*pi*e)
+    u = RNG.uniform(0, 1, 4000)
+    hu = TS.query_knn_entropy(_series_df(spark, u), "x", "i", k=3).first()["knn_entropy"]
+    assert abs(hu - 0.0) < 0.1
+    g = RNG.normal(0, 1, 4000)
+    hg = TS.query_knn_entropy(_series_df(spark, g), "x", "i", k=3).first()["knn_entropy"]
+    assert abs(hg - 0.5 * math.log(2 * math.pi * math.e)) < 0.1
