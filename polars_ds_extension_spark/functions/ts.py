@@ -546,3 +546,88 @@ def query_knn_entropy(df: DataFrame, x: str, order_by,
         return {"knn_entropy": [h]}
 
     return _series_apply(df, x, order_by, by, _kernel, "knn_entropy double")
+
+
+def _equal_width_bin(v: Column, vmin: Column, vmax: Column, bins: int) -> Column:
+    span = vmax - vmin
+    raw = F.floor((v - vmin) / span * bins).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def query_transfer_entropy(df: DataFrame, x: str, y: str, order_by,
+                           by: Sequence[str] | None = None,
+                           bins: int = 5) -> DataFrame:
+    """Discretized transfer entropy TE(y→x) (Schreiber 2000):
+    H(x_{t+1}|x_t) − H(x_{t+1}|x_t, y_t) over equal-width bins.
+    Ref ts_features.py (transfer_entropy; reference uses a KNN estimator —
+    this is the standard binned estimator, fully JVM).
+
+    Counts-only: TE = (1/N)·Σ n_abc·ln(n_abc·n_b / (n_bc·n_ab)) over the
+    (next, cur, driver) joint histogram — one lag window + one groupBy on
+    ≤ bins³ states + window margins on that tiny frame.
+    Output: ``by`` + transfer_entropy.
+    """
+    keys = list(by) if by else []
+    gw = group_window(keys or None)
+    w = ordered_window(order_by, keys or None)
+    xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
+    bx = _equal_width_bin(xx, F.min(xx).over(gw), F.max(xx).over(gw), bins)
+    by_ = _equal_width_bin(yy, F.min(yy).over(gw), F.max(yy).over(gw), bins)
+    step = df.select(*keys,
+                     F.lead(bx, 1).over(w).alias("__a"),
+                     bx.alias("__b"), by_.alias("__c"))
+    step = step.where(F.col("__a").isNotNull())
+    joint = step.groupBy(*keys, "__a", "__b", "__c").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    wb = Window.partitionBy(*keys, "__b") if keys else Window.partitionBy("__b")
+    wbc = Window.partitionBy(*keys, "__b", "__c") if keys \
+        else Window.partitionBy("__b", "__c")
+    wab = Window.partitionBy(*keys, "__a", "__b") if keys \
+        else Window.partitionBy("__a", "__b")
+    wall = group_window(keys or None)
+    n = F.col("__n")
+    term = n * F.log(n * F.sum(n).over(wb) /
+                     (F.sum(n).over(wbc) * F.sum(n).over(wab)))
+    cells = joint.select(*keys, term.alias("__t"), n.alias("__n"))
+    aggs = [(F.sum("__t") / F.sum("__n")).alias("transfer_entropy")]
+    return cells.groupBy(*keys).agg(*aggs) if keys else cells.agg(*aggs)
+
+
+def query_copula_entropy(df: DataFrame, x: str, y: str,
+                         by: Sequence[str] | None = None,
+                         bins: int = 10) -> DataFrame:
+    """Copula entropy = −MI of the rank-transformed pair (Ma & Sun 2011),
+    estimated on a bins×bins grid of rank quantiles. Ref ts_features.py
+    (copula_entropy; reference estimates via KNN).
+
+    Ranks: partitioned windows when grouped; the scale-safe two-pass
+    plan (plans/ranks.py) for the global case. The MI itself is a tiny
+    bins² count aggregation. Output: ``by`` + copula_entropy.
+    """
+    keys = list(by) if by else []
+    if keys:
+        wx = Window.partitionBy(*keys).orderBy(to_col(x))
+        wy = Window.partitionBy(*keys).orderBy(to_col(y))
+        step = df.select(*keys, F.rank().over(wx).cast("double").alias("__rx"),
+                         F.rank().over(wy).cast("double").alias("__ry"))
+    else:
+        from ..plans import global_min_rank
+        pre = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
+        step = global_min_rank(pre, "__x", out_name="__rx")
+        step = global_min_rank(step, "__y", out_name="__ry")
+    gw = group_window(keys or None)
+    nrow = F.count(F.lit(1)).over(gw).cast("double")
+    bx = F.least(F.ceil(F.col("__rx") / nrow * bins).cast("int"), F.lit(bins))
+    bny = F.least(F.ceil(F.col("__ry") / nrow * bins).cast("int"), F.lit(bins))
+    binned = step.select(*keys, bx.alias("__i"), bny.alias("__j"))
+    joint = binned.groupBy(*keys, "__i", "__j").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    wi = Window.partitionBy(*keys, "__i") if keys else Window.partitionBy("__i")
+    wj = Window.partitionBy(*keys, "__j") if keys else Window.partitionBy("__j")
+    wall = group_window(keys or None)
+    n = F.col("__n")
+    tot = F.sum(n).over(wall)
+    term = n * F.log(n * tot / (F.sum(n).over(wi) * F.sum(n).over(wj)))
+    cells = joint.select(*keys, term.alias("__t"), n.alias("__n"))
+    aggs = [(-F.sum("__t") / F.sum("__n")).alias("copula_entropy")]
+    return cells.groupBy(*keys).agg(*aggs) if keys else cells.agg(*aggs)

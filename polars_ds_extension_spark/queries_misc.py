@@ -378,3 +378,88 @@ def knn_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = TS.query_knn_entropy(ev, "value", "event_id", by=["event_type"], k=3)
     return out.select("event_type", _r(F.col("knn_entropy")).alias("knn_entropy"))
+
+
+@query("transfer_entropy", """
+WITH mm AS (
+  SELECT event_type, MIN(value) AS xmin, MAX(value) AS xmax,
+         MIN(user_id::DOUBLE) AS ymin, MAX(user_id::DOUBLE) AS ymax
+  FROM events GROUP BY event_type
+), b AS (
+  SELECT e.event_type,
+    LEAST(GREATEST(FLOOR((value - xmin) / (xmax - xmin) * 5)::INT, 0), 4) AS bx,
+    LEAST(GREATEST(FLOOR((user_id::DOUBLE - ymin) / (ymax - ymin) * 5)::INT, 0), 4) AS byy,
+    event_id
+  FROM events e JOIN mm USING (event_type)
+), l AS (
+  SELECT event_type,
+    LEAD(bx) OVER (PARTITION BY event_type ORDER BY event_id) AS a,
+    bx AS bb, byy AS c
+  FROM b
+), j AS (
+  SELECT event_type, a, bb, c, COUNT(*)::DOUBLE AS n
+  FROM l WHERE a IS NOT NULL GROUP BY 1, 2, 3, 4
+), t AS (
+  SELECT event_type, n,
+    n * LN(n * SUM(n) OVER (PARTITION BY event_type, bb)
+           / (SUM(n) OVER (PARTITION BY event_type, bb, c)
+              * SUM(n) OVER (PARTITION BY event_type, a, bb))) AS term
+  FROM j
+)
+SELECT event_type, ROUND(SUM(term) / SUM(n), 6) AS transfer_entropy
+FROM t GROUP BY event_type
+""")
+def transfer_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned transfer entropy TE(user_id → value) per event_type
+    (Schreiber 2000; ref ts_features.py transfer_entropy)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("double"))
+    out = TS.query_transfer_entropy(ev, "value", "uid", "event_id",
+                                    by=["event_type"], bins=5)
+    return out.select("event_type",
+                      _r(F.col("transfer_entropy")).alias("transfer_entropy"))
+
+
+@query("copula_entropy", """
+WITH r AS (
+  SELECT event_type,
+    RANK() OVER (PARTITION BY event_type ORDER BY value)::DOUBLE AS rx,
+    RANK() OVER (PARTITION BY event_type ORDER BY user_id)::DOUBLE AS ry,
+    COUNT(*) OVER (PARTITION BY event_type)::DOUBLE AS n
+  FROM events
+), b AS (
+  SELECT event_type,
+    LEAST(CEIL(rx / n * 10)::INT, 10) AS i, LEAST(CEIL(ry / n * 10)::INT, 10) AS j
+  FROM r
+), jt AS (
+  SELECT event_type, i, j, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2, 3
+), t AS (
+  SELECT event_type, n,
+    n * LN(n * SUM(n) OVER (PARTITION BY event_type)
+           / (SUM(n) OVER (PARTITION BY event_type, i)
+              * SUM(n) OVER (PARTITION BY event_type, j))) AS term
+  FROM jt
+)
+SELECT event_type, ROUND(-SUM(term) / SUM(n), 6) AS copula_entropy
+FROM t GROUP BY event_type
+""")
+def copula_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copula entropy (−MI of rank pair on a 10×10 quantile grid) per
+    event_type (ref ts_features.py copula_entropy)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.query_copula_entropy(ev, "value", "user_id",
+                                  by=["event_type"], bins=10)
+    return out.select("event_type",
+                      _r(F.col("copula_entropy")).alias("copula_entropy"))
+
+
+@query("combinations", """
+SELECT a.r_regionkey AS k1, b.r_regionkey AS k2
+FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+""")
+def combinations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered pairs of region keys (ref iter: combinations)."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    a = r.select(F.col("r_regionkey").alias("k1"))
+    b = r.select(F.col("r_regionkey").alias("k2"))
+    return a.crossJoin(b).where(F.col("k1") < F.col("k2"))
