@@ -326,13 +326,16 @@ def simhash(text, k_shingle: int = 0) -> Column:
                 n = len(v)
                 flat[pos:pos + n] = v
                 pos += n
-            u = flat.view(np.uint64)
-            bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
+            # uint8 bit matrix via unpackbits (little-endian int64 memory
+            # → bit j of hash == column j), typed reduceat for the votes:
+            # 8 bytes/hash instead of a 512-byte int64 bit row
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(total, 8), axis=1,
+                bitorder="little")
             starts = np.zeros(len(hs), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             ne = lens > 0
-            ones = np.add.reduceat(bits, starts[ne], axis=0)
+            ones = np.add.reduceat(bits, starts[ne], axis=0, dtype=np.int64)
             votes = 2 * ones - lens[ne][:, None]
             fp = ((votes > 0).astype(np.uint64)
                   << np.arange(64, dtype=np.uint64)[None, :]).sum(
@@ -372,6 +375,8 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("__id"),
         simhash(F.col(text_col), shingle_k).alias("__sim"),
     )
+    # carry (id, fp) through the buckets — the 8-byte fingerprint rides
+    # along, so verification needs no join back to a recomputed base
     band = F.explode(
         _let(
             F.col("__sim"),
@@ -385,41 +390,34 @@ def simhash_near_dup_pairs(
             ]),
         )
     )
-    exploded = base.select("__id", band.alias("__b"))
+    exploded = base.select(
+        F.struct(F.col("__id").alias("id"), F.col("__sim").alias("fp")).alias("__s"),
+        band.alias("__b"),
+    )
     buckets = (
         exploded.groupBy("__b")
-        .agg(F.collect_set("__id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.array_sort("ids").alias("ids"))
+        .agg(F.collect_set("__s").alias("ss"))
+        .where((F.size("ss") >= 2) & (F.size("ss") <= max_bucket))
+        .select(F.array_sort("ss").alias("ss"))  # struct sort → by id first
     )
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
-                    F.col("ids"),
+                    F.col("ss"),
                     lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2,
-                                F.greatest(F.size("ids") - i - 1, F.lit(0))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        F.slice(F.col("ss"), i + 2,
+                                F.greatest(F.size("ss") - i - 1, F.lit(0))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"), y["id"].alias("id_b"),
+                            hamming64(x["fp"], y["fp"]).alias("hamming"),
+                        ),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    fp = base.select("__id", "__sim")
-    joined = (
-        pairs.join(fp.withColumnRenamed("__id", "id_a")
-                     .withColumnRenamed("__sim", "__fa"), "id_a")
-             .join(fp.withColumnRenamed("__id", "id_b")
-                     .withColumnRenamed("__sim", "__fb"), "id_b")
-    )
-    return (
-        joined.select(
-            "id_a", "id_b",
-            hamming64(F.col("__fa"), F.col("__fb")).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-    )
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # -------------------------------------------------- blocked n-gram jaccard
