@@ -463,3 +463,178 @@ def combinations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = r.select(F.col("r_regionkey").alias("k1"))
     b = r.select(F.col("r_regionkey").alias("k2"))
     return a.crossJoin(b).where(F.col("k1") < F.col("k2"))
+
+
+# -------------------------------------------- oracle upgrades for [s] rows
+
+from .functions import metrics as M  # noqa: E402
+from .functions import stats as S  # noqa: E402
+from .functions import string_ as STR  # noqa: E402
+
+
+@query("tpr_fpr", """
+WITH t AS (
+  SELECT event_type, ((value > 100)::INT)::DOUBLE AS a,
+         (user_id % 1000) / 1000.0 AS p
+  FROM events
+), c AS (
+  SELECT event_type, p,
+    SUM(a) OVER (PARTITION BY event_type ORDER BY p DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY p DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+    SUM(a) OVER (PARTITION BY event_type) AS npos,
+    COUNT(*) OVER (PARTITION BY event_type) AS nall
+  FROM t
+)
+SELECT DISTINCT event_type, ROUND(p, 6) AS threshold,
+  ROUND(tp / npos, 6) AS tpr,
+  ROUND((cnt - tp) / (nall - npos), 6) AS fpr
+FROM c
+""")
+def tpr_fpr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points (TPR/FPR per distinct threshold) per event_type
+    (ref metrics.py:379)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") > 100).cast("int").cast("double").alias("a"),
+        ((F.col("user_id") % 1000) / 1000.0).alias("p"))
+    out = M.tpr_fpr(ev, "a", "p", by=["event_type"])
+    return out.select("event_type", _r(F.col("threshold")).alias("threshold"),
+                      _r(F.col("tpr")).alias("tpr"), _r(F.col("fpr")).alias("fpr"))
+
+
+_PROBS_SQL = """
+  SELECT event_id % 3 AS cls,
+    (FLOOR(value)::BIGINT % 10) + 1.0 AS e1,
+    (user_id % 10) + 1.0 AS e2, 5.0 AS e3
+  FROM events
+"""
+
+
+def _probs_df(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 3).cast("int").alias("cls"),
+        ((F.floor(F.col("value")).cast("bigint") % 10) + 1.0).alias("e1"),
+        ((F.col("user_id") % 10) + 1.0).alias("e2"),
+        F.lit(5.0).alias("e3"),
+    ).select(
+        "cls",
+        F.array((F.col("e1") / (F.col("e1") + F.col("e2") + F.col("e3"))),
+                (F.col("e2") / (F.col("e1") + F.col("e2") + F.col("e3"))),
+                (F.col("e3") / (F.col("e1") + F.col("e2") + F.col("e3"))))
+        .alias("probs"),
+    )
+
+
+@query("cat_cross_entropy", f"""
+WITH t AS ({_PROBS_SQL})
+SELECT ROUND(-AVG(LN(
+  CASE cls WHEN 0 THEN e1 WHEN 1 THEN e2 ELSE e3 END / (e1 + e2 + e3))), 6)
+  AS cce
+FROM t
+""")
+def cat_cross_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical cross-entropy over a 3-class probability array column
+    (ref metrics.py:569) — element_at stays JVM-side."""
+    df = _probs_df(spark, sf_dir)
+    return df.agg(_r(M.query_cat_cross_entropy("cls", "probs")).alias("cce"))
+
+
+@query("multi_roc_auc", f"""
+WITH t AS ({_PROBS_SQL}), n AS (
+  SELECT cls, (CASE cls WHEN 0 THEN e1 WHEN 1 THEN e2 ELSE e3 END) AS raw,
+         e1 + e2 + e3 AS s, e1, e2, e3
+  FROM t
+), per AS (
+  SELECT 0 AS c, (cls = 0)::INT::DOUBLE AS a, e1 / s AS p FROM n
+  UNION ALL SELECT 1, (cls = 1)::INT::DOUBLE, e2 / s FROM n
+  UNION ALL SELECT 2, (cls = 2)::INT::DOUBLE, e3 / s FROM n
+), r AS (
+  SELECT c, a,
+    RANK() OVER (PARTITION BY c ORDER BY p)
+      + (COUNT(*) OVER (PARTITION BY c, p) - 1) / 2.0 AS ar
+  FROM per
+), auc AS (
+  SELECT c,
+    (SUM(ar * a) - SUM(a) * (SUM(a) + 1) / 2)
+      / (SUM(a) * (COUNT(*) - SUM(a))) AS auc
+  FROM r GROUP BY c
+)
+SELECT ROUND(AVG(auc), 6) AS roc_auc FROM auc
+""")
+def multi_roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro one-vs-rest multiclass ROC AUC over the 3-class probability
+    array (ref metrics.py:531)."""
+    df = _probs_df(spark, sf_dir)
+    out = M.multi_roc_auc(df, "cls", "probs", n_classes=3, average="macro")
+    return out.select(_r(F.col("roc_auc")).alias("roc_auc"))
+
+
+@query("bicor", """
+WITH m AS (
+  SELECT event_type, MEDIAN(value) AS mx, MEDIAN(user_id::DOUBLE) AS my
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type, value - mx AS dx, user_id::DOUBLE - my AS dy
+  FROM events e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, MEDIAN(ABS(dx)) AS madx, MEDIAN(ABS(dy)) AS mady
+  FROM d GROUP BY event_type
+), w AS (
+  SELECT d.event_type,
+    dx * (CASE WHEN ABS(dx / (9 * madx)) < 1
+          THEN POW(1 - POW(dx / (9 * madx), 2), 2) ELSE 0 END) AS ax,
+    dy * (CASE WHEN ABS(dy / (9 * mady)) < 1
+          THEN POW(1 - POW(dy / (9 * mady), 2), 2) ELSE 0 END) AS ay
+  FROM d JOIN md USING (event_type)
+)
+SELECT event_type,
+  ROUND(SUM(ax * ay) / SQRT(SUM(ax * ax) * SUM(ay * ay)), 6) AS corr
+FROM w GROUP BY event_type
+""")
+def bicor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biweight midcorrelation per event_type (ref stats.py:1001)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("double"))
+    out = S.bicor(ev, "value", "uid", by=["event_type"])
+    return out.select("event_type", _r(F.col("corr")).alias("corr"))
+
+
+@query("convolve", """
+SELECT event_id, ROUND(
+  0.25 * value
+  + 0.5 * LAG(value, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+  + 0.25 * LAG(value, 2) OVER (PARTITION BY event_type ORDER BY event_id), 6)
+  AS convolved
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) >= 3
+""")
+def convolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D convolution with a 3-tap smoothing kernel, mode='valid', per
+    event_type (ref num.py:857)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = N.convolve(ev, "value", [0.25, 0.5, 0.25], "event_id",
+                     by=["event_type"], mode="valid")
+    return out.select("event_id", _r(F.col("convolved")).alias("convolved"))
+
+
+@query("vocab_nearest", """
+SELECT doc_id, tok, w AS nearest FROM (
+  SELECT doc_id, tok, v.w,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY levenshtein(tok, v.w), v.w)
+      AS rn
+  FROM (SELECT doc_id, split_part(trim(text), ' ', 1) AS tok FROM documents)
+  CROSS JOIN (SELECT UNNEST(['data','query','table','spark','batch']) AS w) v
+) WHERE rn = 1
+""")
+def vocab_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest vocab word by levenshtein for each document's first token
+    (ref string.py:188 str_nearest) — JVM built-in levenshtein against an
+    inlined vocab array."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split_part(F.trim(F.col("text")), F.lit(" "), F.lit(1)).alias("tok"))
+    out = STR.str_nearest(docs, "tok", ["data", "query", "table", "spark", "batch"],
+                          out_name="nearest")
+    return out.select("doc_id", "tok", "nearest")
