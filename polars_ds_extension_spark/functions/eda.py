@@ -93,3 +93,17 @@ def column_flags(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     ]
     return df.sparkSession.createDataFrame(
         out, "column string, is_constant boolean, is_id_like boolean")
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix in long form — all k(k−1)/2
+    pairs in ONE aggregation pass. Ref eda/diagnosis.py (corr report).
+    Output: (col_a, col_b, corr)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+            .alias(f"{a}__{b}") for a, b in pairs]
+    row = df.agg(*aggs).first()
+    out = [(a, b, float(row[f"{a}__{b}"]) if row[f"{a}__{b}"] is not None else None)
+           for a, b in pairs]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double")

@@ -769,3 +769,87 @@ def add_at(df: DataFrame, idx: str, values: str) -> DataFrame:
     Output: (idx, sum)."""
     return df.groupBy(F.col(idx).alias("idx")).agg(
         F.sum(to_col(values).cast("double")).alias("sum"))
+
+
+def smooth_spline(df: DataFrame, y: str, order_by,
+                  by: Sequence[str] | None = None,
+                  lam: float = 10.0, out_name: str = "smoothed") -> DataFrame:
+    """Penalized smoothing via the Whittaker–Eilers smoother (Eilers,
+    Anal. Chem. 2003 "A perfect smoother") — minimize
+    Σ(y−f)² + λ·Σ(Δ²f)², the equally-spaced discrete analogue of the
+    reference's cubic smoothing spline (ref spline/smooth_spline).
+
+    Solves (I + λ·D'D)f = y per ordered series with a pentadiagonal
+    banded Cholesky (O(n) time/memory — no dense n×n matrix), as a
+    whole-series kernel per group. λ→0 interpolates, λ→∞ → straight
+    line. Output: ``by`` + order + y + out_name.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(by) if by else []
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    ob_name = order_by if isinstance(order_by, str) else "__o"
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys) + (", " if keys else "")
+              + f"__o {key_types.get(ob_name, 'double')}, __y double, {out_name} double")
+
+    def _solve_penta(yv: "np.ndarray") -> "np.ndarray":
+        n = yv.size
+        if n < 3:
+            return yv.copy()
+        # A = I + lam * D2'D2, pentadiagonal SPD; band rows: d0 main,
+        # d1 first sub, d2 second sub
+        # diagonal of D2'D2: [1, 5, 6, …, 6, 5, 1] (n≥5); [1,5,5,1] (n=4);
+        # [1,4,1] (n=3)
+        d0 = np.full(n, 1.0)
+        if n == 3:
+            d0 += lam * np.array([1.0, 4.0, 1.0])
+        elif n == 4:
+            d0 += lam * np.array([1.0, 5.0, 5.0, 1.0])
+        else:
+            d0 += 6.0 * lam
+            d0[0] -= 5.0 * lam
+            d0[-1] -= 5.0 * lam
+            d0[1] -= lam
+            d0[-2] -= lam
+        d1 = np.full(n - 1, -4.0 * lam)
+        d1[0] = -2.0 * lam
+        d1[-1] = -2.0 * lam
+        d2 = np.full(n - 2, lam)
+        # banded Cholesky A = L D L' (bandwidth 2)
+        D = np.empty(n)
+        L1 = np.zeros(n - 1)
+        L2 = np.zeros(n - 2)
+        D[0] = d0[0]
+        L1[0] = d1[0] / D[0]
+        if n > 2:
+            D[1] = d0[1] - L1[0] ** 2 * D[0]
+        for i in range(2, n):
+            L2[i - 2] = d2[i - 2] / D[i - 2]
+            L1[i - 1] = (d1[i - 1] - L1[i - 2] * L2[i - 2] * D[i - 2]) / D[i - 1]
+            D[i] = d0[i] - L1[i - 1] ** 2 * D[i - 1] - L2[i - 2] ** 2 * D[i - 2]
+        # forward: L z = y
+        z = np.empty(n)
+        z[0] = yv[0]
+        z[1] = yv[1] - L1[0] * z[0]
+        for i in range(2, n):
+            z[i] = yv[i] - L1[i - 1] * z[i - 1] - L2[i - 2] * z[i - 2]
+        # diag + backward: L' f = D^-1 z
+        f = np.empty(n)
+        f[-1] = z[-1] / D[-1]
+        f[-2] = z[-2] / D[-2] - L1[-1] * f[-1]
+        for i in range(n - 3, -1, -1):
+            f[i] = z[i] / D[i] - L1[i] * f[i + 1] - L2[i] * f[i + 2]
+        return f
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__o").reset_index(drop=True)
+        pdf[out_name] = _solve_penta(pdf["__y"].to_numpy(dtype="float64"))
+        return pdf
+
+    step = df.select(*keys, to_col(order_by).alias("__o"),
+                     to_col(y).cast("double").alias("__y"))
+    if keys:
+        return step.groupBy(*keys).applyInPandas(_apply, schema)
+    return step.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _apply(pdf.drop(columns="__g")), schema)

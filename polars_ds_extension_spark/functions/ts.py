@@ -631,3 +631,37 @@ def query_copula_entropy(df: DataFrame, x: str, y: str,
     cells = joint.select(*keys, term.alias("__t"), n.alias("__n"))
     aggs = [(-F.sum("__t") / F.sum("__n")).alias("copula_entropy")]
     return cells.groupBy(*keys).agg(*aggs) if keys else cells.agg(*aggs)
+
+
+def query_cond_indep(df: DataFrame, x: str, y: str, z: str,
+                     by: Sequence[str] | None = None,
+                     bins: int = 5) -> DataFrame:
+    """Conditional mutual information I(x;y|z) over equal-width bins —
+    the test statistic of a conditional-independence check (≈0 ⟺ x ⊥ y
+    given z). Ref ts_features.py (cond_indep; reference uses a KNN
+    estimator, this is the standard binned one).
+
+    CMI = (1/N)·Σ n_xyz·ln(n_xyz·n_z / (n_xz·n_yz)) — one groupBy on
+    ≤ bins³ states + window margins on the tiny frame, fully JVM.
+    Output: ``by`` + cmi.
+    """
+    keys = list(by) if by else []
+    gw = group_window(keys or None)
+    xx, yy, zz = [to_col(c).cast("double") for c in (x, y, z)]
+    bx = _equal_width_bin(xx, F.min(xx).over(gw), F.max(xx).over(gw), bins)
+    by2 = _equal_width_bin(yy, F.min(yy).over(gw), F.max(yy).over(gw), bins)
+    bz = _equal_width_bin(zz, F.min(zz).over(gw), F.max(zz).over(gw), bins)
+    step = df.select(*keys, bx.alias("__x"), by2.alias("__y"), bz.alias("__z"))
+    joint = step.groupBy(*keys, "__x", "__y", "__z").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    wz = Window.partitionBy(*keys, "__z") if keys else Window.partitionBy("__z")
+    wxz = Window.partitionBy(*keys, "__x", "__z") if keys \
+        else Window.partitionBy("__x", "__z")
+    wyz = Window.partitionBy(*keys, "__y", "__z") if keys \
+        else Window.partitionBy("__y", "__z")
+    n = F.col("__n")
+    term = n * F.log(n * F.sum(n).over(wz) /
+                     (F.sum(n).over(wxz) * F.sum(n).over(wyz)))
+    cells = joint.select(*keys, term.alias("__t"), n.alias("__n"))
+    aggs = [(F.sum("__t") / F.sum("__n")).alias("cmi")]
+    return cells.groupBy(*keys).agg(*aggs) if keys else cells.agg(*aggs)

@@ -638,3 +638,64 @@ def vocab_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = STR.str_nearest(docs, "tok", ["data", "query", "table", "spark", "batch"],
                           out_name="nearest")
     return out.select("doc_id", "tok", "nearest")
+
+
+@query("cond_indep", """
+WITH mm AS (
+  SELECT MIN(value) AS xmin, MAX(value) AS xmax,
+         MIN(user_id::DOUBLE) AS ymin, MAX(user_id::DOUBLE) AS ymax,
+         MIN(event_id::DOUBLE) AS zmin, MAX(event_id::DOUBLE) AS zmax
+  FROM events
+), b AS (
+  SELECT
+    LEAST(GREATEST(FLOOR((value - xmin)/(xmax - xmin)*5)::INT, 0), 4) AS x,
+    LEAST(GREATEST(FLOOR((user_id::DOUBLE - ymin)/(ymax - ymin)*5)::INT, 0), 4) AS y,
+    LEAST(GREATEST(FLOOR((event_id::DOUBLE - zmin)/(zmax - zmin)*5)::INT, 0), 4) AS z
+  FROM events, mm
+), j AS (
+  SELECT x, y, z, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2, 3
+), t AS (
+  SELECT n, n * LN(n * SUM(n) OVER (PARTITION BY z)
+                   / (SUM(n) OVER (PARTITION BY x, z)
+                      * SUM(n) OVER (PARTITION BY y, z))) AS term
+  FROM j
+)
+SELECT ROUND(SUM(term) / SUM(n), 6) AS cmi FROM t
+""")
+def cond_indep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned conditional mutual information I(value; user_id | event_id)
+    (ref ts_features.py cond_indep)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.col("user_id").cast("double").alias("uid"),
+        F.col("event_id").cast("double").alias("eid"))
+    out = TS.query_cond_indep(ev, "value", "uid", "eid", bins=5)
+    return out.select(_r(F.col("cmi")).alias("cmi"))
+
+
+@query("corr_matrix", """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', ROUND(CORR(l_quantity, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+""")
+def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix in one pass (ref eda/diagnosis.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = E.corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_a", "col_b", _r(F.col("corr")).alias("corr"))
+
+
+@query("smooth_spline")
+def smooth_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whittaker-Eilers penalized smoothing of each event_type's value
+    series (discrete analogue of the reference's cubic smoothing spline,
+    ref spline/smooth_spline). Rows-only; dense-solve parity and
+    limit-behavior tests in tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = N.smooth_spline(ev, "value", "event_id", by=["event_type"], lam=25.0)
+    return out.select(F.col("__o").alias("event_id"),
+                      _r(F.col("smoothed")).alias("smoothed"))

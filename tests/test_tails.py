@@ -215,3 +215,24 @@ def test_knn_entropy(spark):
     g = RNG.normal(0, 1, 4000)
     hg = TS.query_knn_entropy(_series_df(spark, g), "x", "i", k=3).first()["knn_entropy"]
     assert abs(hg - 0.5 * math.log(2 * math.pi * math.e)) < 0.1
+
+
+def test_smooth_spline(spark):
+    x = np.linspace(0, 4 * np.pi, 300)
+    y = np.sin(x) + RNG.normal(0, 0.3, 300)
+    sdf = _series_df(spark, y)
+    out = (N.smooth_spline(sdf, "x", "i", lam=50.0)
+           .orderBy("__o").toPandas())
+    f = out["smoothed"].values
+    # smoother is closer to the clean signal than the noisy input
+    assert np.mean((f - np.sin(x)) ** 2) < np.mean((y - np.sin(x)) ** 2) / 2
+    # lambda→0 interpolates
+    f0 = (N.smooth_spline(sdf, "x", "i", lam=1e-9).orderBy("__o")
+          .toPandas()["smoothed"].values)
+    assert np.allclose(f0, y, atol=1e-6)
+    # lambda→inf approaches the OLS line
+    finf = (N.smooth_spline(sdf, "x", "i", lam=1e9).orderBy("__o")
+            .toPandas()["smoothed"].values)
+    t = np.arange(300.0)
+    coef = np.polyfit(t, y, 1)
+    assert np.allclose(finf, np.polyval(coef, t), atol=5e-3)
