@@ -110,3 +110,17 @@ def stratified_sample(df: DataFrame, strata: Sequence[str], id_col: str,
         F.xxhash64(*[F.col(s) for s in strata], to_col(id_col)), F.lit(_BUCKETS)
     )
     return df.where(b < int(fraction * _BUCKETS))
+
+
+def random_cols(cols: Sequence[str], k: int, seed: int = 42,
+                keep_first: bool = False) -> list[str]:
+    """Deterministically pick k of the given columns (driver-side helper,
+    ref sample_and_split.py random_cols)."""
+    import random as _random
+
+    pool = list(cols)
+    first = pool[:1] if keep_first else []
+    rest = pool[1:] if keep_first else pool
+    rng = _random.Random(seed)
+    chosen = rng.sample(rest, min(k, len(rest)))
+    return first + sorted(chosen, key=pool.index)

@@ -152,3 +152,35 @@ def test_glm_families(spark):
     # gaussian == OLS
     assert np.allclose(L.glm(sdf, ["x"], "y", family="gaussian"),
                        L.lin_reg(sdf, ["x"], "y"), atol=1e-12)
+
+
+def test_model_classes(spark, df):
+    from polars_ds_extension_spark.functions import models as MD
+
+    lr = MD.LR(["x1", "x2"], "y").fit(df)
+    X = np.column_stack([X1, X2, np.ones(N)])
+    want = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert np.allclose(lr.coef_, want, atol=1e-9)
+    pred = lr.predict(df).toPandas()["pred"].values
+    assert np.allclose(np.sort(pred), np.sort(X @ want), atol=1e-9)
+
+    # online LR over two halves == batch LR over the whole frame
+    h1 = df.limit(1000)
+    h2 = df.subtract(h1)
+    ol = MD.OnlineLR(["x1", "x2"], "y")
+    ol.partial_fit(h1).partial_fit(h2)
+    assert np.allclose(ol.coef_, want, atol=1e-6)
+
+    glm = MD.GLM(["x1", "x2"], "y", family="gaussian").fit(df)
+    assert np.allclose(glm.coef_, want, atol=1e-9)
+
+    logit = MD.LogisticRegression(["x1"], "yb")
+    sdf = df.withColumn("yb", (F.col("y") > 0).cast("double"))
+    p = logit.fit(sdf).predict(sdf).toPandas()["pred"]
+    assert p.between(0, 1).all()
+
+    from polars_ds_extension_spark.functions.sample import random_cols
+    cols = [f"c{i}" for i in range(10)]
+    pick = random_cols(cols, 4, seed=1)
+    assert len(pick) == 4 and pick == sorted(pick, key=cols.index)
+    assert random_cols(cols, 4, seed=1) == pick  # deterministic
