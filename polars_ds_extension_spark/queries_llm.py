@@ -397,3 +397,37 @@ def multimodal_blobs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.sniff_mime("content").alias("mime"),
         _r(F.col("byte_entropy")).alias("byte_entropy"),
     )
+
+
+_TARGET64 = [1.0] + [0.0] * 63
+_TARGET64_SQL = "[" + ", ".join(str(v) for v in _TARGET64) + "]"
+
+
+@query("within_radius_target", f"""
+SELECT COUNT(*)::BIGINT AS n_within
+FROM embeddings
+WHERE list_distance(embedding::DOUBLE[], {_TARGET64_SQL}) <= 1.40
+""")
+def within_radius_target_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows within l2 radius 1.40 of a fixed query vector (ref
+    expr_knn.py within_dist_from) — a pure scan-side filter, no join;
+    at scale this is a predicate the optimizer pushes into the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = K.within_dist_from(emb, "vec_id", "embedding", _TARGET64,
+                              radius=1.40, metric="l2")
+    return hits.agg(F.count(F.lit(1)).alias("n_within"))
+
+
+@query("knn_from_target", f"""
+SELECT vec_id, ROUND(dist, 6) AS dist FROM (
+  SELECT vec_id, list_distance(embedding::DOUBLE[], {_TARGET64_SQL}) AS dist
+  FROM embeddings
+) ORDER BY dist ASC, vec_id ASC LIMIT 10
+""")
+def knn_from_target_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 rows nearest a fixed query vector (ref expr_knn.py
+    is_knn_from): scan + TakeOrdered top-k — per-partition heaps then a
+    driver merge of 10-row samples, never a full sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.is_knn_from(emb, "vec_id", "embedding", _TARGET64, k=10)
+    return out.select("vec_id", _r(F.col("__d")).alias("dist"))

@@ -184,13 +184,80 @@ def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pca")
+# Shared oracle scaffolding: sample covariance matrix of three lineitem
+# measures, then the closed-form eigenvalues of a symmetric 3x3
+# (trigonometric cubic solution) — what eigh computes, SQL-expressible.
+_EIG3 = """
+WITH a AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+    SUM(l_quantity)::DOUBLE AS s1, SUM(l_discount)::DOUBLE AS s2,
+    SUM(l_tax)::DOUBLE AS s3,
+    SUM(l_quantity*l_quantity)::DOUBLE AS q11,
+    SUM(l_quantity*l_discount)::DOUBLE AS q12,
+    SUM(l_quantity*l_tax)::DOUBLE AS q13,
+    SUM(l_discount*l_discount)::DOUBLE AS q22,
+    SUM(l_discount*l_tax)::DOUBLE AS q23,
+    SUM(l_tax*l_tax)::DOUBLE AS q33
+  FROM lineitem
+),
+c AS (
+  SELECT n,
+    (q11 - s1*s1/n)/(n-1) AS a11, (q12 - s1*s2/n)/(n-1) AS a12,
+    (q13 - s1*s3/n)/(n-1) AS a13, (q22 - s2*s2/n)/(n-1) AS a22,
+    (q23 - s2*s3/n)/(n-1) AS a23, (q33 - s3*s3/n)/(n-1) AS a33
+  FROM a
+),
+t AS (SELECT *, (a11+a22+a33)/3 AS q FROM c),
+p AS (SELECT *, SQRT(((a11-q)*(a11-q) + (a22-q)*(a22-q) + (a33-q)*(a33-q)
+                      + 2*(a12*a12 + a13*a13 + a23*a23))/6) AS pp FROM t),
+r AS (SELECT *,
+  ( ((a11-q)/pp) * ( ((a22-q)/pp)*((a33-q)/pp) - (a23/pp)*(a23/pp) )
+  - (a12/pp)     * ( (a12/pp)*((a33-q)/pp) - (a23/pp)*(a13/pp) )
+  + (a13/pp)     * ( (a12/pp)*(a23/pp) - ((a22-q)/pp)*(a13/pp) ) ) / 2 AS hd
+  FROM p),
+g AS (SELECT *, ACOS(LEAST(GREATEST(hd, -1), 1))/3 AS phi, 3*q AS tr FROM r),
+-- acos is ill-conditioned when one eigenvalue dominates; polish the trig
+-- roots with two Newton steps on the characteristic polynomial
+-- f(x) = -x^3 + c2 x^2 - c1 x + c0 (coefficients: trace, 2x2-minor sum, det)
+coef AS (
+  SELECT n, tr AS c2,
+    a11*a22 - a12*a12 + a11*a33 - a13*a13 + a22*a33 - a23*a23 AS c1,
+    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+      + a13*(a12*a23 - a22*a13) AS c0,
+    q + 2*pp*COS(phi) AS x0,
+    tr - (q + 2*pp*COS(phi)) - (q + 2*pp*COS(phi + 2*PI()/3)) AS x1,
+    q + 2*pp*COS(phi + 2*PI()/3) AS x2
+  FROM g),
+n1 AS (
+  SELECT n, c0, c1, c2,
+    x0 - (((c2 - x0)*x0 - c1)*x0 + c0)/(-3*x0*x0 + 2*c2*x0 - c1) AS x0,
+    x1 - (((c2 - x1)*x1 - c1)*x1 + c0)/(-3*x1*x1 + 2*c2*x1 - c1) AS x1,
+    x2 - (((c2 - x2)*x2 - c1)*x2 + c0)/(-3*x2*x2 + 2*c2*x2 - c1) AS x2
+  FROM coef),
+n2 AS (
+  SELECT n, c2,
+    x0 - (((c2 - x0)*x0 - c1)*x0 + c0)/(-3*x0*x0 + 2*c2*x0 - c1) AS x0,
+    x1 - (((c2 - x1)*x1 - c1)*x1 + c0)/(-3*x1*x1 + 2*c2*x1 - c1) AS x1,
+    x2 - (((c2 - x2)*x2 - c1)*x2 + c0)/(-3*x2*x2 + 2*c2*x2 - c1) AS x2
+  FROM n1),
+eig AS (SELECT n, c2 AS tr, x0 AS l0, x1 AS l1, x2 AS l2 FROM n2)
+"""
+
+
+@query("pca", _EIG3 + """
+SELECT 0 AS component, ROUND(l0, 6) AS explained_variance,
+       ROUND(l0/tr, 6) AS evr FROM eig
+UNION ALL
+SELECT 1, ROUND(l1, 6), ROUND(l1/tr, 6) FROM eig
+UNION ALL
+SELECT 2, ROUND(l2, 6), ROUND(l2/tr, 6) FROM eig
+""")
 def pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA of three lineitem measures (ref num.py:369-434): one k(k+3)/2
-    aggregation + driver eigh. Rows-only check (eigendecomposition is
-    not SQL-expressible); numpy parity in tests/test_tails.py."""
+    aggregation + driver eigh. Oracle: closed-form symmetric-3x3
+    eigenvalues (trig cubic) over the same covariance entries."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = N.pca(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    out = N.pca(li, ["l_quantity", "l_discount", "l_tax"])
     return out.select(
         "component", _r(F.col("explained_variance")).alias("explained_variance"),
         _r(F.col("explained_variance_ratio")).alias("evr"))
@@ -214,23 +281,45 @@ def isotonic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rfft")
+@query("rfft", """
+WITH s AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, k::INT AS freq_idx,
+       ROUND(SUM(value * COS(2*PI()*k*i/n)) / MAX(n), 6) AS re_n,
+       ROUND(SUM(-value * SIN(2*PI()*k*i/n)) / MAX(n), 6) AS im_n
+FROM s CROSS JOIN (SELECT UNNEST(range(16)) AS k) ks
+GROUP BY event_type, k
+""")
 def rfft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 16 real-FFT coefficients of each event_type's value series
-    (ref num.py:1043). Rows-only; exact numpy parity in
-    tests/test_tails.py."""
+    (ref num.py:1043), normalized by series length so the oracle's naive
+    trig-sum DFT rounds identically to numpy's FFT at 6dp."""
     ev = load_table(spark, sf_dir, "events")
     out = N.rfft(ev, "value", "event_id", by=["event_type"], n_coeffs=16)
-    return out.select("event_type", "freq_idx",
-                      _r(F.col("re")).alias("re"), _r(F.col("im")).alias("im"))
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    return out.join(cnt, "event_type").select(
+        "event_type", "freq_idx",
+        _r(F.col("re") / F.col("__n")).alias("re_n"),
+        _r(F.col("im") / F.col("__n")).alias("im_n"))
 
 
-@query("singular_values")
+@query("singular_values", _EIG3 + """
+SELECT 0 AS component, ROUND(SQRT(GREATEST(l0, 0)*(n-1)), 6) AS singular_value
+FROM eig
+UNION ALL
+SELECT 1, ROUND(SQRT(GREATEST(l1, 0)*(n-1)), 6) FROM eig
+UNION ALL
+SELECT 2, ROUND(SQRT(GREATEST(l2, 0)*(n-1)), 6) FROM eig
+""")
 def singular_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singular values of the centered lineitem measure matrix
-    (ref num.py:369)."""
+    (ref num.py:369). Oracle: sqrt((n-1)·closed-form eigenvalues)."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = N.singular_values(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    out = N.singular_values(li, ["l_quantity", "l_discount", "l_tax"])
     return out.select("component", _r(F.col("singular_value")).alias("singular_value"))
 
 

@@ -81,3 +81,76 @@ def pipeline_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pipe.transform(ev)
     return out.select("event_id", _r(F.col("te")).alias("te"),
                       _r(F.col("woe")).alias("woe"))
+
+
+@query("pipeline_poly_impute", """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN value < 5 THEN NULL ELSE value END AS v
+  FROM events
+),
+m AS (SELECT AVG(v) AS mv FROM base WHERE event_type = 'click'),
+f AS (SELECT event_type, COALESCE(v, (SELECT mv FROM m)) AS v FROM base)
+SELECT event_type,
+       ROUND(AVG(v), 6) AS mean_v,
+       ROUND(AVG(v*v), 6) AS mean_v_sq
+FROM f GROUP BY event_type
+""")
+def pipeline_poly_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConditionalImpute (fill nulls with the mean of the 'click' subset)
+    + Polynomial degree-2 features, run through a fitted Pipeline that is
+    serialized to JSON and re-materialized before transform — proving a
+    fitted pipeline is a pure function of scalar params (ref
+    transforms.py conditional_impute/polynomial_features, pipeline.py)."""
+    from .pipeline.transforms import ConditionalImpute, Polynomial
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"))
+    pipe = Pipeline([
+        ConditionalImpute(["v"], "event_type = 'click'", "mean"),
+        Polynomial(["v"]),
+    ]).fit(ev)
+    out = Pipeline.from_json(pipe.to_json()).transform(ev)
+    return out.groupBy("event_type").agg(
+        _r(F.avg("v")).alias("mean_v"),
+        _r(F.avg("v_sq")).alias("mean_v_sq"))
+
+
+@query("pipeline_iv_rankhot", """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS flag
+  FROM lineitem
+),
+tot AS (SELECT SUM(flag) AS pt, SUM(1-flag) AS nt FROM t),
+iv AS (
+  SELECT l_returnflag AS k,
+         (SUM(flag)/(SELECT pt FROM tot) - SUM(1-flag)/(SELECT nt FROM tot))
+         * LN((SUM(flag)/(SELECT pt FROM tot))
+              / (SUM(1-flag)/(SELECT nt FROM tot))) AS iv_val
+  FROM t GROUP BY 1
+)
+SELECT ROUND(iv.iv_val, 6) AS rf_iv,
+       CASE WHEN t.l_linestatus = 'O' THEN 1 ELSE 0 END AS ge_o,
+       COUNT(*)::BIGINT AS cnt
+FROM t JOIN iv ON t.l_returnflag = iv.k
+GROUP BY 1, 2
+""")
+def pipeline_iv_rankhot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-value encoding of l_returnflag against the binary
+    target quantity>25, plus rank-hot (thermometer) encoding of
+    l_linestatus (ref transforms.py iv_encode/rank_hot_encode). Both fit
+    passes aggregate to category-count frames; scoring is a literal map
+    lookup at scan speed."""
+    from .pipeline.transforms import IvEncode, RankHot
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "flag", (F.col("l_quantity") > 25).cast("double"))
+    enc = IvEncode(["l_returnflag"], "flag").fit(li)
+    rh = RankHot(["l_linestatus"], drop_original=False).fit(li)
+    out = rh.transform(enc.transform(li))
+    return out.groupBy(
+        _r(F.col("l_returnflag")).alias("rf_iv"),
+        F.col("l_linestatus_ge_O").alias("ge_o"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
