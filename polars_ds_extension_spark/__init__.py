@@ -18,5 +18,7 @@ from .functions.stats import *  # noqa: F401,F403
 from .functions.metrics import *  # noqa: F401,F403
 from .functions.string_ import *  # noqa: F401,F403
 from .functions.ts import *  # noqa: F401,F403
+from .functions.expander import E  # noqa: F401
+from .partition import PartitionHelper  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,71 @@
+"""Partition helper — the Spark analogue of the reference's
+`PartitionHelper` (ref partition/partition.py:15).
+
+The reference materializes each partition as an in-memory frame.
+Spark-first, each part stays a *filtered logical plan* over the parent
+DataFrame: nothing is collected, the per-part predicate is pushed into
+the scan (partition pruning / row-group skipping on parquet), and a
+part is only computed when an action runs on it. Only the distinct key
+tuples are collected (small by contract — these are categorical
+columns).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PartitionHelper"]
+
+_ALLOWED = ("string", "boolean")
+
+
+class PartitionHelper:
+    def __init__(
+        self,
+        df: DataFrame,
+        by: str | List[str] | None,
+        separator: str = "|",
+        whole_df_name: str = "df",
+    ):
+        if by is None:
+            self.parts: Dict[str, DataFrame] = {whole_df_name: df}
+            return
+        by_ = [by] if isinstance(by, str) else list(by)
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bad = [c for c in by_ if types.get(c) not in _ALLOWED]
+        if bad:
+            raise ValueError(
+                "Partitions are only supported on str/bool columns; "
+                f"offending: {bad}"
+            )
+        keys = (
+            df.select(*[F.col(c).cast("string").alias(c) for c in by_])
+            .distinct().collect()
+        )
+        self.parts = {
+            separator.join(str(r[c]) for c in by_): df.where(
+                F.struct(*[F.col(c).cast("string") for c in by_])
+                == F.struct(*[F.lit(r[c]) for c in by_])
+            )
+            for r in sorted(keys, key=lambda r: tuple(str(r[c]) for c in by_))
+        }
+
+    def __repr__(self) -> str:
+        return f"PartitionHelper(parts={list(self.parts)})"
+
+    def names(self) -> List[str]:
+        return list(self.parts)
+
+    def get(self, part: str) -> DataFrame | None:
+        return self.parts.get(part)
+
+    def head(self, n: int = 5) -> Dict[str, list]:
+        """First n rows of every part (one action per part)."""
+        return {k: v.limit(n).collect() for k, v in self.parts.items()}
+
+    def apply(self, func: Callable[[str, DataFrame], Any]) -> Dict[str, Any]:
+        """Apply ``func(name, part_df)`` to every part."""
+        return {k: func(k, v) for k, v in self.parts.items()}

@@ -236,3 +236,43 @@ def test_smooth_spline(spark):
     t = np.arange(300.0)
     coef = np.polyfit(t, y, 1)
     assert np.allclose(finf, np.polyval(coef, t), atol=5e-3)
+
+
+def test_expander_E(spark):
+    from polars_ds_extension_spark.functions.expander import E as expand
+
+    sdf = spark.createDataFrame(
+        [("A", 1.0, 4.0), ("A", 2.0, 1.0), ("B", 3.0, 99.0),
+         ("B", 4.0, 12.0), ("A", 5.0, 33.0)], "g string, a double, b double")
+    out = sdf.groupBy("g").agg(*expand(["a", "b"], ["min", "max", "n_unique", "len"]))
+    assert set(out.columns) == {"g", "a_min", "b_min", "a_max", "b_max",
+                                "a_n_unique", "b_n_unique", "__len__"}
+    row = {r["g"]: r for r in out.collect()}
+    assert row["A"]["a_min"] == 1.0 and row["B"]["b_max"] == 99.0
+    assert row["A"]["__len__"] == 3 and row["B"]["a_n_unique"] == 2
+
+    custom = expand("a", ["null_rate", "q90"],
+                    customizer={"q90": lambda c: F.percentile(c, 0.9)})
+    got = sdf.agg(*custom).first()
+    assert got["a_null_rate"] == 0.0 and got["a_q90"] == pytest.approx(4.6)
+
+    with pytest.raises(ValueError):
+        expand("a", ["not_a_method"])
+
+
+def test_partition_helper(spark):
+    from polars_ds_extension_spark import PartitionHelper
+
+    sdf = spark.createDataFrame(
+        [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0)],
+        "g string, h string, v double")
+    ph = PartitionHelper(sdf, by=["g", "h"])
+    assert ph.names() == ["A|x", "A|y", "B|x"]
+    assert ph.get("B|x").count() == 1
+    assert ph.get("nope") is None
+    sums = ph.apply(lambda name, d: d.agg(F.sum("v")).first()[0])
+    assert sums == {"A|x": 1.0, "A|y": 2.0, "B|x": 3.0}
+    whole = PartitionHelper(sdf, by=None)
+    assert whole.names() == ["df"] and whole.get("df").count() == 3
+    with pytest.raises(ValueError):
+        PartitionHelper(sdf, by=["v"])
