@@ -48,3 +48,21 @@ def ordered_window(order_by, by: Sequence | None = None, desc: bool = False) -> 
     if by:
         return Window.partitionBy(*to_cols(by)).orderBy(ob)
     return Window.partitionBy().orderBy(ob)
+
+
+def spread(df, min_ratio: int = 2):
+    """Round-robin repartition a narrow input up to the session's default
+    parallelism before CPU-heavy per-row work (shingling, vector math,
+    signature UDFs).
+
+    At 100 TB this is a no-op: big scans arrive with thousands of file
+    splits, so the condition never fires and no shuffle is added. It
+    fires only when the scan yields far fewer partitions than cores
+    (small files / single-row-group parquet) — there, shuffling a few MB
+    once unlocks an N-core speedup on everything downstream.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio <= target:
+        return df.repartition(target)
+    return df

@@ -259,30 +259,38 @@ def multi_roc_auc(df: DataFrame, actual: str, pred_probs: str, n_classes: int,
                   average: str = "macro",
                   by: Sequence[str] | None = None) -> DataFrame:
     """One-vs-rest multiclass ROC AUC (macro or weighted average).
-    Ref metrics.py:531. Per-class rank windows assembled in a single
-    unioned plan; n_classes sort-shuffles of the same frame."""
+    Ref metrics.py:531.
+
+    One pass: posexplode melts the probability array to (class, is_class,
+    prob) rows, then a SINGLE grouped two-pass rank plan (plans/ranks.py,
+    scale-safe — no single-partition sort, classes rank in parallel)
+    feeds the rank-sum AUC identity per class and the macro/weighted
+    average. Replaces the old n_classes-separate-pipelines shape: same
+    scanned volume, 1/n_classes the stages."""
+    from ..plans import global_avg_rank
+
     keys = list(by) if by else []
-    per_class = []
-    for c in range(n_classes):
-        cls = df.select(
-            *keys,
-            (to_col(actual).cast("int") == c).cast("double").alias("__a"),
-            F.element_at(to_col(pred_probs), c + 1).alias("__p"),
-        )
-        auc_c = roc_auc(cls, "__a", "__p", by=keys or None, out_name="auc")
-        w_c = cls.groupBy(*keys).agg(F.sum("__a").alias("w")) if keys else cls.agg(
-            F.sum("__a").alias("w")
-        )
-        joined = auc_c.join(w_c, on=keys) if keys else auc_c.crossJoin(w_c)
-        per_class.append(joined)
-    u = per_class[0]
-    for other in per_class[1:]:
-        u = u.unionByName(other)
+    melted = df.select(
+        *keys,
+        to_col(actual).cast("int").alias("__y"),
+        F.posexplode(to_col(pred_probs)).alias("__cls", "__p"),
+    ).where(F.col("__cls") < n_classes).select(
+        *keys, "__cls",
+        (F.col("__y") == F.col("__cls")).cast("double").alias("__a"),
+        "__p",
+    )
+    ranked = global_avg_rank(melted, "__p", by=["__cls", *keys], out_name="__r")
+    npos = F.sum("__a")
+    nneg = F.count(F.lit(1)) - npos
+    rank_sum = F.sum(F.col("__r") * F.col("__a"))
+    auc = (rank_sum - npos * (npos + 1) / 2) / (npos * nneg)
+    per_class = ranked.groupBy("__cls", *keys).agg(
+        auc.alias("auc"), F.sum("__a").alias("w"))
     if average == "weighted":
         agg = (F.sum(F.col("auc") * F.col("w")) / F.sum("w")).alias("roc_auc")
     else:
         agg = F.avg("auc").alias("roc_auc")
-    return u.groupBy(*keys).agg(agg) if keys else u.agg(agg)
+    return per_class.groupBy(*keys).agg(agg) if keys else per_class.agg(agg)
 
 
 def query_dcg_score(df: DataFrame, actual: str, pred: str, k: int | None = None,

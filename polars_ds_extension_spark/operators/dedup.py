@@ -251,7 +251,9 @@ def near_dup_pairs(
     it is engine-independent (the SQL oracle computes the same set).
     Output: (id_a, id_b, jaccard).
     """
-    base = df.select(
+    from .._utils import spread
+
+    base = spread(df).select(
         F.col(id_col).alias("__id"),
         char_shingles(text_col, shingle_k).alias("__sh"),
     )
@@ -370,8 +372,10 @@ def simhash_near_dup_pairs(
     volume stays tiny; verification compares two longs.
     Output: (id_a, id_b, hamming).
     """
+    from .._utils import spread
+
     n_tables, width = 4, 16
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("__id"),
         simhash(F.col(text_col), shingle_k).alias("__sim"),
     )
