@@ -25,6 +25,19 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize the per-bucket pass once (memory, spill to disk).
+
+    The offsets collect AND every downstream job replay this frame's
+    lineage; without pinning, each consumer re-runs the scan + bucket
+    window (measured 1.8x-2x whole-query cost). This is the classic
+    materialization point of the two-pass prefix plan — the pinned frame
+    is the narrow projected input, never wider, and disk-spillable.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 from .._utils import to_col
 
@@ -95,6 +108,7 @@ def global_cumsum(df: DataFrame, order_col, value_cols: Sequence[str],
         .rangeBetween(Window.unboundedPreceding, 0)
     for c in value_cols:
         part = part.withColumn(f"__loc_{c}", F.sum(F.col(c)).over(w_local))
+    part = _pin(part)
     offs = _offsets(part, keys, {c: F.sum(F.col(c)) for c in value_cols})
     joined = part.join(offs, [_PID, *keys])
     for c in value_cols:
@@ -114,6 +128,7 @@ def global_min_rank(df: DataFrame, order_col,
     part = _ranged(df, order_col, keys, n_parts)
     w_local = Window.partitionBy(_PID, *keys).orderBy(to_col(order_col))
     part = part.withColumn("__loc_r", F.rank().over(w_local).cast("double"))
+    part = _pin(part)
     offs = _offsets(part, keys, {"n": F.count(F.lit(1)).cast("double")})
     joined = part.join(offs, [_PID, *keys])
     return joined.withColumn(
@@ -153,6 +168,7 @@ def global_lag(df: DataFrame, order_col, col: str,
     part = _ranged(df, order_col, keys, n_parts)
     w_local = Window.partitionBy(_PID, *keys).orderBy(to_col(order_col))
     part = part.withColumn("__loc_lag", F.lag(F.col(col)).over(w_local))
+    part = _pin(part)
     # last value of (pid, group) — max_by over the local order
     lasts = (
         part.groupBy(_PID, *keys)
