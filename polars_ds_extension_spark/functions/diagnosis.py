@@ -1,0 +1,327 @@
+"""DIA — dataframe diagnostics (ref eda/diagnosis.py:39 `class DIA`).
+
+Spark-first re-design: where the reference builds one lazy frame per
+column and concats, every report here is ONE combined aggregation pass
+(all columns' statistics in a single scan → map-side partials), and the
+"infer_*" helpers are one-row boolean aggregations. The only driver
+round-trips are single aggregate rows; nothing row-level is collected.
+
+Plotting methods are intentionally data-only: this environment has no
+plotting backend, so `plot_*` raise NotImplementedError and point at the
+corresponding data method.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["DIA"]
+
+_INT_T = ("tinyint", "smallint", "int", "bigint")
+_FLOAT_T = ("float", "double")
+
+
+class DIA:
+    """Diagnostics for an (unaggregated) DataFrame. Ref diagnosis.py:39."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        self.columns: List[str] = [n for n, _ in types]
+        self.ints = [n for n, t in types if t in _INT_T]
+        self.floats = [n for n, t in types if t in _FLOAT_T or t.startswith("decimal")]
+        self.numerics = self.ints + self.floats
+        self.strs = [n for n, t in types if t == "string"]
+        self.bools = [n for n, t in types if t == "boolean"]
+        self.list_floats = [
+            n for n, t in types if t in ("array<float>", "array<double>")
+        ]
+
+    # ------------------------------------------------------------- reports
+
+    def special_values_report(self) -> DataFrame:
+        """Null/NaN/Inf counts and rates per numeric column — one scan.
+        Ref diagnosis.py:102."""
+        df, spark = self._df, self._df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in self.numerics:
+            cc = F.col(c).cast("double")
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+                F.sum(F.isnan(cc).cast("long")).alias(f"{c}__nan"),
+                F.sum(((~F.isnan(cc)) & (F.abs(cc) == float("inf")))
+                      .cast("long")).alias(f"{c}__inf"),
+            ]
+        row = df.agg(*aggs).first()
+        n = max(int(row["__n"]), 1)
+        out = [
+            (c, int(row[f"{c}__null"]), row[f"{c}__null"] / n,
+             int(row[f"{c}__nan"]), row[f"{c}__nan"] / n,
+             int(row[f"{c}__inf"]), row[f"{c}__inf"] / n)
+            for c in self.numerics
+        ]
+        return spark.createDataFrame(
+            out, "column string, null_count long, null_pct double, "
+                 "nan_count long, nan_pct double, inf_count long, inf_pct double")
+
+    def numeric_profile(self, iqr_multiplier: float = 1.5) -> DataFrame:
+        """Quantile profile + IQR-fence outlier counts. Two scans: one
+        for the quantiles (their fences become literals), one for the
+        outlier counts. Ref diagnosis.py:122."""
+        df, spark = self._df, self._df.sparkSession
+        cols = self.numerics
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            cc = F.col(c).cast("double")
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+                F.avg(cc).alias(f"{c}__mean"), F.stddev_samp(cc).alias(f"{c}__std"),
+                F.min(cc).alias(f"{c}__min"), F.max(cc).alias(f"{c}__max"),
+                F.percentile(cc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                .alias(f"{c}__q"),
+            ]
+        row = df.agg(*aggs).first()
+        n = max(int(row["__n"]), 1)
+        fences = {}
+        for c in cols:
+            q = row[f"{c}__q"]
+            if q and q[0] is not None:
+                iqr = q[2] - q[0]
+                fences[c] = (q[0] - iqr_multiplier * iqr, q[2] + iqr_multiplier * iqr)
+        out_aggs = [
+            F.sum(((F.col(c).cast("double") < fences[c][0])
+                   | (F.col(c).cast("double") > fences[c][1])).cast("long"))
+            .alias(c)
+            for c in fences
+        ]
+        orow = df.agg(*out_aggs).first() if out_aggs else None
+        out = []
+        for c in cols:
+            q = row[f"{c}__q"] or [None, None, None]
+            out.append((
+                c, row[f"{c}__null"] / n, row[f"{c}__mean"], row[f"{c}__std"],
+                row[f"{c}__min"], q[0], q[1], q[2], row[f"{c}__max"],
+                int(orow[c]) if (orow is not None and c in fences
+                                 and orow[c] is not None) else None,
+            ))
+        return spark.createDataFrame(
+            out, "column string, null_pct double, mean double, std double, "
+                 "min double, q25 double, median double, q75 double, "
+                 "max double, outlier_cnt long")
+
+    def str_stats(self) -> DataFrame:
+        """Length/cardinality/mode stats per string column. One agg scan
+        for lengths + one melted groupBy for the modes (all columns share
+        a single shuffle). Ref diagnosis.py:408."""
+        df, spark = self._df, self._df.sparkSession
+        cols = self.strs
+        if not cols:
+            return spark.createDataFrame(
+                [], "column string, null_count long, n_unique long, "
+                    "most_freq string, most_freq_cnt long, min_len long, "
+                    "avg_len double, max_len long, p05_len double, p95_len double")
+        aggs = []
+        for c in cols:
+            ln = F.length(F.col(c)).cast("double")
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+                F.count_distinct(F.col(c)).alias(f"{c}__nu"),
+                F.min(ln).alias(f"{c}__minl"), F.avg(ln).alias(f"{c}__avgl"),
+                F.max(ln).alias(f"{c}__maxl"),
+                F.percentile(ln, F.array(F.lit(0.05), F.lit(0.95))).alias(f"{c}__pl"),
+            ]
+        row = df.agg(*aggs).first()
+        # modes: melt (column, value) → count → per-column max; ONE shuffle
+        melted = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col"), F.col(c).alias("val")) for c in cols
+        ])).alias("m")).select("m.col", "m.val").where(F.col("val").isNotNull())
+        w = Window.partitionBy("col").orderBy(F.col("cnt").desc(), F.col("val").asc())
+        modes = {
+            r["col"]: (r["val"], int(r["cnt"]))
+            for r in melted.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+            .collect()
+        }
+        out = []
+        for c in cols:
+            mf, mfc = modes.get(c, (None, None))
+            pl_ = row[f"{c}__pl"] or [None, None]
+            out.append((
+                c, int(row[f"{c}__null"]), int(row[f"{c}__nu"]), mf, mfc,
+                int(row[f"{c}__minl"]) if row[f"{c}__minl"] is not None else None,
+                row[f"{c}__avgl"],
+                int(row[f"{c}__maxl"]) if row[f"{c}__maxl"] is not None else None,
+                pl_[0], pl_[1],
+            ))
+        return spark.createDataFrame(
+            out, "column string, null_count long, n_unique long, "
+                 "most_freq string, most_freq_cnt long, min_len long, "
+                 "avg_len double, max_len long, p05_len double, p95_len double")
+
+    def null_corr(self, cols: Sequence[str] | None = None) -> DataFrame:
+        """Pearson correlation between is-null indicators of all column
+        pairs (pairs that are all-null / never-null are skipped) — one
+        aggregation for every pair. Ref diagnosis.py:342."""
+        df, spark = self._df, self._df.sparkSession
+        cols = list(cols) if cols else self.columns
+        # validity pre-pass: an all-null or never-null column has a
+        # zero-variance indicator (corr is undefined — and an ANSI-mode
+        # divide-by-zero); mirror the reference's `invalid` set
+        nrow = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols],
+        ).first()
+        n = int(nrow["__n"])
+        cols = [c for c in cols if 0 < int(nrow[c]) < n]
+        pairs = list(combinations(cols, 2))
+        ind = {c: F.col(c).isNull().cast("double") for c in cols}
+        aggs = [F.corr(ind[a], ind[b]).alias(f"{i}") for i, (a, b) in enumerate(pairs)]
+        if not aggs:
+            return spark.createDataFrame(
+                [], "column_1 string, column_2 string, null_corr double")
+        row = df.agg(*aggs).first()
+        out = [
+            (a, b, float(row[f"{i}"]))
+            for i, (a, b) in enumerate(pairs)
+            if row[f"{i}"] is not None and not math.isnan(row[f"{i}"])
+        ]
+        out.sort(key=lambda t: -abs(t[2]))
+        return spark.createDataFrame(
+            out, "column_1 string, column_2 string, null_corr double")
+
+    def corr(self, subset: Sequence[str], method: str = "pearson") -> DataFrame:
+        """Correlation of each subset column vs every numeric column.
+        Pearson runs as one aggregation; other methods delegate to
+        functions.stats.corr per pair. Ref diagnosis.py:437."""
+        df, spark = self._df, self._df.sparkSession
+        subset = list(subset)
+        if method == "pearson":
+            aggs = [
+                F.corr(F.col(x).cast("double"), F.col(y).cast("double"))
+                .alias(f"{x}__{y}")
+                for x in subset for y in self.numerics
+            ]
+            row = df.agg(*aggs).first()
+            out = [
+                tuple([x] + [row[f"{x}__{y}"] for y in self.numerics])
+                for x in subset
+            ]
+            schema = "column string, " + ", ".join(f"{y} double" for y in self.numerics)
+            return spark.createDataFrame(out, schema)
+        from . import stats as S
+        rows = []
+        for x in subset:
+            vals = []
+            for y in self.numerics:
+                v = S.corr(df, x, y, method=method).first()["corr"]
+                vals.append(float(v) if v is not None else None)
+            rows.append(tuple([x] + vals))
+        schema = "column string, " + ", ".join(f"{y} double" for y in self.numerics)
+        return spark.createDataFrame(rows, schema)
+
+    # -------------------------------------------------------------- infer_*
+
+    def _bool_row(self, exprs: dict) -> List[str]:
+        if not exprs:
+            return []
+        row = self._df.agg(*[e.alias(c) for c, e in exprs.items()]).first()
+        return [c for c in exprs if row[c] is True]
+
+    def infer_prob(self) -> List[str]:
+        """Float columns in [0,1]; array<float> columns that look like
+        class-probability vectors. Ref diagnosis.py:492."""
+        exprs = {}
+        for c in self.floats:
+            cc = F.col(c).cast("double")
+            exprs[c] = F.every((cc >= 0.0) & (cc <= 1.0))
+        for c in self.list_floats:
+            arr = F.col(c)
+            all_pos = F.forall(arr, lambda v: v.cast("double") >= 0.0)
+            ssum = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v.cast("double"))
+            exprs[c] = F.every(
+                all_pos & (F.abs(ssum - 1.0) < 1e-6)
+            ) & (F.min(F.size(arr)) == F.max(F.size(arr)))
+        return self._bool_row(exprs)
+
+    def infer_high_null(self, threshold: float = 0.75) -> List[str]:
+        return self._bool_row({
+            c: (F.sum(F.col(c).isNull().cast("long"))
+                >= F.count(F.lit(1)) * threshold)
+            for c in self.columns
+        })
+
+    def infer_discrete(self, threshold: float = 0.1,
+                       max_val_cnt: int = 100) -> List[str]:
+        pre = self.bools[:]
+        rest = self._bool_row({
+            c: ((F.count_distinct(F.col(c)) < max_val_cnt)
+                | (F.count_distinct(F.col(c)) < F.count(F.lit(1)) * threshold))
+            for c in self.ints + self.floats + self.strs
+        })
+        return pre + rest
+
+    def infer_const(self, include_null: bool = False) -> List[str]:
+        return self.infer_k_distinct(1, include_null)
+
+    def infer_binary(self, include_null: bool = False) -> List[str]:
+        return self.infer_k_distinct(2, include_null)
+
+    def infer_k_distinct(self, k: int, include_null: bool = False) -> List[str]:
+        """k non-null distinct values; with include_null, nulls may
+        additionally be present (mirrors the reference, whose n_unique
+        counts null as one extra value). Ref diagnosis.py:638."""
+        if k < 1:
+            raise ValueError("`k` must be >= 1")
+        def e(c):
+            nu = F.count_distinct(F.col(c))  # nulls excluded in Spark
+            no_null = F.sum(F.col(c).isNull().cast("long")) == 0
+            if include_null:
+                return nu == k
+            return (nu == k) & no_null
+        return self._bool_row({c: e(c) for c in self.columns})
+
+    def infer_dependency(self, cols: Sequence[str] | None = None) -> DataFrame:
+        """Functional-dependency scan via conditional entropy H(x|y) over
+        discrete-typed column pairs (low H(x|y) ⇒ y determines x).
+        Per-pair aggregations over joint value counts — cardinality-sized
+        frames, never row-level collects. Ref diagnosis.py:704."""
+        from .ts import query_cond_entropy
+
+        df, spark = self._df, self._df.sparkSession
+        valid = [c for c in (cols or self.columns)
+                 if c in self.ints + self.strs + self.bools]
+        nu = df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in valid]).first() \
+            if valid else None
+        check = [c for c in valid if nu[c] > 1] if valid else []
+        rows = []
+        for x, y in combinations(check, 2):
+            ce = query_cond_entropy(df, x, y).first()["cond_entropy"]
+            rows.append((x, y, abs(float(ce)) if ce is not None else None))
+        rows.sort(key=lambda t: (t[2] is None, t[2]))
+        return spark.createDataFrame(
+            rows, "column string, by string, cond_entropy double")
+
+    # ----------------------------------------------------------------- misc
+
+    def meta(self) -> Dict:
+        out = self.__dict__.copy()
+        out.pop("_df")
+        return out
+
+    def plot_corr(self, *a, **k):
+        raise NotImplementedError(
+            "no plotting backend in this environment — use .corr() for the data")
+
+    def plot_dependency(self, *a, **k):
+        raise NotImplementedError(
+            "no plotting backend — use .infer_dependency() for the data")
+
+    def plot_feature_distr(self, *a, **k):
+        raise NotImplementedError(
+            "no plotting backend — use .numeric_profile() for the data")

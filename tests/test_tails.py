@@ -276,3 +276,55 @@ def test_partition_helper(spark):
     assert whole.names() == ["df"] and whole.get("df").count() == 3
     with pytest.raises(ValueError):
         PartitionHelper(sdf, by=["v"])
+
+
+def test_dia(spark):
+    from polars_ds_extension_spark.functions.diagnosis import DIA
+
+    sdf = spark.createDataFrame(
+        [(1, 0.5, None, "aa", "x", [0.2, 0.8]),
+         (2, 0.25, 2.0, "bbb", "x", [0.5, 0.5]),
+         (3, float("nan"), None, "aa", "y", [1.0, 0.0]),
+         (4, 0.75, 4.0, None, "y", [0.3, 0.7])],
+        "i int, p double, v double, s string, g string, arr array<double>")
+    dia = DIA(sdf)
+    assert dia.ints == ["i"] and dia.strs == ["s", "g"]
+    assert dia.list_floats == ["arr"]
+
+    sv = {r["column"]: r for r in dia.special_values_report().collect()}
+    assert sv["v"]["null_count"] == 2 and sv["p"]["nan_count"] == 1
+    assert sv["i"]["null_pct"] == 0.0
+
+    prof = {r["column"]: r for r in dia.numeric_profile().collect()}
+    assert prof["i"]["min"] == 1.0 and prof["i"]["max"] == 4.0
+    assert prof["i"]["median"] == 2.5 and prof["v"]["null_pct"] == 0.5
+
+    ss = {r["column"]: r for r in dia.str_stats().collect()}
+    assert ss["s"]["most_freq"] == "aa" and ss["s"]["most_freq_cnt"] == 2
+    assert ss["s"]["null_count"] == 1 and ss["g"]["n_unique"] == 2
+    assert ss["s"]["min_len"] == 2 and ss["s"]["max_len"] == 3
+
+    nc = dia.null_corr().collect()
+    pairs = {(r["column_1"], r["column_2"]): r["null_corr"] for r in nc}
+    assert ("v", "s") in pairs or ("s", "v") in pairs  # both have nulls
+
+    # p in [0,1] (NaN breaks it? NaN >= 0 is false → p excluded);
+    # arr rows sum to 1 with equal lengths
+    probs = dia.infer_prob()
+    assert "arr" in probs
+
+    assert dia.infer_high_null(0.5) == ["v"]
+    assert "g" in dia.infer_discrete(threshold=0.9)
+    assert dia.infer_binary() == ["g"]  # 2 distinct, no nulls
+    assert dia.infer_binary(include_null=True) == ["v", "s", "g"]
+    assert dia.infer_const() == []
+
+    dep = dia.infer_dependency().collect()
+    assert {(r["column"], r["by"]) for r in dep} == {("i", "s"), ("i", "g"), ("s", "g")}
+
+    c = dia.corr(["p"], method="pearson").collect()[0]
+    assert c["column"] == "p"
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        dia.plot_corr()
