@@ -61,6 +61,8 @@ def spread(df, min_ratio: int = 2):
     (small files / single-row-group parquet) — there, shuffling a few MB
     once unlocks an N-core speedup on everything downstream.
     """
+    if df.isStreaming:  # partitioning is the source's concern on streams
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * min_ratio <= target:
