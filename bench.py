@@ -44,14 +44,40 @@ def main() -> None:
             dt = float("nan")
         per_query[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
+        print(f"bench {name}: {dt:.3f}s", file=sys.stderr)
 
+    # Full-precision record for anyone reading the whole log (stderr so the
+    # driver's stdout tail stays a single parseable line).
     print(json.dumps({
         "metric": "catalog_total_runtime",
         "value": round(total, 4),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }), file=sys.stderr)
+
+    # The driver parses only the LAST ~2000 chars of stdout, so stdout is
+    # exactly ONE JSON line that must fit that window in full. Degrade
+    # per-query precision, then trim the fastest queries, until it fits.
+    def _line(q: dict) -> str:
+        return json.dumps({
+            "metric": "catalog_total_runtime",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "n_queries": len(per_query),
+        }, separators=(",", ":"))
+
+    budget = 1900
+    for nd in (2, 1):
+        compact = {k: round(v, nd) for k, v in per_query.items()}
+        if len(_line(compact)) <= budget:
+            break
+    while len(_line(compact)) > budget and len(compact) > 1:
+        fastest = min(compact, key=lambda k: compact[k])
+        del compact[fastest]
+    print(_line(compact))
     spark.stop()
 
 

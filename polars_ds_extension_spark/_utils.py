@@ -68,3 +68,38 @@ def spread(df, min_ratio: int = 2):
     if df.rdd.getNumPartitions() * min_ratio <= target:
         return df.repartition(target)
     return df
+
+
+# ------------------------------------------------------------------ pinning
+
+# Frames persisted by operators whose consumers act AFTER the operator
+# returns (two-pass rank plans, minhash shingle frames, ...), oldest
+# first. A long session would otherwise accumulate cached RDDs forever;
+# we keep a small LRU window (the active query plus a couple of
+# predecessors) and unpersist the rest. Unpersisting a finished query's
+# pin is always safe — Spark recomputes lineage if it is ever re-read.
+_PINNED: list = []
+_MAX_PINNED = 4
+
+
+def pin(df):
+    """persist(MEMORY_AND_DISK) + register for LRU eviction/release."""
+    from pyspark.storagelevel import StorageLevel
+
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(pinned)
+    while len(_PINNED) > _MAX_PINNED:
+        try:
+            _PINNED.pop(0).unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return pinned
+
+
+def release_pins() -> None:
+    """Unpersist every registered pin (e.g. at the end of a query batch)."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:
+            pass

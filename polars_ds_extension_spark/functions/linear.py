@@ -220,39 +220,41 @@ def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
     cols = [F.col(f"__f{i}") for i in range(k)]
     yy = F.col("__y")
     beta = np.zeros(k)
-    for _ in range(n_iters):
-        eta = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
-        for i in range(k - 1 if add_bias else k):
-            eta = eta + F.lit(float(beta[i])) * cols[i]
-        if not add_bias:
-            eta = sum((F.lit(float(beta[i])) * cols[i] for i in range(k)),
-                      F.lit(0.0))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = p * (F.lit(1.0) - p)
-        aggs = []
-        for i in range(k):
-            for j in range(i, k):
-                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
-            aggs.append(F.sum((yy - p) * cols[i]).alias(f"g_{i}"))
-        row = df.agg(*aggs).first()
-        hess = np.zeros((k, k))
-        grad = np.zeros(k)
-        for i in range(k):
-            for j in range(i, k):
-                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
-            grad[i] = row[f"g_{i}"]
-        if l2 > 0.0:
-            reg = np.eye(k) * l2
-            if add_bias:
-                reg[-1, -1] = 0.0
-            hess += reg
-            grad -= l2 * np.where(
-                np.arange(k) == k - 1, 0.0, beta) if add_bias else l2 * beta
-        step = np.linalg.solve(hess, grad)
-        beta = beta + step
-        if float(np.max(np.abs(step))) < 1e-10:
-            break
-    df.unpersist()
+    try:
+        for _ in range(n_iters):
+            eta = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
+            for i in range(k - 1 if add_bias else k):
+                eta = eta + F.lit(float(beta[i])) * cols[i]
+            if not add_bias:
+                eta = sum((F.lit(float(beta[i])) * cols[i] for i in range(k)),
+                          F.lit(0.0))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = p * (F.lit(1.0) - p)
+            aggs = []
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+                aggs.append(F.sum((yy - p) * cols[i]).alias(f"g_{i}"))
+            row = df.agg(*aggs).first()
+            hess = np.zeros((k, k))
+            grad = np.zeros(k)
+            for i in range(k):
+                for j in range(i, k):
+                    hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+                grad[i] = row[f"g_{i}"]
+            if l2 > 0.0:
+                reg = np.eye(k) * l2
+                if add_bias:
+                    reg[-1, -1] = 0.0
+                hess += reg
+                grad -= l2 * np.where(
+                    np.arange(k) == k - 1, 0.0, beta) if add_bias else l2 * beta
+            step = np.linalg.solve(hess, grad)
+            beta = beta + step
+            if float(np.max(np.abs(step))) < 1e-10:
+                break
+    finally:
+        df.unpersist()
     return beta.tolist()
 
 
@@ -334,36 +336,41 @@ def glm(df: DataFrame, features: Sequence[str], target: str,
     cols = [F.col(f"__f{i}") for i in range(k)]
     yy = F.col("__y")
     beta = np.zeros(k)
-    for _ in range(n_iters):
-        eta = F.lit(0.0)
-        for i in range(k):
-            eta = eta + F.lit(float(beta[i])) * cols[i]
-        if family == "binomial":
-            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-            w = mu * (F.lit(1.0) - mu)
-        else:  # poisson, log link: var = mu
-            mu = F.exp(eta)
-            w = mu
-        aggs = []
-        for i in range(k):
-            for j in range(i, k):
-                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
-            aggs.append(F.sum((yy - mu) * cols[i]).alias(f"g_{i}"))
-        row = df.agg(*aggs).first()
-        hess = np.zeros((k, k))
-        grad = np.zeros(k)
-        for i in range(k):
-            for j in range(i, k):
-                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
-            grad[i] = row[f"g_{i}"]
-        if l2 > 0.0:
-            reg = np.eye(k) * l2
-            if add_bias:
-                reg[-1, -1] = 0.0
-            hess += reg
-        step = np.linalg.solve(hess, grad)
-        beta = beta + step
-        if float(np.max(np.abs(step))) < 1e-10:
-            break
-    df.unpersist()
+    try:
+        for _ in range(n_iters):
+            eta = F.lit(0.0)
+            for i in range(k):
+                eta = eta + F.lit(float(beta[i])) * cols[i]
+            if family == "binomial":
+                mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+                w = mu * (F.lit(1.0) - mu)
+            else:  # poisson, log link: var = mu
+                mu = F.exp(eta)
+                w = mu
+            aggs = []
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+                aggs.append(F.sum((yy - mu) * cols[i]).alias(f"g_{i}"))
+            row = df.agg(*aggs).first()
+            hess = np.zeros((k, k))
+            grad = np.zeros(k)
+            for i in range(k):
+                for j in range(i, k):
+                    hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+                grad[i] = row[f"g_{i}"]
+            if l2 > 0.0:
+                reg = np.eye(k) * l2
+                if add_bias:
+                    reg[-1, -1] = 0.0
+                hess += reg
+                # penalized score: the gradient must carry -l2*β too, else the
+                # Newton fixed point is the UNPENALIZED MLE (bias unpenalized)
+                grad -= reg @ beta
+            step = np.linalg.solve(hess, grad)
+            beta = beta + step
+            if float(np.max(np.abs(step))) < 1e-10:
+                break
+    finally:
+        df.unpersist()
     return beta.tolist()

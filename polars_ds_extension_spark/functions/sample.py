@@ -32,7 +32,12 @@ _BUCKETS = 10_000
 def _bucket(id_col) -> Column:
     # Fibonacci-hash scramble keeps sequential ids uniform across buckets
     # while staying a one-line integer expression any engine reproduces.
-    return F.pmod(to_col(id_col).cast("long") * F.lit(2654435761), F.lit(_BUCKETS))
+    # The id is reduced mod _BUCKETS BEFORE the multiply: (id % m)·a % m
+    # == id·a % m (a is coprime to m), but the product stays < 2^45, so
+    # ids ≥ ~3.5e9 can't hit ANSI-mode ARITHMETIC_OVERFLOW.
+    return F.pmod(
+        F.pmod(to_col(id_col).cast("long"), F.lit(_BUCKETS))
+        * F.lit(2654435761), F.lit(_BUCKETS))
 
 
 def sample_random(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:

@@ -251,17 +251,17 @@ def near_dup_pairs(
     it is engine-independent (the SQL oracle computes the same set).
     Output: (id_a, id_b, jaccard).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    from .._utils import spread
+    from .._utils import pin, spread
 
     # pin the shingle frame: banding and BOTH sides of the verify join
     # replay it otherwise (3 full shingling passes → 1). Disk-spillable;
     # the same materialize-once tradeoff Spark ML's MinHashLSH makes.
-    base = spread(df).select(
+    # Registered with the shared LRU registry so the cache is evicted
+    # after later queries run instead of living for the whole session.
+    base = pin(spread(df).select(
         F.col(id_col).alias("__id"),
         char_shingles(text_col, shingle_k).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     hs = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
     banded = base.withColumn(
         "__bands", minhash_band_hashes(hs, n_hashes, bands))

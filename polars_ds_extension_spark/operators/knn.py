@@ -233,14 +233,19 @@ def ann_lsh_join(
     k: int = 5,
     n_tables: int = 4, n_planes: int = 12,
     min_cosine: float | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Approximate self-KNN via multi-table SRP-LSH.
 
     Each row gets ``n_tables`` independent signatures; rows sharing any
     (table, signature) bucket are candidates — ONE shuffle on the bucket
-    key, exact cosine re-rank per query. No cartesian product: candidate
-    count is bounded by bucket sizes, tunable via n_planes.
-    Output: (id, neighbor_id, cosine, rank) — rank over found candidates.
+    key, exact cosine re-rank per query. No cartesian product: buckets
+    larger than ``max_bucket`` (degenerate signatures — zero vectors,
+    constant embeddings, spam clusters) are dropped before the pair
+    join, so the per-bucket pair term is bounded by max_bucket² instead
+    of n². Same guard the minhash dedup path uses; members of an
+    oversized bucket simply fall back to their other n_tables-1
+    signatures. Output: (id, neighbor_id, cosine, rank).
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     # one signature per table, each with a distinct hash seed
@@ -253,6 +258,14 @@ def ann_lsh_join(
             for t in range(n_tables)
         ])).alias("__b"),
     ).select("__id", "__vec", "__b.t", "__b.sig")
+    # bucket-size guard: one partial-agg pass over (t, sig), then a
+    # semi-join on the same key the pair join shuffles on (co-located)
+    ok = (
+        sigs.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+        .select("t", "sig")
+    )
+    sigs = sigs.join(ok, ["t", "sig"], "left_semi")
     a = sigs.select("t", "sig", F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     b = sigs.select("t", "sig", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
     cand = (
@@ -298,34 +311,126 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16, method: str = "kmeans",
+    seed: int = 42, kmeans_iters: int = 8,
+) -> DataFrame:
+    """Build IVF centroids. ``method``:
+
+    * ``"first"`` — rows with id < n_centroids (deterministic; the
+      oracle-reproducible path, NOT balanced on clustered data);
+    * ``"sample"`` — a seeded uniform sample of n_centroids rows;
+    * ``"kmeans"`` — Lloyd k-means on a seeded driver-side sample
+      (~64 rows per centroid), k-means++-style farthest-point init.
+      One sample collect, numpy iterations on ≤ 64·C vectors, then the
+      centroids broadcast back — the standard IVF training shape
+      (sample-train-broadcast), never a full-data k-means.
+
+    Output: (centroid_id bigint, centroid array<double>).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    if method == "first":
+        return df.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"))
+    pool_n = max(n_centroids * 64, 1024)
+    total = df.count()
+    frac = min(1.0, pool_n / max(total, 1) * 1.5)
+    pool = (df.select(vec_col).sample(fraction=frac, seed=seed)
+            .limit(pool_n).collect())
+    X = np.array([list(r[0]) for r in pool], dtype=np.float64)
+    if X.shape[0] < n_centroids:
+        raise ValueError(
+            f"ivf_centroids: sample ({X.shape[0]}) smaller than "
+            f"n_centroids ({n_centroids})")
+    rng = np.random.RandomState(seed)
+    if method == "sample":
+        C = X[rng.choice(X.shape[0], n_centroids, replace=False)]
+    elif method == "kmeans":
+        # farthest-point init, then Lloyd on the sample
+        C = [X[rng.randint(X.shape[0])]]
+        d2 = ((X - C[0]) ** 2).sum(1)
+        for _ in range(n_centroids - 1):
+            C.append(X[int(np.argmax(d2))])
+            d2 = np.minimum(d2, ((X - C[-1]) ** 2).sum(1))
+        C = np.array(C)
+        for _ in range(kmeans_iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            lab = d.argmin(1)
+            for j in range(n_centroids):
+                m = lab == j
+                if m.any():
+                    C[j] = X[m].mean(0)
+    else:
+        raise ValueError(f"unknown centroid method {method!r}")
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(C)],
+        "centroid_id bigint, centroid array<double>")
+
+
 def ivf_knn_join(
     df: DataFrame, id_col: str, vec_col: str,
     n_centroids: int = 16, k: int = 5,
+    centroids: str | DataFrame = "first",
+    max_cell: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate self-KNN via an IVF (inverted-file) index.
 
-    Seed centroids are the first ``n_centroids`` ids (deterministic — a
-    production build would k-means these; the partition/join shape is
-    identical). Vectors are bucketed by nearest centroid (broadcast
+    ``centroids``: "first" (deterministic first-id seeds — the
+    oracle-reproducible default), "sample"/"kmeans" (balanced production
+    paths via ivf_centroids), or a prebuilt (centroid_id, centroid)
+    DataFrame. Vectors are bucketed by nearest centroid (broadcast
     scan), then neighbors are searched ONLY within the bucket: one
     shuffle on centroid_id, per-bucket pairs, window top-k. At 100 TB:
     n_centroids ~ sqrt(N) keeps buckets executor-sized, and the
     all-pairs term n²/C is C× cheaper than brute force.
+
+    ``max_cell`` bounds the quadratic term on skewed data: cells larger
+    than max_cell are salted into ceil(n/max_cell) sub-cells, so the
+    pair stage never exceeds max_cell²·subcells even when one centroid
+    swallows the dataset (recall inside an oversized cell drops to
+    ~1/subcells per probe — the documented cap-vs-recall trade).
     Output: (id, neighbor_id, cosine, rank).
     """
     # NB: no spread() here — the bottleneck is the within-bucket pair
     # stage whose parallelism is the bucket count, not the scan; an extra
     # repartition only adds a stage (measured +2s cold at sf0.1).
-    cents = df.where(F.col(id_col) < n_centroids)
-    asg = ivf_assign(df, id_col, vec_col, cents, id_col, vec_col)
+    if isinstance(centroids, DataFrame):
+        cents = centroids
+        c_id, c_vec = "centroid_id", "centroid"
+    elif centroids == "first":
+        cents, c_id, c_vec = df.where(F.col(id_col) < n_centroids), id_col, vec_col
+    else:
+        cents = ivf_centroids(df, id_col, vec_col, n_centroids,
+                              method=centroids, seed=seed)
+        c_id, c_vec = "centroid_id", "centroid"
+    asg = ivf_assign(df, id_col, vec_col, cents, c_id, c_vec)
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
-    a = tagged.select(F.col("centroid_id").alias("__c"),
+    if max_cell is not None:
+        # salt oversized cells into ceil(n/max_cell) sub-cells; the count
+        # frame is ≤ n_centroids rows → broadcast join, no extra shuffle
+        # of the big side beyond the cell-key shuffle it already does
+        cell_n = F.broadcast(
+            tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
+        tagged = tagged.join(cell_n, "centroid_id").withColumn(
+            "__salt",
+            F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(F.pmod(
+                F.xxhash64(F.col("__id")),
+                F.ceil(F.col("__cn") / max_cell).cast("long"))),
+        ).drop("__cn")
+    else:
+        tagged = tagged.withColumn("__salt", F.lit(0))
+    a = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
                       F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
-    b = tagged.select(F.col("centroid_id").alias("__c"),
+    b = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
                       F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
     cand = (
-        a.join(b, "__c")
+        a.join(b, ["__c", "__salt"])
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
     )

@@ -234,8 +234,12 @@ class TargetEncode(Transform):
         g = float(df.agg(F.avg(tgt)).first()[0])
         self.params = {"__global__": g}
         for c in self.kwargs["cols"]:
+            # null categories are excluded from the map (a NULL map key is a
+            # runtime error); transform()'s coalesce sends them to the
+            # global mean
             rows = (
-                df.groupBy(F.col(c).cast("string").alias("k"))
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("k"))
                 .agg(F.count(F.lit(1)).alias("n"), F.avg(tgt).alias("m"))
                 .limit(_MAX_CATEGORIES + 1).collect()
             )
@@ -278,8 +282,11 @@ class WoeEncode(Transform):
         pt, nt = float(tot["p"]), float(tot["n"])
         self.params = {}
         for c in self.kwargs["cols"]:
+            # null categories excluded (NULL map keys are runtime errors);
+            # like pure categories they transform to NULL
             rows = (
-                df.groupBy(F.col(c).cast("string").alias("k"))
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("k"))
                 .agg(F.sum(tgt).alias("p"), F.sum(1 - tgt).alias("n"))
                 .limit(_MAX_CATEGORIES + 1).collect()
             )
@@ -377,8 +384,11 @@ class IvEncode(Transform):
         pt, nt = float(tot["p"]), float(tot["n"])
         self.params = {}
         for c in self.kwargs["cols"]:
+            # null categories excluded (NULL map keys are runtime errors);
+            # they transform to NULL, matching WoeEncode
             rows = (
-                df.groupBy(F.col(c).cast("string").alias("k"))
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("k"))
                 .agg(F.sum(tgt).alias("p"), F.sum(1 - tgt).alias("n"))
                 .limit(_MAX_CATEGORIES + 1).collect()
             )

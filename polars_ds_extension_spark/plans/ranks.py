@@ -25,7 +25,10 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+
+
+from .._utils import pin as _shared_pin
+from .._utils import release_pins  # noqa: F401  (re-export for callers)
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -36,8 +39,10 @@ def _pin(df: DataFrame) -> DataFrame:
     window (measured 1.8x-2x whole-query cost). This is the classic
     materialization point of the two-pass prefix plan — the pinned frame
     is the narrow projected input, never wider, and disk-spillable.
+    Registered with the shared LRU pin registry (_utils.pin) so old
+    queries' caches are evicted instead of accumulating for the session.
     """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _shared_pin(df)
 
 from .._utils import to_col
 
@@ -61,6 +66,10 @@ def _ranged(df: DataFrame, order_col, by: Sequence[str] | None,
     pid = F.lit(0)
     for b in bounds:
         pid = pid + (oc.cast("double") >= F.lit(b)).cast("int")
+    # Null order values get bucket -1: they sort before every real bucket,
+    # mirroring Spark's nulls-first ASC window order, and keep the pid
+    # column non-null so the driver-side prefix sort never compares None.
+    pid = F.when(oc.isNull(), F.lit(-1)).otherwise(pid)
     return df.withColumn(_PID, pid)
 
 

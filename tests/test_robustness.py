@@ -1,0 +1,176 @@
+"""Round-3 robustness fixes: degenerate LSH/IVF inputs, null categories
+in encoders, null order values in the two-pass rank plans, penalized GLM,
+and deterministic-sampler overflow safety."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- LSH bucket cap
+
+def test_ann_lsh_join_degenerate_constant_vectors(spark):
+    """1000 identical vectors: every (table, sig) bucket is degenerate.
+    With the bucket cap the pair stage must stay bounded (not n²)."""
+    from polars_ds_extension_spark.operators.knn import ann_lsh_join
+
+    df = spark.range(1000).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("emb"))
+    out = ann_lsh_join(df, "id", "emb", k=3, max_bucket=50)
+    # oversized buckets are dropped entirely -> no candidate explosion
+    assert out.count() == 0
+
+    # sane buckets still produce neighbors under the same cap
+    df2 = spark.range(40).select(
+        F.col("id"),
+        F.array(*[(F.col("id") * F.lit(0.1) + F.lit(float(d))).cast("double")
+                  for d in range(3)]).alias("emb"))
+    out2 = ann_lsh_join(df2, "id", "emb", k=3, max_bucket=50)
+    assert out2.count() > 0
+
+
+def test_ivf_max_cell_bounds_pairs(spark):
+    """All vectors in one centroid cell: max_cell salting keeps the pair
+    join sub-quadratic while still returning neighbors."""
+    from polars_ds_extension_spark.operators.knn import ivf_knn_join
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id"),
+        F.array(*[(F.col("id") * F.lit(0.001) + F.lit(float(d))).cast("double")
+                  for d in range(3)]).alias("emb"))
+    out = ivf_knn_join(df, "id", "emb", n_centroids=1, k=2, max_cell=50)
+    rows = out.count()
+    assert 0 < rows <= n * 2
+    # every id's candidates came from its own sub-cell (bounded size)
+    out_nosalt = ivf_knn_join(df, "id", "emb", n_centroids=1, k=2)
+    assert out_nosalt.count() == n * 2  # uncapped = full within-cell knn
+
+
+def test_ivf_centroids_methods(spark):
+    from polars_ds_extension_spark.operators.knn import ivf_centroids, ivf_knn_join
+
+    rng = np.random.RandomState(0)
+    # two clearly separated clusters
+    pts = np.vstack([rng.normal(0, 0.1, (300, 4)),
+                     rng.normal(5, 0.1, (300, 4))])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in p]) for i, p in enumerate(pts)],
+        "id bigint, emb array<double>")
+    cents = ivf_centroids(df, "id", "emb", n_centroids=2, method="kmeans")
+    C = np.array([r["centroid"] for r in cents.collect()])
+    assert C.shape == (2, 4)
+    # one centroid per true cluster
+    means = sorted(C.mean(axis=1))
+    assert means[0] == pytest.approx(0.0, abs=0.5)
+    assert means[1] == pytest.approx(5.0, abs=0.5)
+    # balanced assignment: prebuilt centroids flow through ivf_knn_join
+    out = ivf_knn_join(df, "id", "emb", k=1, centroids=cents)
+    assert out.count() == 600
+
+    s = ivf_centroids(df, "id", "emb", n_centroids=4, method="sample")
+    assert s.count() == 4
+
+
+# --------------------------------------------------- encoder null categories
+
+def test_encoders_null_categories(spark):
+    from polars_ds_extension_spark.pipeline.transforms import (
+        IvEncode, TargetEncode, WoeEncode)
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 1.0),
+         (None, 0.0), (None, 1.0)],
+        "cat string, y double")
+    te = TargetEncode(["cat"], "y").fit(df)
+    out = te.transform(df)
+    g = 4.0 / 6.0
+    null_rows = out.where(F.col("y") == 0.0).collect()
+    assert len(null_rows) == 2  # no NULL-map-key crash
+    # null category -> global mean fallback
+    vals = {r["cat"] for r in out.collect()}
+    assert any(abs(v - g) < 1e-9 for v in vals)
+
+    woe = WoeEncode(["cat"], "y").fit(df)
+    wout = woe.transform(df).collect()
+    assert len(wout) == 6  # nulls encode to NULL, no crash
+    assert any(r["cat"] is None for r in wout)
+
+    iv = IvEncode(["cat"], "y").fit(df)
+    assert iv.transform(df).count() == 6
+
+
+# --------------------------------------------------- null order in rank plans
+
+def test_global_rank_null_order_values(spark):
+    from polars_ds_extension_spark.plans.ranks import (
+        global_avg_rank, global_cumsum, global_min_rank)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, None), (5, 20.0)],
+        "id int, x double")
+    ranked = global_min_rank(df, "x", out_name="r", n_parts=3).collect()
+    by_id = {r["id"]: r["r"] for r in ranked}
+    # nulls first (Spark ASC order): both rank 1, then 5.0 -> 3, 10 -> 4, 20 -> 5
+    assert by_id[2] == 1 and by_id[4] == 1
+    assert by_id[3] == 3 and by_id[1] == 4 and by_id[5] == 5
+
+    avg = global_avg_rank(df, "x", out_name="ar", n_parts=3).collect()
+    a = {r["id"]: r["ar"] for r in avg}
+    assert a[2] == pytest.approx(1.5) and a[4] == pytest.approx(1.5)
+
+    cum = global_cumsum(df.withColumn("v", F.lit(1.0)), "x", ["v"],
+                        n_parts=3).collect()
+    c = {r["id"]: r["cum_v"] for r in cum}
+    assert c[5] == pytest.approx(5.0)  # last value sees every row
+
+
+# ------------------------------------------------------------- penalized GLM
+
+def test_glm_l2_actually_penalizes(spark):
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(500, 2))
+    eta = 0.8 * X[:, 0] - 0.5 * X[:, 1] + 0.3
+    y = rng.binomial(1, 1 / (1 + np.exp(-eta)))
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y double")
+
+    from polars_ds_extension_spark.functions.linear import glm, logistic_reg
+
+    b0 = glm(df, ["x1", "x2"], "y", family="binomial", l2=0.0)
+    b1 = glm(df, ["x1", "x2"], "y", family="binomial", l2=5.0)
+    # ridge must shrink the non-bias coefficients
+    assert abs(b1[0]) < abs(b0[0]) and abs(b1[1]) < abs(b0[1])
+    assert abs(b1[0] - b0[0]) > 1e-4
+    # and must agree with logistic_reg's (already-correct) penalized IRLS
+    lr = logistic_reg(df, ["x1", "x2"], "y", l2=5.0)
+    assert b1 == pytest.approx(lr, rel=1e-6)
+
+
+# ------------------------------------------------- deterministic sampler ids
+
+def test_bucket_huge_ids_no_overflow(spark):
+    from polars_ds_extension_spark.functions.sample import (
+        sample_deterministic, split_by_ratio)
+
+    big = 9_223_372_036  # would overflow int64 when multiplied raw
+    df = spark.createDataFrame(
+        [(big + i,) for i in range(2000)], "uid long")
+    n = sample_deterministic(df, "uid", 0.5).count()
+    assert 0 < n < 2000  # runs under ANSI mode, roughly half kept
+    splits = split_by_ratio(df, "uid", [0.5, 0.5], ["a", "b"])
+    assert splits["a"].count() + splits["b"].count() == 2000
+
+
+def test_bucket_matches_plain_modulus_for_small_ids(spark):
+    """(id % m)*a % m == id*a % m — the overflow guard must not change
+    results for in-range ids (oracle compatibility)."""
+    from polars_ds_extension_spark.functions.sample import _BUCKETS, _bucket
+
+    df = spark.range(5000).select(F.col("id"))
+    got = df.select(_bucket("id").alias("b")).collect()
+    for i, r in enumerate(got):
+        assert r["b"] == (i * 2654435761) % _BUCKETS
