@@ -185,27 +185,23 @@ def query_mcc(y_true, y_pred, threshold: float = 0.5) -> Column:
 def query_mad(df: DataFrame, x: str, use_mean: bool = True,
               by: Sequence[str] | None = None) -> DataFrame:
     """Mean (or median) absolute deviation. Ref metrics.py:46.
-    Two-pass via a group window then aggregation — one shuffle."""
+    Grouped: group window + aggregation — one shuffle. Ungrouped: the
+    center comes from a tiny separate aggregation broadcast back (a
+    global window would funnel every row through ONE partition)."""
     keys = list(by) if by else []
     xx = to_col(x).cast("double")
-    w = group_window(keys or None)
     centerer = F.mean(xx) if use_mean else F.median(xx)
-    dev = F.abs(xx - centerer.over(w))
-    step = df.select(*keys, dev.alias("__dev"))
+    if keys:
+        dev = F.abs(xx - centerer.over(group_window(keys)))
+        step = df.select(*keys, dev.alias("__dev"))
+    else:
+        center = df.agg(centerer.alias("__c"))
+        step = (df.crossJoin(F.broadcast(center))
+                .select(F.abs(xx - F.col("__c")).alias("__dev")))
     out = F.mean("__dev") if use_mean else F.median("__dev")
     if keys:
         return step.groupBy(*keys).agg(out.alias("mad"))
     return step.agg(out.alias("mad"))
-
-
-def _avg_rank(pred_col: str, keys: list[str]) -> Column:
-    """Tie-averaged (midrank) via rank() + tie-count window."""
-    wo = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(F.col(pred_col))
-    wt = (
-        Window.partitionBy(*keys, F.col(pred_col)) if keys
-        else Window.partitionBy(F.col(pred_col))
-    )
-    return F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
 
 
 def roc_auc(df: DataFrame, actual: str, pred: str,
@@ -301,14 +297,29 @@ def query_dcg_score(df: DataFrame, actual: str, pred: str, k: int | None = None,
     Two rank windows + one agg — sort-shuffles on (by, pred)/(by, rel)."""
     keys = list(by) if by else []
     rel = to_col(actual).cast("double")
-    wp = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
-        to_col(pred).desc()
-    )
-    wi = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(rel.desc())
-    pos = F.row_number().over(wp).cast("double")
-    ipos = F.row_number().over(wi).cast("double")
-    gain = rel / (F.log(F.lit(log_base), pos + 1))
-    igain = rel / (F.log(F.lit(log_base), ipos + 1))
+    if keys:
+        wp = Window.partitionBy(*keys).orderBy(to_col(pred).desc())
+        wi = Window.partitionBy(*keys).orderBy(rel.desc())
+        pos = F.row_number().over(wp).cast("double")
+        ipos = F.row_number().over(wi).cast("double")
+    else:
+        # ungrouped: global row_number would collapse to ONE partition —
+        # use the two-pass min-rank plan + a tie-local row_number (the
+        # tie window is keyed on the value, parallel across distinct
+        # values), giving unique positions without a global sort
+        from ..plans import global_min_rank
+
+        df = df.select(rel.alias("__rel"),
+                       (-to_col(pred).cast("double")).alias("__np"))
+        df = global_min_rank(df, "__np", out_name="__pr")
+        df = global_min_rank(df, -F.col("__rel"), out_name="__ir")
+        wtp = Window.partitionBy("__np").orderBy(F.col("__rel").desc())
+        wti = Window.partitionBy("__rel").orderBy(F.col("__np").asc())
+        pos = (F.col("__pr") + F.row_number().over(wtp) - 1).cast("double")
+        ipos = (F.col("__ir") + F.row_number().over(wti) - 1).cast("double")
+        rel = F.col("__rel")
+    gain = rel / (F.log(float(log_base), pos + 1))
+    igain = rel / (F.log(float(log_base), ipos + 1))
     if k is not None:
         gain = F.when(pos <= k, gain).otherwise(F.lit(0.0))
         igain = F.when(ipos <= k, igain).otherwise(F.lit(0.0))
@@ -323,22 +334,44 @@ def query_dcg_score(df: DataFrame, actual: str, pred: str, k: int | None = None,
 def tpr_fpr(df: DataFrame, actual: str, pred: str,
             by: Sequence[str] | None = None) -> DataFrame:
     """TPR/FPR at every distinct predicted-probability threshold (for ROC
-    curves). Ref metrics.py:379. Cumulative windows over pred desc."""
+    curves). Ref metrics.py:379.
+
+    Grouped: cumulative windows over pred desc (parallel across groups).
+    Ungrouped: the two-pass range-bucket cumsum plan (plans/ranks.py) —
+    a global desc window would collapse to ONE partition; totals come
+    from a tiny aggregation broadcast back."""
     keys = list(by) if by else []
     a = to_col(actual).cast("double")
     step = df.select(*keys, a.alias("__a"), to_col(pred).alias("__p"))
-    wcum = (
-        (Window.partitionBy(*keys) if keys else Window.partitionBy())
-        .orderBy(F.col("__p").desc())
-        .rangeBetween(Window.unboundedPreceding, 0)
+    if keys:
+        wcum = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__p").desc())
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        gw = group_window(keys)
+        tp = F.sum("__a").over(wcum)
+        fp = F.count(F.lit(1)).over(wcum) - tp
+        npos = F.sum("__a").over(gw)
+        nneg = F.count(F.lit(1)).over(gw) - npos
+        out = step.select(
+            *keys, F.col("__p").alias("threshold"),
+            (tp / npos).alias("tpr"), (fp / nneg).alias("fpr"),
+        )
+        return out.dropDuplicates(keys + ["threshold"])
+    from ..plans import global_cumsum
+
+    # cum over pred DESC == cum over (-pred) ASC; ties (equal pred) share
+    # a range bucket, so the range-frame tie semantics are preserved
+    pre = step.select("__a", "__p", (-F.col("__p").cast("double")).alias("__np"),
+                      F.lit(1.0).alias("__one"))
+    cum = global_cumsum(pre, "__np", ["__a", "__one"])
+    tot = F.broadcast(step.agg(
+        F.sum("__a").alias("__npos"),
+        (F.count(F.lit(1)) - F.sum("__a")).alias("__nneg")))
+    out = cum.crossJoin(tot).select(
+        F.col("__p").alias("threshold"),
+        (F.col("cum___a") / F.col("__npos")).alias("tpr"),
+        ((F.col("cum___one") - F.col("cum___a")) / F.col("__nneg")).alias("fpr"),
     )
-    gw = group_window(keys or None)
-    tp = F.sum("__a").over(wcum)
-    fp = F.count(F.lit(1)).over(wcum) - tp
-    npos = F.sum("__a").over(gw)
-    nneg = F.count(F.lit(1)).over(gw) - npos
-    out = step.select(
-        *keys, F.col("__p").alias("threshold"),
-        (tp / npos).alias("tpr"), (fp / nneg).alias("fpr"),
-    )
-    return out.dropDuplicates(keys + ["threshold"])
+    return out.dropDuplicates(["threshold"])

@@ -63,7 +63,7 @@ __all__ = [
     "weighted_mean", "weighted_var", "weighted_cov", "weighted_corr",
     "cosine_sim", "weighted_cosine_sim",
     "ttest_1samp_stat", "ttest_ind_stat", "ttest_ind_from_stats", "ttest_ind",
-    "normal_test", "winsorize",
+    "normal_test", "winsorize", "winsorize_df",
     "ks_2samp", "mann_whitney_u", "chi2", "f_test",
     "corr", "xi_corr", "bicor", "kendall_tau",
     "random", "random_int", "random_normal", "random_exp",
@@ -255,12 +255,38 @@ def normal_test(x) -> Column:
 
 def winsorize(x, lower: float = 0.05, upper: float = 0.95,
               by: Sequence | None = None) -> Column:
-    """Percentile clip within the group (windowed). Ref stats.py:375."""
+    """Percentile clip within the group (windowed). Ref stats.py:375.
+
+    NB: as a Column expression, ``by=None`` means a GLOBAL window — one
+    partition at scale. For ungrouped winsorizing of a large frame use
+    :func:`winsorize_df` (or pipeline.Winsorize), which computes the
+    clip bounds in a separate aggregation instead.
+    """
     xx = to_col(x)
     w = group_window(by)
     lo = F.percentile(xx, F.lit(lower)).over(w)
     hi = F.percentile(xx, F.lit(upper)).over(w)
     return F.when(xx < lo, lo).when(xx > hi, hi).otherwise(xx)
+
+
+def winsorize_df(df: DataFrame, cols: Sequence[str],
+                 lower: float = 0.05, upper: float = 0.95) -> DataFrame:
+    """Ungrouped winsorize at scale: ONE aggregation computes every
+    column's clip bounds (exact percentile — swap percentile_approx
+    outside oracle contexts), then the clip rides the scan as literals.
+    No window, no extra shuffle of the big side."""
+    row = df.agg(*[
+        F.percentile(to_col(c).cast("double"),
+                     F.array(F.lit(lower), F.lit(upper))).alias(c)
+        for c in cols
+    ]).first()
+    out = df
+    for c in cols:
+        lo, hi = float(row[c][0]), float(row[c][1])
+        xx = to_col(c)
+        out = out.withColumn(
+            c, F.when(xx < lo, F.lit(lo)).when(xx > hi, F.lit(hi)).otherwise(xx))
+    return out
 
 
 # ------------------------------------------------------ DataFrame-level tests

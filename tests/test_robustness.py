@@ -174,3 +174,58 @@ def test_bucket_matches_plain_modulus_for_small_ids(spark):
     got = df.select(_bucket("id").alias("b")).collect()
     for i, r in enumerate(got):
         assert r["b"] == (i * 2654435761) % _BUCKETS
+
+
+# ------------------------------------------- by=None forms route at scale
+
+def _window_over_single_partition(df_out) -> bool:
+    plan = df_out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if "Window" in ln:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "Exchange" in lines[j]:
+                    if "SinglePartition" in lines[j]:
+                        return True
+                    break
+    return False
+
+
+def test_global_forms_match_numpy_and_avoid_single_partition(spark):
+    from polars_ds_extension_spark.functions import metrics as M
+    from polars_ds_extension_spark.functions import stats as S
+
+    rng = np.random.RandomState(3)
+    rows = [(float(rng.binomial(1, 0.4)), float(rng.rand()),
+             float(rng.rand() * 10)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "y double, p double, x double")
+    ys = np.array([r[0] for r in rows])
+    ps = np.array([r[1] for r in rows])
+    xs = np.array([r[2] for r in rows])
+
+    m = M.query_mad(df, "x")
+    assert m.first()[0] == pytest.approx(float(np.mean(np.abs(xs - xs.mean()))))
+    assert not _window_over_single_partition(m)
+
+    t = M.tpr_fpr(df, "y", "p")
+    t.count()
+    assert not _window_over_single_partition(t)
+    thr = float(ps[11])
+    exp_tpr = ((ps >= thr) & (ys == 1)).sum() / (ys == 1).sum()
+    row = t.where(F.abs(F.col("threshold") - thr) < 1e-12).first()
+    assert row["tpr"] == pytest.approx(exp_tpr)
+
+    d = M.query_dcg_score(df, "x", "p", k=20, normalize=True)
+    order = np.argsort(-ps, kind="stable")
+    rel = xs[order][:20]
+    ideal = np.sort(xs)[::-1][:20]
+    exp = (rel / np.log2(np.arange(2, 22))).sum() / \
+          (ideal / np.log2(np.arange(2, 22))).sum()
+    assert d.first()[0] == pytest.approx(exp)
+    assert not _window_over_single_partition(d)
+
+    w = S.winsorize_df(df, ["x"], 0.1, 0.9)
+    lo, hi = np.percentile(xs, 10), np.percentile(xs, 90)
+    got = np.array(sorted(r["x"] for r in w.collect()))
+    exp_w = np.sort(np.clip(xs, lo, hi))
+    assert np.allclose(got, exp_w)
