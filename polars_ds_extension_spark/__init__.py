@@ -21,5 +21,6 @@ from .functions.ts import *  # noqa: F401,F403
 from .functions.expander import E  # noqa: F401
 from .partition import PartitionHelper  # noqa: F401
 from .functions.diagnosis import DIA  # noqa: F401
+from .compat import compat  # noqa: F401
 
 __version__ = "0.1.0"

@@ -7,8 +7,9 @@ column and concats, every report here is ONE combined aggregation pass
 round-trips are single aggregate rows; nothing row-level is collected.
 
 Plotting methods are intentionally data-only: this environment has no
-plotting backend, so `plot_*` raise NotImplementedError and point at the
-corresponding data method.
+plotting backend, so `plot_*` return the PRE-PLOT data frames (binned
+histograms, corr matrices, dependency edge lists) for any charting
+library to render.
 """
 
 from __future__ import annotations
@@ -314,14 +315,69 @@ class DIA:
         out.pop("_df")
         return out
 
-    def plot_corr(self, *a, **k):
-        raise NotImplementedError(
-            "no plotting backend in this environment — use .corr() for the data")
+    # --------------------------------------------------------- plot data
+    # No plotting backend exists in this environment, so plot_* return the
+    # PRE-PLOT data frames (exactly what the reference hands to
+    # Altair/GT — ref diagnosis.py:465 plot_corr, :773 plot_dependency,
+    # :819 plot_feature_distr). Render with any charting library.
 
-    def plot_dependency(self, *a, **k):
-        raise NotImplementedError(
-            "no plotting backend — use .infer_dependency() for the data")
+    def plot_corr(self, subset: Sequence[str] | None = None,
+                  method: str = "pearson") -> DataFrame:
+        """Correlation-heatmap data: the pairwise corr matrix (the
+        reference styles this same frame with a [-1, 1] color domain)."""
+        return self.corr(subset if subset is not None else self.numerics, method)
 
-    def plot_feature_distr(self, *a, **k):
-        raise NotImplementedError(
-            "no plotting backend — use .numeric_profile() for the data")
+    def plot_dependency(self, subset: Sequence[str] | None = None) -> DataFrame:
+        """Dependency-graph data: the conditional-entropy edge list the
+        reference renders as a graphviz diagram."""
+        return self.infer_dependency(subset)
+
+    def plot_feature_distr(self, feature: str, n_bins: int = 30,
+                           density: bool = False,
+                           min_: float | None = None,
+                           max_: float | None = None,
+                           over: str | None = None) -> DataFrame:
+        """Histogram data for a numeric feature: one row per (bin[, over])
+        with [lo, hi) edges (last bin closed) and count — the pre-plot
+        frame of ref diagnosis.py:819. ONE range aggregation + ONE
+        grouped count; rows never leave the executors.
+
+        Output: bin int, lo double, hi double, count long[, density
+        double][, over]. Matches DuckDB
+        ``width_bucket(x, min, max, n_bins)`` bucketing (its bins 1..n;
+        the max value folds into the last bin).
+        """
+        if feature not in self.numerics:
+            raise ValueError("feature must be numeric")
+        x = F.col(feature).cast("double")
+        df = self._df.where(x.isNotNull() & ~F.isnan(x) & (F.abs(x) != float("inf")))
+        if min_ is not None:
+            df = df.where(x >= float(min_))
+        if max_ is not None:
+            df = df.where(x <= float(max_))
+        if min_ is None or max_ is None:
+            row = df.agg(F.min(x).alias("mn"), F.max(x).alias("mx")).first()
+            mn = float(min_) if min_ is not None else float(row["mn"])
+            mx = float(max_) if max_ is not None else float(row["mx"])
+        else:
+            mn, mx = float(min_), float(max_)
+        w = (mx - mn) / n_bins if mx > mn else 1.0
+        bucket = F.least(
+            F.lit(n_bins - 1),
+            F.floor((x - F.lit(mn)) / F.lit(w)).cast("int")).alias("bin")
+        keys = ([F.col(over)] if over else []) + [bucket]
+        out = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("lo", F.lit(mn) + F.col("bin") * F.lit(w))
+            .withColumn("hi", F.lit(mn) + (F.col("bin") + 1) * F.lit(w))
+        )
+        if density:
+            tot = F.sum("count").over(
+                Window.partitionBy(*( [over] if over else [] )))
+            out = out.withColumn(
+                "density", F.col("count") / (tot * F.lit(w)))
+        cols = (["bin", "lo", "hi", "count"]
+                + (["density"] if density else [])
+                + ([over] if over else []))
+        return out.select(*cols).orderBy(*((([over]) if over else []) + ["bin"]))

@@ -54,7 +54,7 @@ class LR(_LinearBase):
         super().__init__(features, target, add_bias)
         self.l2 = l2
 
-    def fit(self, df: DataFrame) -> "LR":
+    def fit(self, df: DataFrame, y=None) -> "LR":
         self.coef_ = L.lin_reg(df, self.features, self.target,
                                self.add_bias, self.l2)
         return self
@@ -68,7 +68,7 @@ class LogisticRegression(_LinearBase):
         super().__init__(features, target, add_bias)
         self.n_iters, self.l2 = n_iters, l2
 
-    def fit(self, df: DataFrame) -> "LogisticRegression":
+    def fit(self, df: DataFrame, y=None) -> "LogisticRegression":
         self.coef_ = L.logistic_reg(df, self.features, self.target,
                                     self.add_bias, self.n_iters, self.l2)
         return self
@@ -86,7 +86,7 @@ class ElasticNet(_LinearBase):
         super().__init__(features, target, add_bias)
         self.l1, self.l2 = l1, l2
 
-    def fit(self, df: DataFrame) -> "ElasticNet":
+    def fit(self, df: DataFrame, y=None) -> "ElasticNet":
         self.coef_ = L.elastic_net(df, self.features, self.target,
                                    self.l1, self.l2, self.add_bias)
         return self
@@ -100,7 +100,7 @@ class GLM(_LinearBase):
         super().__init__(features, target, add_bias)
         self.family, self.n_iters, self.l2 = family, n_iters, l2
 
-    def fit(self, df: DataFrame) -> "GLM":
+    def fit(self, df: DataFrame, y=None) -> "GLM":
         self.coef_ = L.glm(df, self.features, self.target, self.family,
                            self.add_bias, self.n_iters, self.l2)
         return self
@@ -127,7 +127,7 @@ class OnlineLR(_LinearBase):
         self._xty = np.zeros(k)
         self.n_seen = 0.0
 
-    def partial_fit(self, df: DataFrame) -> "OnlineLR":
+    def partial_fit(self, df: DataFrame, y=None) -> "OnlineLR":
         xtx, xty, n = L._suffstats(df, self.features, self.target, self.add_bias)
         self._xtx += xtx
         self._xty += xty

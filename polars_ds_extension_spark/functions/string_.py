@@ -383,6 +383,69 @@ def _lcs_batch(A, la, B2, lb):
     return final
 
 
+def _dleven_batch(A, la, B2, lb):
+    """Full Damerau-Levenshtein (Lowrance-Wagner, adjacent transposition
+    of ANY distance — not the OSA restriction), batch-vectorized.
+
+    The alphabet-indexed last-occurrence table `da` and the per-row
+    last-match column `db` become (batch × alphabet) / (batch,) arrays;
+    the transposition term's random DP access d[k-1, l-1] is a per-row
+    gather into the kept DP cube. Memory: the cube is (chunk × L1+2 ×
+    L2+2) int32 — callers chunk the batch so this stays ~64 MB.
+    """
+    import numpy as np
+
+    Bn, L1 = A.shape
+    L2 = B2.shape[1]
+    # compact the alphabet to 0..K-1 (padding -1 maps to 0; harmless —
+    # padded positions are masked out of da/db updates below)
+    uniq, inv = np.unique(np.concatenate([A, B2], axis=1), return_inverse=True)
+    codes = inv.reshape(Bn, L1 + L2)
+    Ac, Bc = codes[:, :L1], codes[:, L1:]
+    K = len(uniq)
+    maxd = L1 + L2
+    # D[r, i+1, j+1] = d(i, j) for logical i, j in -1..L1 / -1..L2
+    D = np.full((Bn, L1 + 2, L2 + 2), maxd, dtype=np.int32)
+    D[:, 1, 1:] = np.arange(L2 + 1, dtype=np.int32)
+    D[:, 1:, 1] = np.arange(L1 + 1, dtype=np.int32)
+    da = np.zeros((Bn, K), dtype=np.int64)
+    ridx = np.arange(Bn)
+    for i in range(1, L1 + 1):
+        act_i = i <= la
+        db = np.zeros(Bn, dtype=np.int64)
+        a_i = A[:, i - 1]
+        for j in range(1, L2 + 1):
+            act = act_i & (j <= lb)
+            k = da[ridx, Bc[:, j - 1]]
+            l_ = db
+            eq = (a_i == B2[:, j - 1]) & act
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            db = np.where(eq, j, db)
+            v = np.minimum(D[:, i, j] + cost, D[:, i + 1, j] + 1)
+            v = np.minimum(v, D[:, i, j + 1] + 1)
+            trans = D[ridx, k, l_] + (i - k - 1) + 1 + (j - l_ - 1)
+            D[:, i + 1, j + 1] = np.minimum(v, trans.astype(np.int32))
+        upd = ridx[act_i]
+        da[upd, Ac[upd, i - 1]] = i
+    return D[ridx, la + 1, lb + 1].astype(np.int64)
+
+
+def _chunked_dleven(A, la, B2, lb, budget: int = 8_000_000):
+    """Run _dleven_batch in row chunks so the DP cube stays bounded."""
+    import numpy as np
+
+    Bn, L1 = A.shape
+    L2 = B2.shape[1]
+    rows = max(1, budget // max((L1 + 2) * (L2 + 2), 1))
+    if rows >= Bn:
+        return _dleven_batch(A, la, B2, lb)
+    outs = []
+    for s in range(0, Bn, rows):
+        e = min(s + rows, Bn)
+        outs.append(_dleven_batch(A[s:e], la[s:e], B2[s:e], lb[s:e]))
+    return np.concatenate(outs)
+
+
 def _batch_udf(kernel, ret: str, post=None):
     """Wrap a (A, la, B2, lb) → ndarray batch kernel as a pandas UDF with
     null passthrough."""
@@ -417,17 +480,17 @@ def str_jw(c, other, weight: float = 0.1) -> Column:
 
 
 def str_d_leven(c, other, return_sim: bool = False) -> Column:
-    """Damerau-Levenshtein distance (or similarity). Ref string.py:461.
-
-    Full DL needs per-row last-occurrence tracking and random DP-matrix
-    access, which defeats batch vectorization — this one stays a per-row
-    kernel (use str_osa for the vectorized restricted variant).
-    """
+    """Full Damerau-Levenshtein distance (or similarity). Ref
+    string.py:461. Batch-vectorized (alphabet-indexed Lowrance-Wagner
+    over the whole Arrow batch, chunked DP cube) — no per-row Python."""
     if return_sim:
-        return _pair_udf(
-            lambda a, b: 1.0 - _dleven(a, b) / max(len(a), len(b), 1), "double"
+        import numpy as np
+
+        return _batch_udf(
+            _chunked_dleven, "double",
+            post=lambda out, la, lb: 1.0 - out / np.maximum(np.maximum(la, lb), 1),
         )(to_col(c), to_col(other))
-    return _pair_udf(_dleven, "int")(to_col(c), to_col(other))
+    return _batch_udf(_chunked_dleven, "int")(to_col(c), to_col(other))
 
 
 def str_osa(c, other, return_sim: bool = False) -> Column:
@@ -456,10 +519,44 @@ def str_lcs_subseq_dist(c, other) -> Column:
 
 
 def str_lcs_substr(c, other) -> Column:
-    """Longest common substring (per-row DP — returns the string itself,
-    not a length, so the batch codes trick doesn't apply). Ref
-    string.py:547."""
-    return _pair_udf(_lcs_substr, "string")(to_col(c), to_col(other))
+    """Longest common substring (the string itself). Ref string.py:547.
+
+    The length/end-position DP is batch-vectorized numpy (same rolling
+    row as the other kernels, plus per-row argmax bookkeeping); only the
+    final slice `a[end-len:end]` touches Python strings — O(batch), not
+    O(batch·L1·L2)."""
+    import numpy as np
+
+    @pandas_udf("string")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        va, vb = a.tolist(), b.tolist()
+        A, la = _codes_batch(va)
+        B2, lb = _codes_batch(vb)
+        Bn, L1 = A.shape
+        L2 = B2.shape[1]
+        jidx = np.arange(L2)
+        prev = np.zeros((Bn, L2), dtype=np.int64)
+        best = np.zeros(Bn, dtype=np.int64)
+        best_end = np.zeros(Bn, dtype=np.int64)
+        for i in range(1, L1 + 1):
+            c1 = A[:, i - 1]
+            eq = (B2 == c1[:, None]) & (c1 != -1)[:, None] & (jidx < lb[:, None])
+            shifted = np.concatenate(
+                [np.zeros((Bn, 1), dtype=np.int64), prev[:, :-1]], axis=1)
+            cur = np.where(eq, shifted + 1, 0)
+            rowbest = cur.max(axis=1) if L2 else np.zeros(Bn, dtype=np.int64)
+            better = rowbest > best
+            best = np.where(better, rowbest, best)
+            best_end = np.where(better, i, best_end)
+            prev = cur
+        out = [
+            None if x is None or y is None
+            else x[int(e) - int(l): int(e)]
+            for x, y, l, e in zip(va, vb, best, best_end)
+        ]
+        return pd.Series(out, dtype="object")
+
+    return _udf(to_col(c), to_col(other))
 
 
 def str_fuzz(c, other) -> Column:

@@ -21,7 +21,7 @@ class Pipeline:
         self.steps = list(steps)
         self.fitted = False
 
-    def fit(self, df: DataFrame) -> "Pipeline":
+    def fit(self, df: DataFrame, y=None) -> "Pipeline":
         cur = df
         for step in self.steps:
             step.fit(cur)

@@ -22,7 +22,12 @@ _MAX_CATEGORIES = 10_000
 
 class Transform:
     """Base: subclasses set self.params in fit() and build exprs in
-    transform(). `name` keys the JSON serialization."""
+    transform(). `name` keys the JSON serialization.
+
+    Implements the sklearn estimator protocol (get_params / set_params /
+    fit_transform, with an ignored ``y``) so fitted steps compose inside
+    sklearn-style pipelines — the Spark analogue of the reference's
+    compat layer (ref compat/_compat.py, SKLEARN_COMPATIBILITY.md)."""
 
     name = "base"
 
@@ -30,12 +35,27 @@ class Transform:
         self.kwargs = kwargs
         self.params: dict[str, Any] | None = None
 
-    def fit(self, df: DataFrame) -> "Transform":
+    def fit(self, df: DataFrame, y=None) -> "Transform":
         self.params = {}
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
+
+    def fit_transform(self, df: DataFrame, y=None) -> DataFrame:
+        return self.fit(df).transform(df)
+
+    # sklearn estimator protocol — params are the constructor kwargs
+    def get_params(self, deep: bool = True) -> dict:
+        return dict(self.kwargs)
+
+    def set_params(self, **params) -> "Transform":
+        unknown = set(params) - set(self.kwargs)
+        if unknown:
+            raise ValueError(f"invalid parameters {sorted(unknown)} "
+                             f"for {type(self).__name__}")
+        self.kwargs.update(params)
+        return self
 
     def to_dict(self) -> dict:
         return {"name": self.name, "kwargs": self.kwargs, "params": self.params}
@@ -57,7 +77,7 @@ class Impute(Transform):
                  value: float | None = None):
         super().__init__(cols=list(cols), strategy=strategy, value=value)
 
-    def fit(self, df: DataFrame) -> "Impute":
+    def fit(self, df: DataFrame, y=None) -> "Impute":
         cols = self.kwargs["cols"]
         strat = self.kwargs["strategy"]
         if strat == "const":
@@ -90,7 +110,7 @@ class Scale(Transform):
     def __init__(self, cols: Sequence[str], method: str = "standard"):
         super().__init__(cols=list(cols), method=method)
 
-    def fit(self, df: DataFrame) -> "Scale":
+    def fit(self, df: DataFrame, y=None) -> "Scale":
         cols = self.kwargs["cols"]
         method = self.kwargs["method"]
         aggs = []
@@ -131,7 +151,7 @@ class Winsorize(Transform):
                  upper: float = 0.95):
         super().__init__(cols=list(cols), lower=lower, upper=upper)
 
-    def fit(self, df: DataFrame) -> "Winsorize":
+    def fit(self, df: DataFrame, y=None) -> "Winsorize":
         cols = self.kwargs["cols"]
         lo, hi = self.kwargs["lower"], self.kwargs["upper"]
         aggs = []
@@ -162,7 +182,7 @@ class OneHot(Transform):
         super().__init__(cols=list(cols), drop_first=drop_first,
                          drop_original=drop_original)
 
-    def fit(self, df: DataFrame) -> "OneHot":
+    def fit(self, df: DataFrame, y=None) -> "OneHot":
         self.params = {}
         for c in self.kwargs["cols"]:
             vals = [
@@ -196,7 +216,7 @@ class Ordinal(Transform):
     def __init__(self, cols: Sequence[str]):
         super().__init__(cols=list(cols))
 
-    def fit(self, df: DataFrame) -> "Ordinal":
+    def fit(self, df: DataFrame, y=None) -> "Ordinal":
         self.params = {}
         for c in self.kwargs["cols"]:
             vals = sorted(
@@ -228,7 +248,7 @@ class TargetEncode(Transform):
     def __init__(self, cols: Sequence[str], target: str, smoothing: float = 20.0):
         super().__init__(cols=list(cols), target=target, smoothing=smoothing)
 
-    def fit(self, df: DataFrame) -> "TargetEncode":
+    def fit(self, df: DataFrame, y=None) -> "TargetEncode":
         tgt = F.col(self.kwargs["target"]).cast("double")
         m = self.kwargs["smoothing"]
         g = float(df.agg(F.avg(tgt)).first()[0])
@@ -273,7 +293,7 @@ class WoeEncode(Transform):
     def __init__(self, cols: Sequence[str], target: str):
         super().__init__(cols=list(cols), target=target)
 
-    def fit(self, df: DataFrame) -> "WoeEncode":
+    def fit(self, df: DataFrame, y=None) -> "WoeEncode":
         import math
 
         tgt = F.col(self.kwargs["target"]).cast("double")
@@ -352,7 +372,7 @@ class ConditionalImpute(Transform):
                  strategy: str = "mean"):
         super().__init__(cols=list(cols), condition=condition, strategy=strategy)
 
-    def fit(self, df: DataFrame) -> "ConditionalImpute":
+    def fit(self, df: DataFrame, y=None) -> "ConditionalImpute":
         sub = df.where(F.expr(self.kwargs["condition"]))
         strat = self.kwargs["strategy"]
         agg = {"mean": F.avg, "median": F.median, "mode": F.mode}[strat]
@@ -376,7 +396,7 @@ class IvEncode(Transform):
     def __init__(self, cols: Sequence[str], target: str):
         super().__init__(cols=list(cols), target=target)
 
-    def fit(self, df: DataFrame) -> "IvEncode":
+    def fit(self, df: DataFrame, y=None) -> "IvEncode":
         import math
 
         tgt = F.col(self.kwargs["target"]).cast("double")
@@ -415,7 +435,7 @@ class RankHot(Transform):
     def __init__(self, cols: Sequence[str], drop_original: bool = True):
         super().__init__(cols=list(cols), drop_original=drop_original)
 
-    def fit(self, df: DataFrame) -> "RankHot":
+    def fit(self, df: DataFrame, y=None) -> "RankHot":
         self.params = {}
         for c in self.kwargs["cols"]:
             vals = sorted(

@@ -111,3 +111,30 @@ def test_fuzz_and_vocab(spark):
     near = S.str_nearest(df, "a", ["apples", "zebra"]).collect()
     byn = {r["a"]: r["nearest"] for r in near}
     assert byn["apple"] == "apples"
+
+
+def test_dleven_batch_matches_scalar_and_differs_from_osa(spark):
+    """Batch Lowrance-Wagner == per-row reference kernel, including the
+    CA/ABC case where full DL (2) differs from OSA (3)."""
+    import random
+
+    from polars_ds_extension_spark.functions import string_ as S
+    from polars_ds_extension_spark.functions.string_ import _dleven, _lcs_substr
+
+    rng = random.Random(11)
+    pairs = [("CA", "ABC"), ("", ""), ("", "abc"), ("ab", "ba"),
+             ("abcdef", "abcfad")]
+    for _ in range(60):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        a = "".join(rng.choice("abcd") for _ in range(n1))
+        b = "".join(rng.choice("abcd") for _ in range(n2))
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    from pyspark.sql import functions as F
+    got = df.select("a", "b", S.str_d_leven("a", "b").alias("d"),
+                    S.str_lcs_substr("a", "b").alias("sub")).collect()
+    for r in got:
+        assert r["d"] == _dleven(r["a"], r["b"]), (r["a"], r["b"])
+        assert r["sub"] == _lcs_substr(r["a"], r["b"]), (r["a"], r["b"])
+    by_pair = {(r["a"], r["b"]): r["d"] for r in got}
+    assert by_pair[("CA", "ABC")] == 2  # OSA would say 3

@@ -325,6 +325,54 @@ def test_dia(spark):
     c = dia.corr(["p"], method="pearson").collect()[0]
     assert c["column"] == "p"
 
-    import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        dia.plot_corr()
+    # plot_corr now returns the pre-plot data frame (see test_dia_plot_data)
+    assert "column" in dia.plot_corr(["p"]).columns
+
+
+def test_dia_plot_data(spark):
+    """plot_* return pre-plot data frames; histogram bins match DuckDB
+    width_bucket on the same data."""
+    import duckdb
+    import numpy as np
+
+    from polars_ds_extension_spark.functions.diagnosis import DIA
+
+    rng = np.random.RandomState(9)
+    vals = rng.normal(50, 12, 3000)
+    sdf = spark.createDataFrame([(float(v), "g%d" % (i % 2))
+                                 for i, v in enumerate(vals)],
+                                "x double, g string")
+    dia = DIA(sdf)
+    n_bins = 20
+    hist = dia.plot_feature_distr("x", n_bins=n_bins).collect()
+    mn, mx = float(vals.min()), float(vals.max())
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": vals}))
+    w = (mx - mn) / n_bins
+    oracle = con.execute(f"""
+        SELECT LEAST({n_bins} - 1, CAST(FLOOR((x - {mn}) / {w}) AS INT)) AS b,
+               COUNT(*) AS n
+        FROM t GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    got = {r["bin"]: r["count"] for r in hist}
+    exp = {int(b): int(n) for b, n in oracle}
+    assert got == exp
+    assert sum(got.values()) == 3000
+    # edges tile [mn, mx]
+    h = sorted(hist, key=lambda r: r["bin"])
+    assert h[0]["lo"] == pytest.approx(mn)
+    assert h[-1]["hi"] == pytest.approx(mx)
+
+    # density integrates to 1
+    dens = dia.plot_feature_distr("x", n_bins=n_bins, density=True).collect()
+    area = sum(r["density"] * (r["hi"] - r["lo"]) for r in dens)
+    assert area == pytest.approx(1.0)
+
+    # over= gives per-group histograms
+    over = dia.plot_feature_distr("x", n_bins=10, over="g").collect()
+    assert {r["g"] for r in over} == {"g0", "g1"}
+    assert sum(r["count"] for r in over) == 3000
+
+    # corr / dependency payloads are DataFrames now, not raises
+    assert "column" in dia.plot_corr(["x"]).columns
+    assert dia.plot_dependency(["x", "g"]).count() >= 0
