@@ -24,6 +24,7 @@ def main() -> None:
 
     from polars_ds_extension_spark.session import get_spark
     from polars_ds_extension_spark import queries as catalog
+    from polars_ds_extension_spark._utils import release_pins
 
     spark = get_spark(app="pds-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,6 +46,10 @@ def main() -> None:
         per_query[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
         print(f"bench {name}: {dt:.3f}s", file=sys.stderr)
+        # drop cross-query state: stray pinned frames from two-pass plans
+        # would otherwise occupy executor memory for the rest of the run
+        release_pins()
+        spark.catalog.clearCache()
 
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).

@@ -456,3 +456,88 @@ def blocked_jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
     )
+
+
+# ----------------------------------------------- components / canonical dedup
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of the (near-)duplicate pair graph:
+    (id, component) where component = the smallest id reachable.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — one hash join + one groupBy
+    per round, converging in O(component diameter) rounds (near-dup
+    clusters are shallow: pairs chain through shared shingles, so
+    diameters of 2-4 are typical; a driver-side count check stops at the
+    fixpoint). All shuffles are keyed on node id — no collect of
+    anything row-level. For adversarial long-chain graphs swap in
+    large-star/small-star (Kiveris+ '14); the pair graphs dedup emits
+    don't need it.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = pairs.select(F.col(id_a).cast("long").alias("s"),
+                     F.col(id_b).cast("long").alias("d"))
+    # persistence is managed LOCALLY (not the shared LRU pin registry —
+    # the loop's own caches would evict the edges cache mid-iteration and
+    # replay the whole upstream pair pipeline). Each round's label frame
+    # is localCheckpoint(eager)ed: iterative self-joins otherwise DOUBLE
+    # the logical plan every round (plan(lab_n) ⊃ 2·plan(lab_{n-1})) —
+    # exponential analysis cost and a stack overflow by ~10 rounds. The
+    # checkpoint truncates lineage to the materialized partitions, the
+    # same pattern GraphX/MLlib iterative jobs use.
+    edges = e.unionByName(e.select(F.col("d").alias("s"),
+                                   F.col("s").alias("d"))).distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        lab = edges.select("s").distinct().select(
+            F.col("s").alias("id"), F.col("s").alias("comp")) \
+            .localCheckpoint(eager=True)
+        # labels only DECREASE, so sum(comp) strictly drops on any change
+        # — the fixpoint check is one agg on the checkpointed frame, no
+        # join. Each round: 1 hash join + 1 groupBy (neighbor labels and
+        # own label folded through one union-min).
+        prev_sum = lab.agg(F.sum("comp")).first()[0]
+        for _ in range(max_iters):
+            nb = (
+                edges.join(lab.withColumnRenamed("id", "d")
+                              .withColumnRenamed("comp", "__nc"), "d")
+                .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
+            )
+            new = (
+                lab.unionByName(nb)
+                .groupBy("id").agg(F.min("comp").alias("comp"))
+            ).localCheckpoint(eager=True)
+            new_sum = new.agg(F.sum("comp")).first()[0]
+            lab = new
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return lab
+    finally:
+        edges.unpersist(blocking=False)
+
+
+def canonical_dedup(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every duplicate except the canonical (smallest-id) member of
+    each connected component of ``pairs`` — the keep-one-per-cluster
+    step that turns near-dup PAIRS into a deduplicated corpus.
+
+    Rows never in any pair pass through untouched (left_anti against
+    the non-canonical set, which is at most |pairs|-sized — tiny next
+    to the corpus)."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

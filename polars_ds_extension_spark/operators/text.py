@@ -172,3 +172,97 @@ def rolling_fingerprint(text, window: int = 4, mod: int = 1_000_003) -> Column:
         ),
     )
     return F.array_min(win_hash)
+
+
+# ----------------------------------------------- decontamination / budgeting
+
+def decontaminate(
+    docs,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str,
+    n_gram: int = 3,
+    min_overlap: int = 1,
+):
+    """Benchmark decontamination: count distinct word n-grams each
+    document shares with an evaluation corpus and flag docs at or above
+    ``min_overlap`` — the standard eval-leakage filter for training data.
+
+    Scale shape: the benchmark side (eval sets — thousands of rows) is
+    reduced to its distinct n-gram set and BROADCAST; the corpus explodes
+    its n-grams scan-side and hash-joins the broadcast — the 100 TB side
+    never shuffles by n-gram, and the per-doc groupBy is keyed on doc id
+    (one shuffle of (id, gram-hit) pairs only for docs with ≥1 hit).
+    Output: docs + n_contaminated_grams (long) + contaminated (boolean).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n_gram)).alias("__g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, n_gram)).alias("__g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .withColumnRenamed("__did", id_col)
+    )
+    out = docs.join(hits, id_col, "left")
+    n = F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+    return (out.withColumn("n_contaminated_grams", n)
+               .withColumn("contaminated", n >= min_overlap))
+
+
+# engine-independent id scramble for deterministic corpus ordering:
+# ((id % M) * A) % M with A coprime to M — a bijection on [0, M), exactly
+# reproducible in any SQL engine with int64 arithmetic (no overflow:
+# (M-1)·A < 2^63).
+_ORD_M = 2_147_483_647
+_ORD_A = 2_654_435_761
+
+
+def order_scramble(id_col):
+    from pyspark.sql import functions as F
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c.cast("long"), F.lit(_ORD_M)) * F.lit(_ORD_A),
+                  F.lit(_ORD_M))
+
+
+def sample_to_token_budget(
+    docs,
+    id_col: str,
+    text_col: str,
+    budget: int,
+):
+    """Deterministic corpus subset under a token budget: order docs by a
+    pseudorandom (but engine-reproducible) scramble of their id and keep
+    the maximal prefix whose cumulative whitespace-token count stays
+    within ``budget`` — how you cut a 100 TB corpus down to a target
+    training-token count reproducibly.
+
+    The cumulative sum runs through the two-pass range-bucket plan
+    (plans/ranks.global_cumsum) — no single-partition window, no sort of
+    the corpus; output keeps `tokens` and `cum_tokens` for auditing.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans import global_cumsum
+
+    base = docs.withColumn("tokens", token_count(text_col).cast("double")) \
+               .withColumn("__ord", order_scramble(id_col))
+    cum = global_cumsum(base, "__ord", ["tokens"])
+    return (
+        cum.where(F.col("cum_tokens") <= budget)
+        .withColumn("tokens", F.col("tokens").cast("long"))
+        .withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+        .drop("__ord")
+    )

@@ -431,3 +431,102 @@ def knn_from_target_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = K.is_knn_from(emb, "vec_id", "embedding", _TARGET64, k=10)
     return out.select("vec_id", _r(F.col("__d")).alias("dist"))
+
+
+# ------------------------------------------- round-3 pipeline operators
+
+@query("near_dup_cluster_dedup", f"""
+WITH RECURSIVE u AS ({_SQL_NEAR_DUP_UNION}), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM u
+), sh AS (
+  SELECT doc_id, unnest(s) AS g FROM shl
+), ln AS (
+  SELECT doc_id, len(s) AS n FROM shl
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN ln la ON la.doc_id = id_a JOIN ln lb ON lb.doc_id = id_b
+  WHERE c::DOUBLE / (la.n + lb.n - c) >= 0.6
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), comp AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+)
+SELECT u.doc_id FROM u LEFT JOIN comp ON u.doc_id = comp.id
+WHERE comp.id IS NULL OR comp.comp = u.doc_id
+""")
+def near_dup_cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (min-label propagation) →
+    keep the smallest-id member per cluster: the pair list becomes an
+    actual deduplicated corpus. Oracle: recursive-CTE transitive closure
+    over the same exact-Jaccard pair set."""
+    u = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
+    return D.canonical_dedup(u, "doc_id", pairs).select("doc_id")
+
+
+@query("decontaminate", r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS g FROM bench
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS g FROM corpus
+), hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n FROM dg JOIN bg USING (g) GROUP BY 1
+)
+SELECT c.doc_id,
+       COALESCE(hits.n, 0) AS n_contaminated_grams,
+       COALESCE(hits.n, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+""")
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word-3-gram
+    with the held-out 'benchmark' tenth of documents get flagged —
+    broadcast the benchmark gram set, semi-join scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    out = T.decontaminate(corpus, "doc_id", "text", bench, "text",
+                          n_gram=3, min_overlap=1)
+    return out.select("doc_id", "n_contaminated_grams", "contaminated")
+
+
+@query("token_budget_sample", r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS tokens,
+         (doc_id % 2147483647 * 2654435761) % 2147483647 AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY ord) AS cum
+  FROM t
+)
+SELECT doc_id, tokens::BIGINT AS tokens, cum::BIGINT AS cum_tokens
+FROM c WHERE cum <= 20000
+""")
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20k-token corpus subset: engine-reproducible id
+    scramble orders the docs, the two-pass range-bucket cumsum
+    (plans/ranks) accumulates tokens, prefix under budget survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.sample_to_token_budget(docs, "doc_id", "text", budget=20000)
+    return out.select("doc_id", "tokens", "cum_tokens")

@@ -1,0 +1,81 @@
+"""Round-3 training-pipeline operators: connected-component canonical
+dedup, benchmark decontamination, token-budget sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_connected_components_and_canonical_dedup(spark):
+    from polars_ds_extension_spark.operators.dedup import (
+        canonical_dedup, connected_components)
+
+    # components: {1,2,3,4} (chain), {7,9}, {5} isolated (not in pairs)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 7)], "id_a long, id_b long")
+    cc = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 5, 7, 9]],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in canonical_dedup(docs, "doc_id", pairs).collect())
+    assert kept == [1, 5, 7]  # min of each cluster + untouched isolate
+
+
+def test_connected_components_long_chain(spark):
+    from polars_ds_extension_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    cc = connected_components(pairs).collect()
+    assert {r["comp"] for r in cc} == {0}
+    assert len(cc) == n + 1
+
+
+def test_decontaminate(spark):
+    from polars_ds_extension_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a quick brown fox ran away"),      # shares "quick brown fox"
+         (2, "totally unrelated sentence here now"),
+         (3, "the quick brown fox jumps again")],  # shares 3 trigrams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(
+        docs, "doc_id", "text", bench, "text", n_gram=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 0
+    assert out[3]["n_contaminated_grams"] == 3
+
+
+def test_sample_to_token_budget(spark):
+    from polars_ds_extension_spark.operators.text import (
+        order_scramble, sample_to_token_budget)
+
+    rng = np.random.RandomState(2)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * int(rng.randint(5, 50)))) for i in range(200)],
+        "doc_id long, text string")
+    budget = 1000
+    out = sample_to_token_budget(docs, "doc_id", "text", budget).collect()
+    assert out
+    assert max(r["cum_tokens"] for r in out) <= budget
+    # deterministic: same subset on rerun
+    out2 = sample_to_token_budget(docs, "doc_id", "text", budget).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # cum matches a driver-side replay of the scramble order
+    toks = {r["doc_id"]: r["tokens"] for r in
+            docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+"))
+                        .alias("tokens")).collect()}
+    order = sorted(toks, key=lambda i: (i % 2147483647) * 2654435761 % 2147483647)
+    cum, keep = 0, set()
+    for i in order:
+        cum += toks[i]
+        if cum > budget:
+            break
+        keep.add(i)
+    assert {r["doc_id"] for r in out} == keep
