@@ -771,6 +771,109 @@ def add_at(df: DataFrame, idx: str, values: str) -> DataFrame:
         F.sum(to_col(values).cast("double")).alias("sum"))
 
 
+def _band2_ldl_solve(d0, d1, d2, rhs):
+    """Solve A x = rhs for symmetric positive-definite pentadiagonal A
+    given as bands (d0 main, d1 first sub, d2 second sub) via LDLᵀ with
+    bandwidth 2 — O(n) time and memory, no dense matrix."""
+    import numpy as np
+
+    n = d0.size
+    if n == 1:
+        return rhs / d0
+    if n == 2:
+        det = d0[0] * d0[1] - d1[0] * d1[0]
+        return np.array([
+            (d0[1] * rhs[0] - d1[0] * rhs[1]) / det,
+            (d0[0] * rhs[1] - d1[0] * rhs[0]) / det,
+        ])
+    D = np.empty(n)
+    L1 = np.zeros(n - 1)
+    L2 = np.zeros(n - 2)
+    D[0] = d0[0]
+    L1[0] = d1[0] / D[0]
+    D[1] = d0[1] - L1[0] ** 2 * D[0]
+    for i in range(2, n):
+        L2[i - 2] = d2[i - 2] / D[i - 2]
+        L1[i - 1] = (d1[i - 1] - L1[i - 2] * L2[i - 2] * D[i - 2]) / D[i - 1]
+        D[i] = d0[i] - L1[i - 1] ** 2 * D[i - 1] - L2[i - 2] ** 2 * D[i - 2]
+    z = np.empty(n)
+    z[0] = rhs[0]
+    z[1] = rhs[1] - L1[0] * z[0]
+    for i in range(2, n):
+        z[i] = rhs[i] - L1[i - 1] * z[i - 1] - L2[i - 2] * z[i - 2]
+    x = np.empty(n)
+    x[-1] = z[-1] / D[-1]
+    x[-2] = z[-2] / D[-2] - L1[-1] * x[-1]
+    for i in range(n - 3, -1, -1):
+        x[i] = z[i] / D[i] - L1[i] * x[i + 1] - L2[i] * x[i + 2]
+    return x
+
+
+def smooth_spline_natural(df: DataFrame, x: str, y: str,
+                          by: Sequence[str] | None = None,
+                          lam: float = 1.0,
+                          out_name: str = "smoothed") -> DataFrame:
+    """Natural cubic smoothing spline f minimizing
+    Σ(y−f(x))² + λ∫f″² — the REFERENCE's smooth_spline semantics
+    (ref exprs/expr_spline.py:13, maths/smooth_spline.md; Reinsch 1967),
+    on arbitrarily-spaced strictly-increasing x.
+
+    Reinsch algorithm per ordered series: build tridiagonal R and
+    second-difference Q from the knot gaps h, solve the pentadiagonal
+    SPD system (R + λQᵀQ)γ = Qᵀy in O(n) (banded LDLᵀ), then
+    g = y − λQγ. λ→0 interpolates; λ→∞ tends to the least-squares line.
+    Whole-series kernel per group via applyInPandas (the same contract
+    as the reference's in-memory Rust kernel).
+    Output: ``by`` + __x + __y + out_name, one row per input row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(by) if by else []
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{k} {key_types[k]}" for k in keys) + (", " if keys else "")
+              + f"__x double, __y double, {out_name} double")
+
+    def _reinsch(xv: "np.ndarray", yv: "np.ndarray") -> "np.ndarray":
+        n = yv.size
+        if n < 3 or lam == 0.0:
+            return yv.copy()
+        h = np.diff(xv)  # strictly increasing x required (ref contract)
+        m = n - 2
+        # R (tridiag, m×m) and QᵀQ (pentadiag) bands from the gaps
+        r0 = (h[:-1] + h[1:]) / 3.0
+        r1 = h[1:-1] / 6.0
+        inv = 1.0 / h
+        c_mid = -(inv[:-1] + inv[1:])          # c_k[k+1]
+        q0 = inv[:-1] ** 2 + c_mid ** 2 + inv[1:] ** 2
+        q1 = c_mid[:-1] * inv[1:-1] + inv[1:-1] * c_mid[1:]
+        q2 = inv[1:-2] * inv[2:-1] if m > 2 else np.empty(0)
+        d0 = r0 + lam * q0
+        d1 = (r1 + lam * q1) if m > 1 else np.empty(0)
+        d2 = lam * q2 if m > 2 else np.zeros(max(m - 2, 0))
+        rhs = yv[:-2] * inv[:-1] + yv[1:-1] * c_mid + yv[2:] * inv[1:]
+        gamma = _band2_ldl_solve(d0, d1, d2, rhs)
+        # g = y − λ Q γ  (Q columns have support {k, k+1, k+2})
+        qg = np.zeros(n)
+        qg[:-2] += inv[:-1] * gamma
+        qg[1:-1] += c_mid * gamma
+        qg[2:] += inv[1:] * gamma
+        return yv - lam * qg
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__x").reset_index(drop=True)
+        pdf[out_name] = _reinsch(pdf["__x"].to_numpy(dtype="float64"),
+                                 pdf["__y"].to_numpy(dtype="float64"))
+        return pdf
+
+    step = df.select(*keys, to_col(x).cast("double").alias("__x"),
+                     to_col(y).cast("double").alias("__y"))
+    if keys:
+        return step.groupBy(*keys).applyInPandas(_apply, schema)
+    return step.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _apply(pdf.drop(columns="__g")), schema)
+
+
 def smooth_spline(df: DataFrame, y: str, order_by,
                   by: Sequence[str] | None = None,
                   lam: float = 10.0, out_name: str = "smoothed") -> DataFrame:
@@ -816,31 +919,7 @@ def smooth_spline(df: DataFrame, y: str, order_by,
         d1[0] = -2.0 * lam
         d1[-1] = -2.0 * lam
         d2 = np.full(n - 2, lam)
-        # banded Cholesky A = L D L' (bandwidth 2)
-        D = np.empty(n)
-        L1 = np.zeros(n - 1)
-        L2 = np.zeros(n - 2)
-        D[0] = d0[0]
-        L1[0] = d1[0] / D[0]
-        if n > 2:
-            D[1] = d0[1] - L1[0] ** 2 * D[0]
-        for i in range(2, n):
-            L2[i - 2] = d2[i - 2] / D[i - 2]
-            L1[i - 1] = (d1[i - 1] - L1[i - 2] * L2[i - 2] * D[i - 2]) / D[i - 1]
-            D[i] = d0[i] - L1[i - 1] ** 2 * D[i - 1] - L2[i - 2] ** 2 * D[i - 2]
-        # forward: L z = y
-        z = np.empty(n)
-        z[0] = yv[0]
-        z[1] = yv[1] - L1[0] * z[0]
-        for i in range(2, n):
-            z[i] = yv[i] - L1[i - 1] * z[i - 1] - L2[i - 2] * z[i - 2]
-        # diag + backward: L' f = D^-1 z
-        f = np.empty(n)
-        f[-1] = z[-1] / D[-1]
-        f[-2] = z[-2] / D[-2] - L1[-1] * f[-1]
-        for i in range(n - 3, -1, -1):
-            f[i] = z[i] / D[i] - L1[i] * f[i + 1] - L2[i] * f[i + 2]
-        return f
+        return _band2_ldl_solve(d0, d1, d2, yv)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__o").reset_index(drop=True)

@@ -788,3 +788,16 @@ def smooth_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = N.smooth_spline(ev, "value", "event_id", by=["event_type"], lam=25.0)
     return out.select(F.col("__o").alias("event_id"),
                       _r(F.col("smoothed")).alias("smoothed"))
+
+
+@query("smooth_spline_natural")
+def smooth_spline_natural_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural cubic smoothing spline (Reinsch — the reference's exact
+    smooth_spline semantics, ref expr_spline.py:13) of each event_type's
+    value series over event_id knots. Rows-only; dense (I+λK)⁻¹y parity
+    and λ-limit tests in tests/test_tails.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = N.smooth_spline_natural(ev, "event_id", "value",
+                                  by=["event_type"], lam=25.0)
+    return out.select(F.col("__x").alias("event_id"),
+                      _r(F.col("smoothed")).alias("smoothed"))

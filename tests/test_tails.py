@@ -376,3 +376,57 @@ def test_dia_plot_data(spark):
     # corr / dependency payloads are DataFrames now, not raises
     assert "column" in dia.plot_corr(["x"]).columns
     assert dia.plot_dependency(["x", "g"]).count() >= 0
+
+
+def test_smooth_spline_natural(spark):
+    """Reinsch banded solve == dense (I + λK)⁻¹y with K = Q R⁻¹ Qᵀ
+    (maths/smooth_spline.md), plus the λ limits, on uneven x."""
+    import numpy as np
+
+    from polars_ds_extension_spark.functions import num as N
+
+    rng = np.random.RandomState(4)
+    n = 60
+    x = np.sort(rng.uniform(0, 10, n))
+    x += np.arange(n) * 1e-6  # strictly increasing
+    y = np.sin(x) + rng.normal(0, 0.15, n)
+    sdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double")
+
+    lam = 2.5
+    got = (N.smooth_spline_natural(sdf, "x", "y", lam=lam)
+           .orderBy("__x").toPandas()["smoothed"].to_numpy())
+
+    # dense oracle
+    h = np.diff(x)
+    m = n - 2
+    R = np.zeros((m, m))
+    for k in range(m):
+        R[k, k] = (h[k] + h[k + 1]) / 3
+        if k + 1 < m:
+            R[k, k + 1] = R[k + 1, k] = h[k + 1] / 6
+    Q = np.zeros((n, m))
+    for k in range(m):
+        Q[k, k] = 1 / h[k]
+        Q[k + 1, k] = -(1 / h[k] + 1 / h[k + 1])
+        Q[k + 2, k] = 1 / h[k + 1]
+    K = Q @ np.linalg.solve(R, Q.T)
+    expect = np.linalg.solve(np.eye(n) + lam * K, y)
+    assert np.allclose(got, expect, atol=1e-8)
+
+    # λ→0 interpolates
+    f0 = (N.smooth_spline_natural(sdf, "x", "y", lam=0.0)
+          .orderBy("__x").toPandas()["smoothed"].to_numpy())
+    assert np.allclose(f0, y)
+
+    # λ→∞ → least-squares line
+    finf = (N.smooth_spline_natural(sdf, "x", "y", lam=1e12)
+            .orderBy("__x").toPandas()["smoothed"].to_numpy())
+    A = np.vstack([x, np.ones(n)]).T
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert np.allclose(finf, A @ coef, atol=1e-3)
+
+    # grouped path
+    sdf2 = sdf.withColumn("g", (F.col("x") > 5).cast("int"))
+    out2 = N.smooth_spline_natural(sdf2, "x", "y", by=["g"], lam=lam)
+    assert out2.count() == n
