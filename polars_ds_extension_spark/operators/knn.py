@@ -265,13 +265,18 @@ def ann_lsh_join(
         .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
         .select("t", "sig")
     )
-    sigs = sigs.join(ok, ["t", "sig"], "left_semi")
-    a = sigs.select("t", "sig", F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
-    b = sigs.select("t", "sig", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    sigs = sigs.join(ok, ["t", "sig"], "left_semi") \
+        .withColumn("__n", norm(F.col("__vec")))
+    a = sigs.select("t", "sig", F.col("__id").alias("id_a"),
+                    F.col("__vec").alias("__va"), F.col("__n").alias("__na"))
+    b = sigs.select("t", "sig", F.col("__id").alias("id_b"),
+                    F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"))
     cand = (
         a.join(b, ["t", "sig"])
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .select("id_a", "id_b",
+                (dot(F.col("__va"), F.col("__vb"))
+                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
         .groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine"))
     )
     if min_cosine is not None:
@@ -425,14 +430,22 @@ def ivf_knn_join(
         ).drop("__cn")
     else:
         tagged = tagged.withColumn("__salt", F.lit(0))
+    # norms ride as a per-ROW column so the pair stage does ONE array fold
+    # (dot) instead of three — dot/(na·nb) is bit-identical to cosine()
+    # (same inputs, same op order), so oracle values don't move
+    tagged = tagged.withColumn("__n", norm(F.col("__vec")))
     a = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+                      F.col("__n").alias("__na"))
     b = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+                      F.col("__n").alias("__nb"))
     cand = (
         a.join(b, ["__c", "__salt"])
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .select("id_a", "id_b",
+                (dot(F.col("__va"), F.col("__vb"))
+                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
