@@ -146,11 +146,44 @@ def recursive_lin_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", _r(F.col("recursive_slope")).alias("recursive_slope")))
 
 
-@query("logistic_reg")
+def _logistic_irls_sql(n_iters: int = 8) -> str:
+    """Unrolled IRLS as chained CTEs: iteration i aggregates X'WX and
+    X'(y−p) with β from CTE i−1 (constant 1-row cross join) and takes a
+    Newton step via an explicit 3×3 Cramer solve. Newton converges to
+    |step|<1e-10 well inside 8 iterations, so running the full unroll in
+    DuckDB lands on the same fixpoint to far beyond 6 dp."""
+    ctes = ["d AS (SELECT l_quantity::DOUBLE AS x1, l_tax::DOUBLE AS x2, "
+            "(l_discount > 0.05)::INT::DOUBLE AS y FROM lineitem)",
+            "b0 AS (SELECT 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)"]
+    for i in range(1, n_iters + 1):
+        p = f"(1.0 / (1.0 + EXP(-(b.b1*x1 + b.b2*x2 + b.b3))))"
+        ctes.append(f"""a{i} AS (
+  SELECT SUM({p}*(1-{p})*x1*x1) AS h11, SUM({p}*(1-{p})*x1*x2) AS h12,
+         SUM({p}*(1-{p})*x1) AS h13, SUM({p}*(1-{p})*x2*x2) AS h22,
+         SUM({p}*(1-{p})*x2) AS h23, SUM({p}*(1-{p})) AS h33,
+         SUM((y-{p})*x1) AS g1, SUM((y-{p})*x2) AS g2, SUM(y-{p}) AS g3,
+         MAX(b.b1) AS b1, MAX(b.b2) AS b2, MAX(b.b3) AS b3
+  FROM d, b{i-1} b)""")
+        ctes.append(f"""b{i} AS (
+  SELECT b1 + ( g1*(h22*h33-h23*h23) - h12*(g2*h33-h23*g3) + h13*(g2*h23-h22*g3))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b1,
+         b2 + (h11*(g2*h33-h23*g3) - g1*(h12*h33-h23*h13) + h13*(h12*g3-g2*h13))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b2,
+         b3 + (h11*(h22*g3-g2*h23) - h12*(h12*g3-g2*h13) + g1*(h12*h23-h22*h13))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b3
+  FROM a{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT ROUND(b1, 6) AS coef_quantity, ROUND(b2, 6) AS coef_tax, "
+              f"ROUND(b3, 6) AS intercept FROM b{n_iters}")
+
+
+@query("logistic_reg", _logistic_irls_sql())
 def logistic_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRLS logistic regression (ref expr_linear.py:277): one sufficient-
-    statistics aggregation per Newton iteration. Rows-only driver check
-    (iterative — not SQL-expressible); numpy parity in tests/test_linear.py."""
+    statistics aggregation per Newton iteration. Oracle: the SAME 8
+    Newton steps unrolled as chained DuckDB CTEs with Cramer 3×3 solves
+    — both engines land on the identical fixpoint. numpy parity in
+    tests/test_linear.py."""
     li = load_table(spark, sf_dir, "lineitem")
     df = li.withColumn("__y", (F.col("l_discount") > 0.05).cast("double"))
     beta = L.logistic_reg(df, ["l_quantity", "l_tax"], "__y", n_iters=8)

@@ -350,10 +350,35 @@ def permute_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", _r(F.col("permute_entropy")).alias("permute_entropy"))
 
 
-@query("similar_count")
+@query("similar_count", """
+WITH s AS (
+  SELECT event_type, value::DOUBLE AS v,
+         LEAD(value::DOUBLE, 1) OVER w AS v1,
+         LEAD(value::DOUBLE, 2) OVER w AS v2,
+         LEAD(value::DOUBLE, 3) OVER w AS v3,
+         LEAD(value::DOUBLE, 4) OVER w AS v4,
+         LEAD(value::DOUBLE, 5) OVER w AS v5,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+), ref AS (
+  SELECT event_type, v AS r0, v1 AS r1, v2 AS r2, v3 AS r3, v4 AS r4, v5 AS r5
+  FROM s WHERE rn = 1
+)
+SELECT s.event_type,
+  SUM(CASE WHEN s.rn > 1 AND s.rn <= s.n - 5 AND SQRT(
+        (s.v-ref.r0)*(s.v-ref.r0) + (s.v1-ref.r1)*(s.v1-ref.r1)
+      + (s.v2-ref.r2)*(s.v2-ref.r2) + (s.v3-ref.r3)*(s.v3-ref.r3)
+      + (s.v4-ref.r4)*(s.v4-ref.r4) + (s.v5-ref.r5)*(s.v5-ref.r5)
+      ) <= 60.0 THEN 1 ELSE 0 END)::BIGINT AS similar_count
+FROM s JOIN ref ON s.event_type = ref.event_type
+GROUP BY s.event_type
+""")
 def similar_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-similarity count (windows within eps of the leading window,
-    ref ts_features.py:239) per event_type. Rows-only; numpy parity in
+    ref ts_features.py:239) per event_type. Oracle: LEAD-expanded
+    windows vs the rn=1 reference window; numpy parity in
     tests/test_tails.py."""
     ev = load_table(spark, sf_dir, "events")
     out = TS.query_similar_count(ev, "value", "event_id", by=["event_type"],
@@ -444,11 +469,34 @@ def dist_kth_nb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _r(F.col("kth_dist")).alias("kth_dist"))
 
 
-@query("glm_poisson")
+def _poisson_irls_sql(n_iters: int = 12) -> str:
+    """Unrolled Poisson-IRLS oracle: per iteration one aggregate of
+    X'WX / X'(y−μ) with μ = exp(η) and a 2×2 Cramer Newton step —
+    mirrors functions/linear.glm exactly (fixpoint way below 6 dp)."""
+    ctes = ["d AS (SELECT (l_quantity/10.0)::DOUBLE AS x, "
+            "l_linenumber::DOUBLE AS y FROM lineitem)",
+            "b0 AS (SELECT 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, n_iters + 1):
+        mu = "EXP(b.b1*x + b.b2)"
+        ctes.append(f"""a{i} AS (
+  SELECT SUM({mu}*x*x) AS h11, SUM({mu}*x) AS h12, SUM({mu}) AS h22,
+         SUM((y-{mu})*x) AS g1, SUM(y-{mu}) AS g2,
+         MAX(b.b1) AS b1, MAX(b.b2) AS b2
+  FROM d, b{i-1} b)""")
+        ctes.append(f"""b{i} AS (
+  SELECT b1 + (g1*h22 - h12*g2) / (h11*h22 - h12*h12) AS b1,
+         b2 + (h11*g2 - g1*h12) / (h11*h22 - h12*h12) AS b2
+  FROM a{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT ROUND(b1, 6) AS coef_x, ROUND(b2, 6) AS intercept "
+              f"FROM b{n_iters}")
+
+
+@query("glm_poisson", _poisson_irls_sql())
 def glm_poisson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson GLM (log link) via IRLS on sufficient statistics (ref
-    linear_models.py:698). Rows-only (iterative); numpy-IRLS parity in
-    tests/test_linear.py."""
+    linear_models.py:698). Oracle: the same 12 Newton steps unrolled as
+    DuckDB CTEs (2×2 Cramer); numpy-IRLS parity in tests/test_linear.py."""
     from .functions import linear as L
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -459,11 +507,40 @@ def glm_poisson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(beta[0], 6), round(beta[1], 6))], "coef_x double, intercept double")
 
 
-@query("knn_entropy")
+@query("knn_entropy", """
+WITH s AS (
+  SELECT event_type, value::DOUBLE AS v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), d AS (
+  SELECT event_type, n,
+    GREATEST(list_sort([
+      COALESCE(v - LAG(v, 1)  OVER w, 1e308),
+      COALESCE(v - LAG(v, 2)  OVER w, 1e308),
+      COALESCE(v - LAG(v, 3)  OVER w, 1e308),
+      COALESCE(LEAD(v, 1) OVER w - v, 1e308),
+      COALESCE(LEAD(v, 2) OVER w - v, 1e308),
+      COALESCE(LEAD(v, 3) OVER w - v, 1e308)
+    ])[3], 1e-300) AS r
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY v)
+), hh AS (
+  SELECT t.event_type, SUM(1.0 / g.i) AS harm
+  FROM (SELECT DISTINCT event_type, n FROM s) t,
+       LATERAL (SELECT unnest(generate_series(1, t.n - 1)) AS i) g
+  GROUP BY t.event_type
+)
+SELECT d.event_type,
+       ROUND(MAX(hh.harm) - 1.5 + AVG(LN(2.0 * d.r)), 6) AS knn_entropy
+FROM d JOIN hh ON d.event_type = hh.event_type
+GROUP BY d.event_type
+""")
 def knn_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Kozachenko-Leonenko differential entropy per event_type (ref
-    ts_features.py knn_entropy). Rows-only; estimator accuracy verified
-    vs closed-form uniform/normal entropies in tests/test_tails.py."""
+    ts_features.py knn_entropy). Oracle: r_k from sorted LAG/LEAD
+    windows + the exact integer-digamma identity
+    ψ(n) − ψ(3) = H_{n−1} − 3/2. Estimator accuracy also verified vs
+    closed-form uniform/normal entropies in tests/test_tails.py."""
     ev = load_table(spark, sf_dir, "events")
     out = TS.query_knn_entropy(ev, "value", "event_id", by=["event_type"], k=3)
     return out.select("event_type", _r(F.col("knn_entropy")).alias("knn_entropy"))
