@@ -42,6 +42,19 @@ def group_window(by: Sequence | None) -> WindowSpec:
     return Window.partitionBy()
 
 
+def with_global_totals(df, **aggs: Column):
+    """Attach global scalar aggregates as literal-like columns via one
+    agg + broadcast cross-join.
+
+    The scale-safe replacement for ``F.sum(c).over(Window.partitionBy())``
+    on an unbounded frame: the aggregate is map-side combinable (partial
+    per partition, one tiny merge), whereas the empty window funnels every
+    row through a SinglePartition exchange before summing.
+    """
+    tot = df.agg(*[a.alias(n) for n, a in aggs.items()])
+    return df.crossJoin(F.broadcast(tot))
+
+
 def ordered_window(order_by, by: Sequence | None = None, desc: bool = False) -> WindowSpec:
     ob = to_col(order_by)
     ob = ob.desc() if desc else ob.asc()

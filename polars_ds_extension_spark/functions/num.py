@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .._utils import to_col, to_cols, group_window, ordered_window
+from .._utils import (to_col, to_cols, group_window, ordered_window,
+                      with_global_totals)
 
 __all__ = [
     "l_inf_horizontal", "l2_sq_horizontal", "l1_horizontal",
@@ -453,11 +454,12 @@ def psi_discrete(df_new: DataFrame, df_base: DataFrame, x: str,
     base_cnt = df_base.groupBy(F.col(x).cast("string").alias("cat")).agg(
         F.count(F.lit(1)).alias("cnt_base")
     )
-    joined = new_cnt.join(base_cnt, "cat", "full_outer")
-    tot_new = F.sum("cnt_new").over(Window.partitionBy())
-    tot_base = F.sum("cnt_base").over(Window.partitionBy())
-    p_new = F.coalesce(F.col("cnt_new") / tot_new, F.lit(imputed_pct))
-    p_base = F.coalesce(F.col("cnt_base") / tot_base, F.lit(imputed_pct))
+    joined = with_global_totals(
+        new_cnt.join(base_cnt, "cat", "full_outer"),
+        __tot_new=F.sum("cnt_new"), __tot_base=F.sum("cnt_base"),
+    )
+    p_new = F.coalesce(F.col("cnt_new") / F.col("__tot_new"), F.lit(imputed_pct))
+    p_base = F.coalesce(F.col("cnt_base") / F.col("__tot_base"), F.lit(imputed_pct))
     per_bin = (p_new - p_base) * F.log(p_new / p_base)
     return joined.select(per_bin.alias("psi_bin")).agg(F.sum("psi_bin").alias("psi"))
 
@@ -505,9 +507,10 @@ def woe_discrete(df: DataFrame, x: str, target: str) -> DataFrame:
         F.sum(t).alias("ev"),
         F.sum(F.lit(1.0) - t).alias("nonev"),
     )
-    w = Window.partitionBy()
-    ev_r = (F.col("ev") + 1) / F.sum(F.col("ev") + 1).over(w)
-    ne_r = (F.col("nonev") + 1) / F.sum(F.col("nonev") + 1).over(w)
+    agg = with_global_totals(agg, __tot_ev=F.sum(F.col("ev") + 1),
+                             __tot_ne=F.sum(F.col("nonev") + 1))
+    ev_r = (F.col("ev") + 1) / F.col("__tot_ev")
+    ne_r = (F.col("nonev") + 1) / F.col("__tot_ne")
     return agg.select(F.col("value"), F.log(ne_r / ev_r).alias("woe"))
 
 
@@ -528,9 +531,10 @@ def info_value_discrete(df: DataFrame, x: str, target: str,
         F.sum(t).alias("ev"),
         F.sum(F.lit(1.0) - t).alias("nonev"),
     )
-    w = Window.partitionBy()
-    ev_r = (F.col("ev") + 1) / F.sum(F.col("ev") + 1).over(w)
-    ne_r = (F.col("nonev") + 1) / F.sum(F.col("nonev") + 1).over(w)
+    agg = with_global_totals(agg, __tot_ev=F.sum(F.col("ev") + 1),
+                             __tot_ne=F.sum(F.col("nonev") + 1))
+    ev_r = (F.col("ev") + 1) / F.col("__tot_ev")
+    ne_r = (F.col("nonev") + 1) / F.col("__tot_ne")
     per = agg.select(F.col("value"), ((ne_r - ev_r) * F.log(ne_r / ev_r)).alias("iv"))
     if return_sum:
         return per.agg(F.sum("iv").alias("iv"))
@@ -560,9 +564,9 @@ def target_encode(df: DataFrame, x: str, target: str,
     agg = df.groupBy(F.col(x).cast("string").alias("value")).agg(
         F.count(F.lit(1)).alias("cnt"), F.mean(t).alias("level_mean")
     )
-    gm = F.sum(F.col("cnt") * F.col("level_mean")).over(Window.partitionBy()) / F.sum("cnt").over(
-        Window.partitionBy()
-    )
+    agg = with_global_totals(agg, __tot_t=F.sum(F.col("cnt") * F.col("level_mean")),
+                             __tot_n=F.sum("cnt"))
+    gm = F.col("__tot_t") / F.col("__tot_n")
     s = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-(F.col("cnt") - F.lit(float(min_samples_leaf))) / F.lit(smoothing))
     )

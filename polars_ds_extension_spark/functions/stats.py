@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .._utils import to_col, group_window, ordered_window
+from .._utils import to_col, group_window, ordered_window, with_global_totals
 
 
 def _sf2(fn, a: Column, b: Column) -> Column:
@@ -253,6 +253,34 @@ def normal_test(x) -> Column:
     return F.struct(k2.alias("statistic"), pval.alias("pvalue"))
 
 
+def kaplan_meier(df: DataFrame, time: str, event: str,
+                 n_parts: int | None = None) -> DataFrame:
+    """Kaplan-Meier survival estimator S(t) over event times.
+
+    Ref exprs/survival.py:11 (query_kaplan_meier). Distributed shape:
+    one groupBy(time) reduces to per-time (deaths, at-risk-delta)
+    partials; both cumulatives — the reverse at-risk count and the
+    forward log-survival product — run through the two-pass range-bucket
+    prefix plan (plans/ranks.global_cumsum). Distinct event times are
+    unbounded for continuous time, so no single-partition ordered window
+    appears anywhere in the plan.
+    Output: (<time>, survival), one row per time with d_t < n_t.
+    """
+    from ..plans import global_cumsum
+    d = to_col(event).cast("double")
+    at_risk = df.groupBy(to_col(time).alias("__t")).agg(
+        F.sum(d).alias("__d"),
+        F.count(F.lit(1)).cast("double").alias("__c"),
+    ).withColumn("__negt", -F.col("__t"))
+    km = global_cumsum(at_risk, "__negt", ["__c"], n_parts=n_parts) \
+        .withColumnRenamed("cum___c", "__n")
+    km = km.where(F.col("__d") < F.col("__n")).withColumn(
+        "__lg", F.log(1.0 - F.col("__d") / F.col("__n")))
+    out = global_cumsum(km, "__t", ["__lg"], n_parts=n_parts)
+    return out.select(F.col("__t").alias(time),
+                      F.exp(F.col("cum___lg")).alias("survival"))
+
+
 def winsorize(x, lower: float = 0.05, upper: float = 0.95,
               by: Sequence | None = None) -> Column:
     """Percentile clip within the group (windowed). Ref stats.py:375.
@@ -418,10 +446,10 @@ def chi2(df: DataFrame, var1: str, var2: str) -> DataFrame:
     table. Output: one row `statistic`, `dof`.
     """
     obs = df.groupBy(var1, var2).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    obs = with_global_totals(obs, __tot=F.sum("o"))
     w1 = Window.partitionBy(var1)
     w2 = Window.partitionBy(var2)
-    wa = Window.partitionBy()
-    e = F.sum("o").over(w1) * F.sum("o").over(w2) / F.sum("o").over(wa)
+    e = F.sum("o").over(w1) * F.sum("o").over(w2) / F.col("__tot")
     cells = obs.select(
         ((F.col("o") - e) * (F.col("o") - e) / e).alias("cell"),
         F.col(var1), F.col(var2),
@@ -451,10 +479,11 @@ def f_test(df: DataFrame, x: str, group: str) -> DataFrame:
         F.sum(to_col(x)).alias("s"),
         F.sum(to_col(x) * to_col(x)).alias("ss"),
     )
-    w = Window.partitionBy()
-    grand_n = F.sum("n").over(w)
-    grand_s = F.sum("s").over(w)
-    k = F.count(F.lit(1)).over(w).cast("double")
+    lev = with_global_totals(lev, __gn=F.sum("n"), __gs=F.sum("s"),
+                             __k=F.count(F.lit(1)).cast("double"))
+    grand_n = F.col("__gn")
+    grand_s = F.col("__gs")
+    k = F.col("__k")
     between_cell = F.col("s") * F.col("s") / F.col("n")
     within_cell = F.col("ss") - between_cell
     lev2 = lev.select(

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .._utils import to_col, group_window, ordered_window
+from .._utils import to_col, group_window, ordered_window, with_global_totals
 
 __all__ = [
     "query_mid_range", "query_symm_ratio", "query_abs_energy", "query_cv",
@@ -118,8 +118,13 @@ def query_entropy(df: DataFrame, x: str, base: float | None = None,
 
     keys = list(by) if by else []
     vc = df.groupBy(*keys, to_col(x).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
-    w = group_window(keys or None)
-    p = F.col("__c") / F.sum("__c").over(w)
+    if keys:
+        p = F.col("__c") / F.sum("__c").over(group_window(keys))
+    else:
+        # distinct-value frame is unbounded for continuous x: scalar agg +
+        # broadcast join, not an empty-partition window
+        vc = with_global_totals(vc, __tot=F.sum("__c"))
+        p = F.col("__c") / F.col("__tot")
     step = vc.select(*keys, (-p * F.log(p)).alias("__e"))
     e = F.sum("__e")
     if base is not None:
@@ -136,9 +141,12 @@ def query_cond_entropy(df: DataFrame, x: str, y: str,
     joint = df.groupBy(*keys, to_col(x).alias("__x"), to_col(y).alias("__y")).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    wall = group_window(keys or None)
     wy = Window.partitionBy(*(keys + ["__y"])) if keys else Window.partitionBy("__y")
-    p_xy = F.col("__c") / F.sum("__c").over(wall)
+    if keys:
+        p_xy = F.col("__c") / F.sum("__c").over(group_window(keys))
+    else:
+        joint = with_global_totals(joint, __tot=F.sum("__c"))
+        p_xy = F.col("__c") / F.col("__tot")
     p_x_given_y = F.col("__c") / F.sum("__c").over(wy)
     step = joint.select(*keys, (-p_xy * F.log(p_x_given_y)).alias("__e"))
     agg = F.sum("__e").alias("cond_entropy")
@@ -487,8 +495,11 @@ def query_permute_entropy(df: DataFrame, x: str, order_by,
     step = df.select(*keys, pat.alias("__p"), c.alias("__c")) \
         .where(F.col("__c").isNotNull())
     cnt = step.groupBy(*keys, "__p").agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    tot = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    p = F.col("__n") / F.sum("__n").over(tot)
+    if keys:
+        p = F.col("__n") / F.sum("__n").over(Window.partitionBy(*keys))
+    else:
+        cnt = with_global_totals(cnt, __tot=F.sum("__n"))
+        p = F.col("__n") / F.col("__tot")
     ent = cnt.select(*keys, (-p * F.log(p)).alias("__e"))
     agg = [F.sum("__e").alias("permute_entropy")]
     return ent.groupBy(*keys).agg(*agg) if keys else ent.agg(*agg)
@@ -615,8 +626,11 @@ def query_copula_entropy(df: DataFrame, x: str, y: str,
         pre = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
         step = global_min_rank(pre, "__x", out_name="__rx")
         step = global_min_rank(step, "__y", out_name="__ry")
-    gw = group_window(keys or None)
-    nrow = F.count(F.lit(1)).over(gw).cast("double")
+    if keys:
+        nrow = F.count(F.lit(1)).over(group_window(keys)).cast("double")
+    else:
+        step = with_global_totals(step, __nrow=F.count(F.lit(1)).cast("double"))
+        nrow = F.col("__nrow")
     bx = F.least(F.ceil(F.col("__rx") / nrow * bins).cast("int"), F.lit(bins))
     bny = F.least(F.ceil(F.col("__ry") / nrow * bins).cast("int"), F.lit(bins))
     binned = step.select(*keys, bx.alias("__i"), bny.alias("__j"))
@@ -624,9 +638,12 @@ def query_copula_entropy(df: DataFrame, x: str, y: str,
         F.count(F.lit(1)).cast("double").alias("__n"))
     wi = Window.partitionBy(*keys, "__i") if keys else Window.partitionBy("__i")
     wj = Window.partitionBy(*keys, "__j") if keys else Window.partitionBy("__j")
-    wall = group_window(keys or None)
     n = F.col("__n")
-    tot = F.sum(n).over(wall)
+    if keys:
+        tot = F.sum(n).over(group_window(keys))
+    else:
+        joint = with_global_totals(joint, __tot=F.sum("__n"))
+        tot = F.col("__tot")
     term = n * F.log(n * tot / (F.sum(n).over(wi) * F.sum(n).over(wj)))
     cells = joint.select(*keys, term.alias("__t"), n.alias("__n"))
     aggs = [(-F.sum("__t") / F.sum("__n")).alias("copula_entropy")]
@@ -646,12 +663,24 @@ def query_cond_indep(df: DataFrame, x: str, y: str, z: str,
     Output: ``by`` + cmi.
     """
     keys = list(by) if by else []
-    gw = group_window(keys or None)
     xx, yy, zz = [to_col(c).cast("double") for c in (x, y, z)]
-    bx = _equal_width_bin(xx, F.min(xx).over(gw), F.max(xx).over(gw), bins)
-    by2 = _equal_width_bin(yy, F.min(yy).over(gw), F.max(yy).over(gw), bins)
-    bz = _equal_width_bin(zz, F.min(zz).over(gw), F.max(zz).over(gw), bins)
-    step = df.select(*keys, bx.alias("__x"), by2.alias("__y"), bz.alias("__z"))
+    sel = df.select(*keys, xx.alias("__xv"), yy.alias("__yv"), zz.alias("__zv"))
+    if keys:
+        gw = group_window(keys)
+        lims = {c: (F.min(c).over(gw), F.max(c).over(gw))
+                for c in ("__xv", "__yv", "__zv")}
+    else:
+        sel = with_global_totals(
+            sel,
+            **{f"__mn{c}": F.min(c) for c in ("__xv", "__yv", "__zv")},
+            **{f"__mx{c}": F.max(c) for c in ("__xv", "__yv", "__zv")},
+        )
+        lims = {c: (F.col(f"__mn{c}"), F.col(f"__mx{c}"))
+                for c in ("__xv", "__yv", "__zv")}
+    bx = _equal_width_bin(F.col("__xv"), *lims["__xv"], bins)
+    by2 = _equal_width_bin(F.col("__yv"), *lims["__yv"], bins)
+    bz = _equal_width_bin(F.col("__zv"), *lims["__zv"], bins)
+    step = sel.select(*keys, bx.alias("__x"), by2.alias("__y"), bz.alias("__z"))
     joint = step.groupBy(*keys, "__x", "__y", "__z").agg(
         F.count(F.lit(1)).cast("double").alias("__n"))
     wz = Window.partitionBy(*keys, "__z") if keys else Window.partitionBy("__z")

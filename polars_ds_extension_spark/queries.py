@@ -939,24 +939,16 @@ SELECT t::BIGINT AS t, ROUND(EXP(SUM(LN(1 - d_t/n_t)) OVER (ORDER BY t)), 6) AS 
 FROM km WHERE d_t < n_t
 """)
 def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier estimator. Ref exprs/survival.py:11. Distributed:
-    per-time-bucket death/at-risk counts (one groupBy) + reverse
-    cumulative window + cumulative log-product window."""
+    """Kaplan-Meier estimator via the scale-safe stats.kaplan_meier
+    (two-pass prefix plans for both cumulatives — distinct event times
+    never funnel through one partition). Ref exprs/survival.py:11."""
     ev = load_table(spark, sf_dir, "events").select(
         (F.floor(F.col("value") / 20) * 20).alias("t"),
         (F.col("event_type") == "error").cast("int").alias("d"),
     )
-    at_risk = ev.groupBy("t").agg(
-        F.sum("d").cast("double").alias("d_t"),
-        F.count(F.lit(1)).cast("double").alias("c_t"),
-    )
-    w_desc = Window.orderBy(F.col("t").desc()).rangeBetween(Window.unboundedPreceding, 0)
-    km = at_risk.select("t", "d_t", F.sum("c_t").over(w_desc).alias("n_t"))
-    w_asc = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
-    out = km.where(F.col("d_t") < F.col("n_t")).select(
-        "t", _r(F.exp(F.sum(F.log(1 - F.col("d_t") / F.col("n_t"))).over(w_asc))).alias("survival")
-    )
-    return out
+    out = S.kaplan_meier(ev, "t", "d")
+    return out.select(F.col("t").cast("long").alias("t"),
+                      _r(F.col("survival")).alias("survival"))
 
 
 @query("kendall", """
