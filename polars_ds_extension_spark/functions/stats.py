@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .._utils import to_col, group_window, ordered_window, with_global_totals
+from .._utils import (to_col, group_window, ordered_window, pin,
+                      with_global_totals)
 
 
 def _sf2(fn, a: Column, b: Column) -> Column:
@@ -254,7 +255,8 @@ def normal_test(x) -> Column:
 
 
 def kaplan_meier(df: DataFrame, time: str, event: str,
-                 n_parts: int | None = None) -> DataFrame:
+                 n_parts: int | None = None,
+                 small_threshold: int = 100_000) -> DataFrame:
     """Kaplan-Meier survival estimator S(t) over event times.
 
     Ref exprs/survival.py:11 (query_kaplan_meier). Distributed shape:
@@ -266,19 +268,44 @@ def kaplan_meier(df: DataFrame, time: str, event: str,
     appears anywhere in the plan.
     Output: (<time>, survival), one row per time with d_t < n_t.
     """
-    from ..plans import global_cumsum
+    from ..plans.ranks import _PID, _offsets, _ranged
     d = to_col(event).cast("double")
     at_risk = df.groupBy(to_col(time).alias("__t")).agg(
         F.sum(d).alias("__d"),
         F.count(F.lit(1)).cast("double").alias("__c"),
-    ).withColumn("__negt", -F.col("__t"))
-    km = global_cumsum(at_risk, "__negt", ["__c"], n_parts=n_parts) \
-        .withColumnRenamed("cum___c", "__n")
-    km = km.where(F.col("__d") < F.col("__n")).withColumn(
-        "__lg", F.log(1.0 - F.col("__d") / F.col("__n")))
-    out = global_cumsum(km, "__t", ["__lg"], n_parts=n_parts)
-    return out.select(F.col("__t").alias(time),
-                      F.exp(F.col("cum___lg")).alias("survival"))
+    )
+    # The per-time frame is pinned so the size probe / offsets collects /
+    # final job don't each replay the raw-event scan + groupBy. Adaptive:
+    # when distinct times fit one task (the usual case — the frame is
+    # post-aggregation), both cumulatives run as one ordered window over
+    # that small frame; only a genuinely large frame (continuous times at
+    # scale) pays the two-pass range-bucket plan's extra collects.
+    at_risk = pin(with_global_totals(at_risk, __tot=F.sum("__c")))
+    if at_risk.count() <= small_threshold:
+        ws = Window.orderBy("__t").rangeBetween(Window.unboundedPreceding, 0)
+        n_t = F.col("__tot") - F.sum("__c").over(ws) + F.col("__c")
+        km = at_risk.withColumn("__n", n_t) \
+            .where(F.col("__d") < F.col("__n")) \
+            .withColumn("__lg", F.log(1.0 - F.col("__d") / F.col("__n")))
+        return km.select(F.col("__t").alias(time),
+                         F.exp(F.sum("__lg").over(ws)).alias("survival"))
+    # ONE range-bucket pass serves both cumulatives: the reverse at-risk
+    # count is total − forward_cumsum + own-row count (times are distinct
+    # post-groupBy), and the log-product prefix reuses the same buckets.
+    part = _ranged(at_risk, "__t", [], n_parts)
+    w = Window.partitionBy(_PID).orderBy("__t") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    part = part.withColumn("__loc_c", F.sum("__c").over(w))
+    part = part.join(_offsets(part, [], {"__c": F.sum("__c")}), [_PID])
+    n_t = F.col("__tot") - (F.col("__loc_c") + F.col("__off___c")) + F.col("__c")
+    km = part.withColumn("__n", n_t) \
+        .where(F.col("__d") < F.col("__n")) \
+        .withColumn("__lg", F.log(1.0 - F.col("__d") / F.col("__n")))
+    km = km.withColumn("__loc_lg", F.sum("__lg").over(w))
+    km = km.join(_offsets(km, [], {"__lg": F.sum("__lg")}), [_PID])
+    return km.select(F.col("__t").alias(time),
+                     F.exp(F.col("__loc_lg") + F.col("__off___lg"))
+                     .alias("survival"))
 
 
 def winsorize(x, lower: float = 0.05, upper: float = 0.95,

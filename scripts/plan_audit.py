@@ -22,9 +22,11 @@ sys.path.insert(0, ".")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-# Window-over-SinglePartition is tolerated ONLY in queries whose result
-# is itself tiny (post-aggregation ranks over <=100 rows) — none today.
-ALLOW_SINGLE_WINDOW: set[str] = set()
+# Window-over-SinglePartition is tolerated ONLY in queries that proved
+# the frame tiny first: kaplan_meier pins its post-aggregation per-time
+# frame, counts it, and takes the single-window branch only under
+# small_threshold rows (the two-pass range-bucket plan handles the rest).
+ALLOW_SINGLE_WINDOW: set[str] = {"kaplan_meier"}
 
 
 def window_over_single(plan: str) -> bool:

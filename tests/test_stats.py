@@ -206,3 +206,32 @@ def test_pvalues_present_and_sane(spark):
     assert S.ks_2samp(sdf3, "v", "g", groups=("a", "b")).first()["pvalue"] < 1e-6
     tt = S.ttest_ind(spark.createDataFrame(pd.DataFrame({"x": a, "y": c})), "x", "y").first()
     assert tt["pvalue"] < 1e-10 and tt["dof"] > 100
+
+
+def test_kaplan_meier_branches_agree(spark):
+    """The adaptive single-window branch and the forced two-pass
+    range-bucket branch produce identical survival curves; both match a
+    numpy reference."""
+    rng = np.random.default_rng(7)
+    t = rng.integers(0, 40, 300)
+    d = (rng.random(300) < 0.4).astype(int)
+    sdf = spark.createDataFrame(pd.DataFrame({"t": t, "d": d}))
+    small = {r["t"]: r["survival"]
+             for r in S.kaplan_meier(sdf, "t", "d").collect()}
+    big = {r["t"]: r["survival"]
+           for r in S.kaplan_meier(sdf, "t", "d", small_threshold=0).collect()}
+    assert small.keys() == big.keys()
+    for k in small:
+        assert small[k] == pytest.approx(big[k], abs=1e-12)
+    # numpy reference
+    times = np.sort(np.unique(t))
+    surv, s = {}, 1.0
+    for tt in times:
+        n_at_risk = int((t >= tt).sum())
+        deaths = int(d[t == tt].sum())
+        if deaths < n_at_risk:
+            s *= 1.0 - deaths / n_at_risk
+            surv[int(tt)] = s
+    assert small.keys() == surv.keys()
+    for k in surv:
+        assert small[k] == pytest.approx(surv[k], rel=1e-9)
