@@ -188,13 +188,19 @@ def minhash_band_hashes(hashes: Column, n_hashes: int = 96,
     numpy pandas UDF over the already-JVM-hashed shingles — interpreted
     higher-order lambdas cost ~0.5µs/element, which at 96×400 elements/row
     dominates everything (measured 190s → ~4s at sf0.1 for the whole
-    near-dup query). Arithmetic is exact int64 (mod 2^31−1 family), so
-    results are deterministic everywhere.
+    near-dup query).
+
+    Hash family: x ↦ a·x + b mod 2⁶⁴ with odd a — a bijection of the
+    (already-uniform) xxhash64 shingle values, i.e. a valid random
+    permutation for MinHash, with NO modulo in the hot loop (integer
+    wrap IS the mod; measured ~2× over the mod-p family). Exact integer
+    arithmetic → bit-identical results on every platform. The hash family
+    only shapes candidate recall; output pairs are exact-Jaccard verified.
     """
     rows_per_band = n_hashes // bands
     rng = np.random.default_rng(0xD5D5)
-    pa = rng.integers(1, _P31, size=n_hashes).astype(np.int64)
-    pb = rng.integers(0, _P31, size=n_hashes).astype(np.int64)
+    pa = rng.integers(0, 1 << 64, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    pb = rng.integers(0, 1 << 64, size=n_hashes, dtype=np.uint64)
 
     @pandas_udf("array<long>")
     def _udf(hs: "pd.Series") -> "pd.Series":
@@ -208,25 +214,24 @@ def minhash_band_hashes(hashes: Column, n_hashes: int = 96,
             n = len(v)
             flat[pos:pos + n] = v
             pos += n
-        hm = np.mod(flat, _P31)
+        hm = flat.view(np.uint64)
         starts = np.zeros(len(hs), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         nonempty = lens > 0
-        sig = np.zeros((len(hs), n_hashes), dtype=np.int64)
+        sig = np.zeros((len(hs), n_hashes), dtype=np.uint64)
         for i in range(n_hashes):
-            perm = (pa[i] * hm + pb[i]) % _P31
+            perm = pa[i] * hm + pb[i]  # wraps mod 2^64: bijective, odd a
             mins = np.minimum.reduceat(perm, starts[nonempty]) \
-                if nonempty.any() else np.empty(0, dtype=np.int64)
+                if nonempty.any() else np.empty(0, dtype=np.uint64)
             sig[nonempty, i] = mins
-        # band hash: exact-integer polynomial fold of the band's minima
-        out = np.zeros((len(hs), bands), dtype=np.int64)
+        # band hash: wrapping polynomial fold of the band's minima
+        out = np.zeros((len(hs), bands), dtype=np.uint64)
         for b in range(bands):
-            acc = np.zeros(len(hs), dtype=np.int64)
+            acc = np.zeros(len(hs), dtype=np.uint64)
             for r in range(rows_per_band):
-                acc = (acc * 1_000_003 + sig[:, b * rows_per_band + r]) \
-                    % ((1 << 61) - 1)
+                acc = acc * np.uint64(1_000_003) + sig[:, b * rows_per_band + r]
             out[:, b] = acc
-        return pd.Series(list(out))
+        return pd.Series(list(out.view(np.int64)))
 
     return _udf(hashes)
 
@@ -258,13 +263,17 @@ def near_dup_pairs(
     # the same materialize-once tradeoff Spark ML's MinHashLSH makes.
     # Registered with the shared LRU registry so the cache is evicted
     # after later queries run instead of living for the whole session.
+    # Shingles are stored as their xxhash64 values (distinct k-grams →
+    # distinct longs, collision odds ~|union|²/2⁶⁴): 3× smaller pinned
+    # frame than 12-char strings, long-array intersects in the verify
+    # join, and the signature UDF reads the hashes directly.
     base = pin(spread(df).select(
         F.col(id_col).alias("__id"),
-        char_shingles(text_col, shingle_k).alias("__sh"),
+        F.transform(char_shingles(text_col, shingle_k),
+                    lambda s: F.xxhash64(s)).alias("__sh"),
     ))
-    hs = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
     banded = base.withColumn(
-        "__bands", minhash_band_hashes(hs, n_hashes, bands))
+        "__bands", minhash_band_hashes(F.col("__sh"), n_hashes, bands))
     exploded = banded.select(
         "__id", F.posexplode("__bands").alias("band", "bh"))
     buckets = (
