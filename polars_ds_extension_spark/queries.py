@@ -983,3 +983,4 @@ from . import queries_llm  # noqa: E402,F401
 from . import queries_linear  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401
