@@ -34,8 +34,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("pathGlobFilter", "events.parquet")
          .parquet(sf_dir))
     if isinstance(s.schema["ts"].dataType, LongType):
-        s = s.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # exact integer division — see sources.load_table
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return s
 
 
@@ -92,3 +92,72 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            watermark="100 days")
     got = _run_to_table(spark, out, "append")
     return got.agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+
+
+@query("stream_sessionize", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap) per user as a real
+    stream (streaming/ops.stream_sessionize → F.session_window state).
+    Session membership is engine-independent: Spark's merged session
+    intervals group events exactly like the SQL gaps-and-islands
+    LAG/cumsum construction, so (user, session_start, count) hashes
+    equal. Complete mode emits the final merged sessions."""
+    s = _events_stream(spark, sf_dir)
+    out = STR.stream_sessionize(
+        s, "ts", "30 minutes", by=["user_id"],
+        aggs={"n_events": F.count(F.lit(1))}, watermark="1 minute",
+    )
+    got = _run_to_table(spark, out, "complete")
+    return got.select(
+        "user_id",
+        F.unix_micros(F.col("session.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query("stream_running_stats", """
+SELECT user_id,
+       COUNT(value) AS n,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(STDDEV_SAMP(value), 4) AS std
+FROM events GROUP BY user_id
+""")
+def stream_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState with
+    O(1) Welford/Chan state per key) driven over the whole events
+    stream; the final per-key state equals the batch moments, which the
+    SQL oracle pins (STDDEV_SAMP == sqrt(M2/(n-1)); moments rounded to
+    4dp — the Welford merge and naive AVG differ by ~1e-12, enough to
+    cross a 6dp rounding boundary once in a few thousand keys). If availableNow
+    splits into several micro-batches the sink holds one snapshot per
+    batch — the max-n row per key is the final state."""
+    s = _events_stream(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id").cast("string"))
+    out = STR.stream_running_stats(s, "user_id", "value", "ts",
+                                   watermark="100 days")
+    got = _run_to_table(spark, out, "update")
+    fin = got.groupBy("user_id").agg(
+        F.max(F.struct("n", "mean", "std")).alias("s"))
+    return fin.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("s.n").alias("n"),
+        _r(F.col("s.mean"), 4).alias("mean"),
+        _r(F.col("s.std"), 4).alias("std"),
+    )

@@ -29,9 +29,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer `div`, not float /: nanos ~1.7e18 exceed double's 53-bit
+        # mantissa, so a float division is off by ±256ns → ±1µs after cast
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
