@@ -85,19 +85,42 @@ def recursive_lin_reg(df: DataFrame, x: str, y: str, order_by,
                       out_name: str = "recursive_slope") -> DataFrame:
     """Expanding-window (recursive) slope — every prefix of the ordered
     series. Ref expr_linear.py:413. Same shape as rolling with an
-    unbounded-preceding frame."""
+    unbounded-preceding frame.
+
+    Grouped: per-group ordered windows (parallel). Global: ONE two-pass
+    range-bucket prefix pass (plans/ranks.global_cumsum) accumulates all
+    five moment sums — no single-partition sort. NB the global path uses
+    range (ties-together) frames; with tied order values the grouped
+    rows-frame result is order-dependent anyway.
+    """
     keys = list(by) if by else []
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
-        .orderBy(to_col(order_by)).rowsBetween(Window.unboundedPreceding, 0)
     xx, yy = to_col(x).cast("double"), to_col(y).cast("double")
-    n = F.count(F.lit(1)).over(w).cast("double")
-    sx, sy = F.sum(xx).over(w), F.sum(yy).over(w)
-    sxx, sxy = F.sum(xx * xx).over(w), F.sum(xx * yy).over(w)
+    if keys:
+        w = Window.partitionBy(*keys) \
+            .orderBy(to_col(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        n = F.count(F.lit(1)).over(w).cast("double")
+        sx, sy = F.sum(xx).over(w), F.sum(yy).over(w)
+        sxx, sxy = F.sum(xx * xx).over(w), F.sum(xx * yy).over(w)
+    else:
+        from ..plans import global_cumsum
+        pre = df.select("*", F.lit(1.0).alias("__m1"), xx.alias("__mx"),
+                        yy.alias("__my"), (xx * xx).alias("__mxx"),
+                        (xx * yy).alias("__mxy"))
+        cum = global_cumsum(pre, order_by,
+                            ["__m1", "__mx", "__my", "__mxx", "__mxy"])
+        n, sx, sy = F.col("cum___m1"), F.col("cum___mx"), F.col("cum___my")
+        sxx, sxy = F.col("cum___mxx"), F.col("cum___mxy")
+        df = cum
     # CASE guards the division: ANSI mode (Spark 4 default) errors on the
     # 1-row window's 0/0 instead of returning NaN
     denom = n * sxx - sx * sx
     slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
-    return df.withColumn(out_name, slope)
+    out = df.withColumn(out_name, slope)
+    if not keys:
+        out = out.drop("__m1", "__mx", "__my", "__mxx", "__mxy",
+                       "cum___m1", "cum___mx", "cum___my", "cum___mxx",
+                       "cum___mxy")
+    return out
 
 
 # ------------------------------------------------ multi-feature (normal eq.)
