@@ -26,6 +26,11 @@ def get_spark(app: str = "polars_ds_extension_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # test parquet writes TIMESTAMP(NANOS); read as long then convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local mode: the driver JVM IS the executor (32 task threads on
+        # this heap). A/B at sf0.1 over the full catalog: 8g = 142s vs
+        # 32g = 183s — the larger heap LOSES (longer G1 pauses + lazy
+        # first-touch page faults in the VM). Keep it modest locally;
+        # cluster deployments size executors via spark.executor.memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
