@@ -266,3 +266,40 @@ def sample_to_token_budget(
         .withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
         .drop("__ord")
     )
+
+
+# -------------------------------------------------------- repetition signals
+
+def nonempty_lines(text) -> Column:
+    return F.filter(F.split(_t(text), r"\n"),
+                    lambda l: F.length(F.trim(l)) > 0)
+
+
+def dup_line_fraction(text) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line — the
+    Gopher-style repetition signal that flags boilerplate/spam pages.
+    Pure JVM array expressions, scan-side."""
+    lines = nonempty_lines(text)
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - uniq) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def word_ngrams_of(text, n: int = 2) -> Column:
+    """Whitespace-word n-grams joined with single spaces."""
+    toks = whitespace_tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def dup_ngram_fraction(text, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier occurrence
+    (Gopher duplicate n-gram signal). 0.0 for texts shorter than n
+    words."""
+    grams = word_ngrams_of(text, n)
+    cnt = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return F.when(cnt > 0, (cnt - uniq) / cnt.cast("double")) \
+        .otherwise(F.lit(0.0))

@@ -530,3 +530,47 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = T.sample_to_token_budget(docs, "doc_id", "text", budget=20000)
     return out.select("doc_id", "tokens", "cum_tokens")
+
+
+@query("repetition_signals", r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS lines,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id,
+  ROUND(CASE WHEN len(lines) > 0
+    THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+    ELSE 0.0 END, 6) AS dup_line_frac,
+  ROUND(CASE WHEN len(g2) > 0
+    THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+    ELSE 0.0 END, 6) AS dup_2gram_frac,
+  ROUND(CASE WHEN len(g3) > 0
+    THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+    ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM g
+""")
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    repeated non-empty lines and of duplicated word 2-/3-grams. All pure
+    JVM array expressions — scan-side, zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _r(T.dup_line_fraction("text")).alias("dup_line_frac"),
+        _r(T.dup_ngram_fraction("text", 2)).alias("dup_2gram_frac"),
+        _r(T.dup_ngram_fraction("text", 3)).alias("dup_3gram_frac"),
+    )
