@@ -574,3 +574,46 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(T.dup_ngram_fraction("text", 2)).alias("dup_2gram_frac"),
         _r(T.dup_ngram_fraction("text", 3)).alias("dup_3gram_frac"),
     )
+
+
+@query("embedding_ops", """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM e
+)
+SELECT vec_id,
+  ROUND(nrm, 6) AS norm,
+  ROUND(CASE WHEN nrm > 0 THEN sqrt(list_aggregate(
+      list_transform(v, x -> (x/nrm)*(x/nrm)), 'sum')) ELSE 0 END, 6)
+    AS unit_norm,
+  list_aggregate(list_transform(v, x -> CASE WHEN scale > 0 THEN
+      greatest(-127, least(127, round(x * 127.0 / scale)::INT))
+      ELSE 0 END), 'sum')::BIGINT AS q8_sum,
+  list_aggregate(list_transform(v, x -> CASE WHEN scale > 0 THEN
+      greatest(-127, least(127, round(x * 127.0 / scale)::INT))
+      ELSE 0 END), 'min')::BIGINT AS q8_min,
+  ROUND(scale, 6) AS scale
+FROM s
+""")
+def embedding_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding utilities: l2 norm, normalize (checked via unit norm),
+    int8 scalar quantization (compared via per-vector sum/min — raw
+    arrays don't string-compare across engines) + its scale — all JVM
+    array expressions (operators/embedding.py) vs DuckDB list math."""
+    from .operators import embedding as EMB
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = EMB.l2_normalize("embedding")
+    return emb.select(
+        "vec_id",
+        _r(K.norm(EMB._v("embedding"))).alias("norm"),
+        _r(K.norm(unit)).alias("unit_norm"),
+        F.aggregate(EMB.quantize_int8("embedding"), F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("q8_sum"),
+        F.array_min(EMB.quantize_int8("embedding")).cast("long")
+        .alias("q8_min"),
+        _r(EMB.quantize_scale("embedding")).alias("scale"),
+    )

@@ -165,3 +165,26 @@ def test_ann_lsh_self_similarity(spark):
     nn = dict(zip(out["id"], out["neighbor_id"]))
     for i in range(5):
         assert nn.get(i) == 100 + i or nn.get(100 + i) == i
+
+
+def test_embedding_quantize_roundtrip(spark):
+    import numpy as np
+    import pandas as pd
+    from polars_ds_extension_spark.operators import embedding as EMB
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(0, 1, 16).tolist() for _ in range(50)]
+    sdf = spark.createDataFrame(pd.DataFrame({"id": range(50), "v": vecs}))
+    out = sdf.select(
+        "id",
+        EMB.l2_normalize("v").alias("unit"),
+        EMB.dequantize_int8(EMB.quantize_int8("v"),
+                            EMB.quantize_scale("v")).alias("back"),
+    ).collect()
+    for r in out:
+        orig = np.array(vecs[r["id"]])
+        assert abs(np.linalg.norm(r["unit"]) - 1.0) < 1e-9
+        # int8 roundtrip error bounded by scale/254 per component
+        err = np.abs(np.array(r["back"]) - orig).max()
+        assert err <= np.abs(orig).max() / 254 + 1e-12
