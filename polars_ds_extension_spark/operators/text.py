@@ -303,3 +303,36 @@ def dup_ngram_fraction(text, n: int = 2) -> Column:
     uniq = F.size(F.array_distinct(grams))
     return F.when(cnt > 0, (cnt - uniq) / cnt.cast("double")) \
         .otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+# Deliberately lookbehind-free so the SAME patterns run in Java regex
+# (Spark) and RE2 (DuckDB oracle) — parity is part of the contract.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_redact(text, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans with [KIND] tokens (email → [EMAIL] etc.) — the
+    standard scrub pass before training. Chained JVM regexp_replace,
+    scan-side; order is ipv4 → phone → email so the digit-hungry phone
+    pattern can't eat IP octets."""
+    out = _t(text)
+    order = [k for k in ("ipv4", "phone", "email")
+             if kinds is None or k in kinds]
+    for k in order:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
+def pii_counts(text) -> Column:
+    """Struct of per-kind PII match counts (audit before redaction)."""
+    t = _t(text)
+    return F.struct(*[
+        F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(k)
+        for k, p in PII_PATTERNS.items()
+    ])

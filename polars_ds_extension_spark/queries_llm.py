@@ -617,3 +617,47 @@ def embedding_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q8_min"),
         _r(EMB.quantize_scale("embedding")).alias("scale"),
     )
+
+
+@query("pii_scrub", r"""
+WITH t AS (
+  SELECT doc_id,
+    concat(text, ' reach me: u', doc_id % 50, '@example.org or +1 415 555 ',
+           1000 + doc_id % 9000, ' host 10.0.', doc_id % 256, '.1') AS text
+  FROM documents WHERE doc_id % 5 = 0
+), r AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text,
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+    regexp_replace(regexp_replace(regexp_replace(text,
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+        '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+      AS scrubbed
+  FROM t
+)
+SELECT doc_id, n_email, n_ipv4, md5(scrubbed) AS scrub_md5 FROM r
+""")
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over docs salted with synthetic emails/phones/IPs (the
+    corpus itself has none — the salt makes the test discriminating).
+    Redacted text is md5-compared so multi-KB strings hash instead of
+    string-compare; counts audit the extractor. Patterns are
+    lookbehind-free by design: the same regexes run on Java regex and
+    RE2 (text.py:PII_PATTERNS)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    salted = F.concat(
+        F.col("text"), F.lit(" reach me: u"), (F.col("doc_id") % 50),
+        F.lit("@example.org or +1 415 555 "),
+        (F.lit(1000) + F.col("doc_id") % 9000),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256), F.lit(".1"))
+    t = docs.select("doc_id", salted.alias("text"))
+    counts = T.pii_counts("text")
+    return t.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(T.pii_redact("text")).alias("scrub_md5"),
+    )
