@@ -550,3 +550,39 @@ def canonical_dedup(
     losers = cc.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------ line-level dedup
+
+def line_dedup(docs: DataFrame, id_col: str, text_col: str,
+               sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact line/paragraph dedup (C4/RefinedWeb-style):
+    every non-empty line survives only in its FIRST occurrence — the
+    (doc, position)-lexicographic minimum — and documents are
+    reassembled from their surviving lines in order. Docs left with no
+    lines drop out.
+
+    Scale shape: ONE shuffle keyed on the line hash (the window is
+    hash-partitioned by line, never global), then one groupBy(doc) to
+    reassemble. Both keys are high-cardinality — no skew hot-spots
+    beyond a pathological single repeated line, which the first-keeper
+    rule reduces to one winner per partition anyway.
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__ln"),
+    ).where(F.trim(F.col("__ln")) != "")
+    w = Window.partitionBy(F.xxhash64("__ln"), F.col("__ln"))
+    first = F.min(F.struct("__id", "__i")).over(w)
+    kept = lines.withColumn("__first", first).where(
+        (F.col("__id") == F.col("__first.__id"))
+        & (F.col("__i") == F.col("__first.__i")))
+    return (
+        kept.groupBy("__id")
+        .agg(F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__ln"))),
+            lambda s: s["__ln"])).alias(text_col))
+        .withColumnRenamed("__id", id_col)
+    )

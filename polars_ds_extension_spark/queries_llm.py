@@ -661,3 +661,38 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         F.md5(T.pii_redact("text")).alias("scrub_md5"),
     )
+
+
+@query("line_dedup", r"""
+WITH corpus AS (
+  SELECT doc_id,
+    text || chr(10) || 'boilerplate variant ' || (doc_id % 7)::VARCHAR
+         || chr(10) || 'shared footer line' AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, u.i AS i, u.ln AS ln FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(string_split(text, chr(10))) + 1),
+      i -> {'i': i, 'ln': string_split(text, chr(10))[i]})) AS u
+    FROM corpus)
+  WHERE trim(ln) != ''
+), k AS (
+  SELECT doc_id, i, ln,
+         ROW_NUMBER() OVER (PARTITION BY ln ORDER BY doc_id, i) AS rn
+  FROM l
+)
+SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text
+FROM k WHERE rn = 1 GROUP BY doc_id
+""")
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup over a corpus salted with shared
+    boilerplate/footer lines (each survives once, in its first (doc,
+    position) occurrence; dedup.py:line_dedup). One shuffle on the line
+    hash + one reassembly groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\nboilerplate variant "),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("\nshared footer line")).alias("text"))
+    return D.line_dedup(corpus, "doc_id", "text")
