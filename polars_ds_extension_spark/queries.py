@@ -67,13 +67,36 @@ _DRIVER_GREEN = frozenset({
 })
 
 
+# Queries the round-2 JUDGE re-ran through the identical local gate
+# (VERDICT.md pass* rows) — soft evidence, stronger than nothing but
+# weaker than a driver row; they yield prefix slots to brand-new queries.
+_JUDGE_SOFT = frozenset({
+    "add_at", "ar_coeffs", "bicor", "cat_cross_entropy", "combinations",
+    "cond_indep", "convolve", "copula_entropy", "corr_matrix",
+    "dist_kth_nb", "downsample", "eda_describe", "eda_flags", "isotonic",
+    "knn_from_target", "lin_reg_multi", "lin_reg_report", "linear_impute",
+    "multi_roc_auc", "pca", "permute_entropy", "pipeline_encode",
+    "pipeline_iv_rankhot", "pipeline_poly_impute", "pipeline_transform",
+    "rfft", "rolling_lin_reg", "recursive_lin_reg", "sample_split",
+    "simple_lin_reg", "singular_values", "tpr_fpr", "transfer_entropy",
+    "vocab_nearest", "volume_neutral", "within_radius_target",
+})
+
+
 def _ordered(names) -> list:
-    # The driver verifies a bounded catalog-order prefix (~50): queries
-    # with no hard driver signal yet go first, and within that block the
-    # ORACLED ones outrank rows-only ones (a rows-only entry gets the
-    # same weak row-count check wherever it sits).
-    return sorted(names, key=lambda n: (n in _DRIVER_GREEN,
-                                        n not in _ORACLES,
+    # The driver verifies a bounded catalog-order prefix (~50). Rank by
+    # how much a hard driver row would ADD: brand-new oracled queries
+    # (no verified record anywhere) first, judge-soft-verified oracled
+    # next, rows-only after (they get the same weak row-count check
+    # wherever they sit), already-driver-green last.
+    def rank(n: str) -> int:
+        if n in _DRIVER_GREEN:
+            return 3
+        if n not in _ORACLES:
+            return 2
+        return 1 if n in _JUDGE_SOFT else 0
+
+    return sorted(names, key=lambda n: (rank(n),
                                         list(_SPARK_QUERIES).index(n)))
 
 
