@@ -336,3 +336,29 @@ def pii_counts(text) -> Column:
         F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(k)
         for k, p in PII_PATTERNS.items()
     ])
+
+
+def pack_sequences(docs, id_col: str, text_col: str,
+                   seq_tokens: int = 2048) -> "DataFrame":
+    """Assign documents to fixed-token-budget training bins: order by
+    the reproducible id scramble, prefix-sum whitespace-token counts
+    (two-pass range-bucket plan — no global sort), bin = ceil of the
+    prefix at each doc's END over ``seq_tokens``. Contiguous packing:
+    every bin holds consecutive scramble-ordered docs totalling
+    ~seq_tokens (the standard streaming approximation of bin packing —
+    exact first-fit is inherently sequential).
+
+    Output: original columns + tokens, bin (0-based).
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans import global_cumsum
+
+    base = docs.withColumn("tokens", token_count(text_col).cast("double")) \
+               .withColumn("__ord", order_scramble(id_col))
+    cum = global_cumsum(base, "__ord", ["tokens"])
+    bin_id = F.greatest(
+        F.ceil(F.col("cum_tokens") / seq_tokens) - 1, F.lit(0)).cast("long")
+    return (cum.withColumn("bin", bin_id)
+               .withColumn("tokens", F.col("tokens").cast("long"))
+               .drop("__ord", "cum_tokens"))

@@ -696,3 +696,30 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") % 7).cast("string"),
                  F.lit("\nshared footer line")).alias("text"))
     return D.line_dedup(corpus, "doc_id", "text")
+
+
+@query("pack_sequences", r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS tokens,
+         (doc_id % 2147483647 * 2654435761) % 2147483647 AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY ord) AS cum FROM t
+), b AS (
+  SELECT doc_id, tokens,
+         GREATEST(CEIL(cum / 2048.0) - 1, 0)::BIGINT AS bin
+  FROM c
+)
+SELECT bin, COUNT(*) AS n_docs, SUM(tokens)::BIGINT AS bin_tokens
+FROM b GROUP BY bin
+""")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: docs → contiguous 2048-token bins via
+    the two-pass prefix plan (text.py:pack_sequences); result rolled up
+    per bin so the oracle pins every bin's membership and token sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = T.pack_sequences(docs, "doc_id", "text", seq_tokens=2048)
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("bin_tokens"))
