@@ -140,18 +140,18 @@ def lsh_candidate_pairs(
     bucket means degenerate boilerplate; cap + log, don't explode).
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
-    # let-bind the signature so banding reads it once per row instead of
-    # re-deriving the full MinHash per band (see _let)
+    # sig_col is a materialized column (the signature UDF's output), so
+    # each band slices it directly — no let-binding. (A _let wrapper here
+    # pushed the Generate onto an interpreted non-codegen path: measured
+    # 6× slower on the simhash twin of this explode.)
+    sig = F.col(sig_col)
     band = F.explode(
-        _let(
-            F.col(sig_col),
-            lambda sig: F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(F.slice(sig, j * rows_per_band + 1,
-                                       rows_per_band)).alias("bh"),
-                ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.struct(
+                j.alias("band"),
+                F.xxhash64(F.slice(sig, j * rows_per_band + 1,
+                                   rows_per_band)).alias("bh"),
             ),
         )
     )
@@ -395,18 +395,19 @@ def simhash_near_dup_pairs(
     )
     # carry (id, fp) through the buckets — the 8-byte fingerprint rides
     # along, so verification needs no join back to a recomputed base
+    # __sim is the materialized fingerprint column — band extraction
+    # reads it directly (wrapping it in a _let binding forced the
+    # Generate onto an interpreted path: 6.0s → 0.4s at sf0.1)
+    sim = F.col("__sim")
     band = F.explode(
-        _let(
-            F.col("__sim"),
-            lambda sim: F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright(sim, j * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
-                )
-                for j in range(n_tables)
-            ]),
-        )
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(sim, j * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+            )
+            for j in range(n_tables)
+        ])
     )
     exploded = base.select(
         F.struct(F.col("__id").alias("id"), F.col("__sim").alias("fp")).alias("__s"),
@@ -585,4 +586,63 @@ def line_dedup(docs: DataFrame, id_col: str, text_col: str,
             F.array_sort(F.collect_list(F.struct("__i", "__ln"))),
             lambda s: s["__ln"])).alias(text_col))
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    window: int = 4,
+    sample_mod: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MOSS-style cross-document overlap: pairs of documents sharing at
+    least ``min_shared`` sampled rolling-window fingerprints
+    (text.fingerprint_set) — catches copied PASSAGES that whole-document
+    minhash misses when the surrounding text differs.
+
+    Plan mirrors the LSH bucket join: explode each document's
+    fingerprint set (density 1/sample_mod of word windows), ONE groupBy
+    on the fingerprint value with a ``max_bucket`` cap (a fingerprint
+    shared by more docs than that is boilerplate, not plagiarism —
+    capped exactly like the minhash buckets), pairs within buckets,
+    then a groupBy counting distinct shared fingerprints per pair.
+    Never all-pairs; the pair term is bounded by max_bucket² per
+    fingerprint.
+
+    Output: (id_a, id_b, shared) with id_a < id_b, shared ≥ min_shared.
+    """
+    from .text import fingerprint_set
+
+    fps = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(fingerprint_set(text_col, window=window,
+                                  sample_mod=sample_mod)).alias("__fp"),
+    )
+    buckets = (
+        fps.groupBy("__fp")
+        .agg(F.collect_set("__id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select("__fp", F.array_sort("ids").alias("ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
     )

@@ -40,10 +40,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(spark: SparkSession, out: DataFrame, mode: str) -> DataFrame:
+    # State-store parallelism binds to spark.sql.shuffle.partitions at
+    # query START. These catalog streams keep ~10³ keys of state, where
+    # 32 state partitions are pure per-micro-batch overhead (measured
+    # 7.8s → 2.5s at sf0.1 with 8). Scoped to the stream run and
+    # restored after; cluster deployments size it via
+    # SPARK_GRAFT_STREAM_SHUFFLE (state shards scale with key count,
+    # not input rows).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     name = f"pds_stream_{uuid.uuid4().hex[:12]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode(mode).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
