@@ -24,6 +24,7 @@ from .._utils import to_col
 __all__ = [
     "sample_random", "sample_deterministic", "downsample", "volume_neutral",
     "split_by_ratio", "stratified_sample", "split_col",
+    "mixture_sample", "filter_by_global_quantile",
 ]
 
 _BUCKETS = 10_000
@@ -129,3 +130,63 @@ def random_cols(cols: Sequence[str], k: int, seed: int = 42,
     rng = _random.Random(seed)
     chosen = rng.sample(rest, min(k, len(rest)))
     return first + sorted(chosen, key=pool.index)
+
+
+def mixture_sample(df: DataFrame, id_col: str, group_col: str,
+                   alpha: float = 0.5,
+                   target_rows: int | None = None) -> DataFrame:
+    """Temperature-based mixture resampling across sources — the
+    data-mixing step of LLM corpus assembly (sample source s with
+    probability ∝ count_s^alpha, alpha<1 upweights small sources, the
+    multilingual-sampling rule of mBERT/XLM-R and friends).
+
+    Per-source keep-rate r_s = min(1, target·w_s / count_s) with
+    w_s = count_s^α / Σ count^α and target = target_rows (default: the
+    corpus size — pure re-balancing). Selection is the deterministic id
+    scramble (same as sample_deterministic), so the sample is
+    engine-reproducible and append-stable.
+
+    Plan: ONE tiny groupBy collects per-source counts (sources ≪ rows)
+    to the driver, keep-rates come back as a broadcast literal map, and
+    the filter runs scan-side — no shuffle of the corpus at any point.
+
+    Output: the sampled rows (original schema).
+    """
+    counts = {r[0]: r[1] for r in
+              df.groupBy(group_col).agg(F.count(F.lit(1))).collect()}
+    total = sum(counts.values())
+    target = float(target_rows if target_rows is not None else total)
+    wsum = sum(c ** alpha for c in counts.values())
+    rates = {g: min(1.0, target * (c ** alpha / wsum) / c)
+             for g, c in counts.items()}
+    rate_col = F.lit(None).cast("double")
+    for g, r in rates.items():
+        rate_col = F.when(to_col(group_col) == F.lit(g), F.lit(r)) \
+            .otherwise(rate_col)
+    return df.where(_bucket(id_col) < rate_col * _BUCKETS)
+
+
+def filter_by_global_quantile(df: DataFrame, value_col: str,
+                              q: float = 0.75,
+                              keep: str = "top") -> DataFrame:
+    """Keep the rows above (``keep="top"``) or below (``"bottom"``) the
+    EXACT global q-quantile of ``value_col`` — the quality-threshold
+    filter of training-data pipelines, with rank semantics that every
+    engine reproduces (no approximate percentile in the cut).
+
+    The exact global rank comes from the two-pass range-bucket plan
+    (plans/ranks.global_min_rank — no single-partition sort); the row
+    count from one scalar agg. A row survives when its min-rank clears
+    ceil(q·n) (ties at the threshold value share a rank, so the whole
+    tied group lands on one side — the only engine-stable choice).
+    """
+    from ..plans import global_min_rank
+
+    n = df.count()
+    cut = int(q * n)
+    ranked = global_min_rank(df, to_col(value_col), out_name="__qr")
+    if keep == "top":
+        out = ranked.where(F.col("__qr") > cut)
+    else:
+        out = ranked.where(F.col("__qr") <= cut)
+    return out.drop("__qr")

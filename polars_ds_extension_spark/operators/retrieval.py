@@ -1,0 +1,188 @@
+"""Corpus-level retrieval / lexical-statistics operators.
+
+TF-IDF keyword extraction, BM25 scoring, and n-gram language-model
+cross-entropy — the lexical workhorses of training-data curation
+(keyword tagging, relevance filtering, KenLM-style quality scoring).
+
+All three share the same 100 TB shape:
+
+* term statistics (document frequency, n-gram counts) come from ONE
+  groupBy over exploded tokens — a hash shuffle on the term key whose
+  output is vocabulary-sized, orders of magnitude smaller than the
+  corpus;
+* per-document scoring joins the stats back BY TERM (hash join that
+  AQE broadcast-converts when the vocabulary is small) and aggregates
+  per document — no driver round-trip carries more than one scalar.
+
+Everything is built-in JVM expressions; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _t
+
+__all__ = [
+    "word_tokens", "doc_frequency", "tfidf_topk", "bm25_score",
+    "bigram_lm_score",
+]
+
+
+def word_tokens(text, lowercase: bool = True) -> Column:
+    """Whitespace word tokens (optionally lowercased) — the shared
+    tokenizer for the lexical operators, chosen because every engine
+    (Spark, DuckDB, the reference's str.split) reproduces it exactly."""
+    t = F.trim(_t(text))
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def doc_frequency(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, df) — number of documents containing each distinct term.
+
+    One explode of the DISTINCT terms per document (bounded by document
+    length) + one groupBy on term: the single vocabulary-sized shuffle
+    every lexical statistic here derives from.
+    """
+    return (
+        docs.select(F.explode(F.array_distinct(word_tokens(text_col)))
+                    .alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def tfidf_topk(docs: DataFrame, id_col: str, text_col: str,
+               k: int = 3, rank_scale: int | None = None) -> DataFrame:
+    """Top-k TF-IDF keywords per document.
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed sklearn formulation). Ties break lexicographically so the
+    result is engine-reproducible. ``rank_scale`` rounds the score to
+    that many decimals BEFORE ranking — different engines' ln() can
+    disagree in the last ulp, and rounding pins near-ties to the same
+    side everywhere (the catalog oracle uses 9).
+
+    Plan: term counts per (doc, term) via one explode+groupBy, document
+    frequency joined BY TERM (second hash shuffle, vocabulary-sized
+    build side), then a per-document top-k window (shuffle on doc id —
+    groups are document-sized, never skewed).
+
+    Output: (id_col, term, tfidf) — k rows per document.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()  # one scalar; pinned as a literal in idf
+    toks = docs.select(F.col(id_col).alias("__id"),
+                       word_tokens(text_col).alias("__w"))
+    tf = (
+        toks.select("__id", F.size("__w").alias("__len"),
+                    F.explode("__w").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("__tc"), F.first("__len").alias("__len"))
+    )
+    dfreq = doc_frequency(docs, id_col, text_col)
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        "__id", "term",
+        ((F.col("__tc") / F.col("__len")) * idf).alias("tfidf"),
+    )
+    rank_key = (F.round(F.col("tfidf"), rank_scale)
+                if rank_scale is not None else F.col("tfidf"))
+    w = Window.partitionBy("__id").orderBy(rank_key.desc(),
+                                           F.col("term").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tfidf")
+    )
+
+
+def bm25_score(docs: DataFrame, id_col: str, text_col: str,
+               query_terms: list[str], k1: float = 1.2,
+               b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); the document-length
+    normalizer uses the corpus mean token count. Documents matching no
+    query term score 0 and are omitted (filter scan-side BEFORE the
+    shuffle — at 100 TB the explode only emits tokens in the query set).
+
+    Output: (id_col, bm25) for documents with ≥1 matching term.
+    """
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(F.col(id_col).alias("__id"),
+                       word_tokens(text_col).alias("__w"))
+    # one tiny agg for N and avgdl, embedded as literals
+    stats = toks.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg(F.size("__w")).alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    hits = (
+        toks.select("__id", F.size("__w").alias("__len"),
+                    F.explode(F.array_intersect(F.array_distinct("__w"), qlit))
+                    .alias("term"),
+                    F.col("__w"))
+        .select("__id", "__len", "term",
+                F.size(F.filter("__w", lambda x: x == F.col("term")))
+                .alias("__tc"))
+    )
+    dfreq = (
+        hits.groupBy("term").agg(F.count_distinct("__id").alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("__tc") * (k1 + 1)) / (
+        F.col("__tc") + k1 * (1 - b + b * F.col("__len") / F.lit(avgdl)))
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .groupBy("__id").agg(F.sum(idf * tf_norm).alias("bm25"))
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
+                    add_k: float = 0.5) -> DataFrame:
+    """Per-document cross-entropy under an add-k-smoothed bigram LM
+    trained on the corpus itself — the KenLM-style perplexity quality
+    filter of training-data pipelines (low = fluent/common, high =
+    garbled/rare).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = distinct unigrams.
+    Cross-entropy = -mean ln P over the document's bigrams.
+
+    Plan: 2 vocabulary-sized count shuffles (unigrams, bigrams) train
+    the model; scoring explodes each document's bigrams once and joins
+    the two count tables by key — pure hash joins on term keys, partial
+    aggregation does the per-document mean. Documents with < 2 tokens
+    are omitted (no bigrams).
+
+    Output: (id_col, cross_entropy, n_bigrams).
+    """
+    toks = docs.select(F.col(id_col).alias("__id"),
+                       word_tokens(text_col).alias("__w"))
+    big = toks.select(
+        "__id",
+        F.explode(F.zip_with(
+            F.slice("__w", 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+            F.slice("__w", 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+            lambda a, b2: F.struct(a.alias("w1"), b2.alias("w2")),
+        )).alias("bg"),
+    ).select("__id", "bg.w1", "bg.w2")
+    uni_counts = (
+        toks.select(F.explode("__w").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni_counts.count()
+    bi_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (F.col("c12") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k * vocab))
+    return (
+        big.join(bi_counts, ["w1", "w2"]).join(uni_counts, "w1")
+        .groupBy("__id")
+        .agg((-F.avg(F.log(p))).alias("cross_entropy"),
+             F.count(F.lit(1)).alias("n_bigrams"))
+        .select(F.col("__id").alias(id_col), "cross_entropy", "n_bigrams")
+    )

@@ -174,6 +174,81 @@ def rolling_fingerprint(text, window: int = 4, mod: int = 1_000_003) -> Column:
     return F.array_min(win_hash)
 
 
+def fingerprint_set(text, window: int = 4, mod: int = 1_000_003,
+                    sample_mod: int = 8) -> Column:
+    """The document's SET of sampled rolling word-window hashes — the
+    multi-fingerprint companion to `rolling_fingerprint` for cross-doc
+    overlap detection (MOSS-style). Window hashes are computed exactly
+    as there; the set keeps those ≡ 0 (mod sample_mod) — the classic
+    "0 mod p" fingerprint sampling, density 1/sample_mod, deterministic
+    and engine-reproducible (winnowing's local-min selection needs a
+    sequential scan; mod-sampling gives the same guarantee for shared
+    substrings ≥ window tokens at equal density).
+
+    Output: array<long> of distinct sampled window hashes (possibly
+    empty for short/unlucky docs).
+    """
+    toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
+    tokval = lambda t: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.substring(t, i, 1))) % mod,
+    )
+    vals = F.transform(toks, tokval)
+    n_win = F.greatest(F.size(vals) - (window - 1), F.lit(1))
+    win_hash = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.aggregate(
+            F.slice(vals, i, window),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 37 + v) % mod,
+        ),
+    )
+    return F.array_distinct(
+        F.filter(win_hash, lambda h: h % sample_mod == 0))
+
+
+# ------------------------------------------------------------------ chunking
+
+def chunk_documents(docs, id_col: str, text_col: str,
+                    chunk_tokens: int = 128, overlap: int = 32) -> "DataFrame":
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preprocessing step of embedding/RAG pipelines.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short; every
+    document yields ≥ 1 chunk. Pure JVM array expressions scan-side
+    (sequence + slice + array_join) — a flatMap-shaped projection with
+    NO shuffle: at 100 TB chunking streams through the scan and pipes
+    straight into the next operator.
+
+    Output: original id + (chunk_id, chunk_text, chunk_n_tokens).
+    """
+    from pyspark.sql import functions as F  # local: mirrors module import
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = whitespace_tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("long")
+            .alias("chunk_n_tokens"),
+        ),
+    )
+    return (docs.select(F.col(id_col), F.explode(chunks).alias("__c"))
+                .select(id_col, "__c.chunk_id", "__c.chunk_text",
+                        "__c.chunk_n_tokens"))
+
+
 # ----------------------------------------------- decontamination / budgeting
 
 def decontaminate(
