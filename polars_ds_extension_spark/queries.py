@@ -48,11 +48,12 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-# Queries already stamped green by the round-2 driver run (CORRECTNESS_r02).
+# Queries already stamped green by a driver run (CORRECTNESS_r02 ∪ r03).
 # The driver verifies a bounded catalog-order prefix, so queries WITHOUT a
 # hard driver signal yet are ordered first; re-verified ones ride behind.
 # New queries (absent from this set) automatically sort to the front.
 _DRIVER_GREEN = frozenset({
+    # round 2
     "pricing_summary", "weighted_stats", "mean_family", "ttest", "ks_2samp",
     "mann_whitney", "chi2", "f_test", "corr_family", "xi_corr", "normality",
     "regression_metrics", "classification_metrics", "roc_auc", "mad", "dcg",
@@ -64,6 +65,21 @@ _DRIVER_GREEN = frozenset({
     "near_dup_minhash", "blocked_jaccard", "near_dup_simhash", "token_stats",
     "text_quality", "language_id", "fingerprints", "knn_cosine",
     "knn_avg_label", "radius_nb_cnt", "ivf_ann",
+    # round 3
+    "add_at", "ar_coeffs", "bicor", "cat_cross_entropy", "combinations",
+    "convolve", "copula_entropy", "decontaminate", "dist_kth_nb",
+    "downsample", "eda_describe", "eda_flags", "embedding_ops",
+    "glm_poisson", "isotonic", "knn_entropy", "knn_from_target",
+    "lin_reg_multi", "lin_reg_report", "line_dedup", "linear_impute",
+    "logistic_reg", "multi_roc_auc", "multimodal_blobs",
+    "near_dup_cluster_dedup", "pack_sequences", "pca", "permute_entropy",
+    "pii_scrub", "pipeline_encode", "pipeline_iv_rankhot",
+    "pipeline_poly_impute", "pipeline_transform", "recursive_lin_reg",
+    "repetition_signals", "rfft", "rolling_lin_reg", "sample_split",
+    "similar_count", "simple_lin_reg", "singular_values", "stream_dedup",
+    "stream_running_stats", "stream_sessionize", "stream_windowed_agg",
+    "token_budget_sample", "tpr_fpr", "transfer_entropy", "volume_neutral",
+    "within_radius_target",
 })
 
 
