@@ -16,7 +16,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from . import streaming as STR
 from .queries import _r, query
@@ -36,6 +36,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(s.schema["ts"].dataType, LongType):
         # exact integer division — see sources.load_table
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(s.schema["ts"].dataType, TimestampNTZType):
+        # µs-precision testdata surfaces as TIMESTAMP_NTZ, which
+        # withWatermark rejects. The generated wall clock is UTC;
+        # to_utc_timestamp(ntz, 'UTC') pins that interpretation into a
+        # proper TIMESTAMP independent of the session timezone, so the
+        # epoch values in outputs match the oracle's naive epoch().
+        s = s.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return s
 
 
