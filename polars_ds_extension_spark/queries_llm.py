@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import knn as K
+from .operators import retrieval as R
 from .operators import text as T
 from .queries import _r, query
 from .sources import load_table
@@ -723,3 +724,100 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").cast("long").alias("bin_tokens"))
+
+
+# --------------------------------------------------------- retrieval / lexical
+
+@query("tfidf_topk", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tc, ANY_VALUE(dlen) AS dlen FROM (
+    SELECT doc_id, len(w) AS dlen, unnest(w) AS term FROM toks
+  ) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+  ) GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, (tc / dlen) * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(tfidf, 9) DESC, term ASC) AS r
+  FROM scored
+)
+SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf FROM ranked WHERE r <= 3
+""")
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/retrieval.tfidf_topk;
+    ref python/polars_ds — the keyword-extraction workhorse). Scores are
+    rounded to 9 dp BEFORE ranking on both engines so ln() ulp noise can't
+    flip a near-tie across the top-k boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.tfidf_topk(docs, "doc_id", "text", k=3, rank_scale=9)
+    return out.select("doc_id", "term", _r(F.col("tfidf")).alias("tfidf"))
+
+
+@query("bm25_score", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM toks
+), hits AS (
+  SELECT doc_id, len(w) AS dlen, term, len(list_filter(w, x -> x = term)) AS tc
+  FROM (SELECT doc_id, w,
+               unnest(list_intersect(list_distinct(w),
+                      ['spark', 'join', 'window', 'hash'])) AS term
+        FROM toks)
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+)
+SELECT doc_id,
+       ROUND(SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                 * (tc * 2.2) / (tc + 1.2 * (0.25 + 0.75 * dlen / avgdl))), 6)
+       AS bm25
+FROM hits JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id
+""")
+def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against the query bag
+    {spark, join, window, hash} (operators/retrieval.bm25_score). Only
+    documents with >=1 matching term appear — the scan-side intersect
+    filter both engines share."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.bm25_score(docs, "doc_id", "text",
+                       ["spark", "join", "window", "hash"])
+    return out.select("doc_id", _r(F.col("bm25")).alias("bm25"))
+
+
+@query("bigram_lm", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), big AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg FROM toks
+  )
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+), v AS (SELECT COUNT(*) AS v FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+)
+SELECT doc_id,
+       ROUND(-AVG(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS cross_entropy,
+       COUNT(*) AS n_bigrams
+FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY doc_id
+""")
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-0.5-smoothed bigram LM
+    trained on the corpus itself (operators/retrieval.bigram_lm_score) —
+    the KenLM-style perplexity quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.bigram_lm_score(docs, "doc_id", "text", add_k=0.5)
+    return out.select("doc_id", _r(F.col("cross_entropy")).alias("cross_entropy"),
+                      "n_bigrams")
