@@ -22,7 +22,7 @@ from .._utils import to_col, group_window
 __all__ = [
     "query_r2", "query_adj_r2", "query_log_cosh", "query_huber_loss",
     "query_l1", "query_l2", "query_l_inf", "query_log_loss", "query_msle",
-    "query_mape", "query_smape", "query_mase_precomputed",
+    "query_mape", "query_smape", "query_mase_precomputed", "query_mase_df",
     "query_cat_cross_entropy", "confusion_matrix_counts",
     "query_binary_metrics", "query_mcc",
     "query_mad", "roc_auc", "query_gini", "multi_roc_auc",
@@ -124,10 +124,72 @@ def query_mase_precomputed(actual, pred, train_loss: float,
                            use_mean: bool = True) -> Column:
     """MASE with a precomputed naive-forecast training loss (the
     reference's float-train branch, metrics.py:275). The column-train
-    branch is order-dependent → ts.mase_df."""
+    branch is order-dependent → query_mase_df."""
     a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
     num = F.avg(F.abs(a - p)) if use_mean else F.median(F.abs(a - p))
     return num / F.lit(train_loss)
+
+
+def query_mase_df(df: DataFrame, actual, pred, train, order_by,
+                  by: Sequence[str] | None = None, freq: int = 1,
+                  use_mean: bool = True) -> DataFrame:
+    """Mean/Median Absolute Scaled Error with the seasonal-naive train
+    loss computed internally — the reference's column-train branch
+    (ref exprs/metrics.py:275 ``query_mase``): denominator =
+    mean/median |train_t − train_{t−freq}| over the train series in
+    ``order_by`` order.
+
+    Membership is null-driven, mirroring the reference's filter-expr
+    usage: rows where ``train`` is non-null form the training series;
+    rows where ``actual`` AND ``pred`` are non-null form the test set
+    (typically ``F.when(ts < T, y)`` / ``F.when(ts >= T, y)``).
+
+    Scale shape: with ``by`` the diff is a per-group ordered window
+    (group-sized partitions, the usual per-series contract). Without
+    ``by`` a global window would funnel every row through one task, so
+    the train series gets two-pass global ranks (plans/ranks) and the
+    lag-``freq`` neighbor comes from a self-equi-join on rank — hash
+    shuffles only. ``order_by`` must be unique per group (a time index).
+
+    Returns one row per group: (by..., mase).
+    """
+    if freq < 1:
+        raise ValueError("Input `freq` must be >= 1.")
+    keys = list(by or [])
+    a, p = to_col(actual).cast("double"), to_col(pred).cast("double")
+    t = to_col(train).cast("double")
+    stat = (lambda c: F.avg(c)) if use_mean else (lambda c: F.median(c))
+
+    tr = (df.select(*keys, to_col(order_by).alias("__o"), t.alias("__t"))
+          .where(F.col("__t").isNotNull()))
+    o_type = tr.schema["__o"].dataType.simpleString()
+    if o_type.startswith("timestamp"):
+        # the two-pass rank plan range-buckets on a numeric key; epoch
+        # micros is the order-preserving numeric image of a timestamp
+        o_num = (F.unix_micros(F.to_utc_timestamp(F.col("__o"), "UTC"))
+                 if o_type == "timestamp_ntz" else F.unix_micros(F.col("__o")))
+        tr = tr.withColumn("__o", o_num)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__o")
+        diff = tr.withColumn("__prev", F.lag("__t", freq).over(w))
+    else:
+        from ..plans.ranks import global_min_rank
+        rn = global_min_rank(tr, "__o", out_name="__rn")
+        prev = rn.select((F.col("__rn") + freq).alias("__rn"),
+                         F.col("__t").alias("__prev"))
+        diff = rn.join(prev, "__rn", "left")
+    den = (diff.where(F.col("__prev").isNotNull())
+           .groupBy(*keys)
+           .agg(stat(F.abs(F.col("__t") - F.col("__prev"))).alias("__den")))
+
+    num = (df.select(*keys, a.alias("__a"), p.alias("__p"))
+           .where(F.col("__a").isNotNull() & F.col("__p").isNotNull())
+           .groupBy(*keys)
+           .agg(stat(F.abs(F.col("__a") - F.col("__p"))).alias("__num")))
+
+    joined = num.join(den, keys) if keys else num.crossJoin(F.broadcast(den))
+    return joined.select(*keys,
+                         (F.col("__num") / F.col("__den")).alias("mase"))
 
 
 def query_cat_cross_entropy(actual, pred_probs) -> Column:

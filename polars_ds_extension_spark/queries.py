@@ -400,6 +400,51 @@ def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mase_full", """
+WITH tr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+), den AS (
+  SELECT a.event_type, AVG(ABS(a.value - b.value)) AS den
+  FROM tr a JOIN tr b ON a.event_type = b.event_type AND a.rn = b.rn + 7
+  GROUP BY a.event_type
+), num AS (
+  SELECT event_type, AVG(ABS(value * 0.1)) AS num
+  FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY event_type
+), trg AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY ts) AS rn
+  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+), deng AS (
+  SELECT AVG(ABS(a.value - b.value)) AS den
+  FROM trg a JOIN trg b ON a.rn = b.rn + 1
+), numg AS (
+  SELECT AVG(ABS(value * 0.1)) AS num
+  FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+)
+SELECT event_type, ROUND(num / den, 6) AS mase FROM num JOIN den USING (event_type)
+UNION ALL
+SELECT '__all__' AS event_type, ROUND(num / den, 6) AS mase FROM numg, deng
+""")
+def mase_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MASE with the seasonal-naive train loss computed internally
+    (metrics.query_mase_df; ref exprs/metrics.py query_mase column-train
+    branch). Train = value before Jan 20, test = after, pred = 0.9·value.
+    Covers BOTH plans: per-event_type seasonal diff (freq=7, grouped
+    window) and the global two-pass rank/self-join path (freq=1)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_test = F.col("ts") >= F.lit("2024-01-20")
+    actual = F.when(is_test, F.col("value"))
+    pred = F.when(is_test, F.col("value") * 0.9)
+    train = F.when(~is_test, F.col("value"))
+    grouped = M.query_mase_df(ev, actual, pred, train, "ts",
+                              by=["event_type"], freq=7)
+    glob = (M.query_mase_df(ev, actual, pred, train, "ts", freq=1)
+            .select(F.lit("__all__").alias("event_type"), "mase"))
+    return (grouped.unionByName(glob)
+            .select("event_type", _r(F.col("mase")).alias("mase")))
+
+
 @query("classification_metrics", """
 WITH t AS (
   SELECT (l_discount > 0.05)::INT AS y,

@@ -118,3 +118,45 @@ def test_mad(spark, df):
     assert got_mean == pytest.approx(float(np.mean(np.abs(A - A.mean()))), rel=1e-9)
     assert got_med == pytest.approx(
         float(np.median(np.abs(A - np.median(A)))), rel=1e-9)
+
+
+def test_query_mase_df_vs_numpy(spark):
+    rng = np.random.default_rng(7)
+    n = 200
+    y = rng.normal(10, 2, n)
+    pred = y + rng.normal(0, 0.5, n)
+    cut = 120
+    pdf = pd.DataFrame({"i": np.arange(n), "y": y, "p": pred})
+    df = spark.createDataFrame(pdf)
+    actual = F.when(F.col("i") >= cut, F.col("y"))
+    predc = F.when(F.col("i") >= cut, F.col("p"))
+    train = F.when(F.col("i") < cut, F.col("y"))
+    for freq in (1, 12):
+        for use_mean in (True, False):
+            got = M.query_mase_df(df, actual, predc, train, "i",
+                                  freq=freq, use_mean=use_mean
+                                  ).collect()[0]["mase"]
+            stat = np.mean if use_mean else np.median
+            num = stat(np.abs(y[cut:] - pred[cut:]))
+            tr = y[:cut]
+            den = stat(np.abs(tr[freq:] - tr[:-freq]))
+            assert got == pytest.approx(num / den, rel=1e-9), (freq, use_mean)
+
+
+def test_query_mase_df_grouped_matches_global_per_group(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("a", "b"):
+        y = rng.normal(5 if g == "a" else 50, 1, 80)
+        for i, v in enumerate(y):
+            rows.append((g, i, float(v), float(v * 0.95)))
+    df = spark.createDataFrame(rows, ["g", "i", "y", "p"])
+    actual = F.when(F.col("i") >= 50, F.col("y"))
+    predc = F.when(F.col("i") >= 50, F.col("p"))
+    train = F.when(F.col("i") < 50, F.col("y"))
+    grouped = {r["g"]: r["mase"] for r in M.query_mase_df(
+        df, actual, predc, train, "i", by=["g"], freq=3).collect()}
+    for g in ("a", "b"):
+        solo = M.query_mase_df(df.where(F.col("g") == g), actual, predc,
+                               train, "i", freq=3).collect()[0]["mase"]
+        assert grouped[g] == pytest.approx(solo, rel=1e-9)
