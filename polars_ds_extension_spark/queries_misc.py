@@ -624,11 +624,26 @@ SELECT a.r_regionkey AS k1, b.r_regionkey AS k2
 FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
 """)
 def combinations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All unordered pairs of region keys (ref iter: combinations)."""
-    r = load_table(spark, sf_dir, "region").select("r_regionkey")
-    a = r.select(F.col("r_regionkey").alias("k1"))
-    b = r.select(F.col("r_regionkey").alias("k2"))
-    return a.crossJoin(b).where(F.col("k1") < F.col("k2"))
+    """All unordered pairs of region keys (functions/iters.combinations_df;
+    ref expr_iter.py combinations)."""
+    from .functions.iters import combinations_df
+    r = load_table(spark, sf_dir, "region")
+    out = combinations_df(r, "r_regionkey", k=2, unique=True)
+    return out.select(F.col("v1").alias("k1"), F.col("v2").alias("k2"))
+
+
+@query("product", """
+SELECT a.r_regionkey AS k1, b.n_nationkey AS k2
+FROM region a CROSS JOIN nation b
+""")
+def product_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of region keys x nation keys
+    (functions/iters.product_df; ref expr_iter.py product)."""
+    from .functions.iters import product_df
+    out = product_df(load_table(spark, sf_dir, "region"), "r_regionkey",
+                     "n_nationkey", df2=load_table(spark, sf_dir, "nation"))
+    return out.select(F.col("r_regionkey").alias("k1"),
+                      F.col("n_nationkey").alias("k2"))
 
 
 # -------------------------------------------- oracle upgrades for [s] rows

@@ -98,3 +98,25 @@ def test_detrend_removes_trend(spark):
     df = spark.createDataFrame(pdf)
     out = N.detrend(df, "x", "i").select("detrended").toPandas()
     assert np.abs(out["detrended"]).max() < 1e-8
+
+
+def test_combinations_df_matches_itertools(spark):
+    import itertools
+    from polars_ds_extension_spark.functions.iters import combinations_df
+    vals = [5, 1, 3, 3, 9]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = sorted(tuple(r) for r in
+                 combinations_df(df, "x", k=3).collect())
+    exp = sorted(tuple(sorted(c)) for c in itertools.combinations(vals, 3))
+    assert got == exp
+    got2 = sorted(tuple(r) for r in
+                  combinations_df(df, "x", k=2, unique=True).collect())
+    exp2 = sorted(itertools.combinations(sorted(set(vals)), 2))
+    assert got2 == exp2
+
+
+def test_product_df(spark):
+    from polars_ds_extension_spark.functions.iters import product_df
+    df = spark.createDataFrame([(1, 4), (2, 5), (None, 6)], ["a", "b"])
+    got = sorted(tuple(r) for r in product_df(df, "a", "b").collect())
+    assert got == sorted((x, y) for x in (1, 2) for y in (4, 5, 6))
