@@ -51,13 +51,29 @@ _METRICS = {"cosine": lambda a, b: -cosine(a, b), "l2": l2, "l2_sq": l2_sq}
 
 # ---------------------------------------------------- brute force (broadcast)
 
-def _collect_index(index: DataFrame, i_id: str, i_vec: str):
+#: hard cap on broadcast index rows — at 128d float64 this is ~5 GB,
+#: the edge of what a healthy executor broadcast tolerates. Beyond it
+#: the ann_lsh_join / ivf_knn_join scale paths are the right tool.
+MAX_BROADCAST_INDEX_ROWS = 5_000_000
+
+
+def _collect_index(index: DataFrame, i_id: str, i_vec: str,
+                   max_rows: int = MAX_BROADCAST_INDEX_ROWS):
     """Materialize the (broadcast-size by contract) index side as numpy —
     the correctness-path analogue of the reference's in-memory kd-tree
-    build (ref expr_knn.py builds one per call)."""
+    build (ref expr_knn.py builds one per call). Guarded: a too-big
+    index fails fast with a pointer at the scale paths instead of
+    silently OOMing the driver."""
     import numpy as np
 
-    rows = index.select(i_id, i_vec).collect()
+    # limit(cap+1) keeps the guard inside the one collect job: Spark
+    # stops producing rows at the cap instead of shipping the full index
+    # to the driver before the check
+    rows = index.select(i_id, i_vec).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"index exceeds the broadcast cap of {max_rows} rows; use "
+            "ann_lsh_join / ivf_knn_join for index sets this large")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     return ids, mat
@@ -195,6 +211,101 @@ def radius_count(
             yield pd.DataFrame({q_id: qids[keep], "nb_cnt": cnt[keep]})
 
     return queries.select(q_id, q_vec).mapInPandas(_batches, schema)
+
+
+def radius_join(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    radius: float, metric: str = "l2",
+) -> DataFrame:
+    """All (query, index) pairs within ``radius`` — the pairwise form of
+    ``radius_count`` (ref expr_knn.py:471 query_radius_ptwise, list
+    output exploded to rows, self excluded). Same broadcast-matrix +
+    batch-GEMM shape; output (q_id, neighbor_id, dist)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    ids, mat = _collect_index(index, i_id, i_vec)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat))
+    qf = queries.select(F.col(q_id)).schema.fields
+    schema = StructType.fromDDL(
+        f"{q_id} {qf[0].dataType.simpleString()}, neighbor_id bigint, "
+        "dist double")
+
+    def _batches(it):
+        iids, m = bc.value
+        m2 = (m * m).sum(1)
+        for pdf in it:
+            qids = pdf[q_id].to_numpy()
+            Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
+            d2 = (Q * Q).sum(1)[:, None] + m2[None, :] - 2.0 * (Q @ m.T)
+            d2 = np.maximum(d2, 0.0)
+            if metric == "cosine":
+                qn = np.linalg.norm(Q, axis=1, keepdims=True)
+                val = 1.0 - (Q @ m.T) / (qn * np.sqrt(m2)[None, :])
+            elif metric == "l2":
+                val = np.sqrt(d2)
+            else:
+                val = d2
+            val[qids[:, None] == iids[None, :]] = np.inf
+            qi, ii = np.nonzero(val <= radius)
+            yield pd.DataFrame({q_id: qids[qi], "neighbor_id": iids[ii],
+                                "dist": val[qi, ii]})
+
+    return queries.select(q_id, q_vec).mapInPandas(_batches, schema)
+
+
+def knn_freq_cnt(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    k: int = 5, metric: str = "cosine",
+) -> DataFrame:
+    """How many times each index row appears as a k-NN of some query —
+    ref expr_knn.py:203 (query_knn_ptwise → explode → value_counts).
+    The count is a map-side-combinable groupBy on neighbor_id over the
+    knn_join output. Output: (neighbor_id, freq_cnt); rows never chosen
+    as a neighbor are absent (count 0), as in the reference."""
+    nn = knn_join(queries, q_id, q_vec, index, i_id, i_vec, k, metric)
+    return nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("freq_cnt"))
+
+
+def radius_freq_cnt(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    radius: float, metric: str = "l2",
+) -> DataFrame:
+    """How many within-radius lists each index row appears in — ref
+    expr_knn.py:566 (query_radius_ptwise → explode → value_counts).
+    Output: (neighbor_id, freq_cnt)."""
+    pairs = radius_join(queries, q_id, q_vec, index, i_id, i_vec,
+                        radius, metric)
+    return pairs.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("freq_cnt"))
+
+
+def radius_count_null_safe(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    radius: float, metric: str = "l2",
+) -> DataFrame:
+    """Null-safe radius count — ref expr_knn.py:528
+    (query_radius_ptwise_null_safe): rows whose vector is null or
+    contains a null element are excluded from the neighbor pool AND
+    surface with a null count instead of erroring; valid rows with zero
+    neighbors keep radius_count's no-row contract."""
+    has_null = (F.col(q_vec).isNull()
+                | F.exists(q_vec, lambda x: x.isNull()))
+    clean_q = queries.where(~has_null)
+    clean_i = index.where(F.col(i_vec).isNotNull()
+                          & ~F.exists(i_vec, lambda x: x.isNull()))
+    counted = radius_count(clean_q, q_id, q_vec, clean_i, i_id, i_vec,
+                           radius, metric)
+    nulls = queries.where(has_null).select(
+        F.col(q_id), F.lit(None).cast("bigint").alias("nb_cnt"))
+    return counted.unionByName(nulls)
 
 
 # --------------------------------------------------------- LSH scale path

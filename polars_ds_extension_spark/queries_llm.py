@@ -323,6 +323,42 @@ def radius_nb_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           radius=1.3, metric="l2")
 
 
+@query("knn_freq", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+r AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                     b.vec_id) AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+)
+SELECT 'knn' AS kind, neighbor_id, COUNT(*) AS freq_cnt
+FROM r WHERE rank <= 3 GROUP BY neighbor_id
+UNION ALL
+SELECT 'radius' AS kind, b.vec_id AS neighbor_id, COUNT(*) AS freq_cnt
+FROM e a JOIN e b ON a.vec_id <> b.vec_id
+WHERE a.vec_id < 100 AND list_distance(a.v, b.v) <= 1.3
+GROUP BY b.vec_id
+""")
+def knn_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor frequency counts (ref expr_knn.py:203 query_knn_freq_cnt,
+    :566 query_radius_freq_cnt): how often each vector is chosen as a
+    3-NN of the first 50 queries / appears within l2 radius 1.3 of the
+    first 100. Both are map-side-combinable groupBys over the broadcast
+    GEMM join output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kf = K.knn_freq_cnt(emb.where(F.col("vec_id") < 50), "vec_id",
+                        "embedding", emb, "vec_id", "embedding",
+                        k=3, metric="cosine")
+    rf = K.radius_freq_cnt(emb.where(F.col("vec_id") < 100), "vec_id",
+                           "embedding", emb, "vec_id", "embedding",
+                           radius=1.3, metric="l2")
+    return (kf.select(F.lit("knn").alias("kind"), "neighbor_id", "freq_cnt")
+            .unionByName(rf.select(F.lit("radius").alias("kind"),
+                                   "neighbor_id", "freq_cnt")))
+
+
 @query("ivf_ann", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

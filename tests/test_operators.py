@@ -188,3 +188,40 @@ def test_embedding_quantize_roundtrip(spark):
         # int8 roundtrip error bounded by scale/254 per component
         err = np.abs(np.array(r["back"]) - orig).max()
         assert err <= np.abs(orig).max() / 254 + 1e-12
+
+
+def test_radius_count_null_safe(spark):
+    from polars_ds_extension_spark.operators import knn as K
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [5.0, 5.0]),
+        (3, None),
+        (4, [0.2, None]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    got = {r["id"]: r["nb_cnt"]
+           for r in K.radius_count_null_safe(
+               df, "id", "v", df, "id", "v", radius=0.5).collect()}
+    # 0 and 1 see each other; 2 isolated (no row); 3,4 null vectors -> null
+    assert got == {0: 1, 1: 1, 3: None, 4: None}
+
+
+def test_knn_freq_cnt_small(spark):
+    from polars_ds_extension_spark.operators import knn as K
+    # three colinear points: nearest neighbor of each is the middle one
+    rows = [(0, [0.0]), (1, [1.0]), (2, [2.5])]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    got = {r["neighbor_id"]: r["freq_cnt"]
+           for r in K.knn_freq_cnt(df, "id", "v", df, "id", "v",
+                                   k=1, metric="l2").collect()}
+    assert got == {1: 2, 0: 1}
+
+
+def test_collect_index_cap(spark):
+    import pytest as _pt
+    from polars_ds_extension_spark.operators import knn as K
+    df = spark.createDataFrame([(i, [float(i)]) for i in range(40)],
+                               "id bigint, v array<double>")
+    with _pt.raises(ValueError, match="broadcast cap"):
+        K._collect_index(df, "id", "v", max_rows=10)
