@@ -1,2 +1,3 @@
 from .pipeline import Pipeline  # noqa: F401
 from . import transforms  # noqa: F401
+from .steps import SQLStep, SortStep, GroupByAggStep, ExprStep  # noqa: F401

@@ -1,0 +1,120 @@
+"""Stateless Blueprint-style pipeline steps (reference:
+python/polars_ds/pipeline/_step.py — SQLStep, SortStep, GroupByAggStep,
+ExprStep with select / with_columns / filter / explode contexts).
+
+Unlike the fit/transform steps in transforms.py these carry no learned
+state — fit is a no-op — so they serialize as their constructor kwargs
+and re-materialize from JSON verbatim. Expressions are stored as SQL
+strings (the engine-portable serialization the reference uses) and
+parsed with ``F.expr`` at apply time, so every step stays a pure
+Catalyst plan transformation: filters keep pushing down through them,
+aggregations keep their map-side partial phase, and nothing leaves the
+JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .transforms import Transform, _REGISTRY
+
+__all__ = ["SQLStep", "SortStep", "GroupByAggStep", "ExprStep"]
+
+
+class _StatelessStep(Transform):
+    """fit() is a no-op — the step is fully defined by its kwargs."""
+
+    def fit(self, df: DataFrame, y=None):
+        self.params = {}
+        return self
+
+
+class SQLStep(_StatelessStep):
+    """Run a SQL statement against the current frame, which is visible
+    as table ``df`` (ref _step.py SQLStep: ``pl.SQLContext(df=df)``)."""
+
+    name = "sql_step"
+
+    def __init__(self, sql: str):
+        super().__init__(sql=sql)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView("df")
+        return df.sparkSession.sql(self.kwargs["sql"])
+
+
+class SortStep(_StatelessStep):
+    """Global sort (ref _step.py SortStep). In Spark this is a range
+    shuffle — meaningful before a limit / write / window that consumes
+    the order; Catalyst drops it when nothing downstream needs it."""
+
+    name = "sort_step"
+
+    def __init__(self, by: str | Sequence[str],
+                 descending: bool | Sequence[bool] = False):
+        by = [by] if isinstance(by, str) else list(by)
+        desc = ([descending] * len(by) if isinstance(descending, bool)
+                else list(descending))
+        if len(desc) != len(by):
+            raise ValueError("descending must match by in length")
+        super().__init__(by=by, descending=desc)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = [F.col(c).desc() if d else F.col(c).asc()
+                for c, d in zip(self.kwargs["by"], self.kwargs["descending"])]
+        return df.orderBy(*cols)
+
+
+class GroupByAggStep(_StatelessStep):
+    """groupBy().agg() with SQL aggregate expression strings, e.g.
+    ``GroupByAggStep(["k"], ["SUM(x) AS sum_x", "AVG(y) AS avg_y"])``
+    (ref _step.py GroupByAggStep)."""
+
+    name = "group_by_agg_step"
+
+    def __init__(self, by: str | Sequence[str], aggs: Sequence[str]):
+        by = [by] if isinstance(by, str) else list(by)
+        super().__init__(by=by, aggs=list(aggs))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        aggs = [F.expr(a) for a in self.kwargs["aggs"]]
+        return df.groupBy(*self.kwargs["by"]).agg(*aggs)
+
+
+class ExprStep(_StatelessStep):
+    """Expression step in one of the reference's four contexts
+    (ref _step.py ExprStep / PLContext): ``select`` / ``with_columns``
+    / ``filter`` / ``explode``, each taking SQL expression strings."""
+
+    name = "expr_step"
+    _CONTEXTS = ("select", "with_columns", "filter", "explode")
+
+    def __init__(self, context: str, exprs: str | Sequence[str]):
+        if context not in self._CONTEXTS:
+            raise ValueError(f"context must be one of {self._CONTEXTS}")
+        exprs = [exprs] if isinstance(exprs, str) else list(exprs)
+        if context in ("filter", "explode") and len(exprs) != 1:
+            raise ValueError(f"{context} takes exactly one expression")
+        super().__init__(context=context, exprs=exprs)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ctx = self.kwargs["context"]
+        exprs = self.kwargs["exprs"]
+        if ctx == "select":
+            return df.select(*[F.expr(e) for e in exprs])
+        if ctx == "with_columns":
+            return df.select("*", *[F.expr(e) for e in exprs])
+        if ctx == "filter":
+            return df.where(F.expr(exprs[0]))
+        # explode: replace the column with its exploded rows, matching
+        # polars df.explode(col) semantics (other columns repeated)
+        col = exprs[0]
+        others = [c for c in df.columns if c != col]
+        return df.select(*others, F.explode(F.col(col)).alias(col))
+
+
+_REGISTRY.update({t.name: t for t in
+                  [SQLStep, SortStep, GroupByAggStep, ExprStep]})

@@ -154,3 +154,43 @@ def pipeline_iv_rankhot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("l_returnflag")).alias("rf_iv"),
         F.col("l_linestatus_ge_O").alias("ge_o"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query("pipeline_blueprint", """
+WITH m AS (
+  SELECT AVG(value) AS mv FROM events
+), f AS (
+  SELECT event_type, user_id, COALESCE(value, mv) AS v
+  FROM events, m
+  WHERE COALESCE(value, mv) > 50
+)
+SELECT event_type,
+       ROUND(SUM(v), 6) AS sum_v,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM f GROUP BY event_type
+""")
+def pipeline_blueprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed Blueprint: learned step (mean impute) + stateless steps
+    (SQL filter, groupBy-agg, sort) — ref pipeline/_step.py SQLStep /
+    GroupByAggStep / SortStep. The pipeline is serialized to JSON and
+    RE-MATERIALIZED before scoring, so the oracle also pins the
+    round-trip."""
+    from .pipeline import ExprStep, GroupByAggStep, SortStep, SQLStep
+    from .pipeline.transforms import Impute
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value")
+    pipe = Pipeline([
+        Impute(["value"], strategy="mean"),
+        SQLStep("SELECT event_type, user_id, value AS v FROM df "
+                "WHERE value > 50"),
+        GroupByAggStep(["event_type"],
+                       ["SUM(v) AS sum_v", "COUNT(*) AS n",
+                        "COUNT(DISTINCT user_id) AS n_users"]),
+        SortStep("event_type"),
+    ]).fit(ev)
+    rehydrated = Pipeline.from_json(pipe.to_json())
+    out = rehydrated.transform(ev)
+    return out.select("event_type", _r(F.col("sum_v")).alias("sum_v"),
+                      "n", "n_users")

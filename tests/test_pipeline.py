@@ -120,3 +120,46 @@ def test_linear_impute(spark):
     out = (linear_impute(spark.createDataFrame(pdf), ["v"], "o")
            .orderBy("o").toPandas())
     assert out["v"].tolist() == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+
+
+def test_blueprint_steps_json_roundtrip(spark):
+    from polars_ds_extension_spark.pipeline import (
+        Pipeline, SQLStep, SortStep, GroupByAggStep, ExprStep)
+    from polars_ds_extension_spark.pipeline.transforms import Impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", None, 20.0), ("b", 3.0, 30.0),
+         ("b", 4.0, None), ("c", 0.5, 5.0)],
+        "k string, x double, y double")
+    pipe = Pipeline([
+        Impute(["x", "y"], strategy="mean"),
+        SQLStep("SELECT k, x, y FROM df WHERE x > 0.4"),
+        ExprStep("with_columns", ["x + y AS xy"]),
+        GroupByAggStep(["k"], ["SUM(xy) AS sum_xy", "COUNT(*) AS n"]),
+        SortStep("k", descending=True),
+    ])
+    out1 = pipe.fit_transform(df).collect()
+    blob = pipe.to_json()
+    out2 = Pipeline.from_json(blob).transform(df).collect()
+    assert [r.asDict() for r in out1] == [r.asDict() for r in out2]
+    assert [r["k"] for r in out1] == ["c", "b", "a"]
+    got = {r["k"]: (r["sum_xy"], r["n"]) for r in out1}
+    # x-mean = (1+3+4+0.5)/4 = 2.125, y-mean = 16.25
+    assert got["a"] == (pytest.approx(11.0 + 2.125 + 20.0), 2)
+    assert got["b"] == (pytest.approx(33.0 + 4.0 + 16.25), 2)
+    assert got["c"] == (pytest.approx(5.5), 1)
+
+
+def test_expr_step_contexts(spark):
+    from polars_ds_extension_spark.pipeline import ExprStep
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30])],
+                               "id int, arr array<int>")
+    ex = ExprStep("explode", "arr").fit(df).transform(df)
+    assert sorted((r["id"], r["arr"]) for r in ex.collect()) == [
+        (1, 10), (1, 20), (2, 30)]
+    sel = ExprStep("select", ["id * 2 AS id2"]).fit(df).transform(df)
+    assert sorted(r["id2"] for r in sel.collect()) == [2, 4]
+    flt = ExprStep("filter", "id = 2").fit(df).transform(df)
+    assert [r["id"] for r in flt.collect()] == [2]
+    with pytest.raises(ValueError):
+        ExprStep("bogus", "x")
