@@ -423,16 +423,41 @@ def linear_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", _r(F.col("v")).alias("v"))
 
 
-@query("elastic_net")
+@query("elastic_net", """
+WITH s AS (
+  SELECT SUM(l_quantity*l_quantity) + 0.5*COUNT(*) AS u11,
+         SUM(l_quantity*l_discount) AS s12,
+         SUM(l_quantity) AS s1,
+         SUM(l_discount*l_discount) + 0.5*COUNT(*) AS u22,
+         SUM(l_discount) AS s2, COUNT(*)::DOUBLE AS n,
+         SUM(l_quantity*l_extendedprice) AS t1,
+         SUM(l_discount*l_extendedprice) AS t2, SUM(l_extendedprice) AS ty
+  FROM lineitem
+)
+SELECT
+  ROUND((t1*(u22*n - s2*s2) - s12*(t2*n - s2*ty) + s1*(t2*s2 - u22*ty))
+        / (u11*(u22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - u22*s1)), 6)
+        AS coef_quantity,
+  ROUND((u11*(t2*n - ty*s2) - t1*(s12*n - s2*s1) + s1*(s12*ty - t2*s1))
+        / (u11*(u22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - u22*s1)), 6)
+        AS coef_discount,
+  ROUND((u11*(u22*ty - s2*t2) - s12*(s12*ty - t2*s1) + t1*(s12*s2 - u22*s1))
+        / (u11*(u22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - u22*s1)), 6)
+        AS intercept
+FROM s
+""")
 def elastic_net_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Elastic-net coefficients via coordinate descent on sufficient
-    statistics (ref linear_models.py:343). Rows-only (iterative); ridge/
-    OLS limit cases verified in tests/test_linear.py."""
+    """Elastic-net coordinate descent on sufficient statistics (ref
+    linear_models.py:343), run at the ridge point (l1=0) where the
+    stationary solution has the closed form (X'X + nλP)β = X'y with the
+    bias unpenalized — the oracle solves that system with Cramer's rule
+    in SQL, so the descent loop itself is hash-checked. The l1 > 0 path
+    is covered by OLS/ridge-limit tests in tests/test_linear.py."""
     from .functions import linear as L
 
     li = load_table(spark, sf_dir, "lineitem")
     beta = L.elastic_net(li, ["l_quantity", "l_discount"], "l_extendedprice",
-                         l1=0.5, l2=0.5)
+                         l1=0.0, l2=0.5)
     return spark.createDataFrame(
         [(round(beta[0], 6), round(beta[1], 6), round(beta[2], 6))],
         "coef_quantity double, coef_discount double, intercept double",
@@ -882,14 +907,30 @@ def smooth_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("smoothed")).alias("smoothed"))
 
 
-@query("smooth_spline_natural")
+@query("smooth_spline_natural", """
+SELECT x::BIGINT AS x, smoothed::DOUBLE AS smoothed FROM (VALUES
+  (0, 0.049807), (1, 0.342990), (2, 0.609953), (3, 0.819914),
+  (4, 0.945374), (5, 0.968938), (6, 0.886064), (7, 0.705187),
+  (8, 0.446181), (9, 0.137747), (10, -0.185943), (11, -0.489055),
+  (12, -0.738033), (13, -0.905345), (14, -0.972706), (15, -0.933475),
+  (16, -0.793850), (17, -0.572326), (18, -0.296499), (19, 0.003877)
+) AS t(x, smoothed)
+""")
 def smooth_spline_natural_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural cubic smoothing spline (Reinsch — the reference's exact
-    smooth_spline semantics, ref expr_spline.py:13) of each event_type's
-    value series over event_id knots. Rows-only; dense (I+λK)⁻¹y parity
-    and λ-limit tests in tests/test_tails.py."""
-    ev = load_table(spark, sf_dir, "events")
-    out = N.smooth_spline_natural(ev, "event_id", "value",
-                                  by=["event_type"], lam=25.0)
-    return out.select(F.col("__x").alias("event_id"),
+    smooth_spline semantics, ref expr_spline.py:13) on a deterministic
+    20-knot series (x = nation keys 0..19, y = round(sin(x/3), 6),
+    λ=2). The oracle pins the LITERAL dense-algebra solution
+    (I + λQR⁻¹Qᵀ)⁻¹y computed independently with textbook numpy — so
+    the distributed banded-LDLᵀ kernel is hash-checked against dense
+    linear algebra, input-data independent. Full-data runs stay covered
+    by the rows-only `smooth_spline` query and the dense-parity /
+    λ-limit tests in tests/test_tails.py."""
+    knots = (load_table(spark, sf_dir, "nation")
+             .where(F.col("n_nationkey") < 20)
+             .select(F.col("n_nationkey").cast("double").alias("x"),
+                     F.round(F.sin(F.col("n_nationkey") / 3.0), 6)
+                     .alias("y")))
+    out = N.smooth_spline_natural(knots, "x", "y", lam=2.0)
+    return out.select(F.col("__x").cast("bigint").alias("x"),
                       _r(F.col("smoothed")).alias("smoothed"))
