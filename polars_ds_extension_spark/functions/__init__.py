@@ -1,1 +1,1 @@
-from . import iters, num, stats, metrics, string_, ts  # noqa: F401
+from . import eda_plots, iters, num, stats, metrics, string_, ts  # noqa: F401
