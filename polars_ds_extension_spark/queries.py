@@ -48,72 +48,80 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-# Queries already stamped green by a driver run (CORRECTNESS_r02 ∪ r03).
-# The driver verifies a bounded catalog-order prefix, so queries WITHOUT a
-# hard driver signal yet are ordered first; re-verified ones ride behind.
-# New queries (absent from this set) automatically sort to the front.
-_DRIVER_GREEN = frozenset({
-    # round 2
-    "pricing_summary", "weighted_stats", "mean_family", "ttest", "ks_2samp",
-    "mann_whitney", "chi2", "f_test", "corr_family", "xi_corr", "normality",
-    "regression_metrics", "classification_metrics", "roc_auc", "mad", "dcg",
-    "softmax_znorm", "gcd_lcm", "elementwise_math", "winsorize",
-    "integrate_detrend", "psi", "woe_iv", "target_encode", "is_monotonic",
-    "string_similarity", "string_cleaning", "ts_moments", "ts_ordered",
-    "ts_autocorr", "ts_streaks", "benford", "entropy", "cond_entropy",
-    "count_uniques", "kaplan_meier", "kendall", "dedup_stats", "exact_dedup",
-    "near_dup_minhash", "blocked_jaccard", "near_dup_simhash", "token_stats",
-    "text_quality", "language_id", "fingerprints", "knn_cosine",
-    "knn_avg_label", "radius_nb_cnt", "ivf_ann",
-    # round 3
-    "add_at", "ar_coeffs", "bicor", "cat_cross_entropy", "combinations",
-    "convolve", "copula_entropy", "decontaminate", "dist_kth_nb",
-    "downsample", "eda_describe", "eda_flags", "embedding_ops",
-    "glm_poisson", "isotonic", "knn_entropy", "knn_from_target",
-    "lin_reg_multi", "lin_reg_report", "line_dedup", "linear_impute",
-    "logistic_reg", "multi_roc_auc", "multimodal_blobs",
-    "near_dup_cluster_dedup", "pack_sequences", "pca", "permute_entropy",
-    "pii_scrub", "pipeline_encode", "pipeline_iv_rankhot",
-    "pipeline_poly_impute", "pipeline_transform", "recursive_lin_reg",
-    "repetition_signals", "rfft", "rolling_lin_reg", "sample_split",
-    "similar_count", "simple_lin_reg", "singular_values", "stream_dedup",
-    "stream_running_stats", "stream_sessionize", "stream_windowed_agg",
-    "token_budget_sample", "tpr_fpr", "transfer_entropy", "volume_neutral",
-    "within_radius_target",
-})
+# Round of each query's MOST RECENT driver hash-green stamp
+# (CORRECTNESS_r02/r03/r04 union, latest wins). The driver verifies a
+# bounded catalog-order prefix (~50), so ordering decides which queries
+# get a fresh hard row each round: unstamped/stale oracled queries
+# first, then greens oldest-stamp-first so every green row re-verifies
+# within ~2 rounds. New queries (absent here) automatically sort front.
+_GREEN_ROUND = {
+    # last stamped in round 2
+    "fingerprints": 2, "ivf_ann": 2, "knn_avg_label": 2, "knn_cosine": 2,
+    "language_id": 2, "radius_nb_cnt": 2, "text_quality": 2,
+    # last stamped in round 3
+    "add_at": 3, "ar_coeffs": 3, "bicor": 3, "cat_cross_entropy": 3,
+    "combinations": 3, "convolve": 3, "copula_entropy": 3,
+    "decontaminate": 3, "dist_kth_nb": 3, "downsample": 3,
+    "eda_describe": 3, "eda_flags": 3, "embedding_ops": 3,
+    "glm_poisson": 3, "isotonic": 3, "knn_entropy": 3,
+    "knn_from_target": 3, "lin_reg_multi": 3, "lin_reg_report": 3,
+    "line_dedup": 3, "linear_impute": 3, "logistic_reg": 3,
+    "multi_roc_auc": 3, "multimodal_blobs": 3,
+    "near_dup_cluster_dedup": 3, "pack_sequences": 3, "pca": 3,
+    "permute_entropy": 3, "pii_scrub": 3, "pipeline_encode": 3,
+    "pipeline_iv_rankhot": 3, "pipeline_poly_impute": 3,
+    "pipeline_transform": 3, "recursive_lin_reg": 3,
+    "repetition_signals": 3, "rfft": 3, "rolling_lin_reg": 3,
+    "sample_split": 3, "similar_count": 3, "simple_lin_reg": 3,
+    "singular_values": 3, "stream_dedup": 3, "stream_running_stats": 3,
+    "stream_sessionize": 3, "stream_windowed_agg": 3,
+    "token_budget_sample": 3, "tpr_fpr": 3, "transfer_entropy": 3,
+    "volume_neutral": 3, "within_radius_target": 3,
+    # last stamped in round 4
+    "benford": 4, "blocked_jaccard": 4, "chi2": 4,
+    "classification_metrics": 4, "cond_entropy": 4, "cond_indep": 4,
+    "corr_family": 4, "corr_matrix": 4, "count_uniques": 4, "dcg": 4,
+    "dedup_stats": 4, "elementwise_math": 4, "entropy": 4,
+    "exact_dedup": 4, "f_test": 4, "gcd_lcm": 4, "integrate_detrend": 4,
+    "is_monotonic": 4, "kaplan_meier": 4, "kendall": 4, "ks_2samp": 4,
+    "mad": 4, "mann_whitney": 4, "mean_family": 4, "near_dup_minhash": 4,
+    "normality": 4, "pricing_summary": 4, "psi": 4,
+    "regression_metrics": 4, "roc_auc": 4, "softmax_znorm": 4,
+    "string_cleaning": 4, "string_similarity": 4, "target_encode": 4,
+    "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered": 4,
+    "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4, "weighted_stats": 4,
+    "winsorize": 4, "woe_iv": 4, "xi_corr": 4,
+}
 
-
-# Queries the round-2 JUDGE re-ran through the identical local gate
-# (VERDICT.md pass* rows) — soft evidence, stronger than nothing but
-# weaker than a driver row; they yield prefix slots to brand-new queries.
-_JUDGE_SOFT = frozenset({
-    "add_at", "ar_coeffs", "bicor", "cat_cross_entropy", "combinations",
-    "cond_indep", "convolve", "copula_entropy", "corr_matrix",
-    "dist_kth_nb", "downsample", "eda_describe", "eda_flags", "isotonic",
-    "knn_from_target", "lin_reg_multi", "lin_reg_report", "linear_impute",
-    "multi_roc_auc", "pca", "permute_entropy", "pipeline_encode",
-    "pipeline_iv_rankhot", "pipeline_poly_impute", "pipeline_transform",
-    "rfft", "rolling_lin_reg", "recursive_lin_reg", "sample_split",
-    "simple_lin_reg", "singular_values", "tpr_fpr", "transfer_entropy",
-    "vocab_nearest", "volume_neutral", "within_radius_target",
+# Queries whose covering code changed AFTER their last stamp — their
+# green rows are stale, so they rank with the unstamped until the
+# driver re-stamps them. Round 5: the streaming ts normalization fix
+# (queries_streaming.py), the elastic_net ridge-point oracle, the
+# smooth_spline_natural 20-knot oracle, and combinations' reroute
+# through functions/iters.combinations_df.
+_STALE = frozenset({
+    "stream_windowed_agg", "stream_dedup", "stream_sessionize",
+    "stream_running_stats", "elastic_net", "smooth_spline_natural",
+    "combinations",
 })
 
 
 def _ordered(names) -> list:
-    # The driver verifies a bounded catalog-order prefix (~50). Rank by
-    # how much a hard driver row would ADD: brand-new oracled queries
-    # (no verified record anywhere) first, judge-soft-verified oracled
-    # next, rows-only after (they get the same weak row-count check
-    # wherever they sit), already-driver-green last.
-    def rank(n: str) -> int:
-        if n in _DRIVER_GREEN:
-            return 3
-        if n not in _ORACLES:
-            return 2
-        return 1 if n in _JUDGE_SOFT else 0
+    # Rank by how much a hard driver row would ADD: oracled queries with
+    # no current stamp (new or stale) first, rows-only next (they get
+    # the same weak row-count check wherever they sit), stamped greens
+    # last — oldest stamp first, so evidence rotates.
+    def key(n: str):
+        stamped = n in _GREEN_ROUND and n not in _STALE
+        if not stamped:
+            rank = 1 if n not in _ORACLES else 0
+            rnd = 0
+        else:
+            rank = 2
+            rnd = _GREEN_ROUND[n]
+        return (rank, rnd, list(_SPARK_QUERIES).index(n))
 
-    return sorted(names, key=lambda n: (rank(n),
-                                        list(_SPARK_QUERIES).index(n)))
+    return sorted(names, key=key)
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
