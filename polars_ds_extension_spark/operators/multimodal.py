@@ -123,14 +123,27 @@ def byte_entropy(df: DataFrame, binary_col: str,
 DECODED_IMAGE_SCHEMA = "height int, width int, channels int, pixels binary"
 
 
+def _pil():
+    """Codec seam: the real decoder when Pillow is installed, else None.
+    Resolved at CALL time on the worker so shipping the package into the
+    cluster environment upgrades decode_image from fake to real with no
+    code change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(df: DataFrame, binary_col: str, *, fake: bool = False,
                  out_name: str = "decoded") -> DataFrame:
     """Decode image bytes to (height, width, channels, raw pixels).
 
-    STUB: real decoding needs an image codec (PIL/opencv — not in this
-    container). With ``fake=True`` a deterministic stand-in fills the
-    struct from the content hash so downstream plumbing (schema, batch
-    shape, partition flow) is exercised end-to-end; otherwise raises.
+    Uses Pillow when importable (the codec seam, ``_pil``). Without a
+    codec: ``fake=True`` fills the struct with a DETERMINISTIC stand-in
+    (dims derived from blob length and first/last byte — reproducible
+    across engines and runs, so the plumbing is oracle-checkable);
+    otherwise raises NotImplementedError.
     """
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
@@ -140,18 +153,30 @@ def decode_image(df: DataFrame, binary_col: str, *, fake: bool = False,
         + [StructField(out_name, StructType.fromDDL(DECODED_IMAGE_SCHEMA))])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil()
         for pdf in it:
-            if not fake:
+            if Image is None and not fake:
                 raise NotImplementedError(
                     "decode_image: no image codec in this environment — "
-                    "pass fake=True for plumbing tests or plug a decoder here"
+                    "install Pillow, or pass fake=True for plumbing tests"
                 )
             out = []
             for blob in pdf[binary_col]:
-                h = hash(blob) & 0x7FFFFFFF
-                hh, ww = 1 + h % 64, 1 + (h >> 8) % 64
-                out.append({"height": hh, "width": ww, "channels": 3,
-                            "pixels": bytes(3)})
+                if blob is None or len(blob) == 0:
+                    out.append(None)
+                elif Image is not None and not fake:
+                    img = Image.open(io.BytesIO(bytes(blob)))
+                    out.append({"height": img.height, "width": img.width,
+                                "channels": len(img.getbands()),
+                                "pixels": img.tobytes()})
+                else:
+                    b = bytes(blob)
+                    n = len(b)
+                    out.append({"height": 1 + (n + b[0]) % 64,
+                                "width": 1 + (7 * n + b[-1]) % 64,
+                                "channels": 3, "pixels": bytes(3)})
             pdf = pdf.copy()
             pdf[out_name] = out
             yield pdf

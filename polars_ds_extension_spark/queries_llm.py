@@ -857,3 +857,40 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = R.bigram_lm_score(docs, "doc_id", "text", add_k=0.5)
     return out.select("doc_id", _r(F.col("cross_entropy")).alias("cross_entropy"),
                       "n_bigrams")
+
+
+@query("multimodal_decode", """
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 4 ELSE 3 END
+           + octet_length(encode(text)) AS n,
+         CASE doc_id % 3 WHEN 0 THEN 137 WHEN 1 THEN 255 ELSE 73 END AS fb,
+         ascii(substr(text, length(text), 1)) AS lb
+  FROM documents
+)
+SELECT doc_id, (1 + (n + fb) % 64)::INT AS height,
+       (1 + (7 * n + lb) % 64)::INT AS width, 3 AS channels
+FROM b
+""")
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_image plumbing over synthesized blobs with the
+    DETERMINISTIC fake decoder (operators/multimodal.py decode_image —
+    dims derived from blob length and first/last byte, reproduced
+    exactly in SQL). With Pillow installed the same call decodes for
+    real; the fake keeps the mapInPandas schema/batch path
+    driver-verifiable in codec-less environments."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes.fromhex("89504E47")))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes.fromhex("FFD8FFE0")))
+        .otherwise(F.lit(bytes.fromhex("494433")))
+    )
+    blobs = docs.select(
+        "doc_id", F.concat(magic, F.encode("text", "utf-8")).alias("content"))
+    dec = MM.decode_image(blobs, "content", fake=True)
+    return dec.select("doc_id",
+                      F.col("decoded.height").alias("height"),
+                      F.col("decoded.width").alias("width"),
+                      F.col("decoded.channels").alias("channels"))

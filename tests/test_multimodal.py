@@ -60,3 +60,37 @@ def test_frame_sampling(spark):
     assert len(out[2]["idx"]) == 1       # at least one frame
     assert out[0]["idx"][0] == 0
     assert all(b > a for a, b in zip(out[0]["idx"], out[0]["idx"][1:]))
+
+
+def test_decode_image_fake_deterministic(spark):
+    from polars_ds_extension_spark.operators import multimodal as MM
+    blobs = [(1, b"\x89PNG1234abcd"), (2, b"\xff\xd8\xffhello"), (3, None)]
+    df = spark.createDataFrame(blobs, "id bigint, content binary")
+    out = {r["id"]: r["decoded"]
+           for r in MM.decode_image(df, "content", fake=True).collect()}
+    b = blobs[0][1]
+    assert out[1]["height"] == 1 + (len(b) + b[0]) % 64
+    assert out[1]["width"] == 1 + (7 * len(b) + b[-1]) % 64
+    assert out[1]["channels"] == 3
+    assert out[3] is None
+    # deterministic across runs
+    out2 = {r["id"]: r["decoded"]
+            for r in MM.decode_image(df, "content", fake=True).collect()}
+    assert out == out2
+
+
+def test_decode_image_codec_seam(spark):
+    """Without Pillow the non-fake path must raise NotImplementedError;
+    with Pillow it must decode for real. Exercise whichever branch this
+    environment has."""
+    import pytest as _pt
+    from polars_ds_extension_spark.operators import multimodal as MM
+    df = spark.createDataFrame([(1, b"notanimage")], "id bigint, content binary")
+    if MM._pil() is None:
+        with _pt.raises(Exception) as ei:
+            MM.decode_image(df, "content").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
+    else:  # pragma: no cover - env has a codec
+        with _pt.raises(Exception):
+            MM.decode_image(df, "content").collect()  # invalid bytes
