@@ -50,9 +50,15 @@ def main() -> None:
     spark.range(0, 32 * 256, 1, 32).select(
         _wu(F.col("id").cast("double"))).count()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name, fn in catalog.queries().items():
+    # Single-shot timings proved too noisy to steer perf work (r4: 8
+    # queries "regressed" >2x with zero code change — GC pauses and
+    # first-touch costs land on whichever query runs first). Median of
+    # up to 3 back-to-back runs inside one session kills that noise;
+    # repeats are skipped for the slowest queries so total wall time
+    # stays bounded.
+    import statistics
+
+    def _one_run(name, fn):
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
@@ -60,13 +66,29 @@ def main() -> None:
         except Exception as ex:  # pragma: no cover
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             dt = float("nan")
-        per_query[name] = round(dt, 4)
-        total += dt if dt == dt else 0.0
-        print(f"bench {name}: {dt:.3f}s", file=sys.stderr)
         # drop cross-query state: stray pinned frames from two-pass plans
         # would otherwise occupy executor memory for the rest of the run
         release_pins()
         spark.catalog.clearCache()
+        return dt
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in catalog.queries().items():
+        runs = [_one_run(name, fn)]
+        if runs[0] == runs[0]:  # not NaN
+            n_runs = 3 if runs[0] <= 5.0 else (2 if runs[0] <= 15.0 else 1)
+            runs += [_one_run(name, fn) for _ in range(n_runs - 1)]
+        dt = statistics.median(runs)
+        per_query[name] = round(dt, 4)
+        total += dt if dt == dt else 0.0
+        print(f"bench {name}: median {dt:.3f}s over {len(runs)} "
+              f"({', '.join(f'{r:.3f}' for r in runs)})", file=sys.stderr)
+        # ~300 jobs of accumulated garbage otherwise drifts later queries
+        # multi-seconds slower (measured: pack_sequences 1.2s standalone
+        # vs 10s late in a long bench run); an explicit full GC between
+        # queries pins the drift outside the timers
+        spark.sparkContext._jvm.System.gc()
 
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).
@@ -96,9 +118,13 @@ def main() -> None:
         compact = {k: round(v, nd) for k, v in per_query.items()}
         if len(_line(compact)) <= budget:
             break
+    dropped = []
     while len(_line(compact)) > budget and len(compact) > 1:
         fastest = min(compact, key=lambda k: compact[k])
-        del compact[fastest]
+        dropped.append((fastest, compact.pop(fastest)))
+    if dropped:  # no silent caps: record what the stdout line lost
+        print("bench stdout-budget dropped: "
+              + ", ".join(f"{k}={v}" for k, v in dropped), file=sys.stderr)
     print(_line(compact))
     spark.stop()
 
