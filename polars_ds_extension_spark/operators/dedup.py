@@ -524,6 +524,10 @@ def connected_components(
                 .groupBy("id").agg(F.min("comp").alias("comp"))
             ).localCheckpoint(eager=True)
             new_sum = new.agg(F.sum("comp")).first()[0]
+            # the superseded round's checkpointed partitions would stay
+            # materialized for the whole session otherwise — O(rounds)
+            # executor storage held by a loop that only needs 2 frames
+            lab.unpersist(blocking=False)
             lab = new
             if new_sum == prev_sum:
                 break
