@@ -118,3 +118,113 @@ class ExprStep(_StatelessStep):
 
 _REGISTRY.update({t.name: t for t in
                   [SQLStep, SortStep, GroupByAggStep, ExprStep]})
+
+
+class CastBoolsStep(_StatelessStep):
+    """Cast every boolean column to the given numeric type
+    (ref pipeline.py Blueprint.cast_bools; schema resolved at apply)."""
+
+    name = "cast_bools_step"
+
+    def __init__(self, dtype: str = "int"):
+        super().__init__(dtype=dtype)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dt = self.kwargs["dtype"]
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "boolean"]
+        return df.select(*[
+            F.col(c).cast(dt).alias(c) if c in cols else F.col(c)
+            for c in df.columns])
+
+
+class NanToNullStep(_StatelessStep):
+    """float NaN → null on every float/double column
+    (ref Blueprint.nan_to_null)."""
+
+    name = "nan_to_null_step"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        fl = {f.name for f in df.schema.fields
+              if f.dataType.simpleString() in ("float", "double")}
+        return df.select(*[
+            F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)).alias(c)
+            if c in fl else F.col(c) for c in df.columns])
+
+
+class IntToFloatStep(_StatelessStep):
+    """Integer columns → double (ref Blueprint.int_to_float; Spark
+    computes in doubles, so the f32 flag maps to double)."""
+
+    name = "int_to_float_step"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ints = {f.name for f in df.schema.fields
+                if f.dataType.simpleString() in
+                ("tinyint", "smallint", "int", "bigint")}
+        return df.select(*[
+            F.col(c).cast("double").alias(c) if c in ints else F.col(c)
+            for c in df.columns])
+
+
+class RenameStep(_StatelessStep):
+    """Column renames from a mapping (ref Blueprint.rename)."""
+
+    name = "rename_step"
+
+    def __init__(self, mapping: dict):
+        super().__init__(mapping=dict(mapping))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        m = self.kwargs["mapping"]
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+
+class DropStep(_StatelessStep):
+    """Drop columns (ref Blueprint.drop)."""
+
+    name = "drop_step"
+
+    def __init__(self, cols: str | Sequence[str]):
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(cols=cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.drop(*self.kwargs["cols"])
+
+
+class GroupByDynAggStep(_StatelessStep):
+    """Time-bucketed aggregation — the reference's group_by_dynamic
+    (ref pipeline.py:930) as Spark's F.window: ``every`` is the stride,
+    ``period`` the bucket length (defaults to every ⇒ tumbling; longer ⇒
+    sliding/overlapping). The window start rides out as ``index_column``
+    (polars label='left'). Durations are Spark interval strings
+    ("1 hour", "30 minutes"). This is the same watermark-compatible
+    window streaming uses, so a Blueprint with this step applies to a
+    readStream frame unchanged."""
+
+    name = "group_by_dyn_agg_step"
+
+    def __init__(self, index_column: str, aggs: Sequence[str], every: str,
+                 period: str | None = None,
+                 group_by: str | Sequence[str] | None = None):
+        gb = ([group_by] if isinstance(group_by, str)
+              else list(group_by or []))
+        super().__init__(index_column=index_column, aggs=list(aggs),
+                         every=every, period=period, group_by=gb)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.kwargs
+        w = (F.window(k["index_column"], k["period"], k["every"])
+             if k["period"] else F.window(k["index_column"], k["every"]))
+        out = (df.groupBy(w.alias("__w"), *k["group_by"])
+               .agg(*[F.expr(a) for a in k["aggs"]]))
+        return out.select(
+            F.col("__w.start").alias(k["index_column"]),
+            *k["group_by"],
+            *[c for c in out.columns if c not in ("__w", *k["group_by"])])
+
+
+_REGISTRY.update({t.name: t for t in
+                  [CastBoolsStep, NanToNullStep, IntToFloatStep,
+                   RenameStep, DropStep, GroupByDynAggStep]})

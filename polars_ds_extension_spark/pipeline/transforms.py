@@ -102,8 +102,8 @@ class Impute(Transform):
 
 
 class Scale(Transform):
-    """standard | minmax | robust (median/IQR) scaling. Ref
-    transforms.py:173."""
+    """standard | minmax | robust (median/IQR) | center (mean-subtract
+    only, ref Blueprint.center) scaling. Ref transforms.py:173."""
 
     name = "scale"
 
@@ -124,6 +124,9 @@ class Scale(Transform):
                 aggs += [F.median(cc).alias(f"{c}__a"),
                          (F.percentile(cc, F.lit(0.75))
                           - F.percentile(cc, F.lit(0.25))).alias(f"{c}__b")]
+            elif method == "center":
+                aggs += [F.avg(cc).alias(f"{c}__a"),
+                         F.lit(1.0).alias(f"{c}__b")]
             else:
                 raise ValueError(f"unknown method {method}")
         row = df.agg(*aggs).first()

@@ -194,3 +194,34 @@ def pipeline_blueprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rehydrated.transform(ev)
     return out.select("event_type", _r(F.col("sum_v")).alias("sum_v"),
                       "n", "n_users")
+
+
+@query("blueprint_dyn_agg", """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+WHERE value > 10
+GROUP BY 1, 2
+""")
+def blueprint_dyn_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blueprint chain ending in the group_by_dynamic step (ref
+    pipeline.py:930 group_by_dynamic_agg → Spark F.window tumbling
+    bucket): filter → 1-hour rollup per event_type, built with the
+    chainable Blueprint API and re-materialized from JSON before
+    scoring."""
+    from .pipeline import Blueprint
+
+    ev = load_table(spark, sf_dir, "events")
+    pipe = (Blueprint(ev)
+            .filter("value > 10")
+            .group_by_dynamic_agg(
+                "ts", ["COUNT(*) AS n", "ROUND(SUM(value), 6) AS sum_value"],
+                every="1 hour", group_by="event_type")
+            .materialize())
+    out = Pipeline.from_json(pipe.to_json()).transform(ev)
+    # window start is TIMESTAMP_NTZ (µs testdata); pin the UTC reading
+    # before the epoch cast so it matches the oracle's naive epoch()
+    ws = F.to_utc_timestamp(F.col("ts"), "UTC").cast("long")
+    return out.select(ws.alias("ws"), "event_type", "n", "sum_value")

@@ -163,3 +163,86 @@ def test_expr_step_contexts(spark):
     assert [r["id"] for r in flt.collect()] == [2]
     with pytest.raises(ValueError):
         ExprStep("bogus", "x")
+
+
+def test_blueprint_chain_matches_manual_pipeline(spark):
+    from polars_ds_extension_spark.pipeline import Blueprint, Pipeline
+    from polars_ds_extension_spark.pipeline.transforms import Impute, Scale
+    from polars_ds_extension_spark.pipeline.steps import ExprStep
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "a"), (None, 4.0, "b"), (3.0, None, "a"), (5.0, 8.0, "b")],
+        "x double, y double, g string")
+    bp_out = (Blueprint(df)
+              .impute(["x", "y"], method="mean")
+              .scale(["x"], method="standard")
+              .filter("y > 3")
+              .transform())
+    manual = Pipeline([
+        Impute(["x", "y"], strategy="mean"),
+        Scale(["x"], method="standard"),
+        ExprStep("filter", "y > 3"),
+    ]).fit(df).transform(df)
+    a = sorted(tuple(r) for r in bp_out.collect())
+    b = sorted(tuple(r) for r in manual.collect())
+    assert a == b
+
+
+def test_blueprint_json_roundtrip_and_stateless_steps(spark):
+    from polars_ds_extension_spark.pipeline import Blueprint, Pipeline
+
+    df = spark.createDataFrame(
+        [(1, True, float("nan"), "x"), (2, False, 2.5, "y")],
+        "i int, b boolean, v double, s string")
+    pipe = (Blueprint(df)
+            .cast_bools("int")
+            .nan_to_null()
+            .int_to_float()
+            .rename({"s": "label"})
+            .drop("label")
+            .materialize())
+    out = Pipeline.from_json(pipe.to_json()).transform(df)
+    rows = sorted((r["i"], r["b"], r["v"]) for r in out.collect())
+    assert out.schema["i"].dataType.simpleString() == "double"
+    # cast_bools makes b int, then int_to_float lifts it to double —
+    # step order composes exactly like the reference's Blueprint
+    assert out.schema["b"].dataType.simpleString() == "double"
+    assert rows[0] == (1.0, 1.0, None)
+    assert rows[1] == (2.0, 0.0, 2.5)
+    assert "label" not in out.columns
+
+
+def test_blueprint_group_by_dynamic_agg(spark, sf_dir):
+    import duckdb
+    from polars_ds_extension_spark.pipeline import Blueprint
+    from polars_ds_extension_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = (Blueprint(ev)
+           .group_by_dynamic_agg("ts", ["COUNT(*) AS n",
+                                        "ROUND(SUM(value), 6) AS sv"],
+                                 every="1 hour", group_by="event_type")
+           .transform())
+    got = {(str(r["ts"]), r["event_type"]): (r["n"], r["sv"])
+           for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    exp = con.sql("""
+        SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS sv
+        FROM events GROUP BY 1, 2""").df()
+    assert len(got) == len(exp)
+    for _, row in exp.iterrows():
+        key = (str(row["w"]), row["event_type"])
+        assert got[key] == (row["n"], row["sv"]), key
+
+
+def test_blueprint_center_and_target(spark):
+    import pytest as _pt
+    from polars_ds_extension_spark.pipeline import Blueprint
+
+    df = spark.createDataFrame([(1.0, 0.0), (3.0, 1.0)], "x double, y double")
+    out = Blueprint(df, target="y").center(["x"]).transform()
+    assert sorted(r["x"] for r in out.collect()) == [-1.0, 1.0]
+    with _pt.raises(ValueError):
+        Blueprint(df).target_encode(["x"])  # no target anywhere
