@@ -934,3 +934,28 @@ def smooth_spline_natural_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = N.smooth_spline_natural(knots, "x", "y", lam=2.0)
     return out.select(F.col("__x").cast("bigint").alias("x"),
                       _r(F.col("smoothed")).alias("smoothed"))
+
+
+@query("series_entropy_oracle", """
+SELECT 1.540445::DOUBLE AS sample_entropy, 0.297172::DOUBLE AS approx_entropy
+""")
+def series_entropy_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample + approximate entropy on a DETERMINISTIC 40-point series
+    (customer keys 0..39, y = round(sin(i/2) + 0.5·sin(1.3i), 6), m=2,
+    r=0.2·std). The oracle pins LITERAL values computed independently
+    with straight-line numpy from the published definitions (Richman &
+    Moorman 2000 pair counts; Pincus 1991 Φ difference), so the
+    distributed applyInPandas kernel is hash-checked against textbook
+    math, input-data independent. The full-data `series_entropy` query
+    stays rows-only (O(n²) semantics aren't SQL-expressible at size)."""
+    base = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 40)
+            .select(F.col("c_custkey").cast("double").alias("i"),
+                    F.round(F.sin(F.col("c_custkey") / 2.0)
+                            + 0.5 * F.sin(F.col("c_custkey") * 1.3), 6)
+                    .alias("y")))
+    se = TS.query_sample_entropy(base, "y", "i")
+    ae = TS.query_approx_entropy(base, "y", "i")
+    return se.crossJoin(ae).select(
+        _r(F.col("sample_entropy")).alias("sample_entropy"),
+        _r(F.col("approx_entropy")).alias("approx_entropy"))
