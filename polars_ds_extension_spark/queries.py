@@ -102,7 +102,7 @@ _GREEN_ROUND = {
 _STALE = frozenset({
     "stream_windowed_agg", "stream_dedup", "stream_sessionize",
     "stream_running_stats", "elastic_net", "smooth_spline_natural",
-    "combinations",
+    "combinations", "near_dup_cluster_dedup",
 })
 
 
