@@ -894,3 +894,58 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("decoded.height").alias("height"),
                       F.col("decoded.width").alias("width"),
                       F.col("decoded.channels").alias("channels"))
+
+
+@query("curation_pipeline", rf"""
+WITH u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+), d AS (
+  SELECT MIN(doc_id) AS doc_id, text, arg_min(lang, doc_id) AS lang
+  FROM u GROUP BY text
+), t AS (
+  SELECT lang, text, len(text) AS n,
+         string_split_regex(trim(text), '\s+') AS sp
+  FROM d
+), m AS (
+  SELECT lang, len(sp) AS ntok,
+    len(list_filter(sp, x -> lower(x) IN ({_SW_SQL})))::DOUBLE / len(sp) AS swr,
+    list_aggregate(list_transform(sp, x -> len(x)), 'sum')::DOUBLE
+      / len(sp) AS mtl,
+    (n - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / n AS pr, n
+  FROM t
+), q AS (
+  SELECT lang, ntok,
+    ((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+           WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+     + (CASE WHEN swr >= 0.1 AND swr <= 0.7 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+  FROM m
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM q WHERE quality >= 0.75 GROUP BY lang
+""")
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain — the composition a training-data
+    pipeline actually runs, as ONE Catalyst plan: exact dedup (8-byte
+    hash shuffle, min-id keeper) → quality gate (scan-side JVM exprs)
+    → per-language corpus accounting. Each piece is individually
+    oracled elsewhere (`exact_dedup`, `text_quality`, `token_stats`);
+    this query pins their composition."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      "text", "lang")
+    corpus = docs.unionByName(dup)
+    kept = D.exact_dedup(corpus, ["text"], "doc_id")
+    scored = kept.select(
+        "lang",
+        T.quality_score("text").alias("__q"),
+        T.token_count("text").alias("__tok"))
+    return (scored.where(F.col("__q") >= 0.75)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("total_tokens"),
+                 _r(F.avg("__q")).alias("avg_quality")))
