@@ -505,8 +505,12 @@ def connected_components(
                                    F.col("s").alias("d"))).distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        lab = edges.select("s").distinct().select(
-            F.col("s").alias("id"), F.col("s").alias("comp")) \
+        # round-0 shortcut: start from min(id, min neighbor) — the same
+        # single groupBy a comp=id init would cost, but it bakes the
+        # first propagation in, saving one full join round (diameter-2
+        # dup clusters then converge in a single propagation)
+        lab = edges.groupBy(F.col("s").alias("id")).agg(
+            F.least(F.first("s"), F.min("d")).alias("comp")) \
             .localCheckpoint(eager=True)
         # labels only DECREASE, so sum(comp) strictly drops on any change
         # — the fixpoint check is one agg on the checkpointed frame, no
