@@ -125,10 +125,50 @@ def recursive_lin_reg(df: DataFrame, x: str, y: str, order_by,
 
 # ------------------------------------------------ multi-feature (normal eq.)
 
+def _apply_null_policy(df: DataFrame, features: Sequence[str], target: str,
+                       null_policy: str | float) -> DataFrame:
+    """The reference's lin-reg null handling (ref expr_linear.py:116
+    ``null_policy``): 'skip' = listwise row deletion (default — Spark's
+    per-expression null-skipping would otherwise delete PAIRWISE, giving
+    inconsistent normal equations), 'raise' = error on any null,
+    'zero'/'one'/numeric = fill features with the constant (nulls in the
+    target still drop the row), 'ignore' = leave nulls to the
+    aggregates."""
+    cols = [to_col(f) for f in features]
+    tgt = to_col(target)
+    if null_policy == "ignore":
+        return df
+    if null_policy == "raise":
+        anynull = F.lit(False)
+        for c in [*cols, tgt]:
+            anynull = anynull | c.isNull()
+        n_bad = df.where(anynull).limit(1).count()
+        if n_bad:
+            raise ValueError("null values in lin-reg inputs with "
+                             "null_policy='raise'")
+        return df
+    if null_policy == "skip":
+        cond = tgt.isNotNull()
+        for c in cols:
+            cond = cond & c.isNotNull()
+        return df.where(cond)
+    fill = {"zero": 0.0, "one": 1.0}.get(null_policy, null_policy)
+    if not isinstance(fill, (int, float)):
+        raise ValueError(f"invalid null_policy {null_policy!r}")
+    out = df
+    for f in features:
+        out = out.withColumn(f, F.coalesce(to_col(f).cast("double"),
+                                           F.lit(float(fill))))
+    return out.where(to_col(target).isNotNull())
+
+
 def _suffstats(df: DataFrame, features: Sequence[str], target: str,
-               add_bias: bool) -> tuple[np.ndarray, np.ndarray, float]:
+               add_bias: bool,
+               null_policy: str | float = "skip"
+               ) -> tuple[np.ndarray, np.ndarray, float]:
     """One aggregation pass → (X'X, X'y, n) as numpy. The collect is a
     single row of k(k+3)/2 + 1 doubles — O(k²), independent of |df|."""
+    df = _apply_null_policy(df, features, target, null_policy)
     cols = [to_col(f).cast("double") for f in features]
     if add_bias:
         cols = cols + [F.lit(1.0)]
@@ -151,10 +191,12 @@ def _suffstats(df: DataFrame, features: Sequence[str], target: str,
 
 
 def lin_reg(df: DataFrame, features: Sequence[str], target: str,
-            add_bias: bool = True, l2: float = 0.0) -> list[float]:
+            add_bias: bool = True, l2: float = 0.0,
+            null_policy: str | float = "skip") -> list[float]:
     """OLS / ridge coefficients via distributed X'X, X'y + driver solve.
-    Ref expr_linear.py:105. Returns [coef_0..coef_{k-1}(, bias)]."""
-    xtx, xty, _ = _suffstats(df, features, target, add_bias)
+    Ref expr_linear.py:105 (incl. its null_policy: skip/raise/zero/one/
+    fill-value/ignore). Returns [coef_0..coef_{k-1}(, bias)]."""
+    xtx, xty, _ = _suffstats(df, features, target, add_bias, null_policy)
     if l2 > 0.0:
         reg = np.eye(xtx.shape[0]) * l2
         if add_bias:
@@ -179,7 +221,8 @@ def lin_reg_predict(df: DataFrame, features: Sequence[str], target: str,
 
 
 def lin_reg_report(df: DataFrame, features: Sequence[str], target: str,
-                   add_bias: bool = True) -> DataFrame:
+                   add_bias: bool = True,
+                   null_policy: str | float = "skip") -> DataFrame:
     """Coefficients with std errors / t values / p values.
     Ref expr_linear.py:561.
 
@@ -190,7 +233,7 @@ def lin_reg_report(df: DataFrame, features: Sequence[str], target: str,
     """
     from ._special import t_sf
 
-    xtx, xty, n = _suffstats(df, features, target, add_bias)
+    xtx, xty, n = _suffstats(df, features, target, add_bias, null_policy)
     beta = np.linalg.solve(xtx, xty)
     names = list(features) + (["__bias__"] if add_bias else [])
     pred = F.lit(float(beta[-1])) if add_bias else F.lit(0.0)
@@ -217,7 +260,8 @@ def lin_reg_report(df: DataFrame, features: Sequence[str], target: str,
 
 def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
                  add_bias: bool = True, n_iters: int = 8,
-                 l2: float = 0.0) -> list[float]:
+                 l2: float = 0.0,
+                 null_policy: str | float = "skip") -> list[float]:
     """Logistic regression via IRLS / Newton. Ref expr_linear.py:277.
 
     Per iteration: broadcast current β as literals, aggregate X'WX and
@@ -225,6 +269,7 @@ def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
     driver. n_iters passes total; each is a full scan but shuffles only
     the tiny partial aggregates — the 100 TB shape for GLM fitting.
     """
+    df = _apply_null_policy(df, features, target, null_policy)
     cols = [to_col(f).cast("double") for f in features]
     if add_bias:
         cols = cols + [F.lit(1.0)]
@@ -282,18 +327,20 @@ def logistic_reg(df: DataFrame, features: Sequence[str], target: str,
 
 
 def lin_reg_rcond(df: DataFrame, features: Sequence[str], target: str,
-                  add_bias: bool = True, rcond: float = 1e-15) -> list[float]:
+                  add_bias: bool = True, rcond: float = 1e-15,
+                  null_policy: str | float = "skip") -> list[float]:
     """OLS via pseudo-inverse with singular-value cutoff — the
     rank-deficient-safe variant (ref expr_linear.py lin_reg_w_rcond).
     Same one-pass sufficient statistics; pinv on the k×k driver matrix."""
-    xtx, xty, _ = _suffstats(df, features, target, add_bias)
+    xtx, xty, _ = _suffstats(df, features, target, add_bias, null_policy)
     return (np.linalg.pinv(xtx, rcond=rcond) @ xty).tolist()
 
 
 def elastic_net(df: DataFrame, features: Sequence[str], target: str,
                 l1: float = 0.1, l2: float = 0.1,
                 add_bias: bool = True, n_iters: int = 200,
-                tol: float = 1e-10) -> list[float]:
+                tol: float = 1e-10,
+                null_policy: str | float = "skip") -> list[float]:
     """Elastic net via cyclic coordinate descent on the SUFFICIENT
     STATISTICS (ref linear_models.py:343 ElasticNet).
 
@@ -303,7 +350,7 @@ def elastic_net(df: DataFrame, features: Sequence[str], target: str,
     Penalties follow the reference (objective ½‖y−Xβ‖²/n + λ₁‖β‖₁ +
     ½λ₂‖β‖²; bias unpenalized).
     """
-    xtx, xty, n = _suffstats(df, features, target, add_bias)
+    xtx, xty, n = _suffstats(df, features, target, add_bias, null_policy)
     k = xtx.shape[0]
     beta = np.zeros(k)
     pen_mask = np.ones(k)
@@ -332,7 +379,8 @@ _GLM_FAMILIES = ("gaussian", "binomial", "poisson")
 
 def glm(df: DataFrame, features: Sequence[str], target: str,
         family: str = "gaussian", add_bias: bool = True,
-        n_iters: int = 12, l2: float = 0.0) -> list[float]:
+        n_iters: int = 12, l2: float = 0.0,
+        null_policy: str | float = "skip") -> list[float]:
     """GLM with canonical link via IRLS (ref linear_models.py:698).
 
     gaussian/identity collapses to one OLS solve; binomial/logit and
@@ -343,7 +391,9 @@ def glm(df: DataFrame, features: Sequence[str], target: str,
     if family not in _GLM_FAMILIES:
         raise ValueError(f"family must be one of {_GLM_FAMILIES}")
     if family == "gaussian":
-        return lin_reg(df, features, target, add_bias, l2)
+        return lin_reg(df, features, target, add_bias, l2,
+                       null_policy=null_policy)
+    df = _apply_null_policy(df, features, target, null_policy)
     cols = [to_col(f).cast("double") for f in features]
     if add_bias:
         cols = cols + [F.lit(1.0)]

@@ -184,3 +184,46 @@ def test_model_classes(spark, df):
     pick = random_cols(cols, 4, seed=1)
     assert len(pick) == 4 and pick == sorted(pick, key=cols.index)
     assert random_cols(cols, 4, seed=1) == pick  # deterministic
+
+
+def test_null_policy_variants(spark):
+    import numpy as np
+    import pytest as _pt
+    from polars_ds_extension_spark.functions import linear as L
+
+    rng = np.random.default_rng(3)
+    n = 120
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = 2.0 * x1 - 1.0 * x2 + 0.5 + rng.normal(0, 0.1, n)
+    rows = []
+    nullmask = rng.random(n) < 0.15
+    for i in range(n):
+        rows.append((None if nullmask[i] else float(x1[i]),
+                     float(x2[i]), float(y[i])))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+    # skip == listwise deletion (numpy on complete rows only)
+    keep = ~nullmask
+    A = np.column_stack([x1[keep], x2[keep], np.ones(keep.sum())])
+    want = np.linalg.lstsq(A, y[keep], rcond=None)[0]
+    got = L.lin_reg(df, ["x1", "x2"], "y")  # default skip
+    assert got == _pt.approx(list(want), rel=1e-9)
+
+    # zero-fill == numpy with nulls replaced by 0
+    x1f = np.where(nullmask, 0.0, x1)
+    Af = np.column_stack([x1f, x2, np.ones(n)])
+    wantf = np.linalg.lstsq(Af, y, rcond=None)[0]
+    gotf = L.lin_reg(df, ["x1", "x2"], "y", null_policy="zero")
+    assert gotf == _pt.approx(list(wantf), rel=1e-9)
+
+    # numeric fill
+    got2 = L.lin_reg(df, ["x1", "x2"], "y", null_policy=0.0)
+    assert got2 == _pt.approx(gotf, rel=1e-12)
+
+    # raise
+    with _pt.raises(ValueError, match="null"):
+        L.lin_reg(df, ["x1", "x2"], "y", null_policy="raise")
+    # clean data passes under raise
+    clean = df.where("x1 IS NOT NULL")
+    L.lin_reg(clean, ["x1", "x2"], "y", null_policy="raise")
