@@ -84,6 +84,7 @@ def knn_join(
     index: DataFrame, i_id: str, i_vec: str,
     k: int = 5, metric: str = "cosine",
     broadcast_index: bool = True,
+    max_bound: float | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors of each query among ``index`` rows.
 
@@ -94,12 +95,19 @@ def knn_join(
     higher-order fold (~40× faster at 2k×2k×128d). For index sets too
     big to broadcast use `ann_lsh_join` / `ivf_knn_join`.
     Output: (q_id, neighbor_id, cosine|dist, rank), rank 1..k,
-    ties broken by neighbor id ascending.
+    ties broken by neighbor id ascending. ``max_bound`` (distance
+    metrics only — ref expr_knn.py max_bound) drops neighbors farther
+    than the bound, so a query may return fewer than k rows. The
+    reference's eval_mask/data_mask are subsumed by this two-frame API:
+    filter ``queries``/``index`` before the call.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    if max_bound is not None and metric == "cosine":
+        raise ValueError("max_bound applies to distance metrics; for "
+                         "cosine use ann_lsh_join(min_cosine=...)")
     ids, mat = _collect_index(index, i_id, i_vec)
     if metric == "cosine":
         mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -144,6 +152,8 @@ def knn_join(
                         v = -v
                     elif metric == "l2":
                         v = float(np.sqrt(v))
+                    if max_bound is not None and v > max_bound:
+                        break  # candidates are distance-sorted
                     rows_out[q_id].append(qids[r])
                     rows_out["neighbor_id"].append(iids[c])
                     rows_out[out_val].append(float(v))

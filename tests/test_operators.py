@@ -225,3 +225,22 @@ def test_collect_index_cap(spark):
                                "id bigint, v array<double>")
     with _pt.raises(ValueError, match="broadcast cap"):
         K._collect_index(df, "id", "v", max_rows=10)
+
+
+def test_knn_join_max_bound(spark):
+    from polars_ds_extension_spark.operators import knn as K
+    rows = [(0, [0.0]), (1, [1.0]), (2, [10.0])]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    got = K.knn_join(df, "id", "v", df, "id", "v", k=2, metric="l2",
+                     max_bound=2.0).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["id"], []).append((r["neighbor_id"], r["dist"]))
+    # 0 and 1 keep only each other (dist 1 <= 2); 2 has no neighbor within 2
+    assert sorted(by_q[0]) == [(1, 1.0)]
+    assert sorted(by_q[1]) == [(0, 1.0)]
+    assert 2 not in by_q
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_bound"):
+        K.knn_join(df, "id", "v", df, "id", "v", metric="cosine",
+                   max_bound=1.0)
