@@ -46,7 +46,32 @@ def l2(a: Column, b: Column) -> Column:
     return F.sqrt(l2_sq(a, b))
 
 
-_METRICS = {"cosine": lambda a, b: -cosine(a, b), "l2": l2, "l2_sq": l2_sq}
+def l1(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def linf(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    return F.array_max(d)
+
+
+_METRICS = {"cosine": lambda a, b: -cosine(a, b), "l2": l2, "l2_sq": l2_sq,
+            "l1": l1, "inf": linf}
+
+
+def _chunked_dist(Q, m, metric, chunk: int = 64):
+    """l1/inf distance matrix in O(chunk x index x dim) memory slabs —
+    the 3-D broadcast would otherwise blow past the Arrow batch budget
+    (batch x index x dim doubles)."""
+    import numpy as np
+
+    out = np.empty((Q.shape[0], m.shape[0]))
+    red = np.sum if metric == "l1" else np.max
+    for s0 in range(0, Q.shape[0], chunk):
+        sl = slice(s0, s0 + chunk)
+        out[sl] = red(np.abs(Q[sl, None, :] - m[None, :, :]), axis=2)
+    return out
 
 
 # ---------------------------------------------------- brute force (broadcast)
@@ -135,6 +160,8 @@ def knn_join(
                     - 2.0 * (Q @ m.T)
                 )
                 score = np.maximum(d2, 0.0)
+            elif metric in ("l1", "inf"):
+                score = _chunked_dist(Q, m, metric)
             else:
                 raise ValueError(f"unknown metric {metric}")
             score[qids[:, None] == iids[None, :]] = np.inf  # exclude self
@@ -213,6 +240,8 @@ def radius_count(
                 val = 1.0 - (Q @ m.T) / (qn * mn)  # cosine distance
             elif metric == "l2":
                 val = np.sqrt(d2)
+            elif metric in ("l1", "inf"):
+                val = _chunked_dist(Q, m, metric)
             else:
                 val = d2
             val[qids[:, None] == iids[None, :]] = np.inf
@@ -257,6 +286,8 @@ def radius_join(
                 val = 1.0 - (Q @ m.T) / (qn * np.sqrt(m2)[None, :])
             elif metric == "l2":
                 val = np.sqrt(d2)
+            elif metric in ("l1", "inf"):
+                val = _chunked_dist(Q, m, metric)
             else:
                 val = d2
             val[qids[:, None] == iids[None, :]] = np.inf

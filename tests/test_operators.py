@@ -244,3 +244,26 @@ def test_knn_join_max_bound(spark):
     with _pt.raises(ValueError, match="max_bound"):
         K.knn_join(df, "id", "v", df, "id", "v", metric="cosine",
                    max_bound=1.0)
+
+
+def test_knn_join_l1_inf_metrics(spark):
+    import numpy as np
+    from polars_ds_extension_spark.operators import knn as K
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (30, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "id bigint, v array<double>")
+    for metric, red in (("l1", lambda d: np.abs(d).sum(-1)),
+                        ("inf", lambda d: np.abs(d).max(-1))):
+        got = K.knn_join(df, "id", "v", df, "id", "v", k=3,
+                         metric=metric).collect()
+        D = red(X[:, None, :] - X[None, :, :])
+        np.fill_diagonal(D, np.inf)
+        for r in got:
+            i, j = r["id"], r["neighbor_id"]
+            assert r["dist"] == pytest.approx(D[i, j], rel=1e-12)
+        # top-1 neighbor matches argmin
+        top1 = {r["id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+        for i in range(30):
+            assert D[i, top1[i]] == pytest.approx(D[i].min(), rel=1e-12)
