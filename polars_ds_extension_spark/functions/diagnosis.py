@@ -226,6 +226,32 @@ class DIA:
         schema = "column string, " + ", ".join(f"{y} double" for y in self.numerics)
         return spark.createDataFrame(rows, schema)
 
+    def infer_corr(self, method: str = "pearson") -> DataFrame:
+        """All-pairs correlation over numeric (and boolean, cast u8)
+        columns, long format sorted by |corr| desc — ref
+        diagnosis.py:675 infer_corr. Pearson computes every pair in ONE
+        aggregation pass; other methods delegate per pair."""
+        import itertools
+
+        df, spark = self._df, self._df.sparkSession
+        cols = self.numerics + getattr(self, "bools", [])
+        for b in getattr(self, "bools", []):
+            df = df.withColumn(b, F.col(b).cast("int"))
+        pairs = list(itertools.combinations(cols, 2))
+        if method == "pearson":
+            aggs = [F.corr(F.col(x).cast("double"), F.col(y).cast("double"))
+                    .alias(f"c{i}") for i, (x, y) in enumerate(pairs)]
+            row = df.agg(*aggs).first()
+            vals = [row[f"c{i}"] for i in range(len(pairs))]
+        else:
+            from . import stats as S
+            vals = [S.corr(df, x, y, method=method).first()["corr"]
+                    for x, y in pairs]
+        out = [(x, y, float(v) if v is not None else None)
+               for (x, y), v in zip(pairs, vals)]
+        return (spark.createDataFrame(out, "x string, y string, corr double")
+                .orderBy(F.abs(F.col("corr")).desc_nulls_last()))
+
     # -------------------------------------------------------------- infer_*
 
     def _bool_row(self, exprs: dict) -> List[str]:

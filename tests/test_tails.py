@@ -430,3 +430,26 @@ def test_smooth_spline_natural(spark):
     sdf2 = sdf.withColumn("g", (F.col("x") > 5).cast("int"))
     out2 = N.smooth_spline_natural(sdf2, "x", "y", by=["g"], lam=lam)
     assert out2.count() == n
+
+
+def test_dia_infer_corr(spark):
+    import duckdb
+    import pandas as pd
+    from polars_ds_extension_spark.functions.diagnosis import DIA
+
+    pdf = pd.DataFrame({
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [2.0, 4.1, 5.9, 8.2, 10.0],
+        "c": [5.0, 1.0, 4.0, 2.0, 3.0],
+    })
+    out = DIA(spark.createDataFrame(pdf)).infer_corr().toPandas()
+    assert list(out.columns) == ["x", "y", "corr"]
+    assert len(out) == 3  # 3 choose 2
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for _, r in out.iterrows():
+        exp = con.sql(f"SELECT corr({r['x']}, {r['y']}) FROM t").fetchone()[0]
+        assert r["corr"] == pytest.approx(exp, rel=1e-9)
+    # sorted by |corr| descending; (a,b) is the near-perfect pair
+    assert (out.iloc[0]["x"], out.iloc[0]["y"]) == ("a", "b")
+    assert out["corr"].abs().is_monotonic_decreasing
