@@ -60,14 +60,18 @@ _METRICS = {"cosine": lambda a, b: -cosine(a, b), "l2": l2, "l2_sq": l2_sq,
             "l1": l1, "inf": linf}
 
 
-def _chunked_dist(Q, m, metric, chunk: int = 64):
-    """l1/inf distance matrix in O(chunk x index x dim) memory slabs —
-    the 3-D broadcast would otherwise blow past the Arrow batch budget
-    (batch x index x dim doubles)."""
+def _chunked_dist(Q, m, metric, slab_bytes: int = 1 << 28):
+    """l1/inf distance matrix in fixed-size memory slabs — the 3-D
+    broadcast would otherwise blow past the Arrow batch budget
+    (batch x index x dim doubles). The chunk is derived from the index
+    size so the slab stays ~``slab_bytes`` (256 MB default) no matter
+    how large the broadcast index is — a fixed row chunk would scale the
+    slab linearly with index rows."""
     import numpy as np
 
     out = np.empty((Q.shape[0], m.shape[0]))
     red = np.sum if metric == "l1" else np.max
+    chunk = max(1, int(slab_bytes // max(1, m.shape[0] * m.shape[1] * 8)))
     for s0 in range(0, Q.shape[0], chunk):
         sl = slice(s0, s0 + chunk)
         out[sl] = red(np.abs(Q[sl, None, :] - m[None, :, :]), axis=2)
@@ -91,10 +95,12 @@ def _collect_index(index: DataFrame, i_id: str, i_vec: str,
     silently OOMing the driver."""
     import numpy as np
 
-    # limit(cap+1) keeps the guard inside the one collect job: Spark
-    # stops producing rows at the cap instead of shipping the full index
-    # to the driver before the check
-    rows = index.select(i_id, i_vec).limit(max_rows + 1).collect()
+    # Plain collect + length check: a limit(cap+1) here routes through
+    # Spark's incremental CollectLimit scale-up (1 partition, then x4,
+    # ...) — sequential jobs that doubled brute-force knn wall time at
+    # sf0.1. The index is broadcast-size by contract, so the parallel
+    # collect is the fast path and the cap stays a fail-fast check.
+    rows = index.select(i_id, i_vec).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"index exceeds the broadcast cap of {max_rows} rows; use "
@@ -167,25 +173,34 @@ def knn_join(
             score[qids[:, None] == iids[None, :]] = np.inf  # exclude self
             kk = min(k, score.shape[1] - 1 if score.shape[1] > 1 else 1)
             part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-            rows_out = {q_id: [], "neighbor_id": [], out_val: [], "rank": []}
-            for r in range(score.shape[0]):
-                cand = part[r]
-                order = np.lexsort((iids[cand], score[r, cand]))
-                for rank, c in enumerate(cand[order], start=1):
-                    if not np.isfinite(score[r, c]):
-                        break
-                    v = score[r, c]
-                    if metric == "cosine":
-                        v = -v
-                    elif metric == "l2":
-                        v = float(np.sqrt(v))
-                    if max_bound is not None and v > max_bound:
-                        break  # candidates are distance-sorted
-                    rows_out[q_id].append(qids[r])
-                    rows_out["neighbor_id"].append(iids[c])
-                    rows_out[out_val].append(float(v))
-                    rows_out["rank"].append(rank)
-            yield pd.DataFrame(rows_out)
+            # fully columnar top-k emit: per-row (score, id) lexsort of
+            # the kk candidates, then one flat boolean mask — no
+            # per-pair Python appends
+            psc = np.take_along_axis(score, part, axis=1)
+            nid = iids[part]
+            order = np.lexsort((nid, psc), axis=1)
+            psc = np.take_along_axis(psc, order, axis=1)
+            nid = np.take_along_axis(nid, order, axis=1)
+            if metric == "cosine":
+                vals = -psc
+            elif metric == "l2":
+                vals = np.sqrt(psc)
+            else:
+                vals = psc
+            # candidates are score-sorted ascending, so the old loop's
+            # `break` conditions are plain masks: non-finite scores sort
+            # last, and every candidate past a max_bound hit is farther
+            keep = np.isfinite(psc)
+            if max_bound is not None:
+                keep &= vals <= max_bound
+            fk = keep.ravel()
+            yield pd.DataFrame({
+                q_id: np.repeat(qids, kk)[fk],
+                "neighbor_id": nid.ravel()[fk],
+                out_val: vals.ravel()[fk],
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                score.shape[0])[fk],
+            })
 
     return queries.select(q_id, q_vec).mapInPandas(_batches, schema)
 
@@ -232,18 +247,17 @@ def radius_count(
         for pdf in it:
             qids = pdf[q_id].to_numpy()
             Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
-            d2 = (Q * Q).sum(1)[:, None] + m2[None, :] - 2.0 * (Q @ m.T)
-            d2 = np.maximum(d2, 0.0)
+            # each metric computes only what it needs — no discarded GEMM
             if metric == "cosine":
                 qn = np.linalg.norm(Q, axis=1, keepdims=True)
                 mn = np.sqrt(m2)[None, :]
                 val = 1.0 - (Q @ m.T) / (qn * mn)  # cosine distance
-            elif metric == "l2":
-                val = np.sqrt(d2)
             elif metric in ("l1", "inf"):
                 val = _chunked_dist(Q, m, metric)
             else:
-                val = d2
+                d2 = (Q * Q).sum(1)[:, None] + m2[None, :] - 2.0 * (Q @ m.T)
+                d2 = np.maximum(d2, 0.0)
+                val = np.sqrt(d2) if metric == "l2" else d2
             val[qids[:, None] == iids[None, :]] = np.inf
             cnt = (val <= radius).sum(1)
             keep = cnt > 0
@@ -279,17 +293,16 @@ def radius_join(
         for pdf in it:
             qids = pdf[q_id].to_numpy()
             Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
-            d2 = (Q * Q).sum(1)[:, None] + m2[None, :] - 2.0 * (Q @ m.T)
-            d2 = np.maximum(d2, 0.0)
+            # each metric computes only what it needs — no discarded GEMM
             if metric == "cosine":
                 qn = np.linalg.norm(Q, axis=1, keepdims=True)
                 val = 1.0 - (Q @ m.T) / (qn * np.sqrt(m2)[None, :])
-            elif metric == "l2":
-                val = np.sqrt(d2)
             elif metric in ("l1", "inf"):
                 val = _chunked_dist(Q, m, metric)
             else:
-                val = d2
+                d2 = (Q * Q).sum(1)[:, None] + m2[None, :] - 2.0 * (Q @ m.T)
+                d2 = np.maximum(d2, 0.0)
+                val = np.sqrt(d2) if metric == "l2" else d2
             val[qids[:, None] == iids[None, :]] = np.inf
             qi, ii = np.nonzero(val <= radius)
             yield pd.DataFrame({q_id: qids[qi], "neighbor_id": iids[ii],
