@@ -55,28 +55,14 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 2
-    "fingerprints": 2, "ivf_ann": 2, "knn_avg_label": 2, "knn_cosine": 2,
-    "language_id": 2, "radius_nb_cnt": 2, "text_quality": 2,
     # last stamped in round 3
     "add_at": 3, "ar_coeffs": 3, "bicor": 3, "cat_cross_entropy": 3,
-    "combinations": 3, "convolve": 3, "copula_entropy": 3,
-    "decontaminate": 3, "dist_kth_nb": 3, "downsample": 3,
-    "eda_describe": 3, "eda_flags": 3, "embedding_ops": 3,
-    "glm_poisson": 3, "isotonic": 3, "knn_entropy": 3,
-    "knn_from_target": 3, "lin_reg_multi": 3, "lin_reg_report": 3,
-    "line_dedup": 3, "linear_impute": 3, "logistic_reg": 3,
-    "multi_roc_auc": 3, "multimodal_blobs": 3,
-    "near_dup_cluster_dedup": 3, "pack_sequences": 3, "pca": 3,
-    "permute_entropy": 3, "pii_scrub": 3, "pipeline_encode": 3,
-    "pipeline_iv_rankhot": 3, "pipeline_poly_impute": 3,
-    "pipeline_transform": 3, "recursive_lin_reg": 3,
-    "repetition_signals": 3, "rfft": 3, "rolling_lin_reg": 3,
-    "sample_split": 3, "similar_count": 3, "simple_lin_reg": 3,
-    "singular_values": 3, "stream_dedup": 3, "stream_running_stats": 3,
-    "stream_sessionize": 3, "stream_windowed_agg": 3,
-    "token_budget_sample": 3, "tpr_fpr": 3, "transfer_entropy": 3,
-    "volume_neutral": 3, "within_radius_target": 3,
+    "convolve": 3, "copula_entropy": 3, "dist_kth_nb": 3, "downsample": 3,
+    "eda_describe": 3, "eda_flags": 3, "glm_poisson": 3, "isotonic": 3,
+    "knn_entropy": 3, "linear_impute": 3, "multi_roc_auc": 3, "pca": 3,
+    "permute_entropy": 3, "rfft": 3, "similar_count": 3,
+    "singular_values": 3, "tpr_fpr": 3, "transfer_entropy": 3,
+    "volume_neutral": 3,
     # last stamped in round 4
     "benford": 4, "blocked_jaccard": 4, "chi2": 4,
     "classification_metrics": 4, "cond_entropy": 4, "cond_indep": 4,
@@ -91,18 +77,35 @@ _GREEN_ROUND = {
     "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered": 4,
     "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4, "weighted_stats": 4,
     "winsorize": 4, "woe_iv": 4, "xi_corr": 4,
+    # last stamped in round 5
+    "bigram_lm": 5, "blueprint_dyn_agg": 5, "bm25_score": 5,
+    "combinations": 5, "curation_pipeline": 5, "decontaminate": 5,
+    "elastic_net": 5, "embedding_ops": 5, "fingerprints": 5, "ivf_ann": 5,
+    "knn_avg_label": 5, "knn_cosine": 5, "knn_freq": 5,
+    "knn_from_target": 5, "language_id": 5, "lin_reg_multi": 5,
+    "lin_reg_report": 5, "line_dedup": 5, "logistic_reg": 5,
+    "mase_full": 5, "multimodal_blobs": 5, "multimodal_decode": 5,
+    "near_dup_cluster_dedup": 5, "pack_sequences": 5, "pii_scrub": 5,
+    "pipeline_blueprint": 5, "pipeline_encode": 5,
+    "pipeline_iv_rankhot": 5, "pipeline_poly_impute": 5,
+    "pipeline_transform": 5, "product": 5, "radius_nb_cnt": 5,
+    "recursive_lin_reg": 5, "repetition_signals": 5, "rolling_lin_reg": 5,
+    "sample_split": 5, "series_entropy_oracle": 5, "simple_lin_reg": 5,
+    "smooth_spline_natural": 5, "stream_dedup": 5,
+    "stream_running_stats": 5, "stream_sessionize": 5,
+    "stream_windowed_agg": 5, "text_quality": 5, "tfidf_topk": 5,
+    "token_budget_sample": 5, "within_radius_target": 5,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
 # green rows are stale, so they rank with the unstamped until the
-# driver re-stamps them. Round 5: the streaming ts normalization fix
-# (queries_streaming.py), the elastic_net ridge-point oracle, the
-# smooth_spline_natural 20-knot oracle, and combinations' reroute
-# through functions/iters.combinations_df.
+# driver re-stamps them. Round 6: glm_poisson (linear.py null_policy
+# refactor landed r5 after its r3 stamp) and the brute-force knn paths
+# (knn.py: plain-collect guard + vectorized top-k emit + radius metric
+# branches this round).
 _STALE = frozenset({
-    "stream_windowed_agg", "stream_dedup", "stream_sessionize",
-    "stream_running_stats", "elastic_net", "smooth_spline_natural",
-    "combinations", "near_dup_cluster_dedup",
+    "glm_poisson", "dist_kth_nb", "knn_cosine", "knn_avg_label",
+    "knn_freq", "radius_nb_cnt",
 })
 
 
