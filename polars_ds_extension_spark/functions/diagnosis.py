@@ -334,6 +334,80 @@ class DIA:
         return spark.createDataFrame(
             rows, "column string, by string, cond_entropy double")
 
+    # --------------------------------------------------------- validation
+
+    def col_validation(self, *rules) -> DataFrame:
+        """Column-level data-quality report — ref eda/diagnosis.py:236.
+
+        ``rules`` are ``(Column, message)`` pairs where the Column is an
+        AGGREGATE boolean (one value for the whole frame, e.g.
+        ``F.min("x") >= 0``). All rules evaluate in ONE aggregation pass
+        (map-side partials; a single one-row driver round-trip). Output:
+        (column, __reason__) for every failing rule — empty when the
+        frame is clean. The rule's output name is the ``column`` value,
+        so alias each rule to the column it checks (the reference keeps
+        the expression's root-column name the same way).
+        """
+        rules = list(rules)
+        if not rules:
+            return self._df.sparkSession.createDataFrame(
+                [], "column string, __reason__ string")
+        exprs = [r for r, _ in rules]
+        msgs = [m for _, m in rules]
+        agg = self._df.agg(*exprs)
+        names = [f.name for f in agg.schema.fields]
+        row = agg.first()
+        out = [(n, m) for n, m, v in zip(names, msgs, row)
+               if v is not True]
+        return self._df.sparkSession.createDataFrame(
+            out, "column string, __reason__ string")
+
+    def row_validation(self, *rules, id_col: str | None = None,
+                       columns_to_keep: Sequence[str] | None = None,
+                       all_reasons: bool = False) -> DataFrame:
+        """Row-level data-quality report — ref eda/diagnosis.py:268.
+
+        ``rules`` are ``(Column, name)`` pairs where the Column is a
+        per-ROW boolean; a False marks the row a violator of that named
+        rule. Pure scan-side plan: one filter over the conjunction, no
+        shuffle, nothing collected — violating rows stream out with
+        either the FIRST failed rule name (``__reason__`` string,
+        declared order) or all failed rule names sorted
+        (``all_reasons=True``, array<string>). ``id_col=None`` falls
+        back to ``monotonically_increasing_id`` (stable within a run,
+        NOT contiguous — pass a real key column for reproducible ids,
+        the distributed analogue of the reference's row index).
+        """
+        from functools import reduce
+
+        rules = list(rules)
+        names = [n for _, n in rules]
+        if len(set(names)) != len(names):
+            dup = next(n for i, n in enumerate(names) if n in names[:i])
+            raise ValueError(f"Rule name {dup} is duplicate. Please rename it.")
+        if id_col is None:
+            df = self._df.withColumn(
+                "__index__", F.monotonically_increasing_id())
+            to_keep = ["__index__"]
+        else:
+            df, to_keep = self._df, [id_col]
+        if columns_to_keep:
+            to_keep = to_keep + list(columns_to_keep)
+        tmp = df.select(*to_keep, *[r.alias(n) for r, n in rules])
+        tmp = tmp.where(~reduce(lambda a, b: a & b,
+                                [F.col(n) for n in names]))
+        if all_reasons:
+            reason = F.array_sort(F.filter(
+                F.array(*[
+                    F.when(F.col(n), F.lit(None).cast("string"))
+                    .otherwise(F.lit(n)) for n in names
+                ]), lambda v: v.isNotNull()))
+        else:
+            reason = F.coalesce(
+                *[F.when(~F.col(n), F.lit(n)) for n in names],
+                F.lit(None).cast("string"))
+        return tmp.select(*to_keep, reason.alias("__reason__"))
+
     # ----------------------------------------------------------------- misc
 
     def meta(self) -> Dict:

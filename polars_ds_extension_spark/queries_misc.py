@@ -959,3 +959,126 @@ def series_entropy_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.crossJoin(ae).select(
         _r(F.col("sample_entropy")).alias("sample_entropy"),
         _r(F.col("approx_entropy")).alias("approx_entropy"))
+
+
+# ------------------------------------------------------- DIA validation
+
+
+@query("dia_col_validation", """
+SELECT "column", __reason__ FROM (
+  SELECT 'l_quantity' AS "column",
+         'quantity must be non-negative' AS __reason__,
+         MIN(l_quantity) >= 0 AS pass FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'discount must be <= 0.05',
+         MAX(l_discount) <= 0.05 FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', 'tax must be <= 0.08',
+         MAX(l_tax) <= 0.08 FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'price must exceed 1000',
+         MIN(l_extendedprice) > 1000 FROM lineitem
+) WHERE NOT pass
+""")
+def dia_col_validation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level rule validation (ref eda/diagnosis.py:236
+    col_validation): all rules in ONE aggregation pass, failures out as
+    (column, reason) rows."""
+    from .functions.diagnosis import DIA
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return DIA(li).col_validation(
+        ((F.min("l_quantity") >= 0).alias("l_quantity"),
+         "quantity must be non-negative"),
+        ((F.max("l_discount") <= 0.05).alias("l_discount"),
+         "discount must be <= 0.05"),
+        ((F.max("l_tax") <= 0.08).alias("l_tax"),
+         "tax must be <= 0.08"),
+        ((F.min("l_extendedprice") > 1000).alias("l_extendedprice"),
+         "price must exceed 1000"),
+    )
+
+
+@query("dia_row_validation", """
+SELECT o_orderkey,
+       CASE WHEN NOT r1 THEN 'totalprice_gt_5000'
+            WHEN NOT r2 THEN 'status_known' END AS __reason__
+FROM (SELECT o_orderkey, o_totalprice > 5000 AS r1,
+             o_orderstatus IN ('F', 'O') AS r2 FROM orders)
+WHERE NOT (r1 AND r2)
+""")
+def dia_row_validation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level rule validation (ref eda/diagnosis.py:268
+    row_validation): scan-side filter on the rule conjunction, first
+    failed rule name as the reason — no shuffle, nothing collected."""
+    from .functions.diagnosis import DIA
+
+    od = load_table(spark, sf_dir, "orders")
+    return DIA(od).row_validation(
+        (F.col("o_totalprice") > 5000, "totalprice_gt_5000"),
+        (F.col("o_orderstatus").isin("F", "O"), "status_known"),
+        id_col="o_orderkey",
+    )
+
+
+@query("dia_profile", """
+WITH
+qq AS (SELECT quantile_cont(l_quantity, 0.25) q1, quantile_cont(l_quantity, 0.75) q3 FROM lineitem),
+qe AS (SELECT quantile_cont(l_extendedprice, 0.25) q1, quantile_cont(l_extendedprice, 0.75) q3 FROM lineitem),
+qd AS (SELECT quantile_cont(l_discount, 0.25) q1, quantile_cont(l_discount, 0.75) q3 FROM lineitem)
+SELECT 'l_quantity' AS "column",
+  ROUND(SUM((l_quantity IS NULL)::INT)::DOUBLE / COUNT(*), 6) AS null_pct,
+  ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+  ROUND(MIN(l_quantity), 6) AS min,
+  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median,
+  ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+  ROUND(MAX(l_quantity), 6) AS max,
+  (SELECT COUNT(*) FROM lineitem, qq
+   WHERE l_quantity < q1 - 1.5 * (q3 - q1)
+      OR l_quantity > q3 + 1.5 * (q3 - q1)) AS outlier_cnt
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+  ROUND(SUM((l_extendedprice IS NULL)::INT)::DOUBLE / COUNT(*), 6),
+  ROUND(AVG(l_extendedprice), 6), ROUND(STDDEV_SAMP(l_extendedprice), 6),
+  ROUND(MIN(l_extendedprice), 6),
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+  ROUND(quantile_cont(l_extendedprice, 0.75), 6),
+  ROUND(MAX(l_extendedprice), 6),
+  (SELECT COUNT(*) FROM lineitem, qe
+   WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+      OR l_extendedprice > q3 + 1.5 * (q3 - q1))
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+  ROUND(SUM((l_discount IS NULL)::INT)::DOUBLE / COUNT(*), 6),
+  ROUND(AVG(l_discount), 6), ROUND(STDDEV_SAMP(l_discount), 6),
+  ROUND(MIN(l_discount), 6),
+  ROUND(quantile_cont(l_discount, 0.25), 6),
+  ROUND(quantile_cont(l_discount, 0.5), 6),
+  ROUND(quantile_cont(l_discount, 0.75), 6),
+  ROUND(MAX(l_discount), 6),
+  (SELECT COUNT(*) FROM lineitem, qd
+   WHERE l_discount < q1 - 1.5 * (q3 - q1)
+      OR l_discount > q3 + 1.5 * (q3 - q1))
+FROM lineitem
+""")
+def dia_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIA.numeric_profile (ref eda/diagnosis.py:122) as a hard catalog
+    row: quantile profile + IQR-fence outlier counts over three
+    lineitem measures. Two aggregation scans (quantiles, then
+    fence-literal outlier counts) — the fences ride as literals, so the
+    count pass is pure scan-side."""
+    from .functions.diagnosis import DIA
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_quantity", "l_extendedprice", "l_discount")
+    out = DIA(li).numeric_profile()
+    return out.select(
+        "column", _r(F.col("null_pct")).alias("null_pct"),
+        _r(F.col("mean")).alias("mean"), _r(F.col("std")).alias("std"),
+        _r(F.col("min")).alias("min"), _r(F.col("q25")).alias("q25"),
+        _r(F.col("median")).alias("median"), _r(F.col("q75")).alias("q75"),
+        _r(F.col("max")).alias("max"), F.col("outlier_cnt"))

@@ -453,3 +453,65 @@ def test_dia_infer_corr(spark):
     # sorted by |corr| descending; (a,b) is the near-perfect pair
     assert (out.iloc[0]["x"], out.iloc[0]["y"]) == ("a", "b")
     assert out["corr"].abs().is_monotonic_decreasing
+
+
+def test_dia_validation(spark):
+    """col/row validation vs a duckdb oracle on the same little frame.
+    Ref eda/diagnosis.py:236 (col_validation), :268 (row_validation)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.functions.diagnosis import DIA
+
+    rows = [(1, 10.0, "a"), (2, -3.0, "bb"), (3, 7.0, "zz"),
+            (4, 0.0, "c"), (5, 25.0, None)]
+    sdf = spark.createDataFrame(rows, "id int, x double, s string")
+    dia = DIA(sdf)
+
+    # ---- col_validation: one agg pass, failures out as (column, reason)
+    out = dia.col_validation(
+        ((F.min("x") >= 0).alias("x"), "x must be non-negative"),
+        ((F.max("x") <= 100).alias("x_hi"), "x must be <= 100"),
+        (F.every(F.length("s") <= 2).alias("s"), "s must be short"),
+    ).collect()
+    got = {(r["column"], r["__reason__"]) for r in out}
+    assert got == {("x", "x must be non-negative")}
+    # empty rules / clean frame -> empty report
+    assert dia.col_validation().count() == 0
+    assert dia.col_validation(
+        ((F.max("x") <= 100).alias("x"), "hi")).count() == 0
+
+    # ---- row_validation, first-reason mode, vs duckdb
+    rep = dia.row_validation(
+        (F.col("x") > 0, "x_positive"),
+        (F.length("s") <= 1, "s_short"),
+        id_col="id",
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", sdf.toPandas())
+    want = con.sql("""
+        SELECT id, CASE WHEN NOT r1 THEN 'x_positive'
+                        WHEN NOT r2 THEN 's_short' END AS __reason__
+        FROM (SELECT id, x > 0 AS r1, LENGTH(s) <= 1 AS r2 FROM t)
+        WHERE NOT (r1 AND r2) ORDER BY id
+    """).df()
+    assert rep["id"].tolist() == want["id"].tolist()
+    assert rep["__reason__"].tolist() == want["__reason__"].tolist()
+
+    # ---- all_reasons mode: sorted array of every failed rule
+    rep2 = {r["id"]: list(r["__reason__"]) for r in dia.row_validation(
+        (F.col("x") > 0, "x_positive"),
+        (F.length("s") <= 1, "s_short"),
+        id_col="id", all_reasons=True,
+    ).collect()}
+    assert rep2[2] == ["s_short", "x_positive"]  # fails both, sorted
+    assert rep2[3] == ["s_short"]
+    assert 1 not in rep2  # passes all
+
+    # columns_to_keep rides through; duplicate rule names rejected
+    kept = dia.row_validation(
+        (F.col("x") > 0, "r"), id_col="id", columns_to_keep=["s"])
+    assert set(kept.columns) == {"id", "s", "__reason__"}
+    with pytest.raises(ValueError):
+        dia.row_validation((F.col("x") > 0, "r"),
+                           (F.col("x") < 9, "r"), id_col="id")
