@@ -35,6 +35,13 @@ def plot_lin_reg_data(df: DataFrame, x: str, target: str,
     eda/plots.py:199): fit on ALL rows via one sufficient-statistics
     aggregation, scatter payload sampled to ``max_points``. ``points_df``
     has (x, target, y_pred); ``info`` = {beta, alpha, r2, n}."""
+    from .linear import _apply_null_policy
+
+    # listwise-skip like the linear fitters: every sufficient statistic
+    # (including sw and n) sees the SAME rows — a pairwise mix would
+    # solve inconsistent normal equations on null-bearing inputs
+    feats = [x] + ([weights] if weights else [])
+    df = _apply_null_policy(df, feats, target, "skip")
     xx, yy = to_col(x).cast("double"), to_col(target).cast("double")
     w = to_col(weights).cast("double") if weights else F.lit(1.0)
     row = df.agg(
@@ -50,10 +57,11 @@ def plot_lin_reg_data(df: DataFrame, x: str, target: str,
     else:
         beta, alpha = sxy / sxx, 0.0
     pred = xx * F.lit(beta) + F.lit(alpha)
-    # r2 via the standard two-aggregate identity (no window needed)
+    # weighted r2 via the two-aggregate identity (no window needed) —
+    # the same weights as the fit, SST around the weighted mean
     r2_row = df.agg(
-        F.sum((yy - pred) * (yy - pred)).alias("sse"),
-        (F.sum(yy * yy) - F.sum(yy) * F.sum(yy) / F.count(F.lit(1)))
+        F.sum(w * (yy - pred) * (yy - pred)).alias("sse"),
+        (F.sum(w * yy * yy) - F.sum(w * yy) * F.sum(w * yy) / F.sum(w))
         .alias("sst")).first()
     r2 = 1.0 - float(r2_row["sse"]) / float(r2_row["sst"])
     n = int(row["n"])

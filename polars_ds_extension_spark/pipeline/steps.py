@@ -42,8 +42,27 @@ class SQLStep(_StatelessStep):
         super().__init__(sql=sql)
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # The view must literally be named "df" (the SQL contract), but
+        # registering it must not clobber or leak a session-level view
+        # of that name: capture any pre-existing "df" (its resolved
+        # plan), register ours, and restore/drop in finally. Safe
+        # because spark.sql() resolves the view into the returned
+        # frame's plan at analysis time, not at action time.
+        spark = df.sparkSession
+        prev = None
+        if spark.catalog.tableExists("df"):
+            try:
+                prev = spark.table("df")
+            except Exception:
+                prev = None
         df.createOrReplaceTempView("df")
-        return df.sparkSession.sql(self.kwargs["sql"])
+        try:
+            return spark.sql(self.kwargs["sql"])
+        finally:
+            if prev is not None:
+                prev.createOrReplaceTempView("df")
+            else:
+                spark.catalog.dropTempView("df")
 
 
 class SortStep(_StatelessStep):

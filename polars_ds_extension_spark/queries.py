@@ -106,6 +106,8 @@ _GREEN_ROUND = {
 _STALE = frozenset({
     "glm_poisson", "dist_kth_nb", "knn_cosine", "knn_avg_label",
     "knn_freq", "radius_nb_cnt",
+    # steps.py SQLStep view save/restore changed this round
+    "pipeline_blueprint", "blueprint_dyn_agg",
 })
 
 

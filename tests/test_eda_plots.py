@@ -122,3 +122,42 @@ def test_plot_pca_data(spark, con):
     ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
     assert out["pc1"].var() == pytest.approx(ev[0], rel=1e-6)
     assert out["pc2"].var() == pytest.approx(ev[1], rel=1e-6)
+
+
+def test_plot_lin_reg_data_nulls_and_weights(spark, con):
+    """Listwise-skip and weighted fit/r2 vs a duckdb oracle computed on
+    the same filtered rows (the inconsistent pairwise-null mix this
+    guards against would move beta AND r2)."""
+    rows = [(1.0, 2.0, 1.0), (2.0, 3.5, 2.0), (3.0, None, 1.0),
+            (None, 9.9, 3.0), (4.0, 8.0, 0.5), (5.0, 9.0, 2.5),
+            (6.0, 12.5, 1.5)]
+    sdf = spark.createDataFrame(rows, "x double, y double, w double")
+    pts, info = P.plot_lin_reg_data(sdf, "x", "y", add_bias=True,
+                                    weights="w")
+    c = duckdb.connect()
+    c.register("t", sdf.toPandas())
+    exp = c.sql("""
+        WITH f AS (SELECT x, y, w FROM t
+                   WHERE x IS NOT NULL AND y IS NOT NULL),
+        s AS (SELECT SUM(w) sw, SUM(w*x) sx, SUM(w*y) sy,
+                     SUM(w*x*x) sxx, SUM(w*x*y) sxy, COUNT(*) n FROM f)
+        SELECT (sxy - sx*sy/sw) / (sxx - sx*sx/sw) AS beta,
+               sy/sw - ((sxy - sx*sy/sw) / (sxx - sx*sx/sw)) * sx/sw
+                 AS alpha, n
+        FROM s
+    """).df().iloc[0]
+    assert info["beta"] == pytest.approx(exp["beta"], rel=1e-9)
+    assert info["alpha"] == pytest.approx(exp["alpha"], rel=1e-9)
+    assert info["n"] == exp["n"] == 5  # null rows listwise-dropped
+    # weighted r2 against the same filtered frame
+    b, a = info["beta"], info["alpha"]
+    exp_r2 = c.sql(f"""
+        WITH f AS (SELECT x, y, w FROM t
+                   WHERE x IS NOT NULL AND y IS NOT NULL)
+        SELECT 1.0 - SUM(w * (y - ({b}*x + {a})) * (y - ({b}*x + {a})))
+               / (SUM(w*y*y) - SUM(w*y)*SUM(w*y)/SUM(w)) AS r2
+        FROM f
+    """).df().iloc[0]["r2"]
+    assert info["r2"] == pytest.approx(exp_r2, rel=1e-9)
+    # scatter payload excludes the dropped rows
+    assert pts.count() == 5

@@ -79,3 +79,24 @@ def test_sample_to_token_budget(spark):
             break
         keep.add(i)
     assert {r["doc_id"] for r in out} == keep
+
+
+def test_sql_step_view_hygiene(spark):
+    """SQLStep must not leak its 'df' view nor clobber a pre-existing
+    session view of that name."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.pipeline.steps import SQLStep
+
+    other = spark.createDataFrame([(99,)], "marker int")
+    other.createOrReplaceTempView("df")
+    frame = spark.createDataFrame([(1,), (2,)], "x int")
+    out = SQLStep("SELECT x * 2 AS y FROM df").transform(frame)
+    assert sorted(r["y"] for r in out.collect()) == [2, 4]
+    # pre-existing view restored, not clobbered
+    assert spark.table("df").first()["marker"] == 99
+    spark.catalog.dropTempView("df")
+    # with no pre-existing view, nothing leaks
+    out2 = SQLStep("SELECT COUNT(*) AS n FROM df").transform(frame)
+    assert out2.first()["n"] == 2
+    assert not spark.catalog.tableExists("df")
