@@ -38,7 +38,7 @@ __all__ = [
     "gamma", "digamma",
     "integrate_trapz", "convolve", "detrend",
     "psi_discrete", "woe_discrete", "info_value_discrete",
-    "psi", "woe", "info_value", "target_encode",
+    "psi", "psi_w_breakpoints", "woe", "info_value", "target_encode",
 ]
 
 
@@ -485,6 +485,53 @@ def _bin_expr(x: str, breaks: list[float]) -> Column:
     for i, b in enumerate(breaks[1:], start=1):
         e = e.when(to_col(x) <= F.lit(b), F.lit(i))
     return e.otherwise(F.lit(len(breaks)))
+
+
+def psi_w_breakpoints(df_new: DataFrame, df_base: DataFrame, x: str,
+                      breakpoints: list) -> DataFrame:
+    """Per-bin PSI report with CUSTOM breakpoints — ref num.py:651
+    (psi_w_breakpoints → pl_psi_w_bps, src/num_ext/psi.rs:77).
+
+    ``breakpoints`` [b1..bk] (sorted, distinct, finite) define k+1
+    right-closed bins (-inf,b1], (b1,b2], .., (bk,inf). Both sides are
+    filtered to finite values; every bin appears in the report even if
+    empty on both sides (percentages floor at 1e-4, as the reference's
+    clip_min). Plan: one flat CASE bin expression per side (scan-side,
+    codegen), two tiny grouped counts, then a broadcast join onto the
+    k+1-row bin frame — no shuffle of the data beyond the count aggs.
+
+    Output rows ordered by bin: (`<=` double, baseline_pct, actual_pct,
+    psi_bin) — identical to the reference's psi_report struct fields.
+    """
+    if not breakpoints:
+        raise ValueError("Breakpoints is empty.")
+    bps = [float(b) for b in breakpoints] + [float("inf")]
+    spark = df_new.sparkSession
+    bins = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bps)], "bin int, le double")
+
+    def _side(df: DataFrame, name: str) -> DataFrame:
+        xx = to_col(x).cast("double")
+        e = F.when(xx <= F.lit(bps[0]), F.lit(0))
+        for i, b in enumerate(bps[1:-1], start=1):
+            e = e.when(xx <= F.lit(b), F.lit(i))
+        e = e.otherwise(F.lit(len(bps) - 1))
+        finite = xx.isNotNull() & ~F.isnan(xx) & (F.abs(xx) != float("inf"))
+        return (df.where(finite).select(e.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(name)))
+
+    j = (bins.join(_side(df_base, "cnt_baseline"), "bin", "left")
+         .join(_side(df_new, "cnt_actual"), "bin", "left")
+         .fillna(0, subset=["cnt_baseline", "cnt_actual"]))
+    j = with_global_totals(j, __tb=F.sum("cnt_baseline"),
+                           __ta=F.sum("cnt_actual"))
+    b_pct = F.greatest(F.col("cnt_baseline") / F.col("__tb"), F.lit(0.0001))
+    a_pct = F.greatest(F.col("cnt_actual") / F.col("__ta"), F.lit(0.0001))
+    return (j.select(
+        F.col("bin"), F.col("le").alias("<="),
+        b_pct.alias("baseline_pct"), a_pct.alias("actual_pct"),
+        ((b_pct - a_pct) * F.log(b_pct / a_pct)).alias("psi_bin"))
+        .orderBy("bin").drop("bin"))
 
 
 def psi(df_new: DataFrame, df_base: DataFrame, x: str, n_bins: int = 10) -> DataFrame:
