@@ -949,3 +949,64 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__tok").cast("long").alias("total_tokens"),
                  _r(F.avg("__q")).alias("avg_quality")))
+
+
+@query("multimodal_resize", """
+WITH px AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), s AS (
+  SELECT doc_id,
+    -- nearest-neighbor 4x4x3 -> 2x2x3 keeps source pixels (1,1),(1,3),
+    -- (3,1),(3,3); their flat byte positions (1-based) in the 48-byte
+    -- buffer are 16..18, 22..24, 40..42, 46..48; zero beyond the text
+    (CASE WHEN n >= 16 THEN ascii(substr(text, 16, 1)) ELSE 0 END
+   + CASE WHEN n >= 17 THEN ascii(substr(text, 17, 1)) ELSE 0 END
+   + CASE WHEN n >= 18 THEN ascii(substr(text, 18, 1)) ELSE 0 END
+   + CASE WHEN n >= 22 THEN ascii(substr(text, 22, 1)) ELSE 0 END
+   + CASE WHEN n >= 23 THEN ascii(substr(text, 23, 1)) ELSE 0 END
+   + CASE WHEN n >= 24 THEN ascii(substr(text, 24, 1)) ELSE 0 END
+   + CASE WHEN n >= 40 THEN ascii(substr(text, 40, 1)) ELSE 0 END
+   + CASE WHEN n >= 41 THEN ascii(substr(text, 41, 1)) ELSE 0 END
+   + CASE WHEN n >= 42 THEN ascii(substr(text, 42, 1)) ELSE 0 END
+   + CASE WHEN n >= 46 THEN ascii(substr(text, 46, 1)) ELSE 0 END
+   + CASE WHEN n >= 47 THEN ascii(substr(text, 47, 1)) ELSE 0 END
+   + CASE WHEN n >= 48 THEN ascii(substr(text, 48, 1)) ELSE 0 END
+    ) AS pixel_sum
+  FROM px
+)
+SELECT doc_id, 2 AS height, 2 AS width, 3 AS channels,
+       pixel_sum::BIGINT AS pixel_sum
+FROM s
+""")
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_image end-to-end with REAL resampling (operators/
+    multimodal.py resize_image): a deterministic 4x4x3 'decoded' frame
+    is synthesized from each document's leading 48 utf-8 bytes
+    (zero-padded), nearest-neighbor-resized to 2x2, and checksummed.
+    The oracle recomputes the four surviving source pixels' byte
+    positions in SQL — the resample index math is content-verified,
+    not just shape-verified. Codec-free: resampling needs pixel access,
+    not a codec."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.select(
+        "doc_id",
+        F.struct(
+            F.lit(4).alias("height"), F.lit(4).alias("width"),
+            F.lit(3).alias("channels"),
+            F.expr("substring(encode(text, 'utf-8'), 1, 48)")
+            .alias("pixels"),
+        ).alias("decoded"))
+    rs = MM.resize_image(dec, "decoded", width=2, height=2)
+    # byte sum JVM-side: latin-1 decode maps bytes 1:1 to codepoints
+    return rs.select(
+        "doc_id",
+        F.col("resized.height").alias("height"),
+        F.col("resized.width").alias("width"),
+        F.col("resized.channels").alias("channels"),
+        F.expr(
+            "aggregate(transform(sequence(1, length(resized.pixels)), "
+            "i -> ascii(substring(decode(resized.pixels, 'ISO-8859-1'),"
+            " i, 1))), 0L, (a, x) -> a + x)"
+        ).alias("pixel_sum"))

@@ -94,3 +94,56 @@ def test_decode_image_codec_seam(spark):
     else:  # pragma: no cover - env has a codec
         with _pt.raises(Exception):
             MM.decode_image(df, "content").collect()  # invalid bytes
+
+
+def test_resize_image_nearest(spark):
+    """Nearest-neighbor resample vs a hand-computed numpy oracle; no
+    codec involved."""
+    import numpy as np
+
+    from polars_ds_extension_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, {"height": 4, "width": 6, "channels": 3,
+              "pixels": px.tobytes()})],
+        f"id int, decoded struct<{MM.DECODED_IMAGE_SCHEMA.replace(', ', ',').replace(' ', ':').replace(',', ', ')}>")
+    out = MM.resize_image(df, "decoded", width=3, height=2).first()
+    r = out["resized"]
+    assert (r["height"], r["width"], r["channels"]) == (2, 3, 3)
+    ri = np.minimum(((np.arange(2) + 0.5) * 4 / 2).astype(int), 3)
+    ci = np.minimum(((np.arange(3) + 0.5) * 6 / 3).astype(int), 5)
+    want = px[ri[:, None], ci[None, :], :]
+    assert bytes(r["pixels"]) == want.tobytes()
+
+    # identity resize round-trips the buffer exactly
+    same = MM.resize_image(df, "decoded", width=6, height=4).first()
+    assert bytes(same["resized"]["pixels"]) == px.tobytes()
+
+
+def test_resize_image_edge_cases(spark):
+    from polars_ds_extension_spark.operators import multimodal as MM
+
+    # short buffer (the fake decoder's 3-byte pixels) zero-pads
+    df = spark.createDataFrame(
+        [(1, {"height": 4, "width": 4, "channels": 3,
+              "pixels": bytes([9, 8, 7])}),
+         (2, None)],
+        "id int, decoded struct<height:int,width:int,channels:int,"
+        "pixels:binary>")
+    rows = {r["id"]: r["resized"]
+            for r in MM.resize_image(df, "decoded", 2, 2).collect()}
+    assert rows[2] is None
+    r = rows[1]
+    assert len(bytes(r["pixels"])) == 2 * 2 * 3
+    # all surviving pixels come from the zero-padded region
+    assert bytes(r["pixels"]) == bytes(12)
+
+    # bilinear needs the codec seam
+    import polars_ds_extension_spark.operators.multimodal as mm
+    if mm._pil() is None:
+        import pytest as _pt
+        with _pt.raises(Exception, match="Pillow|bilinear"):
+            MM.resize_image(df, "decoded", 2, 2,
+                            method="bilinear").collect()
