@@ -907,6 +907,33 @@ def smooth_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("smoothed")).alias("smoothed"))
 
 
+@query("smooth_spline_oracle", """
+SELECT x::BIGINT AS x, smoothed::DOUBLE AS smoothed FROM (VALUES
+  (0, 0.087853), (1, 0.358651), (2, 0.607487), (3, 0.804532),
+  (4, 0.92268), (5, 0.944059), (6, 0.863113), (7, 0.687122),
+  (8, 0.434911), (9, 0.134298), (10, -0.181309), (11, -0.476797),
+  (12, -0.719367), (13, -0.882341), (14, -0.9484), (15, -0.911891),
+  (16, -0.779802), (17, -0.570878), (18, -0.312248), (19, -0.03287)
+) AS t(x, smoothed)
+""")
+def smooth_spline_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whittaker smoother on a DETERMINISTIC 20-point series (nation
+    keys 0..19, y = round(sin(i/3), 6), λ=4). The oracle pins the
+    LITERAL dense solution of (I + λD₂ᵀD₂)f = y computed independently
+    with textbook numpy (np.linalg.solve on the explicit dense matrix) —
+    hash-checking the O(n) banded-LDLᵀ kernel against dense algebra.
+    Full-data runs stay covered by the rows-only `smooth_spline`
+    query."""
+    knots = (load_table(spark, sf_dir, "nation")
+             .where(F.col("n_nationkey") < 20)
+             .select(F.col("n_nationkey").cast("long").alias("i"),
+                     F.round(F.sin(F.col("n_nationkey") / 3.0), 6)
+                     .alias("y")))
+    out = N.smooth_spline(knots, "y", "i", lam=4.0)
+    return out.select(F.col("__o").cast("bigint").alias("x"),
+                      _r(F.col("smoothed")).alias("smoothed"))
+
+
 @query("smooth_spline_natural", """
 SELECT x::BIGINT AS x, smoothed::DOUBLE AS smoothed FROM (VALUES
   (0, 0.049807), (1, 0.342990), (2, 0.609953), (3, 0.819914),
