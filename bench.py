@@ -97,6 +97,33 @@ def main() -> None:
         if qi % 8 == 7:
             spark.sparkContext._jvm.System.gc()
 
+    # Scale probe: one run of the most expensive queries on the lazily
+    # materialized 10x data (.probe_data/sf1.0); ratio vs this round's
+    # own sf0.1 median. Converts "the plans are 100x-shaped" from
+    # code-reading to measurement — a scan-bound query should land near
+    # the inflation factor, sample-bounded kernels below it. Skipped
+    # (never fatal) if the probe data can't be built.
+    probe_ratio: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
+        try:
+            from scripts.scale_probe import DEFAULT_QUERIES, build_probe_data
+            pdir = build_probe_data(spark)
+            qs = catalog.queries()
+            for name in DEFAULT_QUERIES:
+                base_t = per_query.get(name)
+                if name not in qs or not base_t or base_t != base_t:
+                    continue
+                t0 = time.perf_counter()
+                qs[name](spark, pdir).count()
+                t_large = time.perf_counter() - t0
+                release_pins()
+                spark.catalog.clearCache()
+                probe_ratio[name] = round(t_large / base_t, 1)
+                print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
+                      f"(x{probe_ratio[name]})", file=sys.stderr)
+        except Exception as ex:  # pragma: no cover
+            print(f"scale probe skipped: {ex}", file=sys.stderr)
+
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).
     print(json.dumps({
@@ -104,6 +131,7 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": per_query,
+        "probe_ratio_10x": probe_ratio,
         "sf": sf,
     }), file=sys.stderr)
 
@@ -116,6 +144,7 @@ def main() -> None:
             "value": round(total, 4),
             "unit": "sec",
             "queries": q,
+            "probe_ratio_10x": probe_ratio,
             "sf": sf,
             "n_queries": len(per_query),
         }, separators=(",", ":"))

@@ -361,7 +361,8 @@ def knn_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ivf_ann", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
 asg AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -379,11 +380,18 @@ SELECT vec_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 3
 """)
 def ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate self-KNN: bucket by nearest of 16 seed centroids
+    """IVF approximate self-KNN: bucket by nearest seed centroid
     (broadcast scan), search only within buckets — the n²/C scale path.
-    Deterministic, so the oracle reproduces it exactly."""
+    n_centroids scales as ~sqrt(N) (the docstring's own 100x
+    prescription; fixed C let the within-cell quadratic term grow
+    linearly with N — the 10x scale probe measured 25x before this),
+    deterministic first-id seeds so the oracle reproduces it exactly."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = K.ivf_knn_join(emb, "vec_id", "embedding", n_centroids=16, k=3)
+    n_cent = max(16, math.ceil(math.sqrt(emb.count())))
+    out = K.ivf_knn_join(emb, "vec_id", "embedding",
+                         n_centroids=n_cent, k=3)
     return out.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")
 
 
