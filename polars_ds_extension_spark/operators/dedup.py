@@ -561,6 +561,31 @@ def canonical_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_centroids: int = 16,
+    centroids="first",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): IVF-cluster
+    the embedding column, mine within-cell pairs with cosine >=
+    ``min_cosine`` (knn.ivf_cosine_pairs — one centroid-key shuffle,
+    never all-pairs), connect them, and keep the smallest-id member of
+    each semantic cluster. At 100 TB: n_centroids ~ sqrt(N) keeps the
+    per-cell quadratic term flat, ``max_cell`` bounds skewed clusters,
+    and the pair set (not the corpus) is all the CC stage ever touches.
+    Returns the deduplicated frame (all original columns)."""
+    from .knn import ivf_cosine_pairs
+
+    pairs = ivf_cosine_pairs(df, id_col, vec_col, min_cosine,
+                             n_centroids=n_centroids, centroids=centroids,
+                             max_cell=max_cell)
+    return canonical_dedup(df, id_col, pairs)
+
+
 # ------------------------------------------------------------ line-level dedup
 
 def line_dedup(docs: DataFrame, id_col: str, text_col: str,

@@ -621,6 +621,62 @@ def ivf_knn_join(
     )
 
 
+def ivf_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str,
+    min_cosine: float,
+    n_centroids: int = 16,
+    centroids: str | DataFrame = "first",
+    max_cell: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """All within-cell pairs with cosine >= ``min_cosine`` — the
+    candidate-pair stage of SemDeDup-style semantic dedup (Abbas et al.
+    2023: cluster embeddings, compare only inside clusters). Same IVF
+    bucketing as ``ivf_knn_join`` (one shuffle on centroid_id, optional
+    ``max_cell`` salting bounds the quadratic term on skew) but emits
+    the full thresholded pair set (id_a < id_b) instead of top-k —
+    recall is cluster-bounded exactly as published.
+    Output: (id_a, id_b, cosine).
+    """
+    if isinstance(centroids, DataFrame):
+        cents, c_id, c_vec = centroids, "centroid_id", "centroid"
+    elif centroids == "first":
+        cents, c_id, c_vec = df.where(F.col(id_col) < n_centroids), id_col, vec_col
+    else:
+        cents = ivf_centroids(df, id_col, vec_col, n_centroids,
+                              method=centroids, seed=seed)
+        c_id, c_vec = "centroid_id", "centroid"
+    asg = ivf_assign(df, id_col, vec_col, cents, c_id, c_vec)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
+    if max_cell is not None:
+        cell_n = F.broadcast(
+            tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
+        tagged = tagged.join(cell_n, "centroid_id").withColumn(
+            "__salt",
+            F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(F.pmod(
+                F.xxhash64(F.col("__id")),
+                F.ceil(F.col("__cn") / max_cell).cast("long"))),
+        ).drop("__cn")
+    else:
+        tagged = tagged.withColumn("__salt", F.lit(0))
+    tagged = tagged.withColumn("__n", norm(F.col("__vec")))
+    a = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
+                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+                      F.col("__n").alias("__na"))
+    b = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
+                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+                      F.col("__n").alias("__nb"))
+    return (
+        a.join(b, ["__c", "__salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                (dot(F.col("__va"), F.col("__vb"))
+                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
 def dist_from_kth_nb(
     df: DataFrame, id_col: str, vec_col: str,
     k: int = 5, metric: str = "l2",

@@ -1018,3 +1018,66 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> ascii(substring(decode(resized.pixels, 'ISO-8859-1'),"
             " i, 1))), 0L, (a, x) -> a + x)"
         ).alias("pixel_sum"))
+
+
+@query("semantic_dedup", """
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), u AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.05
+                                          ELSE x END)
+  FROM e0 WHERE vec_id % 7 = 0
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM u
+  WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM u))))
+), asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT u.vec_id, u.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY list_distance(u.v, c.cv), c.cid) AS rn
+    FROM u CROSS JOIN c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+), ed AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM ed
+  UNION
+  SELECT r.s, ed.d FROM reach r JOIN ed ON r.d = ed.s
+), comp AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+)
+SELECT u.vec_id FROM u LEFT JOIN comp ON u.vec_id = comp.id
+WHERE comp.id IS NULL OR comp.comp = u.vec_id
+""")
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end (operators/dedup.py
+    semantic_dedup): every 7th embedding gets a perturbed duplicate
+    (component 0 scaled 1.05x — cosine ~0.999 vs a ~0.49 natural
+    within-cell max, so the pair set is exactly the planted dups), then
+    IVF cells (~sqrt(N) first-id centroids) -> within-cell cosine
+    pairs -> connected components -> smallest-id survivor. Oracle
+    replays assignment, thresholding, and a recursive-CTE closure."""
+    import math
+
+    from .operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dup = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("v"))
+    u = emb.unionByName(dup)
+    n_cent = max(16, math.ceil(math.sqrt(u.count())))
+    out = D.semantic_dedup(u, "vec_id", "v", min_cosine=0.9,
+                           n_centroids=n_cent)
+    return out.select("vec_id")
