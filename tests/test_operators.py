@@ -267,3 +267,39 @@ def test_knn_join_l1_inf_metrics(spark):
         top1 = {r["id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
         for i in range(30):
             assert D[i, top1[i]] == pytest.approx(D[i].min(), rel=1e-12)
+
+
+def test_semantic_dedup(spark):
+    """ivf_cosine_pairs + semantic_dedup on planted duplicates: exact
+    copies and a tiny perturbation cluster collapse to min-id
+    survivors; unrelated vectors pass through."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import dedup as D
+    from polars_ds_extension_spark.operators import knn as K
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),   # centroids
+        (10, [5.0, 3.0, 0.0]), (11, [5.0, 3.0, 0.0]),  # exact dups
+        (12, [5.02, 3.0, 0.0]),                        # near dup of 10/11
+        (20, [0.0, 9.0, 4.0]),                         # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    pairs = K.ivf_cosine_pairs(df, "vec_id", "v", min_cosine=0.999,
+                               n_centroids=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (10, 11) in got and (10, 12) in got and (11, 12) in got
+    assert all(a < b for a, b in got)
+    assert not any(20 in p for p in got)
+
+    kept = sorted(r["vec_id"]
+                  for r in D.semantic_dedup(df, "vec_id", "v",
+                                            min_cosine=0.999,
+                                            n_centroids=2).collect())
+    assert kept == [0, 1, 10, 20]
+
+    # max_cell salting keeps the op runnable on a degenerate all-one-cell
+    # input (recall may drop, exact dups at identical salt still pair)
+    salted = K.ivf_cosine_pairs(df, "vec_id", "v", min_cosine=0.999,
+                                n_centroids=1, max_cell=3)
+    assert salted.count() >= 0  # runs; bounded pair stage
