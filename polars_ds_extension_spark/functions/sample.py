@@ -152,12 +152,20 @@ def mixture_sample(df: DataFrame, id_col: str, group_col: str,
 
     Output: the sampled rows (original schema).
     """
-    counts = {r[0]: r[1] for r in
-              df.groupBy(group_col).agg(F.count(F.lit(1))).collect()}
+    import math
+
+    # sorted by group key so the float accumulation order (and therefore
+    # every rate, bit-for-bit) is independent of partition arrival order
+    counts = dict(sorted(
+        (r[0], r[1]) for r in
+        df.groupBy(group_col).agg(F.count(F.lit(1))).collect()))
     total = sum(counts.values())
     target = float(target_rows if target_rows is not None else total)
-    wsum = sum(c ** alpha for c in counts.values())
-    rates = {g: min(1.0, target * (c ** alpha / wsum) / c)
+    # math.sqrt is correctly rounded (pow(x, .5) need not be) — keeps the
+    # α=0.5 default reproducible against any other engine's SQRT
+    pw = (lambda c: math.sqrt(c)) if alpha == 0.5 else (lambda c: c ** alpha)
+    wsum = sum(pw(float(c)) for c in counts.values())
+    rates = {g: min(1.0, target * (pw(float(c)) / wsum) / c)
              for g, c in counts.items()}
     rate_col = F.lit(None).cast("double")
     for g, r in rates.items():

@@ -380,6 +380,55 @@ def dup_ngram_fraction(text, n: int = 2) -> Column:
         .otherwise(F.lit(0.0))
 
 
+def dup_span_stats(docs, id_col: str, text_col: str, n: int = 13):
+    """Approximate substring-level duplication signal across the CORPUS
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr criterion at word granularity): every
+    length-``n`` word window is hashed, and a window is *duplicated*
+    when its hash occurs in >= 2 distinct documents. Per doc with at
+    least ``n`` tokens: (id, n_windows, n_dup_windows, dup_frac).
+
+    The suffix-array the paper builds is a single-machine structure; the
+    distributed shape is this window-hash shuffle: the explode is linear
+    in corpus tokens, the one shuffle keys on the 8-byte ``xxhash64`` of
+    the window (the MinHash shingle-shuffle shape, uniform keys), the
+    duplicated-window side is |distinct repeated windows| — corpus-small
+    — and both aggregations are map-side combinable. No driver state at
+    any scale. Grouping on the 64-bit hash instead of the window string
+    keeps shuffle rows at 8 bytes/key; collisions (~n_windows²/2⁶⁴) are
+    the documented approximation.
+    """
+    toks = whitespace_tokens(F.lower(_t(text_col)))
+    wins = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= n)
+        .select(
+            id_col,
+            F.explode(F.expr(
+                f"transform(sequence(0, size(__t) - {n}), "
+                f"i -> xxhash64(array_join(slice(__t, i + 1, {n}), ' ')))"
+            )).alias("__wh"),
+        )
+    )
+    dup = (
+        wins.select("__wh", id_col).distinct()
+        .groupBy("__wh").count().where(F.col("count") >= 2)
+        .select("__wh", F.lit(1).alias("__dup"))
+    )
+    return (
+        wins.join(dup, "__wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4))
+    )
+
+
 # ------------------------------------------------------------- PII scrubbing
 
 # Deliberately lookbehind-free so the SAME patterns run in Java regex

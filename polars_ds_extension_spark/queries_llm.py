@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import knn as K
 from .operators import retrieval as R
+from .functions import sample as SMP
 from .operators import text as T
 from .queries import _r, query
 from .sources import load_table
@@ -1081,3 +1082,88 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.semantic_dedup(u, "vec_id", "v", min_cosine=0.9,
                            n_centroids=n_cent)
     return out.select("vec_id")
+
+
+@query("dup_spans", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 11)) AS t(i)
+  WHERE len(w) >= 13
+), dup AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM wins)
+  GROUP BY g HAVING COUNT(*) >= 2
+), marked AS (
+  SELECT w.doc_id, CASE WHEN d.g IS NULL THEN 0 ELSE 1 END AS isdup
+  FROM wins w LEFT JOIN dup d USING (g)
+)
+SELECT doc_id, COUNT(*) AS n_windows,
+       SUM(isdup)::BIGINT AS n_dup_windows,
+       ROUND(SUM(isdup)::DOUBLE / COUNT(*), 4) AS dup_frac
+FROM marked GROUP BY doc_id
+""")
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span signal (operators/text.py
+    dup_span_stats — the Lee et al. 2022 ExactSubstr criterion at word
+    granularity, re-expressed as a window-hash shuffle instead of a
+    single-machine suffix array). The Spark side groups on xxhash64 of
+    each 13-word window (8-byte shuffle keys); the oracle groups on the
+    window text itself — identical results absent 64-bit collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dup_span_stats(docs, "doc_id", "text", n=13)
+
+
+@query("mixture_resample", """
+WITH cnt AS (
+  SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang
+), ws AS (
+  SELECT SUM(SQRT(c)) AS wsum, SUM(c) AS total FROM cnt
+), rates AS (
+  SELECT lang, LEAST(1.0, total * (SQRT(c) / wsum) / c) AS r
+  FROM cnt, ws
+)
+SELECT d.lang, COUNT(*) AS n_kept, SUM(d.doc_id)::BIGINT AS sum_id
+FROM documents d JOIN rates USING (lang)
+WHERE (d.doc_id * 2654435761) % 10000 < r * 10000
+GROUP BY d.lang
+""")
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source-mixture resampling (functions/sample.py
+    mixture_sample, the count^alpha multilingual-sampling rule of
+    mBERT/XLM-R data recipes) at alpha=0.5 over the language column:
+    small languages are upweighted, the majority thinned. ONE tiny
+    groupBy (|langs| rows) to the driver, keep-rates return as literal
+    filters — the corpus never shuffles. Selection is the deterministic
+    id-scramble bucket, so kept rows are engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.mixture_sample(docs, "doc_id", "lang", alpha=0.5)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_id"))
+
+
+@query("quality_quantile_filter", """
+WITH r AS (
+  SELECT doc_id, n_chars, RANK() OVER (ORDER BY n_chars) AS rk
+  FROM documents
+), c AS (SELECT COUNT(*) AS n FROM documents)
+SELECT COUNT(*) AS n_kept, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(n_chars) AS min_chars
+FROM r, c WHERE rk > FLOOR(0.75 * n)
+""")
+def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents above the exact global 75th percentile of length
+    (functions/sample.py filter_by_global_quantile) — the quality-
+    threshold gate of curation pipelines with engine-stable tie
+    semantics (min-rank: the whole tied group lands on one side). The
+    exact global rank is the two-pass range-bucket plan
+    (plans/ranks.global_min_rank) — no single-partition sort at any
+    scale; the oracle is a plain RANK() window."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.filter_by_global_quantile(docs, "n_chars", q=0.75, keep="top")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"))

@@ -1109,3 +1109,139 @@ def dia_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("min")).alias("min"), _r(F.col("q25")).alias("q25"),
         _r(F.col("median")).alias("median"), _r(F.col("q75")).alias("q75"),
         _r(F.col("max")).alias("max"), F.col("outlier_cnt"))
+
+
+@query("string_kernels_oracle", """
+SELECT * FROM (VALUES
+  (1, 3, 4, 5, 0.615385, 'itt'),
+  (2, 2, 6, 2, 0.857143, 'abcdef'),
+  (3, 3, 5, 4, 0.714286, 'day'),
+  (4, 1, 3, 2, 0.75, 'ab'),
+  (5, 3, 0, 3, 0.0, ''),
+  (6, 0, 0, 0, 1.0, '')
+) AS t(pair_id, osa, lcs_len, lcs_dist, fuzz, lcs_sub)
+""")
+def string_kernels_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin the batch-DP string kernels (functions/string_.py str_osa,
+    str_lcs_subseq, str_lcs_subseq_dist, str_fuzz, str_lcs_substr — ref
+    string.py:547-679) to hand-verified literals: OSA transposition
+    ('abXY'/'abYX' = 1 vs Levenshtein 2), classic kitten/sitting, and
+    both empty-string edges. Converts the kernels' pytest-only status
+    into a hard driver row, same pattern as series_entropy_oracle."""
+    from .functions import string_ as S
+
+    pairs = spark.createDataFrame(
+        [(1, "kitten", "sitting"), (2, "abcdef", "zabcdefq"),
+         (3, "sunday", "saturday"), (4, "abXY", "abYX"),
+         (5, "", "abc"), (6, "", "")],
+        "pair_id int, a string, b string")
+    return pairs.select(
+        "pair_id",
+        S.str_osa("a", "b").alias("osa"),
+        S.str_lcs_subseq("a", "b").alias("lcs_len"),
+        S.str_lcs_subseq_dist("a", "b").alias("lcs_dist"),
+        _r(S.str_fuzz("a", "b")).alias("fuzz"),
+        S.str_lcs_substr("a", "b").alias("lcs_sub"),
+    )
+
+
+@query("array_math", """
+SELECT a.vec_id,
+  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> ABS(x[1]::DOUBLE - x[2]::DOUBLE))), 6)
+    AS l1_d,
+  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)), 6)
+    AS sql2_d,
+  ROUND(list_max(list_transform(a.embedding, x -> x::DOUBLE)), 6) AS amax
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 300
+""")
+def array_math_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise array arithmetic (functions/num.py arr_l1_dist,
+    arr_sql2_dist, list_amax — ref num.py:143-217,915) over consecutive
+    embedding pairs: pure JVM zip_with/aggregate exprs, scan-side after
+    one equi-join; no Python anywhere."""
+    from .functions import num as N
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.where(F.col("vec_id") < 300)
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   F.col("v").alias("w"))
+    return a.join(b, "vec_id").select(
+        "vec_id",
+        _r(N.arr_l1_dist("v", "w")).alias("l1_d"),
+        _r(N.arr_sql2_dist("v", "w")).alias("sql2_d"),
+        _r(N.list_amax("v")).alias("amax"),
+    )
+
+
+@query("jaccard_arrays", r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), rowj AS (
+  SELECT a.doc_id,
+         ROUND(len(list_intersect(a.w, b.w))::DOUBLE
+               / len(list_distinct(list_concat(a.w, b.w))), 6) AS j_row
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 300
+), colj AS (
+  SELECT ROUND((SELECT COUNT(*) FROM (
+            SELECT DISTINCT l_suppkey FROM lineitem
+            INTERSECT SELECT DISTINCT l_partkey FROM lineitem))::DOUBLE
+         / (SELECT COUNT(*) FROM (
+            SELECT DISTINCT l_suppkey FROM lineitem
+            UNION SELECT DISTINCT l_partkey FROM lineitem)), 6) AS j_col
+)
+SELECT doc_id, j_row, j_col FROM rowj, colj
+""")
+def jaccard_arrays_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over array values (functions/num.py jaccard_row — ref
+    num.py:466) between consecutive documents' token sets, plus the
+    aggregate set-Jaccard of two columns (jaccard_col — ref num.py:487)
+    as a broadcast scalar: array_intersect/union JVM exprs row-side, two
+    count-distinct aggs col-side."""
+    from .functions import num as N
+    from .operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id",
+                    T.whitespace_tokens(F.lower(F.col("text"))).alias("w"))
+    a = t.where(F.col("doc_id") < 300)
+    b = t.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("w").alias("w2"))
+    rowj = a.join(b, "doc_id").select(
+        "doc_id", _r(N.jaccard_row("w", "w2")).alias("j_row"))
+    li = load_table(spark, sf_dir, "lineitem")
+    colj = li.agg(_r(N.jaccard_col("l_suppkey", "l_partkey")).alias("j_col"))
+    return rowj.crossJoin(F.broadcast(colj))
+
+
+@query("float_neighbors", """
+SELECT * FROM (VALUES
+  (1, 1e0, 1.0000000000000002e0, 0.9999999999999999e0),
+  (2, -1e0, -0.9999999999999999e0, -1.0000000000000002e0),
+  (3, 0e0, 5e-324, -5e-324),
+  (4, 2.5e0, 2.5000000000000004e0, 2.4999999999999996e0),
+  (5, 1e300, 1.0000000000000002e300, 9.999999999999999e299)
+) AS t(case_id, x, up, down)
+""")
+def float_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """next_up / next_down (functions/num.py — ref num.py next_up/
+    next_down, IEEE nextafter) pinned to exact-ulp literals including
+    the denormal min around zero. Arrow-vectorized numpy (no JVM
+    nextafter); the oracle literals are the IEEE-754 doubles
+    themselves."""
+    from .functions import num as N
+
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, -1.0), (3, 0.0), (4, 2.5), (5, 1e300)],
+        "case_id int, x double")
+    return base.select(
+        "case_id", "x",
+        N.next_up("x").alias("up"),
+        N.next_down("x").alias("down"),
+    )

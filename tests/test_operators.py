@@ -303,3 +303,88 @@ def test_semantic_dedup(spark):
     salted = K.ivf_cosine_pairs(df, "vec_id", "v", min_cosine=0.999,
                                 n_centroids=1, max_cell=3)
     assert salted.count() >= 0  # runs; bounded pair stage
+
+
+# ------------------------------------------------------- dup-span signal
+
+def test_dup_span_stats_flags_shared_spans(spark):
+    # doc 1 and 2 share an identical 6-word span inside otherwise
+    # distinct text; doc 3 is fully unique; doc 4 is too short.
+    span = "the quick brown fox jumps high"
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "txt": [
+            "alpha beta " + span + " gamma delta",
+            "one two three " + span,
+            "totally unique words with no repeats at all here now",
+            "tiny doc",
+        ],
+    })
+    out = T.dup_span_stats(spark.createDataFrame(pdf), "id", "txt", n=6) \
+        .orderBy("id").toPandas()
+    # doc 4 (2 tokens < n) emits no windows at all
+    assert list(out["id"]) == [1, 2, 3]
+    by_id = out.set_index("id")
+    # doc1 has 10 tokens -> 5 windows; exactly the span window is shared
+    assert by_id.loc[1, "n_windows"] == 5
+    assert by_id.loc[1, "n_dup_windows"] == 1
+    assert by_id.loc[2, "n_dup_windows"] == 1
+    assert by_id.loc[3, "n_dup_windows"] == 0
+    assert by_id.loc[3, "dup_frac"] == 0.0
+
+
+def test_dup_span_stats_requires_distinct_docs(spark):
+    # a span repeated WITHIN one doc is not a cross-doc duplicate
+    pdf = pd.DataFrame({
+        "id": [1],
+        "txt": ["a b c d a b c d"],
+    })
+    out = T.dup_span_stats(spark.createDataFrame(pdf), "id", "txt", n=4) \
+        .toPandas()
+    assert out.loc[0, "n_dup_windows"] == 0
+
+
+# ------------------------------------------------------- mixture resample
+
+def test_mixture_sample_upweights_small_sources(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+    pdf = pd.DataFrame({
+        "id": range(1000),
+        "src": ["big"] * 900 + ["small"] * 100,
+    })
+    out = SMP.mixture_sample(spark.createDataFrame(pdf), "id", "src",
+                             alpha=0.5).groupBy("src").count().toPandas()
+    got = dict(zip(out["src"], out["count"]))
+    # alpha=0.5 target shares: sqrt(900):sqrt(100) = 3:1 over 1000 rows
+    # -> big ~750 kept of 900 (rate .833), small stays complete (rate
+    # would be 2.5 -> capped at 1.0)
+    assert got["small"] == 100
+    assert 700 <= got["big"] <= 800
+
+
+def test_mixture_sample_deterministic(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+    pdf = pd.DataFrame({"id": range(500), "src": ["a", "b"] * 250})
+    sdf = spark.createDataFrame(pdf)
+    a = SMP.mixture_sample(sdf, "id", "src", alpha=0.5,
+                           target_rows=300).toPandas()
+    b = SMP.mixture_sample(sdf, "id", "src", alpha=0.5,
+                           target_rows=300).toPandas()
+    assert sorted(a["id"]) == sorted(b["id"])
+    assert len(a) < 500
+
+
+# ------------------------------------------------- global quantile filter
+
+def test_filter_by_global_quantile_matches_rank_semantics(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+    vals = [5, 1, 9, 3, 3, 7, 7, 7, 2, 8]
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    top = SMP.filter_by_global_quantile(sdf, "v", q=0.5, keep="top") \
+        .toPandas()["v"].tolist()
+    # n=10, cut=5; min-ranks: 1->1 2->2 3->3(x2) 5->5 7->6(x3) 8->9 9->10
+    # keep rank > 5: the 7s, 8, 9
+    assert sorted(top) == [7, 7, 7, 8, 9]
+    bot = SMP.filter_by_global_quantile(sdf, "v", q=0.5, keep="bottom") \
+        .toPandas()["v"].tolist()
+    assert sorted(bot) == [1, 2, 3, 3, 5]
