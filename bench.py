@@ -79,11 +79,20 @@ def main() -> None:
         if runs[0] == runs[0]:  # not NaN
             n_runs = 3 if runs[0] <= 5.0 else 2
             runs += [_one_run(name, fn) for _ in range(n_runs - 1)]
-        # median of 3 for the fast tier; for the 2-run slow tier the MIN
-        # is the low-noise estimator (iterative/checkpointing queries
-        # swing 2-3x on disk contention — near_dup_cluster_dedup was
-        # stamped anywhere from 7s to 21s by single shots)
-        dt = statistics.median(runs) if len(runs) == 3 else min(runs)
+            # slow tier: while the curve is still dropping >=40% per run
+            # the query is warming (whole-stage codegen + C2 compile of
+            # its generated classes — measured 16.5 -> 5.9 -> 2.7s on
+            # near_dup_minhash), not at steady state; add one more run
+            # so MIN reports the compiled plan, not the compiler.
+            while (len(runs) < 4 and runs[0] > 5.0
+                   and runs[-1] <= 0.6 * runs[-2]):
+                runs.append(_one_run(name, fn))
+        # median of 3 for the fast tier; for the slow tier the MIN is
+        # the low-noise estimator (iterative/checkpointing queries swing
+        # 2-3x on disk contention — near_dup_cluster_dedup was stamped
+        # anywhere from 7s to 21s by single shots)
+        dt = statistics.median(runs) if len(runs) == 3 and runs[0] <= 5.0 \
+            else min(runs)
         per_query[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
         print(f"bench {name}: median {dt:.3f}s over {len(runs)} "

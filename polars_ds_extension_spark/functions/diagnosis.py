@@ -75,6 +75,10 @@ class DIA:
         """Quantile profile + IQR-fence outlier counts. Two scans: one
         for the quantiles (their fences become literals), one for the
         outlier counts. Ref diagnosis.py:122."""
+        from ..plans.ranks import (
+            exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse,
+        )
+
         df, spark = self._df, self._df.sparkSession
         cols = self.numerics
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -84,10 +88,17 @@ class DIA:
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
                 F.avg(cc).alias(f"{c}__mean"), F.stddev_samp(cc).alias(f"{c}__std"),
                 F.min(cc).alias(f"{c}__min"), F.max(cc).alias(f"{c}__max"),
-                F.percentile(cc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-                .alias(f"{c}__q"),
             ]
-        row = df.agg(*aggs).first()
+        # boundary sketch rides the stats scan for free
+        aggs += quantile_sketch_aggs(cols)
+        row = {**df.agg(*aggs).first().asDict()}
+        # exact quantiles via the distributed-selection plan — NOT
+        # F.percentile, whose physical agg buffers every value and
+        # merges them in one reducer (single-node sort at scale)
+        qs = exact_quantiles(df, {c: [0.25, 0.5, 0.75] for c in cols},
+                             presketch=quantile_sketch_parse(row, cols))
+        for c in cols:
+            row[f"{c}__q"] = qs[c]
         n = max(int(row["__n"]), 1)
         fences = {}
         for c in cols:

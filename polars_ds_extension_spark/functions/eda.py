@@ -24,10 +24,15 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
     ]
     # Two passes: count_distinct plans an Expand (row duplicated once per
-    # distinct-agg) and exact median builds sort buffers — combining them
-    # multiplies the buffer volume by the expand factor (measured 23s →
-    # ~4s at 600k rows by splitting).
+    # distinct-agg), so it stays separate from the plain stats (measured
+    # 23s → ~4s at 600k rows by splitting). Medians go through the
+    # distributed-selection plan — F.median's physical agg buffers every
+    # value per partition and merges them in ONE reducer (a single-node
+    # sort at scale, and the slowest term of this profile locally too).
     from .._utils import spread
+    from ..plans.ranks import (
+        exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse,
+    )
 
     df = spread(df)
     aggs = []
@@ -40,9 +45,13 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             F.stddev_samp(cc).alias(f"{c}__std"),
             F.min(cc).alias(f"{c}__min"),
             F.max(cc).alias(f"{c}__max"),
-            F.median(cc).alias(f"{c}__med"),
         ]
+    aggs += quantile_sketch_aggs(cols)  # rides the same scan
     row = df.agg(*aggs).first().asDict()
+    meds = exact_quantiles(df, {c: [0.5] for c in cols},
+                           presketch=quantile_sketch_parse(row, cols))
+    for c in cols:
+        row[f"{c}__med"] = meds[c][0]
     nd_row = df.agg(*[
         F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
     ]).first()

@@ -1,1 +1,4 @@
-from .ranks import global_avg_rank, global_cumsum, global_lag, global_min_rank  # noqa: F401
+from .ranks import (  # noqa: F401
+    exact_quantiles, global_avg_rank, global_cumsum, global_lag,
+    global_min_rank,
+)

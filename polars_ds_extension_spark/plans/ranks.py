@@ -212,3 +212,263 @@ def global_lag(df: DataFrame, order_col, col: str,
         F.when(is_first, F.col("__prev")).otherwise(F.col("__loc_lag")),
     )
     return out.drop("__loc_lag", "__prev", _PID)
+
+
+def quantile_sketch_aggs(cols: Sequence[str],
+                         n_parts: int = 32) -> "list":
+    """Aggregate expressions a caller can FOLD INTO ITS OWN stats agg to
+    prefund exact_quantiles' pass 1 (boundary sketch + non-null count)
+    for free on a scan it was already paying for. Parse the result row
+    with quantile_sketch_parse."""
+    bprobs = [(i + 1) / n_parts for i in range(n_parts - 1)]
+    aggs = []
+    for c in cols:
+        cc = to_col(c).cast("double")
+        aggs.append(F.count(cc).alias(f"__qs_n_{c}"))
+        if bprobs:
+            aggs.append(F.percentile_approx(cc, bprobs, 1000)
+                        .alias(f"__qs_b_{c}"))
+    return aggs
+
+
+def quantile_sketch_parse(row, cols: Sequence[str]):
+    """(bounds, counts) presketch from a row produced with
+    quantile_sketch_aggs — pass to exact_quantiles(presketch=...)."""
+    bounds, counts = {}, {}
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    for c in cols:
+        counts[c] = int(d[f"__qs_n_{c}"])
+        raw = d.get(f"__qs_b_{c}") or []
+        bounds[c] = sorted({float(b) for b in raw if b is not None})
+    return bounds, counts
+
+
+def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
+                    n_parts: int | None = None,
+                    presketch=None) -> "dict[str, list]":
+    """EXACT `quantile_cont` values for several columns in three scans —
+    the scale-safe replacement for ``F.percentile``/``F.median`` (whose
+    physical agg buffers every value per partition and merges them all
+    in ONE final reducer: exactly the single-node sort this module
+    exists to avoid).
+
+    Distributed selection: (1) ONE aggregation collects every column's
+    approx bucket boundaries + non-null count; (2) ONE scan counts rows
+    per (column, bucket) via literal comparisons — map-side combinable,
+    no shuffle; the driver prefix-sums the P×C counts and locates which
+    bucket holds each target order statistic; (3) ONE pass filters to
+    those target buckets only (scan-side predicate), sorts each *within
+    its bucket* (hash shuffle on ~|targets| bucket keys, each ~n/P
+    rows), and one final agg picks the order statistics. Interpolation
+    happens driver-side with the same lower + frac·(upper−lower) rule
+    as Spark's Percentile and DuckDB's quantile_cont.
+
+    Driver state: O(P × columns) scalars. No task ever sorts more than
+    one bucket.
+    """
+    import math
+
+    cols = {c: sorted(set(ps)) for c, ps in probs_by_col.items()}
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    bprobs = [(i + 1) / n for i in range(n - 1)]
+
+    # pass 1: boundaries + non-null counts, one agg for every column —
+    # skipped entirely when the caller prefunded it on its own stats agg
+    if presketch is not None:
+        bounds, counts_n = presketch
+        bounds = {c: sorted({float(b) for b in bounds[c]}) for c in cols}
+        counts_n = {c: int(counts_n[c]) for c in cols}
+    else:
+        aggs = []
+        for c in cols:
+            cc = to_col(c).cast("double")
+            aggs.append(F.count(cc).alias(f"__n_{c}"))
+            if bprobs:
+                # low accuracy on purpose: boundaries only balance
+                # buckets (±1% size skew is harmless); sketch cost
+                # scales with it
+                aggs.append(F.percentile_approx(cc, bprobs, 1000)
+                            .alias(f"__b_{c}"))
+        row = df.agg(*aggs).first()
+        bounds, counts_n = {}, {}
+        for c in cols:
+            counts_n[c] = int(row[f"__n_{c}"])
+            raw = row[f"__b_{c}"] if bprobs else []
+            bounds[c] = sorted({float(b) for b in (raw or [])
+                                if b is not None})
+
+    # ONE narrow projection computing each bucket id ONCE, as a single
+    # parsed SQL expression per column (a 31-term chained Column build
+    # costs ~100 py4j round-trips per column per call; the string parses
+    # in one).
+    def _pid_sql(c):
+        if not bounds[c]:
+            terms = "0"
+        else:
+            terms = " + ".join(
+                f"CAST(__v_{c} >= CAST('{b!r}' AS DOUBLE) AS INT)"
+                for b in bounds[c])
+        return (f"CASE WHEN __v_{c} IS NULL THEN -1 ELSE {terms} END")
+
+    proj = df.select(*[to_col(c).cast("double").alias(f"__v_{c}")
+                       for c in cols])
+    for c in cols:
+        proj = proj.withColumn(f"__p_{c}", F.expr(_pid_sql(c)))
+
+    # which order statistics do we need, and which buckets could hold
+    # them? The sketch already tells us: boundary i of the RAW list has
+    # rank ~ (i+1)/P·n with error ≤ n/accuracy ≪ the n/P bucket size,
+    # so position k lives in the sketch-predicted bucket ± 1. Pass 2
+    # then only counts the few candidate buckets + one prefix per
+    # position (O(#targets) agg terms), never P×C.
+    need_of: "dict[str, list[int]]" = {}
+    cand_of: "dict[str, dict[int, list[int]]]" = {}
+    for c, ps in cols.items():
+        nn = counts_n[c]
+        need = set()
+        for q in ps:
+            if nn == 0:
+                continue
+            p = q * (nn - 1)
+            need.add(math.floor(p) + 1)
+            need.add(math.ceil(p) + 1)
+        need_of[c] = sorted(need)
+        # deduped boundaries are ~evenly spaced in rank by construction
+        # (they are the P-quantiles); heavy ties skew the estimate, but
+        # the exact-count verification below catches any miss and the
+        # _full_counts fallback re-locates it correctly
+        n_b = len(bounds[c])
+        approx_rank = {}
+        for j, b in enumerate(bounds[c]):
+            approx_rank[j] = (j + 1) / (n_b + 1) * nn if n_b else 0
+        cands = {}
+        for k in need_of[c]:
+            pred = sum(1 for j in range(n_b) if approx_rank[j] <= k)
+            cands[k] = [p for p in range(max(0, pred - 1),
+                                         min(n_b, pred + 1) + 1)]
+        cand_of[c] = cands
+
+    # pass 2: exact counts for candidate buckets + exact prefix below
+    # each candidate range — a handful of conditional sums over the
+    # precomputed int bucket ids
+    terms = []
+    seen = set()
+    for c in cols:
+        allb = sorted({b for bs in cand_of[c].values() for b in bs})
+        for b in allb:
+            if (c, "cnt", b) not in seen:
+                seen.add((c, "cnt", b))
+                terms.append(F.sum((F.col(f"__p_{c}") == b).cast("long"))
+                             .alias(f"__c_{c}_{b}"))
+        for k, bs in cand_of[c].items():
+            bmin = min(bs) if bs else 0
+            if (c, "pre", bmin) not in seen:
+                seen.add((c, "pre", bmin))
+                terms.append(
+                    F.sum(((F.col(f"__p_{c}") >= 0)
+                           & (F.col(f"__p_{c}") < bmin)).cast("long"))
+                    .alias(f"__pre_{c}_{bmin}"))
+    crow = proj.agg(*terms).first().asDict() if terms else {}
+
+    # driver: locate (bucket, local position); if a position falls
+    # outside its candidate window (sketch failure — shouldn't happen,
+    # but correctness must not depend on a sketch), fall back to a full
+    # per-bucket count pass for that locate
+    full_counts: "dict[str, list[int]] | None" = None
+
+    def _full_counts():
+        nonlocal full_counts
+        if full_counts is None:
+            tag_of_l = {c: i for i, c in enumerate(cols)}
+            stacked_all = proj.select(F.explode(F.array(*[
+                F.struct(F.lit(tag_of_l[c]).alias("tag"),
+                         F.col(f"__p_{c}").alias("pid"))
+                for c in cols])).alias("s")).select("s.tag", "s.pid")
+            cc = {(r["tag"], r["pid"]): r["count"] for r in
+                  stacked_all.groupBy("tag", "pid").count().collect()}
+            full_counts = {
+                c: [int(cc.get((tag_of_l[c], p), 0))
+                    for p in range(len(bounds[c]) + 1)] for c in cols}
+        return full_counts
+
+    targets: "dict[str, dict[int, tuple[int, int]]]" = {}
+    for c in cols:
+        located = {}
+        for k in need_of[c]:
+            bs = cand_of[c][k]
+            bmin = min(bs) if bs else 0
+            cum = int(crow.get(f"__pre_{c}_{bmin}", 0) or 0)
+            found = False
+            for b in bs:
+                cnt = int(crow.get(f"__c_{c}_{b}", 0) or 0)
+                if cum < k <= cum + cnt:
+                    located[k] = (b, k - cum)
+                    found = True
+                    break
+                cum += cnt
+            if not found:
+                per_bucket = _full_counts()[c]
+                cum2 = 0
+                for b, cnt in enumerate(per_bucket):
+                    if cum2 < k <= cum2 + cnt:
+                        located[k] = (b, k - cum2)
+                        break
+                    cum2 += cnt
+        targets[c] = located
+    tag_of = {c: i for i, c in enumerate(cols)}
+
+    # pass 3: long format (column tag, bucket, value), filtered to the
+    # target buckets only — ONE window sorts exactly the rows that can
+    # hold a target statistic, each row once, parallel across
+    # (column, bucket) partitions
+    tb_conds = []
+    for c in cols:
+        tb = {b for (b, _) in targets[c].values()}
+        if tb:
+            tb_conds.append((c, tb))
+    values: "dict[str, dict[int, float]]" = {c: {} for c in cols}
+    if tb_conds:
+        # build each row's array with ONLY its target-bucket entries
+        # (scan-side), so the explode emits ~|target rows|, not
+        # rows x columns
+        elems = []
+        for c, tb in tb_conds:
+            elems.append(F.when(
+                F.col(f"__p_{c}").isin(*tb),
+                F.struct(F.lit(tag_of[c]).alias("tag"),
+                         F.col(f"__p_{c}").alias("pid"),
+                         F.col(f"__v_{c}").alias("v"))))
+        stacked = proj.select(F.explode(
+            F.filter(F.array(*elems), lambda s: s.isNotNull())
+        ).alias("s")).select("s.tag", "s.pid", "s.v")
+        w = Window.partitionBy("tag", "pid").orderBy("v")
+        ranked = stacked.withColumn("r", F.row_number().over(w))
+        sel, names = [], []
+        for c, _ in tb_conds:
+            for k, (b, k_loc) in targets[c].items():
+                sel.append(F.max(F.when(
+                    (F.col("tag") == tag_of[c]) & (F.col("pid") == b)
+                    & (F.col("r") == k_loc), F.col("v")))
+                    .alias(f"__s_{tag_of[c]}_{k}"))
+        srow = ranked.agg(*sel).first()
+        for c, _ in tb_conds:
+            for k in targets[c]:
+                values[c][k] = srow[f"__s_{tag_of[c]}_{k}"]
+
+    out: "dict[str, list]" = {}
+    for c, ps_sorted in cols.items():
+        nn = counts_n[c]
+        res = {}
+        for q in ps_sorted:
+            if nn == 0:
+                res[q] = None
+                continue
+            p = q * (nn - 1)
+            lo = values[c].get(math.floor(p) + 1)
+            hi = values[c].get(math.ceil(p) + 1)
+            if lo is None or hi is None:
+                res[q] = None
+            else:
+                res[q] = lo + (p - math.floor(p)) * (hi - lo)
+        out[c] = [res[q] for q in probs_by_col[c]]
+    return out

@@ -108,6 +108,10 @@ _STALE = frozenset({
     "knn_freq", "radius_nb_cnt",
     # steps.py SQLStep view save/restore changed this round
     "pipeline_blueprint", "blueprint_dyn_agg",
+    # eda.py / diagnosis.py medians+quartiles moved off F.percentile
+    # onto the plans.ranks exact-quantile selection plan this round
+    "eda_describe", "eda_flags", "corr_matrix", "dia_profile",
+    "dia_col_validation", "dia_row_validation",
 })
 
 

@@ -229,3 +229,47 @@ def test_global_forms_match_numpy_and_avoid_single_partition(spark):
     got = np.array(sorted(r["x"] for r in w.collect()))
     exp_w = np.sort(np.clip(xs, lo, hi))
     assert np.allclose(got, exp_w)
+
+
+def test_exact_quantiles_matches_numpy(spark):
+    from polars_ds_extension_spark.plans import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    xs = np.concatenate([rng.normal(0, 1, 3000),
+                         np.full(500, 2.5),      # heavy tie mass
+                         rng.exponential(5, 500)])
+    ys = rng.integers(0, 7, xs.shape[0]).astype("float64")  # low cardinality
+    import pandas as pd
+    sdf = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+    got = exact_quantiles(sdf, {"x": probs, "y": probs}, n_parts=8)
+    for col, arr in (("x", xs), ("y", ys)):
+        exp = [float(np.quantile(arr, q)) for q in probs]
+        assert got[col] == pytest.approx(exp, abs=1e-12), col
+
+
+def test_exact_quantiles_null_and_tiny(spark):
+    from polars_ds_extension_spark.plans import exact_quantiles
+
+    sdf = spark.createDataFrame(
+        [(None, 1.0), (3.0, None), (1.0, None), (2.0, 4.0)], "a double, b double")
+    got = exact_quantiles(sdf, {"a": [0.5], "b": [0.0, 1.0]})
+    assert got["a"] == [2.0]            # nulls ignored: {1,2,3}
+    assert got["b"] == [1.0, 4.0]       # {1,4}
+    empty = spark.createDataFrame([], "a double")
+    assert exact_quantiles(empty, {"a": [0.5]}) == {"a": [None]}
+
+
+def test_exact_quantiles_presketch_path(spark):
+    from polars_ds_extension_spark.plans.ranks import (
+        exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse)
+
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"v": rng.uniform(0, 100, 5000)}))
+    row = sdf.agg(*quantile_sketch_aggs(["v"])).first()
+    pre = quantile_sketch_parse(row, ["v"])
+    got = exact_quantiles(sdf, {"v": [0.25, 0.5, 0.75]}, presketch=pre)
+    ref = exact_quantiles(sdf, {"v": [0.25, 0.5, 0.75]})
+    assert got["v"] == pytest.approx(ref["v"], abs=1e-12)
