@@ -181,3 +181,51 @@ def stream_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("s.mean"), 4).alias("mean"),
         _r(F.col("s.std"), 4).alias("std"),
     )
+
+
+from .operators import text as _T
+
+_SW_SQL = "'" + "','".join(_T._STOPWORDS) + "'"
+
+
+@query("stream_curation_gate", rf"""
+WITH t AS (
+  SELECT doc_id, lang, text, len(text) AS n,
+         string_split_regex(trim(text), '\s+') AS sp
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n,
+    len(list_filter(sp, x -> lower(x) IN ({_SW_SQL})))::DOUBLE / len(sp) AS swr,
+    list_aggregate(list_transform(sp, x -> len(x)), 'sum')::DOUBLE / len(sp) AS mtl,
+    (n - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / n AS pr
+  FROM t
+), q AS (
+  SELECT doc_id, lang, ROUND((
+    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN swr >= 0.1 AND swr <= 0.7 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0, 6) AS quality FROM m
+)
+SELECT doc_id, lang, quality FROM q WHERE quality >= 0.75
+""")
+def stream_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation quality gate running on a STREAM: documents arrive
+    via readStream, the Gopher-style quality_score (operators/text.py —
+    pure JVM Column exprs, stateless, watermark-free) filters them
+    scan-side, and survivors land in the sink. Append mode, availableNow
+    over the static corpus — so streaming output must equal the batch
+    SQL, which is exactly what the oracle pins. At scale this IS the
+    streaming-ingest shape: stateless exprs keep per-micro-batch cost
+    linear with zero state store."""
+    load_table(spark, sf_dir, "documents")  # sets nanosAsLong conf
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).schema
+    s = (spark.readStream.schema(schema)
+         .option("pathGlobFilter", "documents.parquet")
+         .parquet(sf_dir))
+    gated = s.select(
+        "doc_id", "lang",
+        _r(_T.quality_score("text")).alias("quality"),
+    ).where(F.col("quality") >= 0.75)
+    return _run_to_table(spark, gated, "append")

@@ -100,3 +100,21 @@ def test_stream_running_stats(spark, stream_dir):
     assert (merged["n_s"] == merged["n_b"]).all()
     assert merged["mean_s"].values == pytest.approx(merged["mean_b"].values)
     assert merged["std_s"].values == pytest.approx(merged["std_b"].values)
+
+
+def test_stream_quality_gate_matches_batch(spark, stream_dir):
+    # stateless scan-side exprs on a stream: streaming output must equal
+    # the same filter run in batch over the same files
+    from polars_ds_extension_spark.operators import text as T
+
+    s = _read_stream(spark, stream_dir)
+    gated = s.select("user", "text",
+                     T.quality_score("text").alias("q")) \
+        .where(F.col("q") >= 0.25)
+    name = f"g{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, gated, name).toPandas()
+    batch = (spark.read.parquet(stream_dir)
+             .select("user", "text", T.quality_score("text").alias("q"))
+             .where(F.col("q") >= 0.25).toPandas())
+    assert len(got) == len(batch)
+    assert sorted(got["text"]) == sorted(batch["text"])
