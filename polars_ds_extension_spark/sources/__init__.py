@@ -1,2 +1,4 @@
-from .tables import TABLES, load_table, load_all  # noqa: F401
-from .sinks import estimate_row_bytes, write_parquet, stream_to_parquet  # noqa: F401
+from .tables import TABLES, load_table, load_all, load_csv, load_json  # noqa: F401
+from .sinks import (  # noqa: F401
+    estimate_row_bytes, write_parquet, stream_to_parquet, write_bucketed,
+)

@@ -37,3 +37,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_csv(spark: SparkSession, path: str, schema: str | None = None,
+             header: bool = True, **options) -> DataFrame:
+    """CSV scan with an EXPLICIT schema when known — inferSchema costs a
+    full extra pass over the data, which at scale doubles ingest."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.csv(path)
+
+
+def load_json(spark: SparkSession, path: str, schema: str | None = None,
+              **options) -> DataFrame:
+    """JSON-lines scan; same explicit-schema guidance as load_csv (schema
+    inference reads everything once before the real scan)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.json(path)

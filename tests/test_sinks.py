@@ -60,3 +60,48 @@ def test_stream_to_parquet(spark, outdir):
     q.awaitTermination(120)
     got = spark.read.parquet(os.path.join(outdir, "out"))
     assert got.count() == 500
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, outdir):
+    import pandas as pd
+    from polars_ds_extension_spark.sources import write_bucketed
+
+    facts = spark.createDataFrame(pd.DataFrame({
+        "k": list(range(1000)) * 2, "v": range(2000)}))
+    dims = spark.createDataFrame(pd.DataFrame({
+        "k": range(1000), "name": [f"n{i}" for i in range(1000)]}))
+    spark.sql("DROP TABLE IF EXISTS t_facts")
+    spark.sql("DROP TABLE IF EXISTS t_dims")
+    write_bucketed(facts, "t_facts", ["k"], n_buckets=8, sort_by=["k"],
+                   path=f"{outdir}/t_facts")
+    write_bucketed(dims, "t_dims", ["k"], n_buckets=8, sort_by=["k"],
+                   path=f"{outdir}/t_dims")
+    j = spark.table("t_facts").join(spark.table("t_dims"), "k")
+    # disable broadcast so the co-located sort-merge path is what's
+    # planned; a bucketed-bucketed equi-join must not add an Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_facts").join(spark.table("t_dims"), "k")
+        assert j.count() == 2000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_facts")
+        spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_load_csv_json_roundtrip(spark, outdir):
+    import pandas as pd
+    from polars_ds_extension_spark.sources import load_csv, load_json
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").option("header", "true") \
+        .csv(f"{outdir}/c")
+    sdf.coalesce(1).write.mode("overwrite").json(f"{outdir}/j")
+    c = load_csv(spark, f"{outdir}/c", schema="a int, b string")
+    assert sorted(r["a"] for r in c.collect()) == [1, 2, 3]
+    jj = load_json(spark, f"{outdir}/j", schema="a int, b string")
+    assert sorted(r["b"] for r in jj.collect()) == ["x", "y", "z"]
