@@ -47,6 +47,8 @@ DEFAULT_QUERIES = [
     "eda_describe", "corr_family", "xi_corr", "glm_poisson",
     "mase_full", "near_dup_minhash", "near_dup_cluster_dedup",
     "knn_cosine", "ivf_ann", "series_entropy",
+    # round 6 additions: the new heavy queries + the exact-quantile plan
+    "dia_profile", "semantic_dedup", "dup_spans",
 ]
 
 
