@@ -66,3 +66,147 @@ def vector_stats(vec) -> Column:
         F.array_min(v).alias("min"),
         F.array_max(v).alias("max"),
     )
+
+
+# ------------------------------------------------- product quantization (PQ)
+
+def pq_train(df, vec_col: str, m: int = 8, k: int = 16,
+             sample_rows: int = 20_000, n_iters: int = 10,
+             seed: int = 7, method: str = "kmeans"):
+    """Train PQ codebooks: split the vector into ``m`` subspaces and
+    k-means each on a bounded driver sample (the standard IVF/PQ
+    training contract — FAISS trains on a sample too; the ENCODE pass
+    below is what runs distributed over the full corpus).
+
+    method='first' takes the first k distinct sub-vectors per subspace
+    (deterministic, engine-reproducible — the oracle-friendly choice);
+    'kmeans' runs seeded Lloyd iterations from those same starts.
+
+    Returns numpy array (m, k, d/m).
+    """
+    import numpy as np
+
+    rows = df.select(F.col(vec_col)).limit(sample_rows).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, k, sub))
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        # deterministic start: first k distinct sub-vectors
+        seen, starts = set(), []
+        for v in Xs:
+            key = v.tobytes()
+            if key not in seen:
+                seen.add(key)
+                starts.append(v)
+            if len(starts) == k:
+                break
+        C = np.array(starts + [starts[-1]] * (k - len(starts)))
+        if method == "kmeans":
+            for _ in range(n_iters):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(2)
+                assign = d2.argmin(1)
+                for j in range(k):
+                    mask = assign == j
+                    if mask.any():
+                        C[j] = Xs[mask].mean(0)
+        books[s] = C
+    return books
+
+
+def pq_encode(df, id_col: str, vec_col: str, codebooks) -> "DataFrame":
+    """Encode every vector to ``m`` small codes (argmin centroid per
+    subspace, ties to the smallest code) — a 16x-64x compression that
+    makes a 100 TB embedding corpus scannable. One vectorized numpy
+    pass per Arrow batch, codebooks broadcast; output
+    (id, codes array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(codebooks))
+    qf = df.select(F.col(id_col)).schema.fields
+    schema = StructType.fromDDL(
+        f"{id_col} {qf[0].dataType.simpleString()}, codes array<int>")
+
+    def _batches(it):
+        books = bc.value
+        m, k, sub = books.shape
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.zeros((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * sub:(s + 1) * sub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(2)
+                codes[:, s] = d2.argmin(1)  # argmin takes smallest index on ties
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(_batches, schema)
+
+
+def pq_knn_join(queries, q_id: str, q_vec: str,
+                index_codes, i_id: str, codes_col: str,
+                codebooks, k: int = 5) -> "DataFrame":
+    """Approximate top-k by asymmetric distance (ADC): per query build
+    the m x K lookup table of exact query-to-centroid distances, then
+    score every code row by m table lookups — no decode, no full-dim
+    math against the corpus. Broadcast codes (m ints/vector — a 1e9-row
+    index fits where raw vectors would not); the scale-out path shards
+    the codes the same way ivf_knn_join shards vectors.
+
+    Output: (q_id, neighbor_id, adc_dist, rank) — approximate by
+    construction (quantization error), pytest-verified by recall
+    against the exact brute force.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    rows = index_codes.select(i_id, codes_col).collect()
+    ids = np.array([r[0] for r in rows])
+    C = np.array([list(r[1]) for r in rows], dtype=np.int64)
+    sc = queries.sparkSession.sparkContext
+    books = np.asarray(codebooks)
+    bc = sc.broadcast((ids, C, books))
+    qf = queries.select(F.col(q_id)).schema.fields
+    schema = StructType.fromDDL(
+        f"{q_id} {qf[0].dataType.simpleString()}, neighbor_id bigint, "
+        "adc_dist double, rank int")
+
+    def _batches(it):
+        iids, codes, bk = bc.value
+        m, K, sub = bk.shape
+        for pdf in it:
+            qids = pdf[q_id].to_numpy()
+            Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
+            n_q = len(qids)
+            # LUT: (n_q, m, K) exact query-subvector -> centroid dists
+            lut = np.zeros((n_q, m, K))
+            for s in range(m):
+                Qs = Q[:, s * sub:(s + 1) * sub]
+                lut[:, s, :] = ((Qs[:, None, :] - bk[s][None, :, :]) ** 2).sum(2)
+            # ADC score: sum over subspaces of LUT[code]
+            scores = np.zeros((n_q, len(iids)))
+            for s in range(m):
+                scores += lut[:, s, :][:, codes[:, s]]
+            kk = min(k, len(iids))
+            part = np.argpartition(scores, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(n_q), kk)
+            cand = part.ravel()
+            d = scores[rows_q, cand]
+            # deterministic: ties on adc_dist break by neighbor id
+            order = np.lexsort((iids[cand], d, rows_q))
+            out_q, out_c, out_d = rows_q[order], cand[order], d[order]
+            yield pd.DataFrame({
+                q_id: qids[out_q], "neighbor_id": iids[out_c],
+                "adc_dist": out_d,
+                "rank": np.tile(np.arange(1, kk + 1), n_q),
+            })
+
+    return queries.select(q_id, q_vec).mapInPandas(_batches, schema)

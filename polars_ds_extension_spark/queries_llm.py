@@ -1167,3 +1167,46 @@ def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("sum_chars"),
         F.min("n_chars").alias("min_chars"))
+
+
+@query("pq_encode", """
+WITH cb AS (
+  SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+), sub AS (SELECT s FROM UNNEST(range(0, 8)) t(s)),
+d AS (
+  SELECT v.vec_id, sub.s, cb.code,
+    list_sum(list_transform(
+      list_zip(v.embedding[sub.s * 8 + 1 : sub.s * 8 + 8],
+               cb.embedding[sub.s * 8 + 1 : sub.s * 8 + 8]),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)) AS d2
+  FROM v, sub, cb
+), a AS (
+  SELECT vec_id, s, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2, code) AS rn
+  FROM d
+)
+SELECT vec_id, s AS subspace, code FROM a WHERE rn = 1
+""")
+def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/embedding.py pq_train/
+    pq_encode): 64-dim embeddings -> 8 subspace codes against a
+    DETERMINISTIC first-16-subvector codebook (method='first' — the
+    oracle replays the same argmin in SQL; the kmeans codebooks used in
+    production follow the identical encode path, recall-tested in
+    pytest). The encode is the distributed part — one vectorized numpy
+    pass per Arrow batch over a broadcast codebook, turning a raw fp32
+    embedding lake into m small codes per row (16-64x smaller), which is
+    what makes exhaustive ADC scans of a 100 TB corpus feasible."""
+    from .operators import embedding as EMB
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    books = EMB.pq_train(emb.orderBy("vec_id"), "v", m=8, k=16,
+                         sample_rows=16, method="first")
+    enc = EMB.pq_encode(emb.where(F.col("vec_id") < 300), "vec_id", "v",
+                        books)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code"))

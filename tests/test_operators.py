@@ -388,3 +388,52 @@ def test_filter_by_global_quantile_matches_rank_semantics(spark):
     bot = SMP.filter_by_global_quantile(sdf, "v", q=0.5, keep="bottom") \
         .toPandas()["v"].tolist()
     assert sorted(bot) == [1, 2, 3, 3, 5]
+
+
+# ---------------------------------------------------- product quantization
+
+def test_pq_roundtrip_and_recall(spark):
+    from polars_ds_extension_spark.operators import embedding as E
+
+    rng = np.random.default_rng(17)
+    # clustered data: PQ recall is meaningful, not vacuous
+    centers = rng.normal(0, 5, (10, 32))
+    X = np.vstack([c + rng.normal(0, 0.4, (40, 32)) for c in centers])
+    pdf = pd.DataFrame({"vid": range(len(X)), "v": list(X)})
+    sdf = spark.createDataFrame(pdf)
+
+    books = E.pq_train(sdf, "v", m=8, k=16, seed=3)
+    assert books.shape == (8, 16, 4)
+    enc = E.pq_encode(sdf, "vid", "v", books)
+    codes = enc.toPandas().sort_values("vid")
+    assert len(codes) == len(X)
+    assert all(0 <= c < 16 for row in codes["codes"] for c in row)
+
+    qdf = spark.createDataFrame(pdf.iloc[:25][["vid", "v"]])
+    got = E.pq_knn_join(qdf, "vid", "v", enc, "vid", "codes",
+                        books, k=10).toPandas()
+    # exact brute-force top-10 (excluding nothing; self included both sides)
+    import numpy.linalg as la
+    recall = []
+    for qi in range(25):
+        d = ((X - X[qi]) ** 2).sum(1)
+        exact = set(np.argsort(d, kind="stable")[:10])
+        approx = set(got[got["vid"] == qi]["neighbor_id"])
+        recall.append(len(exact & approx) / 10)
+    assert np.mean(recall) >= 0.7, np.mean(recall)
+
+
+def test_pq_encode_deterministic_first_method(spark):
+    from polars_ds_extension_spark.operators import embedding as E
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (64, 8))
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"vid": range(64), "v": list(X)}))
+    books = E.pq_train(sdf, "v", m=2, k=4, method="first")
+    # 'first' codebooks are literally the first 4 sub-vectors
+    assert np.allclose(books[0], X[:4, :4])
+    assert np.allclose(books[1], X[:4, 4:])
+    a = E.pq_encode(sdf, "vid", "v", books).toPandas().sort_values("vid")
+    b = E.pq_encode(sdf, "vid", "v", books).toPandas().sort_values("vid")
+    assert list(map(list, a["codes"])) == list(map(list, b["codes"]))
