@@ -1,0 +1,122 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(interval) join, re-expressed as shuffle-bounded DataFrame plans.
+
+Both avoid the trap of writing the predicate directly — a non-equi
+join condition plans as BroadcastNestedLoopJoin (all-pairs per
+partition), which is exactly the O(n·m) cliff these operators exist to
+avoid:
+
+  * as-of join: ONE union + per-key ordered window. Every row moves
+    once (hash shuffle on the join keys), each key's timeline sorts in
+    parallel, and the "most recent right row" is last_value(ignorenulls)
+    over an unbounded-preceding frame — the same merge-scan an
+    in-memory asof does, distributed by key.
+  * range join: bucketize the value axis, explode each interval to the
+    buckets it covers, equi-join on the bucket, refine with the exact
+    predicate. Shuffle is keyed on (bucket), size ~|points| +
+    |intervals|·(avg_len/bucket_width); no nested loop anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .._utils import to_col
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame,
+    on: str, by: Sequence[str],
+    right_cols: Sequence[str] | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row: attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` key(s) — the trade
+    -to-quote join of time-series work (polars join_asof semantics,
+    backward direction, inclusive).
+
+    Plan: tag both sides, union them, ONE window per key ordered by
+    (time, side) with right-before-left on ties (so an equal timestamp
+    matches, mirroring DuckDB/polars inclusive semantics), and
+    last_value(..., ignorenulls) carries the latest right payload
+    forward. One hash shuffle on ``by``; per-key parallel sort; rows
+    stream through the window once. ``tolerance`` (same units as
+    ``on``) nulls out matches older than ``left.on - tolerance``.
+
+    ``by`` is required: a keyless global as-of would funnel the union
+    through one sort partition — partition the timeline first if you
+    genuinely need it.
+    """
+    if not by:
+        raise ValueError("asof_join requires at least one `by` key")
+    keys = list(by)
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != on]
+    t = to_col(on)
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        *keys, t.alias(on), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        t.alias("__r_ts"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    for c in rcols:
+        u = u.withColumn(f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+    u = u.withColumn("__m_ts", F.last(F.col("__r_ts"), ignorenulls=True).over(w))
+    out = u.where(F.col("__side") == 1)
+    if tolerance is not None:
+        ok = F.col("__m_ts") >= (to_col(on) - F.lit(tolerance))
+        for c in rcols:
+            out = out.withColumn(f"__m_{c}", F.when(ok, F.col(f"__m_{c}")))
+        out = out.withColumn("__m_ts", F.when(ok, F.col("__m_ts")))
+    sel = [c for c in left.columns] + \
+        [F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in rcols] + \
+        [F.col("__m_ts").alias(f"{on}{suffix}")]
+    return out.select(*sel)
+
+
+def range_join(
+    points: DataFrame, value: str,
+    intervals: DataFrame, start: str, end: str,
+    bucket_width: float | None = None,
+    closed: str = "left",
+) -> DataFrame:
+    """Join each point row to every interval row whose [start, end)
+    contains ``value`` (``closed``: 'left' | 'both' | 'right' |
+    'neither') — without the BroadcastNestedLoopJoin a raw non-equi
+    condition plans to.
+
+    Bucketize: intervals explode to the integer buckets they cover
+    (sequence(floor(s/w), floor(e/w))), points map to one bucket, the
+    join is a plain hash equi-join on the bucket id, and the exact
+    predicate refines. ``bucket_width`` defaults to the average
+    interval length (one tiny agg) — the explode factor is then ~2 per
+    interval; degenerate huge intervals only widen their own explode,
+    never a nested loop.
+    """
+    v = to_col(value).cast("double")
+    s, e = to_col(start).cast("double"), to_col(end).cast("double")
+    if bucket_width is None:
+        row = intervals.agg(F.avg(e - s).alias("w")).first()
+        bucket_width = float(row["w"] or 1.0) or 1.0
+    w = float(bucket_width)
+
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(F.floor(s / F.lit(w)).cast("long"),
+                             F.floor(e / F.lit(w)).cast("long"))))
+    pt = points.withColumn("__b", F.floor(v / F.lit(w)).cast("long"))
+    lo_ok = {"left": v >= s, "both": v >= s,
+             "right": v > s, "neither": v > s}[closed]
+    hi_ok = {"left": v < e, "both": v <= e,
+             "right": v <= e, "neither": v < e}[closed]
+    return pt.join(iv, "__b").where(lo_ok & hi_ok).drop("__b")

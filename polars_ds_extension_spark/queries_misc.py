@@ -1245,3 +1245,72 @@ def float_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.next_up("x").alias("up"),
         N.next_down("x").alias("down"),
     )
+
+
+@query("asof_join", """
+WITH b AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events
+), l AS (
+  SELECT event_id, user_id, t, value FROM b WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, t, value FROM b WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.t, ROUND(l.value, 6) AS value,
+       ROUND(r.value, 6) AS value_right, r.t AS t_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+""")
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py asof_join — the trade-to-quote
+    join Spark has no built-in for): every click gets the user's most
+    recent prior-or-equal purchase. ONE union + per-user ordered window
+    (hash shuffle on user_id, parallel per-key merge-scan) — never the
+    BroadcastNestedLoopJoin a raw non-equi predicate would plan. The
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    base = ev.select("event_id", "user_id", "event_type", "value",
+                     t.alias("t"))
+    clicks = base.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "t", "value")
+    purch = base.where(F.col("event_type") == "purchase") \
+        .select("user_id", "t", "value")
+    out = TJ.asof_join(clicks, purch, on="t", by=["user_id"],
+                       right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "t", _r(F.col("value")).alias("value"),
+        _r(F.col("value_right")).alias("value_right"), F.col("t_right"))
+
+
+@query("range_join", """
+WITH bands AS (
+  SELECT * FROM (VALUES (1, 0.0, 50000.0), (2, 25000.0, 150000.0),
+                        (3, 100000.0, 400000.0), (4, 300000.0, 600000.0))
+  AS t(band, lo, hi)
+)
+SELECT band, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""")
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join with OVERLAPPING bands
+    (operators/temporal.py range_join): each order joins every price
+    band containing its total — bucketized equi-join + exact refine,
+    one hash shuffle, no nested loop. The oracle is the naive BETWEEN
+    join, affordable at test scale."""
+    from .operators import temporal as TJ
+
+    bands = spark.createDataFrame(
+        [(1, 0.0, 50000.0), (2, 25000.0, 150000.0),
+         (3, 100000.0, 400000.0), (4, 300000.0, 600000.0)],
+        "band int, lo double, hi double")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    out = TJ.range_join(orders, "o_totalprice", bands, "lo", "hi",
+                        closed="left")
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"))

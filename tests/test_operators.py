@@ -437,3 +437,73 @@ def test_pq_encode_deterministic_first_method(spark):
     a = E.pq_encode(sdf, "vid", "v", books).toPandas().sort_values("vid")
     b = E.pq_encode(sdf, "vid", "v", books).toPandas().sort_values("vid")
     assert list(map(list, a["codes"])) == list(map(list, b["codes"]))
+
+
+# ------------------------------------------------------- temporal joins
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 4, 60), "t": rng.integers(0, 1000, 60),
+        "lv": rng.normal(size=60)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 4, 40), "t": rng.integers(0, 1000, 40),
+        "px": rng.normal(size=40)})
+    right = right.drop_duplicates(["k", "t"])
+    got = TJ.asof_join(spark.createDataFrame(left),
+                       spark.createDataFrame(right),
+                       on="t", by=["k"], right_cols=["px"]) \
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", direction="backward", suffixes=("", "_right")) \
+        .sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    a = got["px_right"].to_numpy()
+    b = exp["px"].to_numpy() if "px" in exp else exp["px_right"].to_numpy()
+    assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [10.0, 20.0, 100.0]})
+    right = pd.DataFrame({"k": [1, 1], "t": [10.0, 15.0], "px": [5.0, 7.0]})
+    out = TJ.asof_join(spark.createDataFrame(left),
+                       spark.createDataFrame(right),
+                       on="t", by=["k"], right_cols=["px"],
+                       tolerance=10.0).toPandas().sort_values("t")
+    # t=10 matches the equal-ts right row (inclusive); t=100 is > 10
+    # past the last right row, so tolerance nulls it
+    assert out.iloc[0]["px_right"] == 5.0
+    assert out.iloc[1]["px_right"] == 7.0
+    assert pd.isna(out.iloc[2]["px_right"])
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame({"pid": range(300),
+                        "v": rng.uniform(-50, 150, 300)})
+    iv = pd.DataFrame({"iid": range(20),
+                       "lo": rng.uniform(-60, 100, 20)})
+    iv["hi"] = iv["lo"] + rng.uniform(1, 80, 20)
+    got = TJ.range_join(spark.createDataFrame(pts), "v",
+                        spark.createDataFrame(iv), "lo", "hi",
+                        closed="left")
+    gp = got.toPandas()
+    naive = pts.merge(iv, how="cross")
+    naive = naive[(naive["v"] >= naive["lo"]) & (naive["v"] < naive["hi"])]
+    assert len(gp) == len(naive)
+    assert (set(map(tuple, gp[["pid", "iid"]].values))
+            == set(map(tuple, naive[["pid", "iid"]].values)))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # closed='both' adds the v == hi boundary matches
+    both = TJ.range_join(spark.createDataFrame(pts), "v",
+                         spark.createDataFrame(iv), "lo", "hi",
+                         closed="both").count()
+    assert both >= len(gp)
