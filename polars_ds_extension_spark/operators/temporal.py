@@ -120,3 +120,88 @@ def range_join(
     hi_ok = {"left": v < e, "both": v <= e,
              "right": v <= e, "neither": v < e}[closed]
     return pt.join(iv, "__b").where(lo_ok & hi_ok).drop("__b")
+
+
+def rollup_hypertable(
+    df: DataFrame, ts_col: str,
+    measures: "dict[str, tuple[str, str]]",
+    levels: Sequence[str] = ("1 hour", "1 day"),
+    by: Sequence[str] | None = None,
+) -> "dict[str, DataFrame]":
+    """Multi-resolution time rollup (the TimescaleDB continuous-
+    aggregate / Druid rollup shape): the finest level aggregates from
+    raw, every COARSER level re-aggregates the level below it — the raw
+    table is scanned exactly ONCE no matter how many resolutions are
+    materialized. At 100 TB that is the whole point: hourly→daily→
+    monthly chains touch hourly-sized data, not the corpus.
+
+    ``measures``: out_name -> (fn, col) with fn in sum|count|min|max|
+    avg. Everything decomposes to re-aggregatable partials (avg rides
+    as sum+count and finalizes per level); levels must be coarsening
+    multiples for the bucket nesting to be exact (1 hour into 1 day,
+    etc.). Output: level string -> DataFrame(bucket, *by, *measures).
+    """
+    keys = list(by or [])
+    ok_fns = {"sum", "count", "min", "max", "avg"}
+    for name, (fn, _) in measures.items():
+        if fn not in ok_fns:
+            raise ValueError(f"unsupported fn {fn!r} for {name!r}")
+
+    # partial aggregates from RAW at the finest level
+    partial_aggs, parts = [], {}
+    for name, (fn, col) in measures.items():
+        c = to_col(col).cast("double")
+        if fn in ("sum", "avg"):
+            partial_aggs.append(F.sum(c).alias(f"__s_{name}"))
+            parts.setdefault(name, []).append(f"__s_{name}")
+        if fn in ("count", "avg"):
+            partial_aggs.append(F.count(c).cast("long").alias(f"__c_{name}"))
+            parts.setdefault(name, []).append(f"__c_{name}")
+        if fn == "min":
+            partial_aggs.append(F.min(c).alias(f"__mn_{name}"))
+            parts.setdefault(name, []).append(f"__mn_{name}")
+        if fn == "max":
+            partial_aggs.append(F.max(c).alias(f"__mx_{name}"))
+            parts.setdefault(name, []).append(f"__mx_{name}")
+
+    fine = df.groupBy(
+        F.window(to_col(ts_col), levels[0]).getField("start").alias("bucket"),
+        *keys).agg(*partial_aggs)
+
+    # coarser levels: re-aggregate the partials of the level below
+    reagg = []
+    for name, (fn, _) in measures.items():
+        for p in parts[name]:
+            if p.startswith("__s_"):
+                reagg.append(F.sum(F.col(p)).alias(p))
+            elif p.startswith("__c_"):
+                reagg.append(F.sum(F.col(p)).cast("long").alias(p))
+            elif p.startswith("__mn_"):
+                reagg.append(F.min(F.col(p)).alias(p))
+            else:
+                reagg.append(F.max(F.col(p)).alias(p))
+
+    def _finalize(lvl_df: DataFrame) -> DataFrame:
+        out = lvl_df
+        sel = [F.col("bucket"), *[F.col(k) for k in keys]]
+        for name, (fn, _) in measures.items():
+            if fn == "sum":
+                sel.append(F.col(f"__s_{name}").alias(name))
+            elif fn == "count":
+                sel.append(F.col(f"__c_{name}").alias(name))
+            elif fn == "min":
+                sel.append(F.col(f"__mn_{name}").alias(name))
+            elif fn == "max":
+                sel.append(F.col(f"__mx_{name}").alias(name))
+            else:  # avg
+                sel.append((F.col(f"__s_{name}")
+                            / F.col(f"__c_{name}")).alias(name))
+        return out.select(*sel)
+
+    out, cur = {levels[0]: _finalize(fine)}, fine
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.window(F.col("bucket"), lvl).getField("start").alias("bucket"),
+            *keys).agg(*reagg)
+        out[lvl] = _finalize(cur)
+    return out

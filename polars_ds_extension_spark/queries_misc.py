@@ -1314,3 +1314,46 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_key"))
+
+
+@query("hypertable_rollup", """
+SELECT '1 hour' AS level, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS b,
+       event_type, COUNT(value) AS n, ROUND(SUM(value), 4) AS sum_v,
+       ROUND(ROUND(SUM(value), 4) / COUNT(value), 6) AS avg_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT '1 day', CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS b,
+       event_type, COUNT(value) AS n, ROUND(SUM(value), 4) AS sum_v,
+       ROUND(ROUND(SUM(value), 4) / COUNT(value), 6) AS avg_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY 2, 3
+""")
+def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (operators/temporal.py
+    rollup_hypertable — the TimescaleDB/Druid rollup shape): hourly
+    per-type stats from raw, DAILY stats re-aggregated from the hourly
+    partials — raw scanned once, the daily pass touches hourly-sized
+    data. The oracle computes BOTH levels from raw, so equality proves
+    coarse-from-fine == coarse-from-raw (the re-aggregation identity)."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    lv = TJ.rollup_hypertable(
+        ev, "ts",
+        {"n": ("count", "value"), "sum_v": ("sum", "value"),
+         "avg_v": ("avg", "value"), "max_v": ("max", "value")},
+        levels=("1 hour", "1 day"), by=["event_type"])
+
+    def fin(df: DataFrame, tag: str) -> DataFrame:
+        b = F.to_utc_timestamp(F.col("bucket"), "UTC").cast("long")
+        return df.select(
+            F.lit(tag).alias("level"), b.alias("b"), "event_type", "n",
+            _r(F.col("sum_v"), 4).alias("sum_v"),
+            # avg re-derived from the ROUNDED sum: after round-4 the sum
+            # is bit-identical across engines, so avg is too — the raw
+            # two-stage mean lands on .5 rounding boundaries otherwise
+            _r(F.round(F.col("sum_v"), 4) / F.col("n"), 6).alias("avg_v"),
+            _r(F.col("max_v")).alias("max_v"))
+
+    return fin(lv["1 hour"], "1 hour").unionByName(fin(lv["1 day"], "1 day"))

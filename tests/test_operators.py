@@ -507,3 +507,33 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
                          spark.createDataFrame(iv), "lo", "hi",
                          closed="both").count()
     assert both >= len(gp)
+
+
+def test_rollup_hypertable_coarse_equals_from_raw(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-03-01", periods=500, freq="7min"),
+        "g": [f"g{i % 3}" for i in range(500)],
+        "v": rng.uniform(0, 100, 500),
+    })
+    sdf = spark.createDataFrame(pdf)
+    lv = TJ.rollup_hypertable(
+        sdf, "ts", {"n": ("count", "v"), "s": ("sum", "v"),
+                    "mx": ("max", "v"), "a": ("avg", "v")},
+        levels=("1 hour", "1 day"), by=["g"])
+    # daily re-aggregated from hourly must equal daily from raw
+    raw_day = sdf.groupBy(
+        F.window("ts", "1 day").getField("start").alias("bucket"), "g") \
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"),
+             F.max("v").alias("mx"), F.avg("v").alias("a")) \
+        .toPandas().sort_values(["bucket", "g"]).reset_index(drop=True)
+    got = lv["1 day"].toPandas().sort_values(["bucket", "g"]) \
+        .reset_index(drop=True)
+    assert (got["n"] == raw_day["n"]).all()
+    assert got["s"].values == pytest.approx(raw_day["s"].values)
+    assert got["mx"].values == pytest.approx(raw_day["mx"].values)
+    assert got["a"].values == pytest.approx(raw_day["a"].values)
+    # hourly level row count: 500 rows over 7min spacing ~ 59 hours x 3 groups
+    assert lv["1 hour"].count() > got.shape[0]
