@@ -1357,3 +1357,32 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("max_v")).alias("max_v"))
 
     return fin(lv["1 hour"], "1 hour").unionByName(fin(lv["1 day"], "1 day"))
+
+
+@query("salted_join", """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_extendedprice, o.o_orderpriority
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM j GROUP BY o_orderpriority
+""")
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (plans/skew.salted_join): the fact side is
+    salted into 16 deterministic sub-keys, the dim side replicated once
+    per salt — bit-identical result to the plain join (which IS the
+    oracle), but no task ever holds more than ~1/16 of a hot key. The
+    static complement to AQE's runtime skew splitting, and safe under
+    task retry because the salt is a hash, not rand()."""
+    from .plans import salted_join as SJ
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    j = SJ(li, orders, ["l_orderkey"], n_salt=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("l_extendedprice"), 4).alias("sum_price"))

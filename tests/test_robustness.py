@@ -273,3 +273,28 @@ def test_exact_quantiles_presketch_path(spark):
     got = exact_quantiles(sdf, {"v": [0.25, 0.5, 0.75]}, presketch=pre)
     ref = exact_quantiles(sdf, {"v": [0.25, 0.5, 0.75]})
     assert got["v"] == pytest.approx(ref["v"], abs=1e-12)
+
+
+def test_salted_join_identical_to_plain(spark):
+    from polars_ds_extension_spark.plans import salted_join
+    import pandas as pd
+
+    rng = np.random.default_rng(19)
+    # heavy skew: key 0 holds half the rows
+    keys = np.where(rng.uniform(size=4000) < 0.5, 0,
+                    rng.integers(1, 200, 4000))
+    big = spark.createDataFrame(pd.DataFrame({
+        "k": keys, "v": rng.normal(size=4000)}))
+    small = spark.createDataFrame(pd.DataFrame({
+        "k": range(200), "lab": [f"x{i}" for i in range(200)]}))
+    got = salted_join(big, small, ["k"], n_salt=8) \
+        .groupBy("k", "lab").count().toPandas()
+    exp = big.join(small, "k").groupBy("k", "lab").count().toPandas()
+    g = got.sort_values(["k", "lab"]).reset_index(drop=True)
+    e = exp.sort_values(["k", "lab"]).reset_index(drop=True)
+    assert (g["count"] == e["count"]).all() and len(g) == len(e)
+    # left join keeps unmatched big rows
+    lj = salted_join(big, spark.createDataFrame(
+        pd.DataFrame({"k": [0], "lab": ["only0"]})), ["k"], n_salt=4,
+        how="left")
+    assert lj.count() == 4000
