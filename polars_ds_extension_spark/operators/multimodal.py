@@ -268,3 +268,57 @@ def resize_image(df: DataFrame, decoded_col: str, width: int, height: int,
             yield pdf
 
     return df.mapInPandas(_batches, schema)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "aspect_ratio double, brightness double, contrast double, "
+    "channel_means array<double>, channel_stds array<double>"
+)
+
+
+def image_features(df: DataFrame, decoded_col: str,
+                   out_name: str = "img_features") -> DataFrame:
+    """Pixel-level feature extraction over DECODED images — REAL and
+    codec-free (pure numpy over the pixel buffer, same pad/truncate
+    contract as resize_image): aspect ratio, global brightness (mean
+    luminance), contrast (luminance std), per-channel means and stds.
+    The standard cheap features a multimodal curation pipeline filters
+    on (drop all-black/all-white frames, extreme aspect ratios) before
+    paying for model inference.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField(out_name, StructType.fromDDL(IMAGE_FEATURES_SCHEMA))])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for dec in pdf[decoded_col]:
+                if dec is None:
+                    out.append(None)
+                    continue
+                h, w, c = int(dec["height"]), int(dec["width"]), \
+                    int(dec["channels"])
+                buf = np.frombuffer(bytes(dec["pixels"]), dtype=np.uint8)
+                need = h * w * c
+                if buf.size != need:
+                    buf = np.resize(np.pad(buf, (0, max(0, need - buf.size))),
+                                    need)
+                px = buf.reshape(h * w, c).astype(np.float64)
+                lum = px.mean(1)
+                out.append({
+                    "aspect_ratio": w / h,
+                    "brightness": float(lum.mean()),
+                    "contrast": float(lum.std()),
+                    "channel_means": [float(m) for m in px.mean(0)],
+                    "channel_stds": [float(s) for s in px.std(0)],
+                })
+            pdf = pdf.copy()
+            pdf[out_name] = out
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)

@@ -147,3 +147,27 @@ def test_resize_image_edge_cases(spark):
         with _pt.raises(Exception, match="Pillow|bilinear"):
             MM.resize_image(df, "decoded", 2, 2,
                             method="bilinear").collect()
+
+
+def test_image_features_match_numpy(spark):
+    import numpy as np
+    from polars_ds_extension_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    rows = [(1, {"height": 8, "width": 6, "channels": 3,
+                 "pixels": bytearray(px.tobytes())}),
+            (2, None)]
+    sdf = spark.createDataFrame(
+        rows, "id int, decoded struct<height:int,width:int,channels:int,"
+              "pixels:binary>")
+    out = MM.image_features(sdf, "decoded").orderBy("id").collect()
+    f = out[0]["img_features"]
+    flat = px.reshape(-1, 3).astype(np.float64)
+    lum = flat.mean(1)
+    assert f["aspect_ratio"] == 6 / 8
+    assert f["brightness"] == pytest.approx(lum.mean())
+    assert f["contrast"] == pytest.approx(lum.std())
+    assert list(f["channel_means"]) == pytest.approx(list(flat.mean(0)))
+    assert list(f["channel_stds"]) == pytest.approx(list(flat.std(0)))
+    assert out[1]["img_features"] is None
