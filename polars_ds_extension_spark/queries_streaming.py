@@ -229,3 +229,40 @@ def stream_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(_T.quality_score("text")).alias("quality"),
     ).where(F.col("quality") >= 0.75)
     return _run_to_table(spark, gated, "append")
+
+
+@query("stream_interval_join", """
+WITH c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, c.value AS cv, p.value AS pv
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+)
+SELECT user_id, COUNT(*) AS n_pairs, ROUND(SUM(cv + pv), 4) AS sum_vals
+FROM j GROUP BY user_id
+""")
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/ops.stream_interval_join):
+    clicks and purchases arrive as two REAL streams; each click pairs
+    with the same user's purchases from the preceding hour. Both sides
+    are watermarked and the condition carries both time bounds, so
+    Spark can prove per-side state eviction — the planner rejects an
+    unbounded stream-stream join outright. The joined rows land in the
+    sink; the per-user rollup on the materialized result is batch. The
+    oracle is the equivalent batch interval join."""
+    s = _events_stream(spark, sf_dir)
+    clicks = s.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    purch = s.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    joined = STR.stream_interval_join(
+        clicks, purch, key="user_id", ts_left="ts", ts_right="ts",
+        lower="INTERVAL 1 HOUR", upper="INTERVAL 0 SECONDS",
+        watermark="4 hours")
+    sunk = _run_to_table(spark, joined, "append")
+    return sunk.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r(F.sum(F.col("value") + F.col("r_value")), 4).alias("sum_vals"))

@@ -117,3 +117,39 @@ def stream_running_stats(df: DataFrame, key: str, value: str,
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame, right: DataFrame,
+    key: str, ts_left: str, ts_right: str,
+    lower: str = "INTERVAL 1 HOUR", upper: str = "INTERVAL 0 SECONDS",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: left rows pair with right rows of the
+    same ``key`` whose timestamp lies in
+    ``[ts_left - lower, ts_left + upper]`` — the click-to-purchase /
+    impression-to-conversion attribution join.
+
+    Both sides carry watermarks and the join condition carries BOTH
+    time bounds, which is what lets Spark prove each side's state is
+    evictable (unbounded stream-stream joins otherwise buffer forever
+    — the planner rejects them without the bounds). State per side ≈
+    watermark-horizon rows for live keys, independent of stream length.
+
+    Right columns come back prefixed ``r_`` to keep the joined schema
+    collision-free.
+    """
+    l = left.withWatermark(ts_left, watermark)
+    r0 = right.select(
+        F.col(key).alias(f"r_{key}"), F.col(ts_right).alias(f"r_{ts_right}"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, ts_right)])
+    r = r0.withWatermark(f"r_{ts_right}", watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_right}")
+           >= F.expr(f"{ts_left} - {lower}"))
+        & (F.col(f"r_{ts_right}")
+           <= F.expr(f"{ts_left} + {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(f"r_{key}")

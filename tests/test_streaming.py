@@ -118,3 +118,21 @@ def test_stream_quality_gate_matches_batch(spark, stream_dir):
              .where(F.col("q") >= 0.25).toPandas())
     assert len(got) == len(batch)
     assert sorted(got["text"]) == sorted(batch["text"])
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir):
+    out = STR.stream_interval_join(
+        _read_stream(spark, stream_dir).select("user", "ts", "value"),
+        _read_stream(spark, stream_dir).select("user", "ts", "value"),
+        key="user", ts_left="ts", ts_right="ts",
+        lower="INTERVAL 2 MINUTES", upper="INTERVAL 0 SECONDS",
+        watermark="10 minutes")
+    name = f"ij{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, out, name).toPandas()
+    b = spark.read.parquet(stream_dir).select("user", "ts", "value")
+    r = b.select(F.col("user").alias("r_user"), F.col("ts").alias("r_ts"),
+                 F.col("value").alias("r_value"))
+    exp = b.join(r, (F.col("user") == F.col("r_user"))
+                 & (F.col("r_ts") >= F.expr("ts - INTERVAL 2 MINUTES"))
+                 & (F.col("r_ts") <= F.col("ts"))).count()
+    assert len(got) == exp and exp > 0
