@@ -24,7 +24,7 @@ from .._utils import to_col
 __all__ = [
     "sample_random", "sample_deterministic", "downsample", "volume_neutral",
     "split_by_ratio", "stratified_sample", "split_col",
-    "mixture_sample", "filter_by_global_quantile",
+    "mixture_sample", "filter_by_global_quantile", "sample_exact_n",
 ]
 
 _BUCKETS = 10_000
@@ -198,3 +198,28 @@ def filter_by_global_quantile(df: DataFrame, value_col: str,
     else:
         out = ranked.where(F.col("__qr") <= cut)
     return out.drop("__qr")
+
+
+def sample_exact_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """EXACTLY ``n`` rows, deterministically — the rows whose scrambled
+    id ranks smallest (ties by id). Fraction-based sampling gives a
+    binomial-sized result; training pipelines often need the exact
+    count ("take 10M docs"). The global rank runs on the two-pass
+    range-bucket plan (plans/ranks.global_min_rank) — no single-
+    partition sort — and the scramble makes the pick uniform yet
+    append-stable and engine-reproducible.
+    """
+    from ..plans import global_min_rank
+
+    # rank = (min-rank of this row's scramble bucket) + (row_number
+    # within the bucket by id) - 1. The bucket rank runs on the two-pass
+    # plan over a 10k-value column (no precision games with a combined
+    # arithmetic sort key — a bucket*K + id double loses id bits once
+    # ids pass 2^53/K); the within-bucket window is hash-partitioned on
+    # the bucket (parallel, ~n/10k rows per task).
+    b = df.withColumn("__bk", _bucket(id_col))
+    ranked = global_min_rank(b, "__bk", out_name="__br")
+    w = Window.partitionBy("__bk").orderBy(to_col(id_col))
+    ranked = ranked.withColumn(
+        "__rnk", F.col("__br") + F.row_number().over(w) - 1)
+    return ranked.where(F.col("__rnk") <= n).drop("__bk", "__br", "__rnk")

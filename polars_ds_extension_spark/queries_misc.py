@@ -1386,3 +1386,28 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         _r(F.sum("l_extendedprice"), 4).alias("sum_price"))
+
+
+@query("sample_exact_n", f"""
+WITH t AS (
+  SELECT *, ((doc_id % {_B}) * {_SCRAMBLE}) % {_B} AS bkt FROM documents
+), r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY bkt * 1000000000000 + doc_id) AS rn
+  FROM t
+)
+SELECT COUNT(*) AS n_kept, SUM(doc_id)::BIGINT AS sum_id,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM r WHERE rn <= 123
+""")
+def sample_exact_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count deterministic sample (functions/sample.py
+    sample_exact_n): exactly 123 documents picked by smallest scrambled
+    id — "take exactly N docs" without a global sort (two-pass
+    range-bucket rank plan) and reproducible across engines, runs, and
+    appends. Oracle: the same pick via ROW_NUMBER."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.sample_exact_n(docs, "doc_id", 123)
+    return out.agg(F.count(F.lit(1)).alias("n_kept"),
+                   F.sum("doc_id").alias("sum_id"),
+                   F.sum("n_chars").alias("sum_chars"))

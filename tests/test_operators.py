@@ -537,3 +537,20 @@ def test_rollup_hypertable_coarse_equals_from_raw(spark):
     assert got["a"].values == pytest.approx(raw_day["a"].values)
     # hourly level row count: 500 rows over 7min spacing ~ 59 hours x 3 groups
     assert lv["1 hour"].count() > got.shape[0]
+
+
+def test_sample_exact_n(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+
+    pdf = pd.DataFrame({"id": range(997), "v": range(997)})
+    sdf = spark.createDataFrame(pdf)
+    a = SMP.sample_exact_n(sdf, "id", 100).toPandas()
+    b = SMP.sample_exact_n(sdf, "id", 100).toPandas()
+    assert len(a) == 100
+    assert sorted(a["id"]) == sorted(b["id"])          # deterministic
+    # spec: the 100 smallest (scramble_bucket, id) pairs
+    bkt = ((pdf["id"] % 10_000) * 2654435761) % 10_000
+    exp = pdf.assign(b=bkt).sort_values(["b", "id"]).head(100)["id"]
+    assert sorted(a["id"]) == sorted(exp)
+    # n >= rows: everything
+    assert SMP.sample_exact_n(sdf, "id", 5000).count() == 997
