@@ -104,3 +104,53 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) sort key over 2+ numeric columns: min-max
+    normalize each to ``bits``-bit integers (one tiny agg for the
+    bounds), then bit-interleave — pure JVM integer expressions.
+
+    Sorting/range-partitioning by this key clusters rows so every file
+    covers a tight hyper-rectangle in ALL the named dimensions at once;
+    parquet min/max stats then prune multi-column predicates, where a
+    plain sort only prunes its leading column. Returns (key Column,
+    bounds dict) — reuse bounds to keep append batches on the same
+    curve.
+    """
+    from .._utils import to_col
+
+    row = df.agg(*[f(to_col(c)).alias(f"{n}_{c}")
+                   for c in cols
+                   for n, f in (("mn", F.min), ("mx", F.max))]).first()
+    bounds = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
+            (to_col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
+        ).cast("long"))))
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for sc in scaled:
+            bit = F.shiftright(sc, b).bitwiseAND(F.lit(1).cast("long"))
+            key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return key, bounds
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: Sequence[str],
+    n_files: int = 16, bits: int = 16, mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned + sorted on the Z-order key of
+    ``cols`` — the Delta/Iceberg OPTIMIZE ZORDER layout with plain
+    files: multi-dimensional clustering so min/max row-group stats
+    prune predicates on ANY of the named columns."""
+    key, _ = zorder_key(df, cols, bits)
+    (df.withColumn("__zk", key)
+       .repartitionByRange(n_files, F.col("__zk"))
+       .sortWithinPartitions("__zk")
+       .drop("__zk")
+       .write.mode(mode).parquet(path))

@@ -105,3 +105,32 @@ def test_load_csv_json_roundtrip(spark, outdir):
     assert sorted(r["a"] for r in c.collect()) == [1, 2, 3]
     jj = load_json(spark, f"{outdir}/j", schema="a int, b string")
     assert sorted(r["b"] for r in jj.collect()) == ["x", "y", "z"]
+
+
+def test_zorder_layout_clusters_both_dims(spark, outdir):
+    import numpy as np
+    import pandas as pd
+    from polars_ds_extension_spark.sources.sinks import write_zordered, zorder_key
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({"x": rng.uniform(0, 1, 20000),
+                        "y": rng.uniform(0, 1, 20000)})
+    sdf = spark.createDataFrame(pdf)
+    write_zordered(sdf, f"{outdir}/z", ["x", "y"], n_files=16)
+    # per-partition bounding boxes: z-order must shrink BOTH dims;
+    # a plain sort on x would leave every partition spanning ~full y
+    key, _ = zorder_key(sdf, ["x", "y"])
+    parts = (sdf.withColumn("__zk", key)
+             .repartitionByRange(16, "__zk")
+             .groupBy(F.spark_partition_id().alias("p"))
+             .agg((F.max("x") - F.min("x")).alias("sx"),
+                  (F.max("y") - F.min("y")).alias("sy"))
+             .toPandas())
+    # average bounding-box AREA far below the full domain (1.0): with 16
+    # z-tiles each should cover ~1/16 of the plane (+slack for boundary
+    # tiles)
+    area = (parts["sx"] * parts["sy"]).mean()
+    assert area < 0.45, area
+    # and the files actually landed
+    back = spark.read.parquet(f"{outdir}/z")
+    assert back.count() == 20000
