@@ -1372,7 +1372,7 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join (plans/skew.salted_join): the fact side is
     salted into 16 deterministic sub-keys, the dim side replicated once
     per salt — bit-identical result to the plain join (which IS the
-    oracle), but no task ever holds more than ~1/16 of a hot key. The
+    oracle), but no task ever holds more than ~1/8 of a hot key. The
     static complement to AQE's runtime skew splitting, and safe under
     task retry because the salt is a hash, not rand()."""
     from .plans import salted_join as SJ
@@ -1382,7 +1382,7 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders") \
         .select("o_orderkey", "o_orderpriority") \
         .withColumnRenamed("o_orderkey", "l_orderkey")
-    j = SJ(li, orders, ["l_orderkey"], n_salt=16)
+    j = SJ(li, orders, ["l_orderkey"], n_salt=8)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         _r(F.sum("l_extendedprice"), 4).alias("sum_price"))
