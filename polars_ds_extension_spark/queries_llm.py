@@ -1210,3 +1210,57 @@ def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         books)
     return enc.select(
         "vec_id", F.posexplode("codes").alias("subspace", "code"))
+
+
+@query("semantic_decontaminate", """
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+), corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id >= 20
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(list_zip(embedding,
+                                 range(1, len(embedding) + 1)),
+                        x -> CASE WHEN x[2] = 1
+                                  THEN x[1]::DOUBLE * 1.05
+                                  ELSE x[1]::DOUBLE END) AS v
+  FROM embeddings WHERE vec_id < 20
+), sims AS (
+  SELECT c.vec_id,
+    list_sum(list_transform(list_zip(c.v, b.embedding),
+             x -> x[1] * x[2]::DOUBLE))
+    / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x))))
+      AS cos
+  FROM corpus c, bench b
+)
+SELECT vec_id, ROUND(MAX(cos), 6) AS max_sim
+FROM sims GROUP BY vec_id HAVING MAX(cos) >= 0.5
+""")
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding is
+    too close to any benchmark item — catches the paraphrased test-set
+    leakage that exact n-gram decontamination (the `decontaminate`
+    query) misses. Composition of the existing ANN machinery
+    (operators/knn.radius_join, cosine metric, broadcast benchmark
+    index): benchmark sets are tiny by nature, so the scan is one
+    broadcast pass over the corpus — the same shape at 100 TB. The
+    oracle is the exact all-pairs max-cosine (affordable at test
+    scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bench = emb.where(F.col("vec_id") < 20)
+    # corpus = the rest + PLANTED paraphrase-level contamination
+    # (benchmark vectors with component 0 scaled 1.05x, cosine ~0.999 —
+    # the leakage exact n-gram matching cannot see)
+    planted = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x, i: F.when(i == 0, x * 1.05)
+                    .otherwise(x)).alias("v"))
+    corpus = emb.where(F.col("vec_id") >= 20).unionByName(planted)
+    pairs = K.radius_join(corpus, "vec_id", "v", bench, "vec_id", "v",
+                          radius=0.5, metric="cosine")
+    # cosine DISTANCE <= 0.5  <=>  similarity >= 0.5
+    return pairs.groupBy("vec_id").agg(
+        _r(F.max(F.lit(1.0) - F.col("dist"))).alias("max_sim"))
