@@ -1264,3 +1264,40 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine DISTANCE <= 0.5  <=>  similarity >= 0.5
     return pairs.groupBy("vec_id").agg(
         _r(F.max(F.lit(1.0) - F.col("dist"))).alias("max_sim"))
+
+
+@query("bpe_tokenize_oracle", """
+SELECT * FROM (VALUES
+  (1, 3, 'low est</w> low</w>'),
+  (2, 2, 'newest</w> newest</w>'),
+  (3, 6, 'n ew </w> w i dest</w>'),
+  (4, 11, 'u n s e e n </w> x y z </w>')
+) AS t(case_id, n_tokens, tokens)
+""")
+def bpe_tokenize_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization pinned to hand-derived literals
+    (operators/bpe.py): merges trained on the Sennrich et al. (2016)
+    textbook corpus (low/lower/newest/widest), then the distributed
+    encode applied to held-out strings — subword reuse ('lowest' =
+    low + est</w>), whole-word merges, character fallback for unseen
+    words. Training is driver-side on a bounded sample (how production
+    tokenizers are built); ENCODING is the corpus-scale part: broadcast
+    rank table, one Arrow pass, per-batch word memoization riding
+    Zipf's law."""
+    import pandas as pd
+
+    from .operators import bpe as B
+
+    corpus = (["low "] * 5 + ["lower "] * 2 + ["newest "] * 6
+              + ["widest "] * 3)
+    train = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(corpus)), "text": corpus}))
+    merges = B.bpe_train(train.orderBy("id"), "text", n_merges=10)
+    test = spark.createDataFrame(pd.DataFrame({
+        "case_id": [1, 2, 3, 4],
+        "text": ["lowest low", "newest newest", "new widest",
+                 "unseen xyz"]}))
+    enc = B.bpe_encode(test, "case_id", "text", merges, with_tokens=True)
+    return enc.select(
+        "case_id", "n_tokens",
+        F.array_join("tokens", " ").alias("tokens"))

@@ -554,3 +554,37 @@ def test_sample_exact_n(spark):
     assert sorted(a["id"]) == sorted(exp)
     # n >= rows: everything
     assert SMP.sample_exact_n(sdf, "id", 5000).count() == 997
+
+
+# ----------------------------------------------------------------- BPE
+
+def test_bpe_train_classic_corpus(spark):
+    from polars_ds_extension_spark.operators import bpe as B
+
+    corpus = ["low "] * 5 + ["lower "] * 2 + ["newest "] * 6 + ["widest "] * 3
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(corpus)), "text": corpus}))
+    m = B.bpe_train(sdf.orderBy("id"), "text", n_merges=5)
+    # the Sennrich et al. example: 'es' then 'est' dominate
+    assert m[0] == ("e", "s")
+    assert m[1] == ("es", "t")
+    assert ("l", "o") in m and ("lo", "w") in m
+
+
+def test_bpe_encode_matches_reference_and_handles_unseen(spark):
+    from polars_ds_extension_spark.operators import bpe as B
+
+    corpus = ["low "] * 5 + ["lower "] * 2 + ["newest "] * 6 + ["widest "] * 3
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(corpus)), "text": corpus}))
+    m = B.bpe_train(sdf.orderBy("id"), "text", n_merges=10)
+    test = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "text": ["lowest low", "newest newest", "unseen xyz", None]}))
+    out = {r["id"]: (r["n_tokens"], list(r["tokens"]))
+           for r in B.bpe_encode(test, "id", "text", m,
+                                 with_tokens=True).collect()}
+    assert out[1] == (3, ["low", "est</w>", "low</w>"])
+    assert out[2] == (2, ["newest</w>", "newest</w>"])
+    assert out[3][0] == 11          # character fallback for unseen words
+    assert out[4] == (0, [])        # null text
