@@ -1301,3 +1301,85 @@ def bpe_tokenize_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "case_id", "n_tokens",
         F.array_join("tokens", " ").alias("tokens"))
+
+
+@query("curation_pipeline_v2", rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 11)) AS t(i)
+  WHERE len(w) >= 13
+), dupg AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM wins)
+  GROUP BY g HAVING COUNT(*) >= 2
+), perdoc AS (
+  SELECT w.doc_id, COUNT(*) AS nw,
+         SUM(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END) AS nd
+  FROM wins w LEFT JOIN dupg d USING (g) GROUP BY w.doc_id
+), tq AS (
+  SELECT doc_id, len(text) AS n,
+         string_split_regex(trim(text), '\s+') AS sp
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+    len(list_filter(sp, x -> lower(x) IN ({_SW_SQL})))::DOUBLE / len(sp) AS swr,
+    list_aggregate(list_transform(sp, x -> len(x)), 'sum')::DOUBLE / len(sp) AS mtl,
+    (n - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / n AS pr
+  FROM tq
+), q AS (
+  SELECT doc_id, (
+    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN swr >= 0.1 AND swr <= 0.7 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0 AS quality FROM m
+), keep0 AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+  WHERE q.quality >= 0.75
+    AND COALESCE(p.nd::DOUBLE / p.nw, 0.0) < 0.5
+), cnt AS (
+  SELECT lang, COUNT(*)::DOUBLE AS c FROM keep0 GROUP BY lang
+), ws AS (
+  SELECT SUM(SQRT(c)) AS wsum, SUM(c) AS total FROM cnt
+), rates AS (
+  SELECT lang, LEAST(1.0, total * (SQRT(c) / wsum) / c) AS r
+  FROM cnt, ws
+), kept AS (
+  SELECT k.doc_id, k.lang, k.text FROM keep0 k JOIN rates USING (lang)
+  WHERE (k.doc_id * 2654435761) % 10000 < r * 10000
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+FROM kept GROUP BY lang
+""")
+def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 curation chain as ONE composed plan: duplicated-span
+    gate (dup_span_stats — drop documents that are mostly cross-corpus
+    repeated spans) → quality gate → temperature mixture resample on
+    language (mixture_sample, alpha=0.5 over the post-filter counts) →
+    per-language token accounting. Every stage is individually oracled
+    (`dup_spans`, `text_quality`, `mixture_resample`, `token_stats`);
+    this pins their composition, including the operator-boundary
+    subtleties (docs shorter than the span window pass the gate with
+    dup fraction 0)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    # filter on the RAW count ratio, not the 4-dp display rounding —
+    # a 0.49997 document must land on the same side in both engines
+    spans = T.dup_span_stats(docs, "doc_id", "text", n=13) \
+        .select("doc_id",
+                (F.col("n_dup_windows") / F.col("n_windows"))
+                .alias("__ratio"))
+    gated = (docs
+             .join(spans, "doc_id", "left")
+             .where(F.coalesce(F.col("__ratio"), F.lit(0.0)) < 0.5)
+             .where(T.quality_score("text") >= 0.75))
+    mixed = SMP.mixture_sample(gated, "doc_id", "lang", alpha=0.5)
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("long").alias("n_tokens"))
