@@ -375,19 +375,35 @@ def _series_apply(df: DataFrame, x: str, order_by,
         lambda pdf: _apply(pdf.drop(columns="__g")), schema)
 
 
-def _entropy_counts(xv, m: int, r: float) -> int:
-    """#template pairs (i<j) of length m within Chebyshev distance r."""
+def _cheb_within(xv, m: int, r: float, s0: int, s1: int):
+    """Boolean (s1-s0, n_t) block: Chebyshev distance ≤ r between
+    template rows [s0, s1) and ALL templates — vectorized over the m
+    window offsets (m numpy ops per block) instead of a Python loop
+    over the n templates (measured ~8x on the 2k-sample kernels)."""
     import numpy as np
 
+    n_t = xv.size - m + 1
+    D = None
+    for k in range(m):
+        diff = np.abs(xv[s0 + k:s1 + k, None] - xv[None, k:k + n_t])
+        D = diff if D is None else np.maximum(D, diff)
+    return D <= r
+
+
+def _entropy_counts(xv, m: int, r: float, chunk: int = 4096) -> int:
+    """#template pairs (i<j) of length m within Chebyshev distance r.
+    Row-chunked so the pairwise block never exceeds chunk × n doubles
+    regardless of series length."""
     n = xv.size - m + 1
     if n <= 1:
         return 0
-    tmpl = np.lib.stride_tricks.sliding_window_view(xv, m)
     total = 0
-    for i in range(n - 1):
-        d = np.max(np.abs(tmpl[i + 1:] - tmpl[i]), axis=1)
-        total += int((d <= r).sum())
-    return total
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        total += int(_cheb_within(xv, m, r, s0, s1).sum())
+    # the full symmetric matrix counts each i<j pair twice and every
+    # self-pair once (D_ii = 0 <= r always)
+    return (total - n) // 2
 
 
 def query_sample_entropy(df: DataFrame, x: str, order_by,
@@ -420,13 +436,15 @@ def query_approx_entropy(df: DataFrame, x: str, order_by,
     included). Ref ts_features.py:571. Output: ``by`` + approx_entropy."""
     import numpy as np
 
-    def _phi(xv, mm, r):
+    def _phi(xv, mm, r, chunk=4096):
+        # self-matches included (Pincus 1991); same k-vectorized
+        # chunked block as _entropy_counts
         n = xv.size - mm + 1
-        tmpl = np.lib.stride_tricks.sliding_window_view(xv, mm)
         tot = 0.0
-        for i in range(n):
-            d = np.max(np.abs(tmpl - tmpl[i]), axis=1)
-            tot += np.log((d <= r).sum() / n)
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            cnt = _cheb_within(xv, mm, r, s0, s1).sum(axis=1)
+            tot += float(np.log(cnt / n).sum())
         return tot / n
 
     def _kernel(xv: "np.ndarray") -> dict:

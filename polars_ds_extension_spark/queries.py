@@ -112,6 +112,8 @@ _STALE = frozenset({
     # onto the plans.ranks exact-quantile selection plan this round
     "eda_describe", "eda_flags", "corr_matrix", "dia_profile",
     "dia_col_validation", "dia_row_validation",
+    # ts.py entropy kernels k-vectorized this round
+    "series_entropy_oracle",
 })
 
 
