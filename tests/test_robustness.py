@@ -298,3 +298,22 @@ def test_salted_join_identical_to_plain(spark):
         pd.DataFrame({"k": [0], "lab": ["only0"]})), ["k"], n_salt=4,
         how="left")
     assert lj.count() == 4000
+
+
+def test_exact_quantiles_adversarial_shapes(spark):
+    from polars_ds_extension_spark.plans import exact_quantiles
+    import pandas as pd
+
+    cases = {
+        "two_vals": [1.0] * 999 + [2.0],
+        "neg": [-5.0, -1.0, -3.0, -2.0, -4.0],
+        "huge": [1e300, -1e300, 0.0, 1e-300],
+        "single": [42.0],
+        "pair": [1.0, 3.0],
+    }
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    for name, vals in cases.items():
+        sdf = spark.createDataFrame(pd.DataFrame({"x": vals}))
+        got = exact_quantiles(sdf, {"x": probs}, n_parts=4)["x"]
+        exp = [float(np.quantile(vals, q)) for q in probs]
+        assert got == pytest.approx(exp, rel=1e-12), (name, got, exp)
