@@ -1411,3 +1411,56 @@ def sample_exact_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("n_kept"),
                    F.sum("doc_id").alias("sum_id"),
                    F.sum("n_chars").alias("sum_chars"))
+
+
+@query("lin_reg_rcond_oracle", """
+SELECT 1.0::DOUBLE AS b0, 1.0::DOUBLE AS b1
+""")
+def lin_reg_rcond_oracle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-deficient OLS via pseudo-inverse (functions/linear.py
+    lin_reg_rcond — ref lin_reg_w_rcond) pinned on an exactly singular
+    system: duplicated feature (x, x) against y = 2x. Plain normal-
+    equation solve is undefined; the SVD cutoff yields the minimum-norm
+    solution, which splits the coefficient evenly — (1, 1) exactly
+    (X'X = [[s,s],[s,s]], X'y = [2s,2s], pinv algebra cancels s). The
+    sufficient-stats aggregation is the same distributed path every
+    other linear fitter uses."""
+    from .functions import linear as L
+
+    base = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey").between(1, 50))
+            .select(F.col("c_custkey").cast("double").alias("x"),
+                    (F.col("c_custkey") * 2.0).cast("double").alias("y"))
+            .withColumn("x2", F.col("x")))
+    beta = L.lin_reg_rcond(base, ["x", "x2"], "y", add_bias=False)
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6))], "b0 double, b1 double")
+
+
+@query("select_by_std_cols", """
+SELECT col FROM (
+  SELECT 'l_discount' AS col,
+         (SELECT STDDEV_SAMP(l_discount) FROM lineitem) AS s
+  UNION ALL SELECT 'l_quantity',
+         (SELECT STDDEV_SAMP(l_quantity) FROM lineitem)
+  UNION ALL SELECT 'l_tax', (SELECT STDDEV_SAMP(l_tax) FROM lineitem)
+  UNION ALL SELECT 'const_one', 0.0
+) WHERE s > 0.05
+""")
+def select_by_std_cols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-based column pruning (pipeline/transforms.select_by_std):
+    near-constant columns drop after ONE agg pass of stddevs; the
+    surviving column names come back as rows so the driver can hash the
+    selection itself. A literal constant column and the low-variance
+    l_tax/l_discount band exercise both sides of the threshold."""
+    from .pipeline.transforms import select_by_std
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_discount", "l_quantity", "l_tax") \
+        .withColumn("const_one", F.lit(1.0))
+    out = select_by_std(
+        li, ["l_discount", "l_quantity", "l_tax", "const_one"],
+        min_std=0.05)
+    kept = sorted(set(out.columns)
+                  & {"l_discount", "l_quantity", "l_tax", "const_one"})
+    return spark.createDataFrame([(c,) for c in kept], "col string")
