@@ -155,10 +155,12 @@ def mixture_sample(df: DataFrame, id_col: str, group_col: str,
     import math
 
     # sorted by group key so the float accumulation order (and therefore
-    # every rate, bit-for-bit) is independent of partition arrival order
+    # every rate, bit-for-bit) is independent of partition arrival order;
+    # the total-order key keeps NULL / mixed-type group keys sortable
     counts = dict(sorted(
-        (r[0], r[1]) for r in
-        df.groupBy(group_col).agg(F.count(F.lit(1))).collect()))
+        ((r[0], r[1]) for r in
+         df.groupBy(group_col).agg(F.count(F.lit(1))).collect()),
+        key=lambda kv: (kv[0] is None, str(kv[0]))))
     total = sum(counts.values())
     target = float(target_rows if target_rows is not None else total)
     # math.sqrt is correctly rounded (pow(x, .5) need not be) — keeps the
@@ -169,7 +171,9 @@ def mixture_sample(df: DataFrame, id_col: str, group_col: str,
              for g, c in counts.items()}
     rate_col = F.lit(None).cast("double")
     for g, r in rates.items():
-        rate_col = F.when(to_col(group_col) == F.lit(g), F.lit(r)) \
+        # eqNullSafe so a NULL source group matches its own rate instead
+        # of null-comparing its rows straight out of the sample
+        rate_col = F.when(to_col(group_col).eqNullSafe(F.lit(g)), F.lit(r)) \
             .otherwise(rate_col)
     return df.where(_bucket(id_col) < rate_col * _BUCKETS)
 

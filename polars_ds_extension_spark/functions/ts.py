@@ -390,13 +390,26 @@ def _cheb_within(xv, m: int, r: float, s0: int, s1: int):
     return D <= r
 
 
-def _entropy_counts(xv, m: int, r: float, chunk: int = 4096) -> int:
+_CHEB_BLOCK_BYTES = 256 * 1024 * 1024  # per-offset diff block budget
+
+
+def _cheb_chunk(n_t: int, chunk) -> int:
+    """Chunk rows so the (chunk, n_t) float64 diff block stays bounded
+    in BYTES, not rows — a fixed 4096-row chunk is ~3.2 GB transient at
+    a 100k-point series, enough to OOM an executor."""
+    if chunk is not None:
+        return chunk
+    return max(256, _CHEB_BLOCK_BYTES // (8 * max(1, n_t)))
+
+
+def _entropy_counts(xv, m: int, r: float, chunk: "int | None" = None) -> int:
     """#template pairs (i<j) of length m within Chebyshev distance r.
-    Row-chunked so the pairwise block never exceeds chunk × n doubles
+    Byte-budget row chunking keeps the pairwise block bounded
     regardless of series length."""
     n = xv.size - m + 1
     if n <= 1:
         return 0
+    chunk = _cheb_chunk(n, chunk)
     total = 0
     for s0 in range(0, n, chunk):
         s1 = min(s0 + chunk, n)
@@ -436,10 +449,11 @@ def query_approx_entropy(df: DataFrame, x: str, order_by,
     included). Ref ts_features.py:571. Output: ``by`` + approx_entropy."""
     import numpy as np
 
-    def _phi(xv, mm, r, chunk=4096):
+    def _phi(xv, mm, r, chunk=None):
         # self-matches included (Pincus 1991); same k-vectorized
-        # chunked block as _entropy_counts
+        # byte-budget chunking as _entropy_counts
         n = xv.size - mm + 1
+        chunk = _cheb_chunk(n, chunk)
         tot = 0.0
         for s0 in range(0, n, chunk):
             s1 = min(s0 + chunk, n)

@@ -61,26 +61,29 @@ def asof_join(
     t = to_col(on)
 
     lt = left.withColumn("__side", F.lit(1))
+    # The whole right row rides as ONE struct so last(ignorenulls) picks
+    # an entire row atomically: a NULL inside a payload column must not
+    # make that field fall back to an OLDER right row while the
+    # timestamp comes from the newer one (polars/DuckDB attach the
+    # newest row including its NULLs). The struct itself is non-null for
+    # every right row, null for left rows — ignorenulls skips exactly
+    # the left rows.
     rt = right.select(
         *keys, t.alias(on), F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        t.alias("__r_ts"),
+        F.struct(t.alias("__ts"),
+                 *[F.col(c).alias(c) for c in rcols]).alias("__r"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc()) \
         .rowsBetween(Window.unboundedPreceding, 0)
-    for c in rcols:
-        u = u.withColumn(f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
-    u = u.withColumn("__m_ts", F.last(F.col("__r_ts"), ignorenulls=True).over(w))
+    u = u.withColumn("__m", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = u.where(F.col("__side") == 1)
     if tolerance is not None:
-        ok = F.col("__m_ts") >= (to_col(on) - F.lit(tolerance))
-        for c in rcols:
-            out = out.withColumn(f"__m_{c}", F.when(ok, F.col(f"__m_{c}")))
-        out = out.withColumn("__m_ts", F.when(ok, F.col("__m_ts")))
+        ok = F.col("__m").getField("__ts") >= (to_col(on) - F.lit(tolerance))
+        out = out.withColumn("__m", F.when(ok, F.col("__m")))
     sel = [c for c in left.columns] + \
-        [F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in rcols] + \
-        [F.col("__m_ts").alias(f"{on}{suffix}")]
+        [F.col("__m").getField(c).alias(f"{c}{suffix}") for c in rcols] + \
+        [F.col("__m").getField("__ts").alias(f"{on}{suffix}")]
     return out.select(*sel)
 
 

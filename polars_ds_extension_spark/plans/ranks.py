@@ -30,6 +30,30 @@ from pyspark.sql.window import Window
 from .._utils import pin as _shared_pin
 from .._utils import release_pins  # noqa: F401  (re-export for callers)
 
+import math as _math
+
+
+def _finite_bounds(raw) -> "list[float]":
+    """Sorted, deduped, FINITE bucket boundaries. ±inf/NaN boundaries
+    are dropped: Spark's string→double cast needs 'Infinity'/'NaN' (a
+    repr()'d 'inf' literal casts to NULL and every bucket id goes NULL),
+    and as boundaries they add nothing — non-finite values simply pile
+    into the edge buckets, which the exact per-bucket counting already
+    handles (Spark orders NaN greatest, so bucketing by `x >= b` over
+    finite b keeps ties and order exact)."""
+    return sorted({float(b) for b in (raw or [])
+                   if b is not None and _math.isfinite(float(b))})
+
+
+def _dlit(b: float) -> str:
+    """A SQL double literal Java's Double.parseDouble accepts — repr()
+    for finite values, the Java spellings for non-finite ones."""
+    if _math.isnan(b):
+        return "CAST('NaN' AS DOUBLE)"
+    if _math.isinf(b):
+        return f"CAST('{'Infinity' if b > 0 else '-Infinity'}' AS DOUBLE)"
+    return f"CAST('{b!r}' AS DOUBLE)"
+
 
 def _pin(df: DataFrame) -> DataFrame:
     """Materialize the per-bucket pass once (memory, spill to disk).
@@ -60,7 +84,7 @@ def _ranged(df: DataFrame, order_col, by: Sequence[str] | None,
     if probs:
         row = df.agg(F.percentile_approx(oc.cast("double"), probs, 10000)
                      .alias("b")).first()
-        bounds = sorted({float(b) for b in (row["b"] or []) if b is not None})
+        bounds = _finite_bounds(row["b"])
     else:
         bounds = []
     pid = F.lit(0)
@@ -238,8 +262,7 @@ def quantile_sketch_parse(row, cols: Sequence[str]):
     d = row.asDict() if hasattr(row, "asDict") else dict(row)
     for c in cols:
         counts[c] = int(d[f"__qs_n_{c}"])
-        raw = d.get(f"__qs_b_{c}") or []
-        bounds[c] = sorted({float(b) for b in raw if b is not None})
+        bounds[c] = _finite_bounds(d.get(f"__qs_b_{c}"))
     return bounds, counts
 
 
@@ -276,7 +299,7 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
     # skipped entirely when the caller prefunded it on its own stats agg
     if presketch is not None:
         bounds, counts_n = presketch
-        bounds = {c: sorted({float(b) for b in bounds[c]}) for c in cols}
+        bounds = {c: _finite_bounds(bounds[c]) for c in cols}
         counts_n = {c: int(counts_n[c]) for c in cols}
     else:
         aggs = []
@@ -293,9 +316,7 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
         bounds, counts_n = {}, {}
         for c in cols:
             counts_n[c] = int(row[f"__n_{c}"])
-            raw = row[f"__b_{c}"] if bprobs else []
-            bounds[c] = sorted({float(b) for b in (raw or [])
-                                if b is not None})
+            bounds[c] = _finite_bounds(row[f"__b_{c}"] if bprobs else [])
 
     # ONE narrow projection computing each bucket id ONCE, as a single
     # parsed SQL expression per column (a 31-term chained Column build
@@ -306,7 +327,7 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
             terms = "0"
         else:
             terms = " + ".join(
-                f"CAST(__v_{c} >= CAST('{b!r}' AS DOUBLE) AS INT)"
+                f"CAST(__v_{c} >= {_dlit(b)} AS INT)"
                 for b in bounds[c])
         return (f"CASE WHEN __v_{c} IS NULL THEN -1 ELSE {terms} END")
 

@@ -56,64 +56,77 @@ def query(name: str, sql: str | None = None):
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
     # last stamped in round 3
-    "add_at": 3, "ar_coeffs": 3, "bicor": 3, "cat_cross_entropy": 3,
-    "convolve": 3, "copula_entropy": 3, "dist_kth_nb": 3, "downsample": 3,
-    "eda_describe": 3, "eda_flags": 3, "glm_poisson": 3, "isotonic": 3,
-    "knn_entropy": 3, "linear_impute": 3, "multi_roc_auc": 3, "pca": 3,
-    "permute_entropy": 3, "rfft": 3, "similar_count": 3,
-    "singular_values": 3, "tpr_fpr": 3, "transfer_entropy": 3,
-    "volume_neutral": 3,
+    "add_at": 3, "bicor": 3, "cat_cross_entropy": 3, "convolve": 3,
+    "copula_entropy": 3, "knn_entropy": 3, "linear_impute": 3,
+    "multi_roc_auc": 3, "tpr_fpr": 3, "transfer_entropy": 3,
     # last stamped in round 4
     "benford": 4, "blocked_jaccard": 4, "chi2": 4,
     "classification_metrics": 4, "cond_entropy": 4, "cond_indep": 4,
-    "corr_family": 4, "corr_matrix": 4, "count_uniques": 4, "dcg": 4,
-    "dedup_stats": 4, "elementwise_math": 4, "entropy": 4,
-    "exact_dedup": 4, "f_test": 4, "gcd_lcm": 4, "integrate_detrend": 4,
-    "is_monotonic": 4, "kaplan_meier": 4, "kendall": 4, "ks_2samp": 4,
-    "mad": 4, "mann_whitney": 4, "mean_family": 4, "near_dup_minhash": 4,
+    "corr_family": 4, "count_uniques": 4, "dcg": 4, "dedup_stats": 4,
+    "elementwise_math": 4, "entropy": 4, "exact_dedup": 4, "f_test": 4,
+    "gcd_lcm": 4, "integrate_detrend": 4, "is_monotonic": 4,
+    "kaplan_meier": 4, "kendall": 4, "ks_2samp": 4, "mad": 4,
+    "mann_whitney": 4, "mean_family": 4, "near_dup_minhash": 4,
     "normality": 4, "pricing_summary": 4, "psi": 4,
     "regression_metrics": 4, "roc_auc": 4, "softmax_znorm": 4,
     "string_cleaning": 4, "string_similarity": 4, "target_encode": 4,
-    "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered": 4,
-    "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4, "weighted_stats": 4,
-    "winsorize": 4, "woe_iv": 4, "xi_corr": 4,
+    "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered":
+    4, "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4,
+    "weighted_stats": 4, "winsorize": 4, "woe_iv": 4, "xi_corr": 4,
     # last stamped in round 5
-    "bigram_lm": 5, "blueprint_dyn_agg": 5, "bm25_score": 5,
-    "combinations": 5, "curation_pipeline": 5, "decontaminate": 5,
-    "elastic_net": 5, "embedding_ops": 5, "fingerprints": 5, "ivf_ann": 5,
-    "knn_avg_label": 5, "knn_cosine": 5, "knn_freq": 5,
+    "bigram_lm": 5, "bm25_score": 5, "combinations": 5,
+    "curation_pipeline": 5, "decontaminate": 5, "elastic_net": 5,
+    "embedding_ops": 5, "fingerprints": 5, "ivf_ann": 5,
     "knn_from_target": 5, "language_id": 5, "lin_reg_multi": 5,
     "lin_reg_report": 5, "line_dedup": 5, "logistic_reg": 5,
     "mase_full": 5, "multimodal_blobs": 5, "multimodal_decode": 5,
     "near_dup_cluster_dedup": 5, "pack_sequences": 5, "pii_scrub": 5,
-    "pipeline_blueprint": 5, "pipeline_encode": 5,
-    "pipeline_iv_rankhot": 5, "pipeline_poly_impute": 5,
-    "pipeline_transform": 5, "product": 5, "radius_nb_cnt": 5,
-    "recursive_lin_reg": 5, "repetition_signals": 5, "rolling_lin_reg": 5,
-    "sample_split": 5, "series_entropy_oracle": 5, "simple_lin_reg": 5,
-    "smooth_spline_natural": 5, "stream_dedup": 5,
-    "stream_running_stats": 5, "stream_sessionize": 5,
-    "stream_windowed_agg": 5, "text_quality": 5, "tfidf_topk": 5,
-    "token_budget_sample": 5, "within_radius_target": 5,
+    "pipeline_encode": 5, "pipeline_iv_rankhot": 5,
+    "pipeline_poly_impute": 5, "pipeline_transform": 5, "product": 5,
+    "recursive_lin_reg": 5, "repetition_signals": 5, "rolling_lin_reg":
+    5, "sample_split": 5, "simple_lin_reg": 5, "smooth_spline_natural":
+    5, "stream_dedup": 5, "stream_running_stats": 5,
+    "stream_sessionize": 5, "stream_windowed_agg": 5, "text_quality":
+    5, "tfidf_topk": 5, "token_budget_sample": 5,
+    "within_radius_target": 5,
+    # last stamped in round 6
+    "ar_coeffs": 6, "array_math": 6, "asof_join": 6,
+    "blueprint_dyn_agg": 6, "bpe_tokenize_oracle": 6, "corr_matrix": 6,
+    "curation_pipeline_v2": 6, "dia_col_validation": 6, "dia_profile":
+    6, "dia_row_validation": 6, "dist_kth_nb": 6, "downsample": 6,
+    "dup_spans": 6, "eda_describe": 6, "eda_flags": 6,
+    "float_neighbors": 6, "glm_poisson": 6, "hypertable_rollup": 6,
+    "isotonic": 6, "jaccard_arrays": 6, "knn_avg_label": 6,
+    "knn_cosine": 6, "knn_freq": 6, "lin_reg_rcond_oracle": 6,
+    "mixture_resample": 6, "multimodal_resize": 6, "pca": 6,
+    "permute_entropy": 6, "pipeline_blueprint": 6, "pq_encode": 6,
+    "quality_quantile_filter": 6, "radius_nb_cnt": 6, "range_join": 6,
+    "rfft": 6, "salted_join": 6, "sample_exact_n": 6,
+    "select_by_std_cols": 6, "semantic_decontaminate": 6,
+    "semantic_dedup": 6, "series_entropy_oracle": 6, "similar_count":
+    6, "singular_values": 6, "smooth_spline_oracle": 6,
+    "stream_curation_gate": 6, "stream_interval_join": 6,
+    "string_kernels_oracle": 6, "volume_neutral": 6,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
 # green rows are stale, so they rank with the unstamped until the
-# driver re-stamps them. Round 6: glm_poisson (linear.py null_policy
-# refactor landed r5 after its r3 stamp) and the brute-force knn paths
-# (knn.py: plain-collect guard + vectorized top-k emit + radius metric
-# branches this round).
+# driver re-stamps them. Round 7: temporal.py (asof struct-carry fix),
+# plans/ranks.py (finite-bounds filter + Java-safe double literals —
+# every global-rank/exact-quantile consumer), functions/sample.py
+# (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
+# chunking).
 _STALE = frozenset({
-    "glm_poisson", "dist_kth_nb", "knn_cosine", "knn_avg_label",
-    "knn_freq", "radius_nb_cnt",
-    # steps.py SQLStep view save/restore changed this round
-    "pipeline_blueprint", "blueprint_dyn_agg",
-    # eda.py / diagnosis.py medians+quartiles moved off F.percentile
-    # onto the plans.ranks exact-quantile selection plan this round
-    "eda_describe", "eda_flags", "corr_matrix", "dia_profile",
-    "dia_col_validation", "dia_row_validation",
-    # ts.py entropy kernels k-vectorized this round
-    "series_entropy_oracle",
+    "asof_join", "bicor", "combinations", "copula_entropy",
+    "corr_family", "corr_matrix", "curation_pipeline_v2",
+    "dia_col_validation", "dia_profile", "dia_row_validation",
+    "downsample", "eda_describe", "hypertable_rollup", "kaplan_meier",
+    "kendall", "ks_2samp", "mann_whitney", "mase_full",
+    "mixture_resample", "multi_roc_auc", "pack_sequences",
+    "quality_quantile_filter", "range_join", "recursive_lin_reg",
+    "roc_auc", "sample_exact_n", "sample_split",
+    "series_entropy_oracle", "token_budget_sample", "tpr_fpr",
+    "volume_neutral", "xi_corr",
 })
 
 

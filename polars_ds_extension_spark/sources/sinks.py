@@ -120,6 +120,14 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
     """
     from .._utils import to_col
 
+    if bits * len(cols) > 63:
+        # the interleaved key lives in a signed 64-bit long: one more
+        # bit and the Morton code wraps negative, silently reversing
+        # the sort for the high half of the curve
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 63: the "
+            f"Z-order key must fit a signed long; use bits <= "
+            f"{63 // len(cols)} for {len(cols)} columns")
     row = df.agg(*[f(to_col(c)).alias(f"{n}_{c}")
                    for c in cols
                    for n, f in (("mn", F.min), ("mx", F.max))]).first()

@@ -362,6 +362,24 @@ def test_mixture_sample_upweights_small_sources(spark):
     assert 700 <= got["big"] <= 800
 
 
+def test_mixture_sample_null_group_key(spark):
+    # A NULL source label must neither crash the driver-side sort
+    # (None vs str comparison) nor silently drop its rows from the
+    # sample (null-comparing filter).
+    from polars_ds_extension_spark.functions import sample as SMP
+    pdf = pd.DataFrame({
+        "id": range(300),
+        "src": ["a"] * 100 + ["b"] * 100 + [None] * 100,
+    })
+    out = SMP.mixture_sample(spark.createDataFrame(pdf), "id", "src",
+                             alpha=0.5).groupBy("src").count().toPandas()
+    got = {(k if isinstance(k, str) else None): v
+           for k, v in zip(out["src"], out["count"])}
+    # equal-sized sources, alpha rebalancing keeps each complete
+    assert got.get("a") == 100 and got.get("b") == 100
+    assert got.get(None) == 100
+
+
 def test_mixture_sample_deterministic(spark):
     from polars_ds_extension_spark.functions import sample as SMP
     pdf = pd.DataFrame({"id": range(500), "src": ["a", "b"] * 250})
@@ -480,6 +498,31 @@ def test_asof_join_tolerance_and_ties(spark):
     assert out.iloc[0]["px_right"] == 5.0
     assert out.iloc[1]["px_right"] == 7.0
     assert pd.isna(out.iloc[2]["px_right"])
+
+
+def test_asof_join_null_payload_attaches_one_row(spark):
+    # A NULL inside a right payload column must NOT make that field fall
+    # back to an older right row: the newest right row is attached
+    # atomically, NULLs included (polars/DuckDB asof semantics).
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    left = pd.DataFrame({"k": [1, 1], "t": [25.0, 12.0]})
+    right = pd.DataFrame({
+        "k": [1, 1], "t": [10.0, 20.0],
+        "px": [5.0, None], "qty": [100.0, 200.0]})
+    out = TJ.asof_join(spark.createDataFrame(left),
+                       spark.createDataFrame(right),
+                       on="t", by=["k"], right_cols=["px", "qty"]) \
+        .toPandas().sort_values("t").reset_index(drop=True)
+    # t=12 -> right t=10 row whole
+    assert out.iloc[0]["px_right"] == 5.0
+    assert out.iloc[0]["qty_right"] == 100.0
+    assert out.iloc[0]["t_right"] == 10.0
+    # t=25 -> right t=20 row whole: px NULL rides along, it does not
+    # borrow px=5.0 from the t=10 row
+    assert pd.isna(out.iloc[1]["px_right"])
+    assert out.iloc[1]["qty_right"] == 200.0
+    assert out.iloc[1]["t_right"] == 20.0
 
 
 def test_range_join_matches_naive_and_avoids_nested_loop(spark):

@@ -260,6 +260,31 @@ def test_exact_quantiles_null_and_tiny(spark):
     assert exact_quantiles(empty, {"a": [0.5]}) == {"a": [None]}
 
 
+def test_exact_quantiles_with_infinities(spark):
+    # A column carrying ±inf used to silently return None for EVERY
+    # quantile: percentile_approx hands back inf boundaries, whose
+    # repr() ('inf') Spark's string→double cast rejects, nulling all
+    # bucket ids. Boundaries are now filtered to finite values and the
+    # inf rows counted exactly in the edge buckets.
+    from polars_ds_extension_spark.plans import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([rng.normal(0, 1, 1000),
+                         np.full(400, np.inf), np.full(300, -np.inf)])
+    import pandas as pd
+    sdf = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    probs = [0.0, 0.05, 0.5, 0.9, 1.0]
+    got = exact_quantiles(sdf, {"x": probs}, n_parts=8)
+    exp = [float(np.quantile(xs, q)) for q in probs]
+    for g, e in zip(got["x"], exp):
+        assert g is not None
+        if np.isfinite(e):
+            assert g == pytest.approx(e, abs=1e-12)
+        else:
+            # interpolating between two infs gives nan on both sides
+            assert g == e or (np.isnan(g) and np.isnan(e))
+
+
 def test_exact_quantiles_presketch_path(spark):
     from polars_ds_extension_spark.plans.ranks import (
         exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse)

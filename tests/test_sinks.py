@@ -134,3 +134,21 @@ def test_zorder_layout_clusters_both_dims(spark, outdir):
     # and the files actually landed
     back = spark.read.parquet(f"{outdir}/z")
     assert back.count() == 20000
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pandas as pd
+    import pytest
+    from polars_ds_extension_spark.sources.sinks import zorder_key
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": [1.0], "b": [2.0], "c": [3.0], "d": [4.0]}))
+    # 16 bits x 4 cols = 64 > 63: the top interleaved bit would land in
+    # the sign bit and wrap the curve negative
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(sdf, ["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(sdf, ["a", "b"], bits=32)
+    # 15 bits x 4 = 60 fits
+    key, _ = zorder_key(sdf, ["a", "b", "c", "d"], bits=15)
+    assert key is not None
