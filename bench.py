@@ -106,12 +106,17 @@ def main() -> None:
         if qi % 8 == 7:
             spark.sparkContext._jvm.System.gc()
 
-    # Scale probe: one run of the most expensive queries on the lazily
-    # materialized 10x data (.probe_data/sf1.0); ratio vs this round's
-    # own sf0.1 median. Converts "the plans are 100x-shaped" from
-    # code-reading to measurement — a scan-bound query should land near
-    # the inflation factor, sample-bounded kernels below it. Skipped
-    # (never fatal) if the probe data can't be built.
+    # Scale probe: the most expensive queries on the lazily materialized
+    # 10x CONSTANT-DENSITY data (.probe_data/sf1.0 — per-copy disjoint
+    # token vocabularies keep dup-cluster sizes fixed, see
+    # scripts/scale_probe.py); ratio vs this round's own sf0.1 median.
+    # Converts "the plans are 100x-shaped" from code-reading to
+    # measurement — a scan-bound query should land near the inflation
+    # factor, sample-bounded kernels below it. TWO large runs, min: the
+    # base time is a warmed median, so a single cold large run mixes
+    # JIT/codegen warmup into the ratio (measured: near_dup_minhash
+    # cold-single 12.7x vs warm-min 2.7x on the same data shape).
+    # Skipped (never fatal) if the probe data can't be built.
     probe_ratio: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
         try:
@@ -122,11 +127,13 @@ def main() -> None:
                 base_t = per_query.get(name)
                 if name not in qs or not base_t or base_t != base_t:
                     continue
-                t0 = time.perf_counter()
-                qs[name](spark, pdir).count()
-                t_large = time.perf_counter() - t0
-                release_pins()
-                spark.catalog.clearCache()
+                t_large = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, pdir).count()
+                    t_large = min(t_large, time.perf_counter() - t0)
+                    release_pins()
+                    spark.catalog.clearCache()
                 probe_ratio[name] = round(t_large / base_t, 1)
                 print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
                       f"(x{probe_ratio[name]})", file=sys.stderr)

@@ -654,35 +654,101 @@ def map_words(c, mapping: Dict[str, str]) -> Column:
     return out
 
 
+def _vocab_sims_udf(vocab: "tuple[str, ...]", metric: str,
+                    jw_weight: float = 0.1):
+    """ONE Arrow-batched UDF computing the similarity of each input
+    string to EVERY vocab word — array<double>, one entry per word.
+    One data transfer per batch, |vocab| batch-kernel calls; the
+    avg/any/all/argmax reductions stay JVM-side on the array."""
+    import numpy as np
+
+    @pandas_udf("array<double>")
+    def _udf(a: pd.Series) -> pd.Series:
+        va = a.tolist()
+        Bn = len(va)
+        A, la = _codes_batch(va)
+        cols = []
+        for w in vocab:
+            B2, lb = _codes_batch([w] * Bn)
+            if metric == "jw":
+                out = _jw_batch(A, la, B2, lb, jw_weight).astype("float64")
+            elif metric == "dlv":
+                d = _chunked_dleven(A, la, B2, lb)
+                out = 1.0 - d / np.maximum(np.maximum(la, lb), 1)
+            else:  # osa
+                d = _osa_batch(A, la, B2, lb)
+                out = 1.0 - d / np.maximum(np.maximum(la, lb), 1)
+            cols.append(out)
+        M = np.stack(cols, axis=1) if cols else np.zeros((Bn, 0))
+        return pd.Series(
+            [None if v is None else [float(x) for x in row]
+             for v, row in zip(va, M)], dtype="object")
+
+    return _udf
+
+
+_VOCAB_METRICS = ("lv", "dlv", "jw", "osa")
+
+
 def similar_to_vocab(c, vocab: Sequence[str], threshold: float,
                      metric: str = "lv", strategy: str = "avg") -> Column:
     """Boolean: similarity of c to the (small, literal) vocab passes the
-    threshold under avg/all/any strategy. Ref string.py:702. The vocab is
-    inlined as literals → flat JVM expression, no join."""
-    if metric != "lv":
-        raise NotImplementedError("round 1 supports levenshtein similarity")
-    sims = [str_leven(c, F.lit(v), return_sim=True) for v in vocab]
+    threshold under avg/all/any strategy. Ref string.py:702 (metrics
+    'lv'|'dlv'|'jw'|'osa'). 'lv' is a flat JVM expression over inlined
+    literals; the DP metrics ride ONE Arrow batch UDF for the whole
+    vocab, with the strategy reduction JVM-side on the sims array."""
+    if metric not in _VOCAB_METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_VOCAB_METRICS}")
+    if metric == "lv":
+        sims = [str_leven(c, F.lit(v), return_sim=True) for v in vocab]
+        if strategy == "avg":
+            total = sims[0]
+            for s_ in sims[1:]:
+                total = total + s_
+            return (total / F.lit(len(sims))) >= threshold
+        conds = [s_ >= threshold for s_ in sims]
+        out = conds[0]
+        for cc in conds[1:]:
+            out = (out & cc) if strategy == "all" else (out | cc)
+        return out
+    arr = _vocab_sims_udf(tuple(vocab), metric)(to_col(c))
     if strategy == "avg":
-        total = sims[0]
-        for s_ in sims[1:]:
-            total = total + s_
-        return (total / F.lit(len(sims))) >= threshold
-    conds = [s_ >= threshold for s_ in sims]
-    out = conds[0]
-    for cc in conds[1:]:
-        out = (out & cc) if strategy == "all" else (out | cc)
-    return out
+        avg = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x) \
+            / F.lit(len(vocab))
+        return avg >= threshold
+    if strategy == "all":
+        return F.forall(arr, lambda x: x >= threshold)
+    return F.exists(arr, lambda x: x >= threshold)
 
 
 def str_nearest(df: DataFrame, c: str, vocab: Sequence[str],
                 metric: str = "lv", out_name: str = "nearest") -> DataFrame:
-    """For each row, the vocab word nearest to column c by levenshtein.
-    Ref string.py:188. Vocab inlined via array+array_min (broadcast-free
-    for small vocab; for big vocab use a broadcast crossJoin + min)."""
-    structs = F.array(*[
-        F.struct(
-            F.levenshtein(to_col(c), F.lit(v)).alias("d"), F.lit(v).alias("w")
-        ) for v in vocab
-    ])
-    best = F.array_min(structs)  # struct ordering: by first field (d)
+    """For each row, the vocab word nearest to column c. Ref
+    string.py:188 ('lv'|'hamming') + :706 metric family ('dlv'|'jw'|
+    'osa'). 'lv'/'hamming' are pure JVM expressions over the inlined
+    vocab (array+array_min — broadcast-free for small vocab; for big
+    vocab use a broadcast crossJoin + min); the DP metrics compute the
+    sims array in ONE Arrow batch UDF and argmax JVM-side. Ties break
+    to the lexicographically smallest word for the distance metrics and
+    to the largest for the similarity path (struct ordering)."""
+    if metric in ("lv", "hamming"):
+        if metric == "lv":
+            dist = [F.levenshtein(to_col(c), F.lit(v)) for v in vocab]
+        else:
+            # pad=True totalizes unequal lengths (gap counts as
+            # mismatches) so every distance is comparable
+            dist = [str_hamming(c, F.lit(v), pad=True) for v in vocab]
+        structs = F.array(*[
+            F.struct(d.alias("d"), F.lit(v).alias("w"))
+            for d, v in zip(dist, vocab)
+        ])
+        best = F.array_min(structs)  # struct ordering: by first field (d)
+        return df.withColumn(out_name, best.getField("w"))
+    if metric not in _VOCAB_METRICS:
+        raise ValueError(
+            f"unknown metric {metric!r}; one of {_VOCAB_METRICS + ('hamming',)}")
+    arr = _vocab_sims_udf(tuple(vocab), metric)(to_col(c))
+    words = F.array(*[F.lit(v) for v in vocab])
+    best = F.array_max(F.zip_with(
+        arr, words, lambda s, w: F.struct(s.alias("s"), w.alias("w"))))
     return df.withColumn(out_name, best.getField("w"))

@@ -115,8 +115,9 @@ _GREEN_ROUND = {
 # plans/ranks.py (finite-bounds filter + Java-safe double literals —
 # every global-rank/exact-quantile consumer), functions/sample.py
 # (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
-# chunking).
+# chunking), functions/string_.py (str_nearest metric family).
 _STALE = frozenset({
+    "vocab_nearest",
     "asof_join", "bicor", "combinations", "copula_entropy",
     "corr_family", "corr_matrix", "curation_pipeline_v2",
     "dia_col_validation", "dia_profile", "dia_row_validation",

@@ -846,6 +846,56 @@ def vocab_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tok", "nearest")
 
 
+@query("vocab_nearest_metrics", """
+WITH toks AS (
+  SELECT doc_id, split_part(trim(text), ' ', 1) AS tok FROM documents
+), v AS (
+  SELECT UNNEST(['data','query','table','spark','batch']) AS w
+), jw AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY jaro_winkler_similarity(tok, w) DESC, w DESC) AS rn
+  FROM toks CROSS JOIN v
+), dlv AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY 1.0 - damerau_levenshtein(tok, w)::DOUBLE
+             / greatest(length(tok), length(w), 1) DESC, w DESC) AS rn
+  FROM toks CROSS JOIN v
+), ham AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+    (CASE WHEN least(length(tok), length(w)) = 0 THEN 0
+          ELSE hamming(substr(tok, 1, least(length(tok), length(w))),
+                       substr(w, 1, least(length(tok), length(w)))) END
+     + abs(length(tok) - length(w))) ASC, w ASC) AS rn
+  FROM toks CROSS JOIN v
+)
+SELECT t.doc_id, t.tok,
+       jw.w AS nearest_jw, dlv.w AS nearest_dlv, ham.w AS nearest_ham
+FROM toks t
+JOIN jw ON jw.doc_id = t.doc_id AND jw.rn = 1
+JOIN dlv ON dlv.doc_id = t.doc_id AND dlv.rn = 1
+JOIN ham ON ham.doc_id = t.doc_id AND ham.rn = 1
+""")
+def vocab_nearest_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest vocab word under the jw / full-DL / hamming metrics (ref
+    string.py:706 metric family, :192 hamming) — the DP metrics compute
+    their sims array in ONE Arrow batch UDF per metric and reduce
+    JVM-side; hamming is a pure JVM expression. Oracled against
+    DuckDB's native jaro_winkler_similarity / damerau_levenshtein /
+    hamming with matching tie order."""
+    vocab = ["data", "query", "table", "spark", "batch"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split_part(F.trim(F.col("text")), F.lit(" "), F.lit(1)).alias("tok"))
+    out = STR.str_nearest(docs, "tok", vocab, metric="jw",
+                          out_name="nearest_jw")
+    out = STR.str_nearest(out, "tok", vocab, metric="dlv",
+                          out_name="nearest_dlv")
+    out = STR.str_nearest(out, "tok", vocab, metric="hamming",
+                          out_name="nearest_ham")
+    return out.select("doc_id", "tok", "nearest_jw", "nearest_dlv",
+                      "nearest_ham")
+
+
 @query("cond_indep", """
 WITH mm AS (
   SELECT MIN(value) AS xmin, MAX(value) AS xmax,

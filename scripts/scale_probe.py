@@ -6,13 +6,29 @@ SHAPE — a query whose plan is 100TB-ready should scale ~linearly in
 rows (ratio ~10 for scan-bound work, lower for sample-bounded kernels,
 higher only where a documented quadratic term lives). Inflation unions
 10 id-shifted copies of each base table (foreign keys shifted together
-so join integrity holds; text/vector payloads copied verbatim, which
-also stresses dedup cluster sizes 10x) and materializes them as parquet
-under .probe_data/sf1.0 (gitignored; built lazily, reused after).
+so join integrity holds) and materializes them as parquet under
+.probe_data/ (gitignored; built lazily, reused after).
 
-Usage: python scripts/scale_probe.py [--rebuild] [query ...]
+Two variants control DUP-CLUSTER DENSITY in the text corpus:
+
+* default (sf1.0, constant density): every token in copy k gets the
+  suffix k, so the 10 copies carry disjoint vocabularies. A token-level
+  bijection preserves within-copy Jaccard exactly (and char-shingle
+  Jaccard almost exactly), so each copy keeps the base corpus's dup
+  structure — same absolute cluster sizes, 10x as many clusters. This
+  is what a 10x-bigger real corpus looks like, and the shape the probe
+  grades.
+* --dense (sf1.0-dense): text copied VERBATIM — every base-corpus dup
+  cluster fuses across copies into one 10x-bigger cluster, so pair
+  emission inside clusters grows ~100x by construction (the r6 probe's
+  confound: near_dup_minhash's corpus is docs ∪ one perturbed copy, so
+  base clusters have size 2 and dense inflation makes them size 20 =
+  190 pairs instead of 1). Kept as the adversarial hot-cluster
+  stress, not the linearity gauge.
+
+Usage: python scripts/scale_probe.py [--rebuild] [--dense] [query ...]
 Prints one JSON line: {"probe": {q: {"t_small": s, "t_large": s,
-"ratio": r}}, "factor": 10}.
+"ratio": r}}, "factor": 10, "variant": "const-density"|"dense"}.
 """
 
 from __future__ import annotations
@@ -26,8 +42,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PROBE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".probe_data", "sf1.0")
+_PROBE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".probe_data")
+PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0")
+PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 FACTOR = 10
 
 # (table, columns shifted by k * (max+1) per copy k) — FK pairs shift by
@@ -49,17 +67,21 @@ DEFAULT_QUERIES = [
     "knn_cosine", "ivf_ann", "series_entropy",
     # round 6 additions: the new heavy queries + the exact-quantile plan
     "dia_profile", "semantic_dedup", "dup_spans",
+    # round 7: the temporal joins (watch the range-join explode factor)
+    "asof_join", "range_join", "hypertable_rollup",
 ]
 
 
-def build_probe_data(spark, rebuild: bool = False) -> str:
+def build_probe_data(spark, rebuild: bool = False,
+                     dense: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    if os.path.isdir(PROBE_DIR):
+    probe_dir = PROBE_DIR_DENSE if dense else PROBE_DIR
+    if os.path.isdir(probe_dir):
         if not rebuild:
-            return PROBE_DIR
-        shutil.rmtree(PROBE_DIR)
-    os.makedirs(PROBE_DIR, exist_ok=True)
+            return probe_dir
+        shutil.rmtree(probe_dir)
+    os.makedirs(probe_dir, exist_ok=True)
     strides = {}
     for t, cols in _SHIFTS.items():
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
@@ -76,38 +98,48 @@ def build_probe_data(spark, rebuild: bool = False) -> str:
                 cp = cp.withColumn(
                     c, (F.col(c) + k * strides[key]).cast(
                         dict(df.dtypes)[c]))
+            if t == "documents" and not dense:
+                # constant-density text: suffix every token with the
+                # copy digit — a bijective token map per copy, so each
+                # copy keeps the base corpus's dup structure while the
+                # copies share no shingles with each other
+                cp = cp.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)",
+                                     r"$1" + str(k)))
             parts.append(cp)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         out.repartition(32).write.mode("overwrite").parquet(
-            f"{PROBE_DIR}/{t}.parquet")
+            f"{probe_dir}/{t}.parquet")
     for t in _COPY:
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        df.write.mode("overwrite").parquet(f"{PROBE_DIR}/{t}.parquet")
-    return PROBE_DIR
+        df.write.mode("overwrite").parquet(f"{probe_dir}/{t}.parquet")
+    return probe_dir
 
 
-def run_probe(spark, names=None, runs: int = 2) -> dict:
-    import statistics
-
+def run_probe(spark, names=None, runs: int = 2,
+              dense: bool = False) -> dict:
     from polars_ds_extension_spark import queries as catalog
 
     qs = catalog.queries()
     names = list(names) if names else DEFAULT_QUERIES
-    build_probe_data(spark)
+    probe_dir = build_probe_data(spark, dense=dense)
     out = {}
     for n in names:
         if n not in qs:
             continue
         ts = {}
-        for label, d in (("t_small", BASE), ("t_large", PROBE_DIR)):
+        for label, d in (("t_small", BASE), ("t_large", probe_dir)):
             samples = []
             for _ in range(runs):
                 t0 = time.time()
                 qs[n](spark, d).count()
                 samples.append(time.time() - t0)
-            ts[label] = round(statistics.median(samples), 3)
+            # min, not median: JIT/codegen warmup lands in run 1 on
+            # both sides; min compares warmed plans
+            ts[label] = round(min(samples), 3)
         ts["ratio"] = round(ts["t_large"] / max(ts["t_small"], 1e-9), 2)
         out[n] = ts
         print(f"  {n}: {ts['t_small']}s -> {ts['t_large']}s "
@@ -116,17 +148,19 @@ def run_probe(spark, names=None, runs: int = 2) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    args = [a for a in sys.argv[1:] if a not in ("--rebuild", "--dense")]
     rebuild = "--rebuild" in sys.argv[1:]
+    dense = "--dense" in sys.argv[1:]
 
     from polars_ds_extension_spark.session import get_spark
 
     spark = get_spark(app="pds-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if rebuild:
-        build_probe_data(spark, rebuild=True)
-    probe = run_probe(spark, args or None)
-    print(json.dumps({"probe": probe, "factor": FACTOR}))
+        build_probe_data(spark, rebuild=True, dense=dense)
+    probe = run_probe(spark, args or None, dense=dense)
+    print(json.dumps({"probe": probe, "factor": FACTOR,
+                      "variant": "dense" if dense else "const-density"}))
 
 
 if __name__ == "__main__":

@@ -113,6 +113,52 @@ def test_fuzz_and_vocab(spark):
     assert byn["apple"] == "apples"
 
 
+def test_vocab_metrics_match_scalar_kernels(spark):
+    """similar_to_vocab / str_nearest with dlv/jw/osa/hamming agree with
+    the per-row scalar reference kernels over a random corpus."""
+    import random
+
+    from polars_ds_extension_spark.functions.string_ import (
+        _dleven, _jw, _osa)
+
+    rng = random.Random(7)
+    vocab = ["spark", "batch", "query", "table"]
+    words = ["spark", "sprak", "quary", "tabel", "zzz", "batching",
+             "a", "", "qu"]
+    for _ in range(40):
+        words.append("".join(rng.choice("abqrstk")
+                             for _ in range(rng.randint(0, 9))))
+    df = spark.createDataFrame([(w,) for w in words], "a string")
+
+    def sim(metric, a, v):
+        if metric == "jw":
+            return _jw(a, v)
+        d = _dleven(a, v) if metric == "dlv" else _osa(a, v)
+        return 1.0 - d / max(len(a), len(v), 1)
+
+    for metric in ("dlv", "jw", "osa"):
+        got = {r["a"]: r["nearest"] for r in S.str_nearest(
+            df, "a", vocab, metric=metric).collect()}
+        thr = {r["a"]: r["ok"] for r in df.select("a", S.similar_to_vocab(
+            "a", vocab, 0.5, metric=metric, strategy="any").alias("ok"))
+            .collect()}
+        for w in words:
+            sims = [(sim(metric, w, v), v) for v in vocab]
+            assert got[w] == max(sims)[1], (metric, w, sims)
+            assert thr[w] == (max(s for s, _ in sims) >= 0.5), (metric, w)
+
+    # hamming nearest: pad=True totalizes unequal lengths
+    def ham(a, v):
+        n = min(len(a), len(v))
+        return sum(x != y for x, y in zip(a, v)) + abs(len(a) - len(v))
+
+    got = {r["a"]: r["nearest"] for r in S.str_nearest(
+        df, "a", vocab, metric="hamming").collect()}
+    for w in words:
+        dists = [(ham(w, v), v) for v in vocab]
+        assert got[w] == min(dists)[1], (w, dists)
+
+
 def test_dleven_batch_matches_scalar_and_differs_from_osa(spark):
     """Batch Lowrance-Wagner == per-row reference kernel, including the
     CA/ABC case where full DL (2) differs from OSA (3)."""
