@@ -186,22 +186,26 @@ def filter_by_global_quantile(df: DataFrame, value_col: str,
     filter of training-data pipelines, with rank semantics that every
     engine reproduces (no approximate percentile in the cut).
 
-    The exact global rank comes from the two-pass range-bucket plan
-    (plans/ranks.global_min_rank — no single-partition sort); the row
-    count from one scalar agg. A row survives when its min-rank clears
-    ceil(q·n) (ties at the threshold value share a rank, so the whole
-    tied group lands on one side — the only engine-stable choice).
+    The exact global rank AND the row count both come from the two-pass
+    range-bucket plan (plans/ranks.global_min_rank with total_name —
+    the per-bucket counts of the offsets pass sum to n for free, no
+    separate count() scan; no single-partition sort anywhere). A row
+    survives when its min-rank clears floor(q·n) (ties at the threshold
+    value share a rank, so the whole tied group lands on one side — the
+    only engine-stable choice).
     """
     from ..plans import global_min_rank
 
-    n = df.count()
-    cut = int(q * n)
-    ranked = global_min_rank(df, to_col(value_col), out_name="__qr")
+    ranked = global_min_rank(df, to_col(value_col), out_name="__qr",
+                             total_name="__qn")
+    # floor(q·n) == int(q·n) for the non-negative product; both sides
+    # are IEEE doubles so the cut matches a driver-side int(q * count)
+    cut = F.floor(F.lit(float(q)) * F.col("__qn"))
     if keep == "top":
         out = ranked.where(F.col("__qr") > cut)
     else:
         out = ranked.where(F.col("__qr") <= cut)
-    return out.drop("__qr")
+    return out.drop("__qr", "__qn")
 
 
 def sample_exact_n(df: DataFrame, id_col: str, n: int) -> DataFrame:

@@ -502,18 +502,36 @@ def query_lempel_ziv(df: DataFrame, x: str, order_by,
 def query_permute_entropy(df: DataFrame, x: str, order_by,
                           by: Sequence[str] | None = None,
                           m: int = 3) -> DataFrame:
-    """Permutation entropy (Bandt & Pompe 2002), embedding dim 3:
-    −Σ p(π)·ln p(π) over ordinal patterns of consecutive triples.
-    Ref ts_features.py (permute_entropy).
+    """Permutation entropy (Bandt & Pompe 2002): −Σ p(π)·ln p(π) over
+    ordinal patterns of m consecutive values. Ref ts_features.py:734
+    (any n_dims > 1; tau fixed at 1 here).
 
-    Fully JVM: two lags encode the pattern via pairwise comparisons
-    (stable tie-break by position, matching argsort), then a tiny
-    pattern-frequency aggregation — no whole-series kernel needed.
-    Output: ``by`` + permute_entropy.
+    m=3 (the common case) is fully JVM: two lags encode the pattern via
+    pairwise comparisons (stable tie-break by position, matching
+    argsort), then a tiny pattern-frequency aggregation — no
+    whole-series kernel. Other m auto-route through the per-group
+    numpy kernel (stable-argsort codes over a sliding window view;
+    entropy depends only on the pattern partition, so any injective
+    encoding agrees with the JVM path). Output: ``by`` +
+    permute_entropy.
     """
+    if m < 2:
+        raise ValueError("m must be > 1")
     if m != 3:
-        raise NotImplementedError("JVM path implements m=3; use the "
-                                  "series kernels for other dims")
+        import numpy as np
+
+        def _kernel(xv: "np.ndarray") -> dict:
+            if xv.size < m:
+                return {"permute_entropy": [float("nan")]}
+            W = np.lib.stride_tricks.sliding_window_view(xv, m)
+            P = np.argsort(W, axis=1, kind="stable")
+            codes = (P * (m ** np.arange(m))).sum(1)
+            _, counts = np.unique(codes, return_counts=True)
+            p = counts / counts.sum()
+            return {"permute_entropy": [float(-(p * np.log(p)).sum())]}
+
+        return _series_apply(df, x, order_by, by, _kernel,
+                             "permute_entropy double")
     keys = list(by) if by else []
     xx = to_col(x).cast("double")
     w = ordered_window(order_by, keys or None)

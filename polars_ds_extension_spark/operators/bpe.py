@@ -34,15 +34,21 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
               sample_rows: int = 20_000,
               lowercase: bool = True) -> list:
     """Learn ``n_merges`` BPE merges from a bounded sample of the
-    corpus. Deterministic: ties on pair frequency break
-    lexicographically, so the same sample always yields the same
-    merge list (pass an ordered frame for cross-run stability).
+    corpus. Deterministic end-to-end: the sample is the ``sample_rows``
+    lowest-content-hash rows (orderBy(xxhash64(text)) + limit plans as
+    TakeOrderedAndProject — per-task top-n, bounded driver merge — so
+    the same corpus yields the same sample under ANY partition count or
+    arrival order, unlike a bare limit()), and ties on pair frequency
+    break lexicographically.
 
     Returns the ordered merge list [(left, right), ...] — the entire
     model state, JSON-serializable, broadcastable.
     """
+    tc = F.col(text_col)
     texts = [r[0] for r in
-             df.select(text_col).limit(sample_rows).collect()]
+             df.select(text_col)
+               .orderBy(F.xxhash64(tc).asc(), tc.asc())
+               .limit(sample_rows).collect()]
     freqs = _word_freqs(texts, lowercase)
     # word -> symbol tuple (characters, with an end-of-word marker so
     # merges cannot cross word boundaries)

@@ -98,9 +98,14 @@ def _ranged(df: DataFrame, order_col, by: Sequence[str] | None,
 
 
 def _offsets(part: DataFrame, by: Sequence[str] | None,
-             agg_cols: dict[str, object]) -> DataFrame:
+             agg_cols: dict[str, object],
+             with_totals: bool = False) -> DataFrame:
     """Collect per-(pid, by) totals, prefix-sum per group on the driver,
-    return a small offsets DataFrame to broadcast-join back."""
+    return a small offsets DataFrame to broadcast-join back.
+    ``with_totals`` additionally emits ``__tot_<n>`` (the group's full
+    sum — the running sum after the LAST bucket) on every row, so
+    callers that need the group size get it from the same collect
+    instead of a separate count() scan."""
     keys = list(by or [])
     totals = (
         part.groupBy(_PID, *keys)
@@ -116,8 +121,12 @@ def _offsets(part: DataFrame, by: Sequence[str] | None,
             acc["run"][n] += float(r[n] or 0.0)
     out_rows = []
     for gkey, acc in rows.items():
+        tot = acc["run"]
         for pid, offs in acc["out"]:
-            out_rows.append(tuple([pid, *gkey] + [offs[n] for n in agg_cols]))
+            vals = [offs[n] for n in agg_cols]
+            if with_totals:
+                vals += [tot[n] for n in agg_cols]
+            out_rows.append(tuple([pid, *gkey] + vals))
     schema_keys = ", ".join(
         f"{k} {dict((f.name, f.dataType.simpleString()) for f in part.schema.fields)[k]}"
         for k in keys
@@ -126,6 +135,8 @@ def _offsets(part: DataFrame, by: Sequence[str] | None,
         f"{_PID} int" + (", " + schema_keys if keys else "")
         + ", " + ", ".join(f"__off_{n} double" for n in agg_cols)
     )
+    if with_totals:
+        schema += ", " + ", ".join(f"__tot_{n} double" for n in agg_cols)
     spark = part.sparkSession
     return F.broadcast(spark.createDataFrame(out_rows, schema))
 
@@ -154,19 +165,26 @@ def global_cumsum(df: DataFrame, order_col, value_cols: Sequence[str],
 def global_min_rank(df: DataFrame, order_col,
                     by: Sequence[str] | None = None,
                     out_name: str = "rank",
-                    n_parts: int | None = None) -> DataFrame:
+                    n_parts: int | None = None,
+                    total_name: str | None = None) -> DataFrame:
     """SQL rank() (min rank, ties share) over the WHOLE frame / group —
-    without a single-partition sort."""
+    without a single-partition sort. ``total_name`` additionally
+    attaches the group's row count (free — the per-bucket counts the
+    offsets pass already collects sum to it), saving callers that need
+    rank AND size a separate count() scan."""
     keys = list(by or [])
     part = _ranged(df, order_col, keys, n_parts)
     w_local = Window.partitionBy(_PID, *keys).orderBy(to_col(order_col))
     part = part.withColumn("__loc_r", F.rank().over(w_local).cast("double"))
     part = _pin(part)
-    offs = _offsets(part, keys, {"n": F.count(F.lit(1)).cast("double")})
+    offs = _offsets(part, keys, {"n": F.count(F.lit(1)).cast("double")},
+                    with_totals=total_name is not None)
     joined = part.join(offs, [_PID, *keys])
-    return joined.withColumn(
-        out_name, F.col("__loc_r") + F.col("__off_n")
-    ).drop("__loc_r", "__off_n", _PID)
+    out = joined.withColumn(out_name, F.col("__loc_r") + F.col("__off_n"))
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("__tot_n")) \
+            .drop("__tot_n")
+    return out.drop("__loc_r", "__off_n", _PID)
 
 
 def global_avg_rank(df: DataFrame, order_col,

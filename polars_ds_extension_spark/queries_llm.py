@@ -1212,6 +1212,72 @@ def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("codes").alias("subspace", "code"))
 
 
+@query("pq_search", """
+WITH cb AS (
+  SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+), q AS (
+  SELECT vec_id AS q_id, embedding FROM embeddings
+  WHERE vec_id >= 300 AND vec_id < 310
+), sub AS (SELECT s FROM UNNEST(range(0, 8)) t(s)),
+d AS (
+  SELECT v.vec_id, sub.s, cb.code,
+    list_sum(list_transform(
+      list_zip(v.embedding[sub.s * 8 + 1 : sub.s * 8 + 8],
+               cb.embedding[sub.s * 8 + 1 : sub.s * 8 + 8]),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)) AS d2
+  FROM v, sub, cb
+), codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                               ORDER BY d2, code) AS rn
+    FROM d) WHERE rn = 1
+), lut AS (
+  SELECT q.q_id, sub.s, cb.code,
+    list_sum(list_transform(
+      list_zip(q.embedding[sub.s * 8 + 1 : sub.s * 8 + 8],
+               cb.embedding[sub.s * 8 + 1 : sub.s * 8 + 8]),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)) AS d2
+  FROM q, sub, cb
+), adc AS (
+  SELECT l.q_id, c.vec_id AS neighbor_id,
+         list_sum(list(l.d2 ORDER BY l.s)) AS adc
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  GROUP BY 1, 2
+), r AS (
+  SELECT q_id, neighbor_id, adc, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY adc, neighbor_id) AS "rank"
+  FROM adc
+)
+SELECT q_id, neighbor_id, ROUND(adc, 6) AS adc_dist, "rank" AS rank
+FROM r WHERE "rank" <= 3
+""")
+def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (operators/embedding.py
+    pq_knn_join): per query ONE m x K lookup table of exact
+    query-to-centroid distances, every index row scored by m table
+    lookups — no decode, no full-dim math against the corpus. Same
+    deterministic 'first' codebooks as pq_encode so the oracle replays
+    the encode argmin AND the ADC sum in SQL (production kmeans
+    codebooks follow the identical search path, recall-tested in
+    pytest)."""
+    from .operators import embedding as EMB
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    books = EMB.pq_train(emb.orderBy("vec_id"), "v", m=8, k=16,
+                         sample_rows=16, method="first")
+    codes = EMB.pq_encode(emb.where(F.col("vec_id") < 300), "vec_id", "v",
+                          books)
+    qs = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 310)) \
+        .select(F.col("vec_id").alias("q_id"), "v")
+    out = EMB.pq_knn_join(qs, "q_id", "v", codes, "vec_id", "codes",
+                          books, k=3)
+    return out.select("q_id", "neighbor_id",
+                      _r(F.col("adc_dist")).alias("adc_dist"), "rank")
+
+
 @query("semantic_decontaminate", """
 WITH bench AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20

@@ -614,6 +614,28 @@ def test_bpe_train_classic_corpus(spark):
     assert ("l", "o") in m and ("lo", "w") in m
 
 
+def test_bpe_train_partition_order_invariant(spark):
+    # limit() takes whatever partitions answer first; the content-hash
+    # sample must yield identical merges however the frame is laid out
+    from polars_ds_extension_spark.operators import bpe as B
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "spark", "query"]
+    corpus = [" ".join(rng.choice(vocab, rng.integers(2, 8)))
+              for _ in range(800)]
+    pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
+    base = spark.createDataFrame(pdf)
+    layouts = [base.coalesce(1), base.repartition(32),
+               base.repartition(7, "id").sortWithinPartitions(
+                   F.col("id").desc())]
+    # sample_rows < corpus size so the SELECTION (not just tie-break)
+    # must be deterministic
+    merges = [B.bpe_train(d, "text", n_merges=8, sample_rows=300)
+              for d in layouts]
+    assert merges[0] == merges[1] == merges[2]
+    assert len(merges[0]) == 8
+
+
 def test_bpe_encode_matches_reference_and_handles_unseen(spark):
     from polars_ds_extension_spark.operators import bpe as B
 

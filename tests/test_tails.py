@@ -172,6 +172,38 @@ def test_permute_entropy(spark):
     assert abs(e - math.log(6)) < 0.05
 
 
+def test_permute_entropy_arbitrary_m(spark):
+    """m != 3 auto-routes through the numpy kernel; parity vs a brute
+    Bandt-Pompe reference and vs the m=3 JVM path (incl. ties)."""
+    import itertools
+
+    def brute(xs, m):
+        pats = {}
+        for j in range(len(xs) - m + 1):
+            w = xs[j:j + m]
+            perm = tuple(sorted(range(m), key=lambda i: (w[i], i)))
+            pats[perm] = pats.get(perm, 0) + 1
+        tot = sum(pats.values())
+        return -sum(c / tot * math.log(c / tot) for c in pats.values())
+
+    xs = list(RNG.normal(size=400))
+    # tie mass: repeated values exercise the stable tie-break
+    xs[50:60] = [1.5] * 10
+    df = _series_df(spark, xs)
+    for m in (2, 4, 5):
+        got = TS.query_permute_entropy(df, "x", "i", m=m) \
+            .first()["permute_entropy"]
+        assert abs(got - brute(xs, m)) < 1e-9, m
+    # m=3: JVM path == brute == kernel partition
+    got3 = TS.query_permute_entropy(df, "x", "i", m=3) \
+        .first()["permute_entropy"]
+    assert abs(got3 - brute(xs, 3)) < 1e-9
+    # increasing series: zero entropy at any m
+    inc = _series_df(spark, [float(i) for i in range(30)])
+    assert TS.query_permute_entropy(inc, "x", "i", m=4) \
+        .first()["permute_entropy"] == 0.0
+
+
 def test_similar_count(spark):
     x = np.concatenate([np.zeros(6), RNG.normal(10, 1, 50), np.zeros(6)])
     out = TS.query_similar_count(_series_df(spark, x), "x", "i",
