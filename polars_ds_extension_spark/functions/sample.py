@@ -231,3 +231,53 @@ def sample_exact_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
     ranked = ranked.withColumn(
         "__rnk", F.col("__br") + F.row_number().over(w) - 1)
     return ranked.where(F.col("__rnk") <= n).drop("__bk", "__br", "__rnk")
+
+
+def group_bucket(group_col, buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket for a STRING group key: polynomial ascii
+    hash (acc*31 + ascii(c), mod 1000003) scrambled through the same
+    Fibonacci multiply as `_bucket`. A one-expression integer pipeline
+    any engine reproduces (DuckDB: list_reduce over string_split), so
+    group-keyed splits stay oracle-checkable and append-stable.
+    """
+    chars = F.filter(F.split(to_col(group_col).cast("string"), ""),
+                     lambda c: c != "")
+    h = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(1_000_003))
+    return F.pmod(F.pmod(h, F.lit(buckets)) * F.lit(2654435761),
+                  F.lit(buckets))
+
+
+def group_split_col(group_col, ratios: Sequence[float],
+                    labels: Sequence[str]) -> Column:
+    """Split label keyed on the GROUP hash, not the row id: every row of
+    a group lands in the same split. This is the leakage-safe
+    train/val/test split of dedup-aware pipelines — near-duplicate
+    clusters, hosts, or users must not straddle the boundary, or eval
+    leaks training text. Pure scan-side expression; no shuffle.
+    """
+    if abs(sum(ratios) - 1.0) > 1e-9:
+        raise ValueError("ratios must sum to 1")
+    if len(ratios) != len(labels):
+        raise ValueError("one label per ratio")
+    b = group_bucket(group_col)
+    expr, cum = F.lit(None).cast("string"), 0.0
+    cuts = []
+    for r in ratios[:-1]:
+        cum += r
+        cuts.append(int(cum * _BUCKETS))
+    out = F.when(b < F.lit(cuts[0]), F.lit(labels[0])) if cuts else None
+    for i, c in enumerate(cuts[1:], start=1):
+        out = out.when(b < F.lit(c), F.lit(labels[i]))
+    return (out.otherwise(F.lit(labels[-1]))
+            if out is not None else F.lit(labels[-1]))
+
+
+def split_by_group(df: DataFrame, group_col: str, ratios: Sequence[float],
+                   labels: Sequence[str] | None = None,
+                   out_col: str = "split") -> DataFrame:
+    """Attach a leakage-safe split label (see `group_split_col`)."""
+    labels = list(labels) if labels is not None else [
+        f"split_{i}" for i in range(len(ratios))]
+    return df.withColumn(out_col, group_split_col(group_col, ratios, labels))

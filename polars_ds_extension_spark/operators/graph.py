@@ -1,0 +1,106 @@
+"""Link-graph operators for corpus curation: PageRank and degree
+statistics over an edge list — the web-graph quality prior used to
+weight crawled documents (hosts with high centrality are likelier to
+host quality text), plus the degree profile every graph sanity check
+starts with.
+
+Beyond the reference's surface; first-class here because a 100 TB web
+corpus carries a link graph whose centrality is a standard curation
+feature, and PageRank is the canonical "iterative algorithm on Spark"
+shape — worth owning as a tuned plan rather than re-deriving per
+pipeline.
+
+Scale design (per iteration): ONE equi-join of the edge list with the
+rank vector on ``src`` (edges are pre-partitioned on src ONCE, so every
+iteration's join reuses that exchange and shuffles only the
+node-sized rank frame) + ONE groupBy on ``dst`` (map-side combinable
+sum). Dangling mass and the iteration-convergence delta are scalar
+aggregates — no driver-side node state ever; lineage is truncated with
+localCheckpoint every few iterations exactly like the connected-
+components fixpoint (operators/dedup.py), so 30 iterations do not build
+a 30-deep recursive plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "degree_stats"]
+
+
+def degree_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node in/out degree (full outer of the two one-shuffle
+    counts; missing side = 0). Output: (node, out_deg, in_deg)."""
+    o = edges.groupBy(F.col(src).alias("node")) \
+             .agg(F.count(F.lit(1)).alias("out_deg"))
+    i = edges.groupBy(F.col(dst).alias("node")) \
+             .agg(F.count(F.lit(1)).alias("in_deg"))
+    return (o.join(i, "node", "full_outer")
+             .select("node",
+                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def pagerank(
+    edges: DataFrame, src: str, dst: str,
+    n_iter: int = 10, damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank with uniform teleport and uniform dangling-mass
+    redistribution (the mass-conserving textbook formulation, so ranks
+    sum to 1 at every iteration):
+
+        PR'(v) = (1-d)/N + d * ( sum_{u->v} PR(u)/out(u) + D/N )
+
+    where D is the total rank sitting on dangling nodes (out-degree 0).
+    Multi-edges count once (the edge list is de-duplicated first —
+    matching the usual host-graph construction); node set = src ∪ dst.
+
+    Output: (node, rank). Deterministic: fixed iteration count, no RNG.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .dropna().distinct()
+    # pre-partition ONCE on src: every iteration's join then reuses this
+    # layout and only the (node, rank) frame moves.
+    e = e.repartition("src").localCheckpoint(eager=False)
+
+    out_deg = e.groupBy(F.col("src").alias("node")) \
+               .agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .join(out_deg, "node", "left")
+             .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    pr = nodes.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    for it in range(n_iter):
+        # dangling mass as a broadcast 1-row scalar (the house
+        # with_global_totals shape) — NOT a .first() per iteration,
+        # which would run an action (and the whole lineage) n_iter
+        # times; the plan stays lazy, one pass per iteration.
+        dang = pr.where(F.col("out_deg") == 0) \
+                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        # ANSI-safe: dangling rows never match an edge, but the
+        # projection still evaluates on them — guard the division.
+        share = F.when(F.col("out_deg") > 0,
+                       F.col("rank") / F.col("out_deg"))
+        contrib = (
+            e.join(pr.select(F.col("node").alias("src"), share.alias("c")),
+                   "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_rank")))
+        pr = (nodes.join(contrib, "node", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node", "out_deg",
+                      (F.lit((1.0 - damping) / n)
+                       + F.lit(damping) * F.col("__dang") / F.lit(float(n))
+                       + F.lit(damping)
+                       * F.coalesce("in_rank", F.lit(0.0))).alias("rank")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select("node", "rank")

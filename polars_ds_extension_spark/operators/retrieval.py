@@ -186,3 +186,53 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
              F.count(F.lit(1)).alias("n_bigrams"))
         .select(F.col("__id").alias(id_col), "cross_entropy", "n_bigrams")
     )
+
+
+def word_ngram_terms(text, n: int = 1) -> Column:
+    """Space-joined word n-grams of the shared tokenizer (n=1 = the
+    tokens themselves). SQL `slice` takes a variable start, so the
+    whole expansion is one JVM expression — no explode until the
+    caller asks for rows."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = word_tokens(text)
+    if n == 1:
+        return w
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
+              by: str | None = None) -> DataFrame:
+    """Exact heavy hitters: the ``k`` most frequent word n-grams,
+    globally or per ``by`` group — vocabulary truncation, stop-list
+    mining, per-domain content profiling.
+
+    Ties break by term ASC so the result is total-ordered and engine-
+    reproducible.
+
+    Scale plan: explode + ONE map-side-combinable count on (term[, by]).
+    The global top-k then runs as orderBy().limit(k) — Spark plans
+    TakeOrderedAndProject: each task keeps its own k, the driver merges
+    k·tasks candidates, nothing global ever sorts. The per-group form is
+    a row_number window hash-partitioned on the group. Output:
+    ([group,] term, cnt, rank).
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        *([F.col(by)] if by else []),
+        F.explode(word_ngram_terms(text_col, n)).alias("term"))
+    keys = ([F.col(by)] if by else []) + [F.col("term")]
+    counts = terms.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    if by is None:
+        # TakeOrderedAndProject caps the sort at k per task; the rank
+        # window then runs over a frame PROVEN <= k rows (counted-small
+        # pattern — the single partition is bounded by construction).
+        out = counts.orderBy(*order).limit(k)
+        return out.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)))
+    w = Window.partitionBy(by).orderBy(*order)
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

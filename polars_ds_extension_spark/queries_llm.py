@@ -1449,3 +1449,114 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count("text")).cast("long").alias("n_tokens"))
+
+
+# =============================================== vocab mining / splits / LM gate
+
+@query("top_ngrams", r"""
+WITH t AS (
+  SELECT source, unnest(list_transform(
+           range(1, greatest(len(w) - 1, 0) + 1),
+           i -> array_to_string(w[i:i+1], ' '))) AS term
+  FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents)
+), c AS (
+  SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY source, term
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, term) AS rank
+  FROM c
+)
+SELECT source, term, cnt, rank FROM r WHERE rank <= 5
+""")
+def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/retrieval.top_terms): the 5 most
+    frequent word bigrams per source — vocabulary truncation and
+    per-domain content profiling. The n-gram expansion is one JVM
+    transform (no UDF), the count is ONE map-side-combinable shuffle on
+    (source, term), the top-k a window hash-partitioned on source.
+    Ties break by term ASC so the result is total-ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.top_terms(docs, "text", n=2, k=5, by="source")
+
+
+@query("group_split", f"""
+WITH h AS (
+  SELECT source, n_chars,
+         (list_reduce(list_prepend(0, list_transform(
+            string_split(source, ''), c -> ascii(c))),
+            (a, b) -> (a * 31 + b) % 1000003) % 10000 * 2654435761) % 10000
+         AS gb
+  FROM documents
+), lab AS (
+  SELECT CASE WHEN gb < 8000 THEN 'train'
+              WHEN gb < 9000 THEN 'val' ELSE 'test' END AS split,
+         source, n_chars
+  FROM h
+)
+SELECT split, COUNT(*) AS n, COUNT(DISTINCT source) AS n_groups,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM lab GROUP BY split
+""")
+def group_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (functions/sample.
+    split_by_group): the split is keyed on the GROUP (source) hash, so
+    every document of a host lands on the same side — near-dup clusters
+    and hosts must not straddle the eval boundary or the eval set leaks
+    training text. Pure scan-side expression (no shuffle before the
+    audit agg); the polynomial ascii hash + Fibonacci scramble is
+    engine-reproducible, which is what the oracle replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.split_by_group(docs, "source", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"])
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_groups"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+@query("perplexity_gate", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), big AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+    FROM toks)
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(w) AS w1 FROM toks)
+  GROUP BY w1
+), v AS (SELECT COUNT(*) AS v FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), ce AS (
+  SELECT doc_id,
+         ROUND(-AVG(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS ce
+  FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+), r AS (
+  SELECT doc_id, ce, RANK() OVER (ORDER BY ce) AS rk,
+         COUNT(*) OVER () AS n
+  FROM ce
+)
+SELECT COUNT(*) AS n_kept, ROUND(AVG(ce), 6) AS avg_ce,
+       ROUND(MAX(ce), 6) AS max_ce
+FROM r WHERE rk <= FLOOR(0.9 * n)
+""")
+def perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style perplexity quality gate: score every document's
+    cross-entropy under the corpus-trained bigram LM (operators/
+    retrieval.bigram_lm_score), then keep the most fluent 90% by EXACT
+    global quantile (functions/sample.filter_by_global_quantile — the
+    two-pass range-bucket rank plan, no single-partition sort). The
+    cross-entropy is rounded to 6 dp BEFORE ranking so the cut point is
+    engine-stable (ranking a raw double would let a last-ulp divergence
+    flip rows at the boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = R.bigram_lm_score(docs, "doc_id", "text", add_k=0.5) \
+        .select("doc_id", F.round("cross_entropy", 6).alias("ce"))
+    kept = SMP.filter_by_global_quantile(scored, "ce", q=0.9,
+                                         keep="bottom")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    _r(F.avg("ce")).alias("avg_ce"),
+                    _r(F.max("ce")).alias("max_ce"))

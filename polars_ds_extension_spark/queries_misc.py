@@ -1514,3 +1514,133 @@ def select_by_std_cols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sorted(set(out.columns)
                   & {"l_discount", "l_quantity", "l_tax", "const_one"})
     return spark.createDataFrame([(c,) for c in kept], "col string")
+
+
+# ================================================================= CDC / graph
+
+@query("upsert_latest", """
+WITH b AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY t DESC, event_id DESC) AS rn
+  FROM b
+)
+SELECT user_id, event_type, event_id AS last_event_id,
+       ROUND(value, 6) AS value, t
+FROM r WHERE rn = 1
+""")
+def upsert_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction (operators/cdc.latest_by_key — the
+    Delta/Hudi MERGE read path): one current row per (user, event_type)
+    key, newest by (ts, event_id) so the winner is deterministic under
+    any partition layout. ONE hash shuffle on the key + a per-key
+    row_number window; the oracle is the plain ROW_NUMBER picture."""
+    from .operators import cdc as CDC
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    base = ev.select("user_id", "event_type", "event_id", "value",
+                     t.alias("t"))
+    out = CDC.latest_by_key(base, ["user_id", "event_type"],
+                            ["t", "event_id"])
+    return out.select("user_id", "event_type",
+                      F.col("event_id").alias("last_event_id"),
+                      _r(F.col("value")).alias("value"), "t")
+
+
+@query("scd2_history", """
+WITH b AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events
+), s AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS prev
+  FROM b
+), kept AS (
+  SELECT user_id, event_type, t, event_id FROM s
+  WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, event_type, t AS valid_from,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+  FROM kept
+)
+SELECT user_id, COUNT(*) AS n_versions,
+       SUM(CASE WHEN valid_to IS NULL THEN 0
+                ELSE valid_to - valid_from END)::BIGINT AS closed_us,
+       MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state
+FROM v GROUP BY user_id
+""")
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/cdc.scd2): each user's event-type
+    stream collapses to change-point intervals (consecutive identical
+    states merge), every version gets valid_from/valid_to, the open
+    interval is the current state. Both window passes share one hash
+    shuffle on user_id. Oracle: LAG change-detection + LEAD validity."""
+    from .operators import cdc as CDC
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    base = ev.select("user_id", "event_type", "event_id", t.alias("t"))
+    out = CDC.scd2(base, ["user_id"], "t", tiebreak=["event_id"],
+                   attr_cols=["event_type"], collapse_unchanged=True)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), F.lit(0))
+              .otherwise(F.col("valid_to") - F.col("valid_from")))
+        .cast("long").alias("closed_us"),
+        F.max(F.when(F.col("is_current"), F.col("event_type")))
+        .alias("current_state"))
+
+
+@query("pagerank", """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
+), nn AS (SELECT COUNT(*) AS n FROM deg),
+p0 AS (SELECT d.node, d.od, 1.0 / nn.n AS r FROM deg d CROSS JOIN nn),
+p1 AS (
+  SELECT d.node, d.od, 0.15 / nn.n + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM deg d CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / p.od) AS ir
+    FROM e JOIN p0 p ON e.src = p.node GROUP BY e.dst) a USING (node)
+), p2 AS (
+  SELECT d.node, d.od, 0.15 / nn.n + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM deg d CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / p.od) AS ir
+    FROM e JOIN p1 p ON e.src = p.node GROUP BY e.dst) a USING (node)
+), p3 AS (
+  SELECT d.node, d.od, 0.15 / nn.n + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM deg d CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / p.od) AS ir
+    FROM e JOIN p2 p ON e.src = p.node GROUP BY e.dst) a USING (node)
+)
+SELECT node, ROUND(r * 1000, 6) AS rank_k FROM p3
+""")
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank) on the symmetric customer-
+    supplier co-purchase graph, 3 iterations, damping 0.85 — the
+    web-graph centrality prior of corpus curation. Per iteration: ONE
+    edges⋈rank equi-join on the pre-partitioned edge list + ONE
+    map-side-combinable groupBy(dst); dangling mass rides as a
+    broadcast 1-row scalar, never a driver value. The oracle unrolls
+    the same three iterations as CTEs (symmetric graph → dangling term
+    is exactly 0 in both engines)."""
+    from .operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")) \
+        .unionAll(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    pr = G.pagerank(edges, "src", "dst", n_iter=3, damping=0.85)
+    return pr.select("node", _r(F.col("rank") * 1000).alias("rank_k"))

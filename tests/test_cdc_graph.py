@@ -1,0 +1,152 @@
+"""CDC compaction, SCD2 history, PageRank, heavy hitters, group split —
+edge cases the catalog oracles do not reach (tombstones, dangling
+nodes, global top-k, the leakage invariant)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ds_extension_spark.functions import sample as SMP
+from polars_ds_extension_spark.operators import cdc as CDC
+from polars_ds_extension_spark.operators import graph as G
+from polars_ds_extension_spark.operators import retrieval as R
+
+
+# ------------------------------------------------------------------ CDC
+
+def test_latest_by_key_tombstone(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, 10.0, False), ("k1", 2, 20.0, False),
+         ("k2", 1, 5.0, False), ("k2", 3, 0.0, True),   # delete wins
+         ("k3", 9, 7.0, True), ("k3", 10, 8.0, False)],  # later upsert revives
+        "key string, seq int, v double, del boolean")
+    out = CDC.latest_by_key(df, ["key"], ["seq"], delete_col="del")
+    rows = {r["key"]: (r["seq"], r["v"]) for r in out.collect()}
+    # k2's winning row is a tombstone -> key gone; older row must NOT
+    # resurrect. k3's tombstone was superseded -> row lives.
+    assert rows == {"k1": (2, 20.0), "k3": (10, 8.0)}
+
+
+def test_latest_by_key_deterministic_under_layout(spark):
+    df = spark.createDataFrame(
+        [("k", 5, i, float(i)) for i in range(20)],  # all ts tie at 5
+        "key string, ts int, uid int, v double")
+    a = CDC.latest_by_key(df, ["key"], ["ts", "uid"]).collect()
+    b = CDC.latest_by_key(df.repartition(7), ["key"], ["ts", "uid"]).collect()
+    assert a == b and a[0]["uid"] == 19
+
+
+def test_scd2_collapse_and_validity(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b"),
+         ("u", 4, "b"), ("u", 5, "a")],
+        "key string, t int, state string")
+    out = CDC.scd2(df, ["key"], "t", attr_cols=["state"],
+                   collapse_unchanged=True).orderBy("t").collect()
+    assert [(r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out] == [
+        ("a", 1, 3, False), ("b", 3, 5, False), ("a", 5, None, True)]
+
+
+def test_scd2_null_safe_collapse(spark):
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, None), ("u", 3, "x")],
+        "key string, t int, state string")
+    out = CDC.scd2(df, ["key"], "t", attr_cols=["state"],
+                   collapse_unchanged=True).orderBy("t").collect()
+    # NULL == NULL counts as unchanged (eqNullSafe), so the two NULL
+    # snapshots collapse into one interval.
+    assert len(out) == 2 and out[0]["valid_to"] == 3
+
+
+# ------------------------------------------------------------------ graph
+
+def _pagerank_numpy(edges, n_iter, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        nxt = np.full(n, (1 - d) / n + d * dang / n)
+        for u, v in edges:
+            nxt[idx[v]] += d * r[idx[u]] / out[u]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration_with_dangling(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c")]  # e is reachable-only? add dangling sink:
+    edges.append(("c", "e"))  # e has no out-edges -> dangling
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(df, "src", "dst", n_iter=7).collect()}
+    want = _pagerank_numpy(edges, n_iter=7)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+    # mass conserved (the dangling term re-injects it)
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_dedupes_multi_edges(spark):
+    df = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")], "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(df, "src", "dst", n_iter=4).collect()}
+    want = _pagerank_numpy([("a", "b"), ("b", "a")], n_iter=4)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9)
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in G.degree_stats(df, "src", "dst").collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+# --------------------------------------------------------- heavy hitters
+
+def test_top_terms_global_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x z"), (2, "x q z")], "id int, text string")
+    out = R.top_terms(df, "text", n=1, k=3).collect()
+    assert [(r["term"], r["cnt"], r["rank"]) for r in out] == [
+        ("x", 3, 1), ("z", 2, 2), ("q", 1, 3)]  # q < y on the tie
+
+
+def test_top_terms_trigrams_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", "a b c d"), ("g1", "a b c"), ("g2", "p q r")],
+        "src string, text string")
+    out = R.top_terms(df, "text", n=3, k=1, by="src").collect()
+    got = {r["src"]: (r["term"], r["cnt"]) for r in out}
+    assert got == {"g1": ("a b c", 2), "g2": ("p q r", 1)}
+
+
+# ------------------------------------------------------------ group split
+
+def test_split_by_group_no_leakage_and_coverage(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SMP.split_by_group(docs, "source", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"])
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_group)          # leakage-safe
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_split_by_group_bad_ratios(spark):
+    df = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError):
+        SMP.split_by_group(df, "g", [0.5, 0.4], ["a", "b"])
