@@ -1,1 +1,1 @@
-from . import cdc, dedup, graph, knn, retrieval, text  # noqa: F401
+from . import cdc, cluster, dedup, graph, knn, retrieval, text  # noqa: F401

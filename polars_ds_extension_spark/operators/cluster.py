@@ -1,0 +1,164 @@
+"""Distributed k-means — Lloyd's algorithm as a Spark plan, for corpus
+clustering at embedding-lake scale (topic bucketing, SemDeDup cells,
+IVF coarse quantizers, per-cluster mixture weighting).
+
+The reference trains k-means only on driver-side samples (as this repo
+does for IVF centroids, knn.py:ivf_centroids). This operator is the
+FULL-DATA variant: every Lloyd iteration is
+
+  1. assignment — one vectorized numpy argmin per Arrow batch against
+     the broadcast (k × dim) centroid matrix; no shuffle at all;
+  2. update — per-BATCH partial sufficient statistics (per-cluster sum
+     vector + count) emitted from the same pass, then ONE tiny
+     groupBy(cluster) whose shuffle payload is O(k · dim · partitions)
+     — independent of row count, the same sufficient-statistics shape
+     as the linear fitters (functions/linear.py).
+
+The driver only ever holds k × dim doubles. Determinism: ``init='first'``
+takes the k lowest-id rows (the PQ 'first' contract, embedding.py) so
+an oracle can replay both init and every iteration in SQL; empty
+clusters keep their previous centroid (matching the left-join COALESCE
+in the replay). Ties in the argmin break toward the LOWEST cluster
+index (numpy argmin), mirrored by (distance, cluster) ordering in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .._utils import to_col
+
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_inertia"]
+
+
+def _to_mat(col):
+    import numpy as np
+
+    return np.array([list(v) for v in col], dtype=np.float64)
+
+
+def _assign_np(X, C, slab_bytes: int = 1 << 28):
+    """Argmin cluster per row of X against centroids C, slab-chunked so
+    the (batch × k × dim) broadcast stays ~256 MB regardless of k."""
+    import numpy as np
+
+    n, k = X.shape[0], C.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    d = np.empty(n, dtype=np.float64)
+    # direct (x-c)^2 sum — the same float64 expression the SQL replay
+    # computes (the GEMM expansion x²-2xc+c² is faster but rounds
+    # differently, which would jitter argmin near-ties across engines);
+    # the byte-bounded chunk keeps the (chunk × k × dim) slab ~256 MB.
+    chunk = max(1, int(slab_bytes // max(1, k * C.shape[1] * 8)))
+    for s0 in range(0, n, chunk):
+        sl = slice(s0, s0 + chunk)
+        d2 = ((X[sl, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[sl] = d2.argmin(axis=1)
+        d[sl] = d2[np.arange(d2.shape[0]), out[sl]]
+    return out, d
+
+
+def kmeans_fit(
+    df: DataFrame, id_col: str, vec_col: str, k: int,
+    n_iter: int = 10, init: str = "first",
+):
+    """Train k-means over the FULL frame; returns the (k × dim) centroid
+    list-of-lists. ``init='first'``: the k lowest-``id_col`` rows
+    (deterministic, oracle-replayable); ``init='sample'``: a scrambled-
+    id deterministic sample (uniform but still engine-stable).
+
+    Distances use the direct (x−c)² float64 sum in both fit and assign
+    (see `_assign_np`) so an SQL replay evaluates the same expression.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if init == "first":
+        seed_rows = df.orderBy(to_col(id_col)).select(vec_col).limit(k)
+    elif init == "sample":
+        from ..functions.sample import _bucket
+
+        seed_rows = (df.orderBy(_bucket(id_col), to_col(id_col))
+                     .select(vec_col).limit(k))
+    else:
+        raise ValueError("init must be 'first' or 'sample'")
+    C = _to_mat([r[0] for r in seed_rows.collect()])
+    if C.shape[0] < k:
+        raise ValueError(f"frame has fewer than k={k} rows")
+    dim = C.shape[1]
+    sc = df.sparkSession.sparkContext
+
+    schema = "cluster int, s array<double>, cnt long"
+    sum_cols = [
+        F.sum(F.element_at("s", i + 1)).alias(f"_s{i}") for i in range(dim)
+    ] + [F.sum("cnt").alias("_c")]
+
+    for _ in range(n_iter):
+        bc = sc.broadcast(C)
+
+        def _partials(batches, _bc=bc):
+            import pandas as pd
+
+            Cm = _bc.value
+            kk, dd = Cm.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _to_mat(pdf[vec_col].values)
+                a, _ = _assign_np(X, Cm)
+                sums = np.zeros((kk, dd))
+                np.add.at(sums, a, X)
+                cnts = np.bincount(a, minlength=kk)
+                nz = np.nonzero(cnts)[0]
+                yield pd.DataFrame({
+                    "cluster": nz.astype("int32"),
+                    "s": [sums[c].tolist() for c in nz],
+                    "cnt": cnts[nz].astype("int64")})
+
+        agg = (df.select(vec_col).mapInPandas(_partials, schema)
+               .groupBy("cluster").agg(*sum_cols).collect())
+        C = C.copy()  # empty clusters keep their previous centroid
+        for r in agg:
+            c = r["cluster"]
+            C[c] = np.array([r[f"_s{i}"] for i in range(dim)]) / r["_c"]
+    return C.tolist()
+
+
+def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
+                  centroids: Sequence[Sequence[float]]) -> DataFrame:
+    """Score pass: (id, cluster, dist_sq) per row — one vectorized numpy
+    argmin per Arrow batch against the broadcast centroids, no shuffle."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    schema = f"{id_col} long, cluster int, dist_sq double"
+
+    def _batches(batches):
+        import pandas as pd
+
+        Cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _to_mat(pdf[vec_col].values)
+            a, d = _assign_np(X, Cm)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "cluster": a.astype("int32"),
+                "dist_sq": d})
+
+    return df.select(id_col, vec_col).mapInPandas(_batches, schema)
+
+
+def kmeans_inertia(assigned: DataFrame) -> DataFrame:
+    """Per-cluster size and summed within-cluster squared distance (the
+    k-selection elbow statistic) from a `kmeans_assign` output — one
+    map-side-combinable agg."""
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist_sq").alias("inertia"))

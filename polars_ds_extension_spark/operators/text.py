@@ -7,6 +7,8 @@ path), so they compose into any filter/groupBy at 100 TB for free.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -486,3 +488,69 @@ def pack_sequences(docs, id_col: str, text_col: str,
     return (cum.withColumn("bin", bin_id)
                .withColumn("tokens", F.col("tokens").cast("long"))
                .drop("__ord", "cum_tokens"))
+
+
+# ------------------------------------------------------- unicode hygiene
+
+def normalize_unicode(text, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the first step of
+    any multilingual corpus pipeline (decomposed sequences, ligatures,
+    and width variants otherwise split token statistics and defeat
+    exact dedup). Spark has no ICU normalizer built-in, so this is an
+    Arrow-batch pandas UDF over `unicodedata` — vectorized per batch,
+    never per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in {"NFC", "NFD", "NFKC", "NFKD"}:
+        raise ValueError("form must be NFC|NFD|NFKC|NFKD")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    return _norm(_t(text))
+
+
+def fix_double_encoded(text) -> Column:
+    """Repair the classic UTF-8-read-as-latin-1 mojibake ('\u00c3\u00a9'
+    -> 'e-acute'): if the string round-trips latin-1-encode ->
+    utf-8-decode, return the re-decoded form, else the original
+    (strings with codepoints above U+00FF or invalid UTF-8 byte runs
+    are untouched). This is the ftfy-lite heuristic: pure-ASCII text is
+    a fixpoint, and the repair is deterministic — apply behind an
+    artifact-count filter if the corpus may contain LEGITIMATE latin-1
+    text that happens to parse as UTF-8."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        def f(x):
+            if x is None:
+                return None
+            try:
+                return x.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return x
+
+        return s.map(f)
+
+    return _fix(_t(text))
+
+
+def encoding_artifact_counts(text) -> Column:
+    """Struct of encoding-damage signals, pure JVM regexp counts (no
+    UDF): ``mojibake_lead`` (U+00C2/U+00C3 — the latin-1 reading of
+    UTF-8 continuation prefixes), ``replacement`` (U+FFFD), ``ctrl``
+    (C0 controls except tab/newline/CR). High counts mean the document
+    went through a broken decode and should be repaired or dropped."""
+    t = _t(text)
+    return F.struct(
+        F.regexp_count(t, F.lit("[\u00c2\u00c3]")).alias("mojibake_lead"),
+        F.regexp_count(t, F.lit("\ufffd")).alias("replacement"),
+        F.regexp_count(
+            t, F.lit("[\u0000-\u0008\u000b\u000c\u000e-\u001f]"))
+        .alias("ctrl"),
+    )

@@ -1560,3 +1560,129 @@ def perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     _r(F.avg("ce")).alias("avg_ce"),
                     _r(F.max("ce")).alias("max_ce"))
+
+
+@query("kmeans", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, y -> y::DOUBLE) AS ve
+  FROM embeddings WHERE vec_id < 300
+), c0 AS (
+  SELECT vec_id::INT AS c, ve AS ce FROM v WHERE vec_id < 8
+), a0 AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c0.c, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.ve, c0.ce),
+                        x -> (x[1] - x[2]) ^ 2)), c0.c) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+), c1 AS (
+  SELECT c0.c, COALESCE(n.ce, c0.ce) AS ce FROM c0 LEFT JOIN (
+    SELECT c, list(m ORDER BY pos) AS ce FROM (
+      SELECT a0.c, t.pos, AVG(v.ve[t.pos]) AS m
+      FROM a0 JOIN v USING (vec_id) CROSS JOIN unnest(range(1, 65)) t(pos)
+      GROUP BY a0.c, t.pos) GROUP BY c) n USING (c)
+), a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c1.c, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.ve, c1.ce),
+                        x -> (x[1] - x[2]) ^ 2)), c1.c) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+), c2 AS (
+  SELECT c1.c, COALESCE(n.ce, c1.ce) AS ce FROM c1 LEFT JOIN (
+    SELECT c, list(m ORDER BY pos) AS ce FROM (
+      SELECT a1.c, t.pos, AVG(v.ve[t.pos]) AS m
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN unnest(range(1, 65)) t(pos)
+      GROUP BY a1.c, t.pos) GROUP BY c) n USING (c)
+), a2 AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c2.c, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.ve, c2.ce),
+                        x -> (x[1] - x[2]) ^ 2)), c2.c) AS rn
+    FROM v CROSS JOIN c2) WHERE rn = 1
+)
+SELECT vec_id, c AS cluster FROM a2
+""")
+def kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/cluster.kmeans_fit/kmeans_assign):
+    k=8, TWO full Lloyd iterations over the embeddings, then the score
+    pass — assignment is a vectorized numpy argmin per Arrow batch
+    against broadcast centroids (no shuffle), the update is per-batch
+    partial sufficient statistics + one O(k·dim·partitions) groupBy.
+    Deterministic by construction (init='first' = the 8 lowest-id
+    vectors, argmin ties to the lowest cluster), so the oracle replays
+    init, both iterations (empty clusters COALESCE to their previous
+    centroid), and the final argmin entirely in SQL."""
+    from .operators import cluster as CL
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") < 300) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    C = CL.kmeans_fit(emb, "vec_id", "v", k=8, n_iter=2, init="first")
+    out = CL.kmeans_assign(emb, "vec_id", "v", C)
+    return out.select("vec_id", "cluster")
+
+
+@query("unicode_clean", """
+WITH p AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' ma' || chr(195) || chr(177) || 'ana'
+                      WHEN doc_id % 7 = 3 THEN chr(65533)
+                      ELSE '' END AS raw,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' cafe' || chr(769) ELSE '' END AS dec
+  FROM documents
+), t AS (
+  SELECT doc_id, raw, dec, nfc_normalize(dec) AS norm,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(raw, chr(195) || chr(177), chr(241))
+              ELSE raw END AS fixed,
+         length(regexp_extract_all(raw,
+                chr(194) || '|' || chr(195))) AS moji,
+         length(regexp_extract_all(raw, chr(65533))) AS rep
+  FROM p
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(CASE WHEN norm <> dec THEN 1 END) AS n_norm_changed,
+       SUM(length(norm))::BIGINT AS sum_norm_len,
+       COUNT(CASE WHEN fixed <> raw THEN 1 END) AS n_repaired,
+       SUM(length(fixed))::BIGINT AS sum_fixed_len,
+       SUM(moji)::BIGINT AS n_mojibake, SUM(rep)::BIGINT AS n_replacement
+FROM t
+""")
+def unicode_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode corpus hygiene (operators/text.py normalize_unicode /
+    fix_double_encoded / encoding_artifact_counts): the corpus gets
+    planted decomposed sequences (e + combining acute, doc_id%5) and
+    mojibake / replacement-char damage (doc_id%7 classes, disjoint);
+    NFC normalization and the latin-1->utf-8 re-decode repair must fix
+    exactly the planted rows and fix-point everything else. Artifact
+    counts are pure JVM regexp_count (no UDF); the two repairs are
+    Arrow-batch pandas UDFs (Spark has no ICU normalizer). The oracle
+    replays NFC natively (DuckDB nfc_normalize) and the re-decode as
+    the literal byte-sequence replacement it performs on this corpus
+    (base text is ASCII — verified: zero non-ASCII rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ma\u00c3\u00b1ana"))
+         .when(F.col("doc_id") % 7 == 3, F.lit("\ufffd"))
+         .otherwise(F.lit("")))
+    dec = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cafe\u0301"))
+         .otherwise(F.lit("")))
+    t = docs.select(
+        raw.alias("raw"), dec.alias("dec"),
+        T.normalize_unicode(dec, "NFC").alias("norm"),
+        T.fix_double_encoded(raw).alias("fixed"),
+        T.encoding_artifact_counts(raw).alias("arts"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("norm") != F.col("dec"), 1))
+         .alias("n_norm_changed"),
+        F.sum(F.length("norm")).alias("sum_norm_len"),
+        F.count(F.when(F.col("fixed") != F.col("raw"), 1))
+         .alias("n_repaired"),
+        F.sum(F.length("fixed")).alias("sum_fixed_len"),
+        F.sum(F.col("arts.mojibake_lead")).alias("n_mojibake"),
+        F.sum(F.col("arts.replacement")).alias("n_replacement"))

@@ -150,3 +150,116 @@ def test_split_by_group_bad_ratios(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError):
         SMP.split_by_group(df, "g", [0.5, 0.4], ["a", "b"])
+
+
+# ------------------------------------------------------------------ kmeans
+
+def _lloyd_numpy(X, k, n_iter):
+    import numpy as np
+
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        a = d2.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    return d2.argmin(1), C
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    from polars_ds_extension_spark.operators import cluster as CL
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(120, 6))
+    X[:60] += 4.0  # two real blobs so clustering is non-trivial
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))], "id long, v array<double>")
+    C = CL.kmeans_fit(df.repartition(5), "id", "v", k=4, n_iter=3)
+    got = {r["id"]: r["cluster"]
+           for r in CL.kmeans_assign(df, "id", "v", C).collect()}
+    want_a, want_C = _lloyd_numpy(X, 4, 3)
+    assert np.allclose(np.array(C), want_C, atol=1e-9)
+    assert [got[i] for i in range(len(X))] == want_a.tolist()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    import numpy as np
+
+    from polars_ds_extension_spark.operators import cluster as CL
+
+    # id 0 is an outlier seed that captures nothing after one step:
+    # all points sit at 10, seeds are [0 (outlier), 10] -> cluster 0
+    # ends empty on iteration 2 and must keep its previous centroid.
+    pts = [(0, [0.0]), (1, [10.0]), (2, [10.2]), (3, [9.8])]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    C = CL.kmeans_fit(df, "id", "v", k=2, n_iter=3)
+    want_a, want_C = _lloyd_numpy(
+        np.array([p[1] for p in pts]), 2, 3)
+    assert np.allclose(np.array(C), want_C)
+
+
+def test_kmeans_inertia(spark):
+    import numpy as np
+
+    from polars_ds_extension_spark.operators import cluster as CL
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 3))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(50)], "id long, v array<double>")
+    C = CL.kmeans_fit(df, "id", "v", k=3, n_iter=2)
+    stats = CL.kmeans_inertia(
+        CL.kmeans_assign(df, "id", "v", C)).collect()
+    a, Cn = _lloyd_numpy(X, 3, 2)
+    for r in stats:
+        m = a == r["cluster"]
+        assert r["n"] == int(m.sum())
+        want = float(((X[m] - Cn[r["cluster"]]) ** 2).sum())
+        assert abs(r["inertia"] - want) < 1e-8
+
+
+# ------------------------------------------------------------ unicode
+
+def test_normalize_unicode_forms(spark):
+    from polars_ds_extension_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("café",), ("ﬁne",), (None,)], "t string")
+    out = df.select(
+        T.normalize_unicode("t", "NFC").alias("nfc"),
+        T.normalize_unicode("t", "NFKC").alias("nfkc")).collect()
+    assert out[0]["nfc"] == "café" and out[0]["nfkc"] == "café"
+    assert out[1]["nfc"] == "ﬁne" and out[1]["nfkc"] == "fine"
+    assert out[2]["nfc"] is None
+
+
+def test_fix_double_encoded(spark):
+    from polars_ds_extension_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("maÃ±ana",),   # latin-1 read of utf-8 'mañana'
+         ("plain ascii",),         # fixpoint
+         ("already ñ",),      # latin-1-encodable but NOT valid utf-8
+         ("emoji \U0001f600",)],   # > U+00FF -> untouched
+        "t string")
+    got = [r["f"] for r in
+           df.select(T.fix_double_encoded("t").alias("f")).collect()]
+    assert got == ["mañana", "plain ascii",
+                   "already ñ", "emoji \U0001f600"]
+
+
+def test_encoding_artifact_counts(spark):
+    from polars_ds_extension_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("ok text",), ("bad Ã© and �� and \x07",)],
+        "t string")
+    out = df.select(T.encoding_artifact_counts("t").alias("a")).collect()
+    assert (out[0]["a"]["mojibake_lead"], out[0]["a"]["replacement"],
+            out[0]["a"]["ctrl"]) == (0, 0, 0)
+    assert (out[1]["a"]["mojibake_lead"], out[1]["a"]["replacement"],
+            out[1]["a"]["ctrl"]) == (1, 2, 1)
