@@ -281,3 +281,23 @@ def split_by_group(df: DataFrame, group_col: str, ratios: Sequence[float],
     labels = list(labels) if labels is not None else [
         f"split_{i}" for i in range(len(ratios))]
     return df.withColumn(out_col, group_split_col(group_col, ratios, labels))
+
+
+def sample_exact_n_per_group(df: DataFrame, id_col: str, group_col: str,
+                             n: int) -> DataFrame:
+    """EXACTLY ``n`` rows per group (fewer if the group is smaller),
+    deterministically: the rows whose scrambled id ranks lowest within
+    the group, ties by id — the per-domain quota sampling of mixture
+    building ("200k docs per source"), uniform-per-group yet append-
+    stable and engine-reproducible.
+
+    One window hash-partitioned on the group: groups sort in parallel,
+    a hot group costs only its own sort (AQE splits oversized
+    partitions). Contrast with sample_exact_n's GLOBAL budget, which
+    needs the two-pass rank plan; per-group the partitioned window IS
+    the scale-safe shape.
+    """
+    w = Window.partitionBy(to_col(group_col)) \
+        .orderBy(_bucket(id_col), to_col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))

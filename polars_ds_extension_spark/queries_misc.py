@@ -1644,3 +1644,30 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("c").alias("dst")))
     pr = G.pagerank(edges, "src", "dst", n_iter=3, damping=0.85)
     return pr.select("node", _r(F.col("rank") * 1000).alias("rank_k"))
+
+
+@query("group_sample_exact", f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY (doc_id % 10000 * 2654435761) % 10000,
+                                     doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_id,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM r WHERE rn <= 7 GROUP BY source
+""")
+def group_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-count sampling (functions/sample.
+    sample_exact_n_per_group): exactly 7 documents per source by
+    scrambled-id rank — the per-domain quota draw of mixture building.
+    One window hash-partitioned on source (parallel across groups, no
+    global sort anywhere); the oracle replays the scramble in the
+    ROW_NUMBER ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.sample_exact_n_per_group(docs, "doc_id", "source", 7)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))

@@ -266,3 +266,38 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         _r(F.sum(F.col("value") + F.col("r_value")), 4).alias("sum_vals"))
+
+
+@query("stream_upsert", """
+WITH b AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY t DESC, event_id DESC) AS rn
+  FROM b
+)
+SELECT user_id, event_type, event_id AS last_event_id,
+       ROUND(value, 6) AS value
+FROM r WHERE rn = 1
+""")
+def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/ops.stream_latest_state): the
+    events stream maintains a one-row-per-(user, event_type) current-
+    state table via a single atomic max_by — state bounded by key
+    cardinality, no watermark, complete output mode. Driven as a REAL
+    stream (readStream → availableNow → memory sink); the oracle is the
+    batch ROW_NUMBER picture, which the final micro-batch must equal
+    exactly (streaming-batch equivalence of the compaction)."""
+    from .streaming import ops as SO
+
+    ev = _events_stream(spark, sf_dir)
+    st = ev.select("user_id", "event_type", "event_id", "value", "ts")
+    out = SO.stream_latest_state(
+        st, ["user_id", "event_type"], ["ts", "event_id"],
+        ["event_id", "value"])
+    res = _run_to_table(spark, out, "complete")
+    return res.select(
+        "user_id", "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("value"))

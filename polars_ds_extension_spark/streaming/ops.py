@@ -153,3 +153,29 @@ def stream_interval_join(
            <= F.expr(f"{ts_left} + {upper}"))
     )
     return l.join(r, cond, "inner").drop(f"r_{key}")
+
+
+def stream_latest_state(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Streaming CDC upsert view (the streaming twin of operators/
+    cdc.latest_by_key): the per-key LATEST payload, maintained
+    incrementally as the stream runs — a materialized "current state"
+    table.
+
+    State is exactly one row per key (max_by keeps only the winner),
+    so memory is bounded by key cardinality, not stream length — no
+    watermark needed; run in 'complete' or 'update' output mode. The
+    whole payload rides as ONE struct through a single max_by, so the
+    winning row is atomic (mixing fields from different rows on ties is
+    the same bug class the as-of join fixed); pass a unique tiebreaker
+    last in ``order_cols`` to make the winner deterministic.
+    """
+    ordc = F.struct(*[F.col(c) for c in order_cols])
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    out = (df.groupBy(*[F.col(k) for k in keys])
+           .agg(F.max_by(pay, ordc).alias("__p")))
+    return out.select(
+        *[F.col(k) for k in keys],
+        *[F.col("__p").getField(c).alias(c) for c in payload_cols])

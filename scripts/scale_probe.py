@@ -69,6 +69,10 @@ DEFAULT_QUERIES = [
     "dia_profile", "semantic_dedup", "dup_spans",
     # round 7: the temporal joins (watch the range-join explode factor)
     "asof_join", "range_join", "hypertable_rollup",
+    # round 7b: CDC window plan, iterative graph plan, vocab-sized count
+    # shuffles, the LM-gate composition, and the pandas-UDF scan family
+    "upsert_latest", "pagerank", "top_ngrams", "perplexity_gate",
+    "unicode_clean",
 ]
 
 

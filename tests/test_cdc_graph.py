@@ -263,3 +263,35 @@ def test_encoding_artifact_counts(spark):
             out[0]["a"]["ctrl"]) == (0, 0, 0)
     assert (out[1]["a"]["mojibake_lead"], out[1]["a"]["replacement"],
             out[1]["a"]["ctrl"]) == (1, 2, 1)
+
+
+# --------------------------------------------- latest-state / group sample
+
+def test_stream_latest_state_atomic_payload_batch(spark):
+    # The op is pure groupBy/max_by, so its semantics are testable on a
+    # batch frame: the NEWEST row wins atomically — including its NULL
+    # payload fields (no falling back to older rows per-column).
+    from polars_ds_extension_spark.streaming import ops as SO
+
+    df = spark.createDataFrame(
+        [("k", 1, 1, 10.0, "a"), ("k", 2, 2, None, "b"),
+         ("j", 5, 7, 3.0, None)],
+        "key string, ts int, seq int, v double, s string")
+    out = {r["key"]: (r["v"], r["s"]) for r in SO.stream_latest_state(
+        df, ["key"], ["ts", "seq"], ["v", "s"]).collect()}
+    assert out == {"k": (None, "b"), "j": (3.0, None)}
+
+
+def test_sample_exact_n_per_group(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = SMP.sample_exact_n_per_group(df, "id", "g", 5)
+    cnt = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert cnt == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in SMP.sample_exact_n_per_group(
+        df.repartition(9), "id", "g", 5).collect())
+    assert a == b
