@@ -554,3 +554,92 @@ def encoding_artifact_counts(text) -> Column:
             t, F.lit("[\u0000-\u0008\u000b\u000c\u000e-\u001f]"))
         .alias("ctrl"),
     )
+
+
+# ------------------------------------------------- rule-based quality gates
+
+def gopher_rules(text) -> Column:
+    """Struct of the classic repetition-free Gopher quality rules
+    (Rae et al. 2021, table A1 — the public heuristics every corpus
+    pipeline reimplements), each a named boolean, plus ``pass`` = AND
+    of all. Pure JVM expressions, so the gate runs at scan speed and
+    pushes into the parquet read:
+
+      * word_count in [50, 100000]
+      * mean_word_len in [3, 10]
+      * symbol_to_word (#, ellipsis) <= 0.1
+      * bullet_start fraction of lines <= 0.9
+      * ellipsis_end fraction of lines <= 0.3
+      * alpha_word fraction (words containing a letter) >= 0.8
+      * stopword_hits >= 2
+    """
+    t = _t(text)
+    w = whitespace_tokens(t)
+    nw = F.size(w)
+    nw_d = nw.cast("double")
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).cast("double") / nw_d)
+    symbols = F.regexp_count(t, F.lit("#")) \
+        + F.regexp_count(t, F.lit("\\.\\.\\.")) \
+        + F.regexp_count(t, F.lit("\\u2026"))
+    lines = F.split(t, "\\n")
+    nl = F.size(lines).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda x: x.rlike("^\\s*[-*\\u2022]")))
+    ell = F.size(F.filter(
+        lines, lambda x: x.rlike("(\\.\\.\\.|\\u2026)\\s*$")))
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    swh = F.size(F.filter(F.transform(w, lambda x: F.lower(x)),
+                          lambda x: F.array_contains(sw, x)))
+    rules = {
+        "word_count": (nw >= 50) & (nw <= 100_000),
+        "mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_to_word": F.when(nw > 0, symbols / nw_d <= 0.1)
+                           .otherwise(F.lit(False)),
+        "bullet_start": F.when(nl > 0, bullet / nl <= 0.9)
+                         .otherwise(F.lit(True)),
+        "ellipsis_end": F.when(nl > 0, ell / nl <= 0.3)
+                         .otherwise(F.lit(True)),
+        "alpha_word": F.when(nw > 0, alpha / nw_d >= 0.8)
+                       .otherwise(F.lit(False)),
+        "stopword_hits": swh >= 2,
+    }
+    ok = None
+    fields = []
+    for name, c in rules.items():
+        c = F.coalesce(c, F.lit(False))
+        fields.append(c.alias(name))
+        ok = c if ok is None else (ok & c)
+    return F.struct(*fields, ok.alias("pass"))
+
+
+_SCRIPT_CLASSES = {
+    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "greek": "[\\u0370-\\u03ff]",
+    "arabic": "[\\u0600-\\u06ff]",
+    "cjk": "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(text) -> Column:
+    """Struct of per-script character counts (latin/cyrillic/greek/
+    arabic/cjk/digit) + ``dominant`` (argmax, ties to the fixed order
+    above, 'und' when all zero) — the script-level complement of
+    `language_id`, and the standard first split of a multilingual
+    crawl. Pure JVM regexp counts."""
+    t = _t(text)
+    counts = {k: F.regexp_count(t, F.lit(p))
+              for k, p in _SCRIPT_CLASSES.items()}
+    names = [k for k in _SCRIPT_CLASSES if k != "digit"]
+    best = F.greatest(*[counts[k] for k in names])
+    dom = F.lit("und")
+    for k in reversed(names):  # earlier scripts win ties
+        dom = F.when(counts[k] == best, F.lit(k)).otherwise(dom)
+    dom = F.when(best > 0, dom).otherwise(F.lit("und"))
+    return F.struct(*[c.alias(k) for k, c in counts.items()],
+                    dom.alias("dominant"))

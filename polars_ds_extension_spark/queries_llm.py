@@ -1686,3 +1686,123 @@ def unicode_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("fixed")).alias("sum_fixed_len"),
         F.sum(F.col("arts.mojibake_lead")).alias("n_mojibake"),
         F.sum(F.col("arts.replacement")).alias("n_replacement"))
+
+
+
+@query("gopher_gate", r"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(w) AS nw,
+    list_sum(list_transform(w, x -> length(x)))::DOUBLE
+      / len(w) AS mwl,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\.\.\.'))
+      + len(regexp_extract_all(text, '\x{2026}')) AS sym,
+    len(ls) AS nl,
+    len(list_filter(ls, x -> regexp_matches(x,
+        '^\s*[-*\x{2022}]'))) AS bullet,
+    len(list_filter(ls, x -> regexp_matches(x,
+        '(\.\.\.|\x{2026})\s*$'))) AS ell,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_filter(list_transform(w, x -> lower(x)), x -> list_contains(
+        ['the','and','of','to','is','in','that','it','for','was'], x)))
+      AS swh
+  FROM w
+), r AS (
+  SELECT doc_id,
+    nw >= 50 AND nw <= 100000 AS r_wc,
+    mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
+    CASE WHEN nw > 0 THEN sym::DOUBLE / nw <= 0.1 ELSE FALSE END AS r_sym,
+    CASE WHEN nl > 0 THEN bullet::DOUBLE / nl <= 0.9 ELSE TRUE END AS r_bul,
+    CASE WHEN nl > 0 THEN ell::DOUBLE / nl <= 0.3 ELSE TRUE END AS r_ell,
+    CASE WHEN nw > 0 THEN alpha::DOUBLE / nw >= 0.8 ELSE FALSE END AS r_alpha,
+    swh >= 2 AS r_sw
+  FROM m
+)
+SELECT COUNT(*) AS n_docs,
+  COUNT(CASE WHEN r_wc THEN 1 END) AS n_wc,
+  COUNT(CASE WHEN r_mwl THEN 1 END) AS n_mwl,
+  COUNT(CASE WHEN r_sym THEN 1 END) AS n_sym,
+  COUNT(CASE WHEN r_bul THEN 1 END) AS n_bul,
+  COUNT(CASE WHEN r_ell THEN 1 END) AS n_ell,
+  COUNT(CASE WHEN r_alpha THEN 1 END) AS n_alpha,
+  COUNT(CASE WHEN r_sw THEN 1 END) AS n_sw,
+  COUNT(CASE WHEN r_wc AND r_mwl AND r_sym AND r_bul AND r_ell
+              AND r_alpha AND r_sw THEN 1 END) AS n_pass
+FROM r
+""")
+def gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based Gopher quality gate (operators/text.gopher_rules —
+    the Rae et al. 2021 heuristics): seven named boolean rules per
+    document as pure JVM expressions (the gate runs at scan speed and
+    pushes into the parquet read), aggregated to per-rule pass counts +
+    the AND gate. The oracle re-derives every rule in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(T.gopher_rules("text").alias("g"))
+    f = lambda n: F.count(F.when(F.col("g").getField(n), 1))  # noqa: E731
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        f("word_count").alias("n_wc"), f("mean_word_len").alias("n_mwl"),
+        f("symbol_to_word").alias("n_sym"), f("bullet_start").alias("n_bul"),
+        f("ellipsis_end").alias("n_ell"), f("alpha_word").alias("n_alpha"),
+        f("stopword_hits").alias("n_sw"), f("pass").alias("n_pass"))
+
+
+@query("script_profile", r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN chr(1087) || chr(1088) || chr(1080) || chr(1074)
+                   || chr(1077) || chr(1090) || ' 123'
+              WHEN doc_id % 3 = 2
+              THEN chr(20320) || chr(22909) || chr(19990) || ' ok'
+              ELSE text END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '[A-Za-z\x{00c0}-\x{024f}]')) AS latin,
+    len(regexp_extract_all(t, '[\x{0400}-\x{04ff}]')) AS cyrillic,
+    len(regexp_extract_all(t, '[\x{0370}-\x{03ff}]')) AS greek,
+    len(regexp_extract_all(t, '[\x{0600}-\x{06ff}]')) AS arabic,
+    len(regexp_extract_all(t,
+        '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]')) AS cjk,
+    len(regexp_extract_all(t, '[0-9]')) AS digit
+  FROM p
+), d AS (
+  SELECT *, CASE
+    WHEN latin >= greatest(cyrillic, greek, arabic, cjk) THEN 'latin'
+    WHEN cyrillic >= greatest(greek, arabic, cjk) THEN 'cyrillic'
+    WHEN greek >= greatest(arabic, cjk) THEN 'greek'
+    WHEN arabic >= cjk THEN 'arabic' ELSE 'cjk' END AS dominant
+  FROM c
+)
+SELECT dominant, COUNT(*) AS n, SUM(latin)::BIGINT AS sum_latin,
+       SUM(cyrillic)::BIGINT AS sum_cyr, SUM(cjk)::BIGINT AS sum_cjk,
+       SUM(digit)::BIGINT AS sum_digit
+FROM d GROUP BY dominant
+""")
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (operators/text.script_profile): planted
+    Cyrillic / CJK documents on disjoint doc classes (replacing the
+    text so the planted script genuinely dominates), per-script char
+    counts as pure JVM regexp_count, dominant-script argmax with fixed
+    tie order. The base corpus stays latin-dominant; the planted rows
+    must classify by their script counts (the oracle replays the same
+    RE2-class counts — every base doc has latin text, so 'und' never
+    appears and the CASE ladder is the exact tie rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (F.when(F.col("doc_id") % 3 == 1, F.lit("привет 123"))
+         .when(F.col("doc_id") % 3 == 2, F.lit("你好世 ok"))
+         .otherwise(F.col("text")))
+    s = docs.select(T.script_profile(t).alias("s"))
+    g = lambda n: F.col("s").getField(n)  # noqa: E731
+    return s.groupBy(g("dominant").alias("dominant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(g("latin")).alias("sum_latin"),
+        F.sum(g("cyrillic")).alias("sum_cyr"),
+        F.sum(g("cjk")).alias("sum_cjk"),
+        F.sum(g("digit")).alias("sum_digit"))

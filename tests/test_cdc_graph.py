@@ -295,3 +295,34 @@ def test_sample_exact_n_per_group(spark):
     b = sorted(r["id"] for r in SMP.sample_exact_n_per_group(
         df.repartition(9), "id", "g", 5).collect())
     assert a == b
+
+
+# -------------------------------------------------- gopher rules / scripts
+
+def test_gopher_rules_edges(spark):
+    from polars_ds_extension_spark.operators import text as T
+
+    good = " ".join(["the quick brown fox jumps over the lazy dog it"] * 6)
+    bully = "\n".join(["- item one two three"] * 10)
+    df = spark.createDataFrame(
+        [(good,), (bully,), ("",), ("#### #### ####",)], "text string")
+    out = [r["g"] for r in
+           df.select(T.gopher_rules("text").alias("g")).collect()]
+    assert out[0]["pass"] is True
+    assert out[1]["bullet_start"] is False and out[1]["pass"] is False
+    assert out[2]["pass"] is False           # empty fails word_count
+    assert out[3]["symbol_to_word"] is False
+
+
+def test_script_profile_dominant_and_ties(spark):
+    from polars_ds_extension_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("hello мир",),   # latin 5 vs cyrillic 3 -> latin
+         ("你好",), ("",), ("77",)], "t string")
+    out = [r["s"] for r in
+           df.select(T.script_profile("t").alias("s")).collect()]
+    assert out[0]["dominant"] == "latin" and out[0]["cyrillic"] == 3
+    assert out[1]["dominant"] == "cjk"
+    assert out[2]["dominant"] == "und"
+    assert out[3]["dominant"] == "und" and out[3]["digit"] == 2
