@@ -1806,3 +1806,106 @@ def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(g("cyrillic")).alias("sum_cyr"),
         F.sum(g("cjk")).alias("sum_cjk"),
         F.sum(g("digit")).alias("sum_digit"))
+
+
+
+@query("curation_pipeline_v3", r"""
+WITH p AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(text || ' ma' || chr(195) || chr(177) || 'ana',
+                           chr(195) || chr(177), chr(241))
+              ELSE text END AS t
+  FROM documents
+), w0 AS (
+  SELECT doc_id, source, t, string_split_regex(trim(t), '\s+') AS w,
+         string_split(t, chr(10)) AS ls
+  FROM p
+), m AS (
+  SELECT doc_id, source, t, w, len(w) AS nw,
+    list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl,
+    len(regexp_extract_all(t, '#'))
+      + len(regexp_extract_all(t, '\.\.\.'))
+      + len(regexp_extract_all(t, '\x{2026}')) AS sym,
+    len(ls) AS nl,
+    len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*\x{2022}]'))) AS bul,
+    len(list_filter(ls, x -> regexp_matches(x,
+        '(\.\.\.|\x{2026})\s*$'))) AS ell,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_filter(list_transform(w, x -> lower(x)), x -> list_contains(
+        ['the','and','of','to','is','in','that','it','for','was'], x)))
+      AS swh
+  FROM w0
+), g AS (
+  SELECT doc_id, source, t FROM m
+  WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+    AND sym::DOUBLE / nw <= 0.1 AND bul::DOUBLE / nl <= 0.9
+    AND ell::DOUBLE / nl <= 0.3 AND alpha::DOUBLE / nw >= 0.8
+    AND swh >= 2
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(t)), '\s+') AS w FROM g
+), big AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+    FROM toks)
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(w) AS w1 FROM toks)
+  GROUP BY w1
+), v AS (SELECT COUNT(*) AS v FROM uni
+), bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), ce AS (
+  SELECT doc_id, ROUND(-AVG(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS ce
+  FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+), r AS (
+  SELECT doc_id, RANK() OVER (ORDER BY ce) AS rk, COUNT(*) OVER () AS n
+  FROM ce
+), kept AS (
+  SELECT g.doc_id, g.source, g.t FROM g JOIN r USING (doc_id)
+  WHERE rk <= FLOOR(0.9 * n)
+), lab AS (
+  SELECT CASE WHEN gb < 8000 THEN 'train'
+              WHEN gb < 9000 THEN 'val' ELSE 'test' END AS split, t
+  FROM (
+    SELECT t,
+      (list_reduce(list_prepend(0, list_transform(
+         string_split(source, ''), c -> ascii(c))),
+         (a, b) -> (a * 31 + b) % 1000003) % 10000 * 2654435761) % 10000
+      AS gb
+    FROM kept)
+)
+SELECT split, COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(t), '\s+')))::BIGINT AS n_tokens
+FROM lab GROUP BY split
+""")
+def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation chain as ONE composed plan: mojibake repair
+    (fix_double_encoded on planted damage) → Gopher rule gate
+    (gopher_rules.pass, scan-side) → perplexity gate (bigram LM trained
+    on the GATED corpus, exact bottom-90% global-quantile cut on the
+    6dp-rounded cross-entropy) → leakage-safe group split on source →
+    per-split doc/token accounting. Every stage is individually oracled
+    (`unicode_clean`, `gopher_gate`, `perplexity_gate`, `group_split`);
+    this pins their composition — including that the LM trains on the
+    post-gate corpus, not the raw one, and that repaired text flows
+    through the token statistics."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" maÃ±ana"))
+         .otherwise(F.lit("")))
+    base = docs.select("doc_id", "source",
+                       T.fix_double_encoded(raw).alias("t"))
+    g = base.where(T.gopher_rules("t").getField("pass"))
+    scored = R.bigram_lm_score(g, "doc_id", "t", add_k=0.5) \
+        .select("doc_id", F.round("cross_entropy", 6).alias("ce"))
+    kept_ids = SMP.filter_by_global_quantile(
+        scored, "ce", q=0.9, keep="bottom").select("doc_id")
+    kept = g.join(kept_ids, "doc_id")
+    out = kept.withColumn(
+        "split", SMP.group_split_col("source", [0.8, 0.1, 0.1],
+                                     ["train", "val", "test"]))
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("t")).cast("long").alias("n_tokens"))
