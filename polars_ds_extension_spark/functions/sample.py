@@ -301,3 +301,18 @@ def sample_exact_n_per_group(df: DataFrame, id_col: str, group_col: str,
         .orderBy(_bucket(id_col), to_col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def kfold_col(id_col, k: int) -> Column:
+    """Deterministic fold id in [0, k): scrambled-id bucket mod k —
+    uniform, append-stable, engine-reproducible (the cross-validation
+    analogue of `split_col`). Pure scan-side expression."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return F.pmod(_bucket(id_col), F.lit(k))
+
+
+def kfold_split(df: DataFrame, id_col: str, k: int,
+                out_col: str = "fold") -> DataFrame:
+    """Attach the k-fold assignment column (see `kfold_col`)."""
+    return df.withColumn(out_col, kfold_col(id_col, k))

@@ -1671,3 +1671,56 @@ def group_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("sum_id"),
         F.sum("n_chars").alias("sum_chars"))
+
+
+@query("triangle_count", """
+WITH co AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+), tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM co e1 JOIN co e2 ON e1.x = e2.x AND e1.y < e2.y
+  JOIN co e3 ON e3.x = e1.y AND e3.y = e2.y
+)
+SELECT node, COUNT(*) AS triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY node
+""")
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_count —
+    degree-ordered wedge join, each triangle emitted exactly once) on
+    the supplier co-occurrence graph (suppliers sharing an order). The
+    oracle is the brute canonical three-way join — affordable at test
+    scale, orientation-free, so equality proves the oriented plan
+    counts every triangle once and none twice."""
+    from .operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+          .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+          .select(F.col("a.l_suppkey").alias("x"),
+                  F.col("b.l_suppkey").alias("y"))
+          .distinct())
+    return G.triangle_count(co, "x", "y")
+
+
+@query("kfold_split", f"""
+SELECT (event_id % 10000 * 2654435761) % 10000 % 5 AS fold,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+""")
+def kfold_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (functions/sample.kfold_split): scrambled-id bucket mod k — uniform
+    folds, append-stable, scan-side only. Oracle replays the integer
+    pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SMP.kfold_split(ev, "event_id", 5)
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"))

@@ -326,3 +326,48 @@ def test_script_profile_dominant_and_ties(spark):
     assert out[1]["dominant"] == "cjk"
     assert out[2]["dominant"] == "und"
     assert out[3]["dominant"] == "und" and out[3]["digit"] == 2
+
+
+# ------------------------------------------------------- triangles / kfold
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) + pendant e + an
+    # isolated edge f-g; input has multi-edges, self loops, both
+    # directions — all must collapse.
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("c", "d"), ("d", "d"), ("d", "e"),
+             ("f", "g")]
+    df = spark.createDataFrame(edges, "s string, t string")
+    got = {r["node"]: r["triangles"]
+           for r in G.triangle_count(df, "s", "t").collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_total(spark):
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    nodes = list(range(18))
+    edges = [(str(u), str(v)) for u, v in itertools.combinations(nodes, 2)
+             if rng.random() < 0.4]
+    df = spark.createDataFrame(edges, "s string, t string")
+    got = sum(r["triangles"] for r in
+              G.triangle_count(df, "s", "t").collect())
+    es = {frozenset(e) for e in edges}
+    want = 3 * sum(1 for x, y, z in itertools.combinations(nodes, 3)
+                   if {frozenset((str(x), str(y))),
+                       frozenset((str(y), str(z))),
+                       frozenset((str(x), str(z)))} <= es)
+    assert got == want
+
+
+def test_kfold_split_properties(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = SMP.kfold_split(df, "id", 5)
+    folds = {r["fold"]: r["n"] for r in
+             out.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(folds) == {0, 1, 2, 3, 4}
+    assert all(100 < v < 300 for v in folds.values())  # roughly uniform
+    with pytest.raises(ValueError):
+        SMP.kfold_col("id", 1)
