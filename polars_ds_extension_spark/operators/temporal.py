@@ -208,3 +208,94 @@ def rollup_hypertable(
             *keys).agg(*reagg)
         out[lvl] = _finalize(cur)
     return out
+
+
+def fill_time_gaps(
+    df: DataFrame, ts_col: str, step: int,
+    by: Sequence[str], value_cols: Sequence[str],
+    how: str = "null",
+) -> DataFrame:
+    """Regularize an irregular time series: emit one row per ``step``
+    tick on each key's [min, max] span (the polars upsample /
+    TimescaleDB time_bucket_gapfill shape). ``ts_col`` must be numeric
+    (epoch micros etc.); observed rows keep their values, synthetic
+    ticks carry NULL (``how='null'``) or the most recent observed value
+    (``how='ffill'`` — locf). Rows not on the grid are preserved.
+
+    Scale plan: the grid explodes from ONE tiny per-key (min, max) agg
+    — sequence() costs (span/step) rows per key, the same cardinality
+    the output must have, so there is no avoidable inflation. The union
+    + per-key window shares one hash shuffle on ``by``; the forward
+    fill is last_value(ignorenulls) over the time order — the as-of
+    join machinery applied to gap filling.
+
+    Output: (*by, ts_col, *value_cols, is_gap boolean).
+    """
+    if how not in {"null", "ffill"}:
+        raise ValueError("how must be 'null' or 'ffill'")
+    keys = list(by)
+    t = to_col(ts_col)
+
+    span = df.groupBy(*keys).agg(F.min(t).alias("__mn"),
+                                 F.max(t).alias("__mx"))
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"),
+                             F.lit(step))).alias(ts_col))
+    obs = df.select(*keys, t.alias(ts_col),
+                    *[F.col(c) for c in value_cols],
+                    F.lit(False).alias("__gap"))
+    # grid ticks that collide with an observed timestamp are dropped —
+    # the observed row wins; anti-join keyed on (by, ts)
+    gaps = grid.join(obs.select(*keys, ts_col), [*keys, ts_col],
+                     "left_anti") \
+        .select(*keys, F.col(ts_col),
+                *[F.lit(None).cast(df.schema[c].dataType).alias(c)
+                  for c in value_cols],
+                F.lit(True).alias("__gap"))
+    u = obs.unionByName(gaps)
+    if how == "ffill":
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                              F.col("__gap").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        # carry the whole observed row as ONE struct (atomicity — same
+        # rule as asof_join): NULLs inside an observed row must ride
+        # along, not fall back to an older row per-column
+        pay = F.when(~F.col("__gap"),
+                     F.struct(*[F.col(c) for c in value_cols]))
+        u = u.withColumn("__m", F.last(pay, ignorenulls=True).over(w))
+        u = u.select(
+            *keys, F.col(ts_col),
+            *[F.when(F.col("__gap"), F.col("__m").getField(c))
+              .otherwise(F.col(c)).alias(c) for c in value_cols],
+            F.col("__gap").alias("is_gap"))
+        return u
+    return u.withColumnRenamed("__gap", "is_gap")
+
+
+def sessionize(
+    df: DataFrame, ts_col: str, by: Sequence[str], gap: int,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): rows of a key belong to
+    the same session while consecutive timestamps are within ``gap``
+    (same units as the numeric ``ts_col``); a larger silence starts a
+    new session. ``out_col`` is the 0-based session index per key —
+    deterministic, layout-independent.
+
+    The batch twin of streaming/ops.stream_sessionize (F.session_window
+    needs a streaming-style timestamp; this works on any numeric time
+    axis). ONE hash shuffle on ``by``; both window passes (lag +
+    running sum) share the partitioning.
+    """
+    keys = [to_col(k) for k in by]
+    t = to_col(ts_col)
+    w = Window.partitionBy(*keys).orderBy(t.asc())
+    new_s = F.when(
+        F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > gap),
+        F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(t.asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("__n", new_s) \
+        .withColumn(out_col, (F.sum("__n").over(run) - 1).cast("long")) \
+        .drop("__n")

@@ -1909,3 +1909,90 @@ def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count("t")).cast("long").alias("n_tokens"))
+
+
+
+@query("ivfpq_search", """
+WITH cb AS (
+  SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16
+), cents AS (
+  SELECT vec_id AS cell, list_transform(embedding, y -> y::DOUBLE) AS ce
+  FROM embeddings WHERE vec_id < 4
+), v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+), q AS (
+  SELECT vec_id AS q_id, embedding FROM embeddings
+  WHERE vec_id >= 300 AND vec_id < 310
+), vc AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cents.cell, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.embedding, cents.ce),
+               x -> (x[1]::DOUBLE - x[2]) ^ 2)), cents.cell) AS rn
+    FROM v CROSS JOIN cents) WHERE rn = 1
+), sub AS (SELECT s FROM UNNEST(range(0, 8)) t(s)),
+d AS (
+  SELECT v.vec_id, sub.s, cb.code,
+    list_sum(list_transform(
+      list_zip(v.embedding[sub.s * 8 + 1 : sub.s * 8 + 8],
+               cb.embedding[sub.s * 8 + 1 : sub.s * 8 + 8]),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)) AS d2
+  FROM v, sub, cb
+), codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                               ORDER BY d2, code) AS rn
+    FROM d) WHERE rn = 1
+), qc AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, cents.cell, ROW_NUMBER() OVER (PARTITION BY q.q_id
+      ORDER BY list_sum(list_transform(list_zip(q.embedding, cents.ce),
+               x -> (x[1]::DOUBLE - x[2]) ^ 2)), cents.cell) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 2
+), lut AS (
+  SELECT q.q_id, sub.s, cb.code,
+    list_sum(list_transform(
+      list_zip(q.embedding[sub.s * 8 + 1 : sub.s * 8 + 8],
+               cb.embedding[sub.s * 8 + 1 : sub.s * 8 + 8]),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE)^2)) AS d2
+  FROM q, sub, cb
+), adc AS (
+  SELECT qc.q_id, vc.vec_id AS neighbor_id,
+         list_sum(list(l.d2 ORDER BY l.s)) AS adc
+  FROM qc JOIN vc USING (cell)
+  JOIN codes c ON c.vec_id = vc.vec_id
+  JOIN lut l ON l.q_id = qc.q_id AND l.s = c.s AND l.code = c.code
+  GROUP BY 1, 2
+), r AS (
+  SELECT q_id, neighbor_id, adc, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY adc, neighbor_id) AS "rank"
+  FROM adc
+)
+SELECT q_id, neighbor_id, ROUND(adc, 6) AS adc_dist, "rank" AS rank
+FROM r WHERE "rank" <= 3
+""")
+def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (operators/embedding.ivfpq_knn_join — the FAISS
+    IVFADC architecture without residual encoding): queries coarse-
+    route to their 2 nearest of 4 'first' centroids, then ADC-score
+    only the PQ codes in those cells and take top-3. Every stage is
+    deterministic ('first' centroids + 'first' codebooks), so the
+    oracle replays cell assignment, encode argmin, query routing, and
+    the ADC sum entirely in SQL. The composition is what makes a
+    100 TB embedding lake searchable: ~nprobe/C of the corpus touched
+    per query, over codes 32x smaller than the raw vectors."""
+    from .operators import embedding as EMB
+    from .operators import knn as K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = emb.where(F.col("vec_id") < 300)
+    cents = K.ivf_centroids(emb, "vec_id", "v", n_centroids=4,
+                            method="first")
+    books = EMB.pq_train(emb.orderBy("vec_id"), "v", m=8, k=16,
+                         sample_rows=16, method="first")
+    qs = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 310)) \
+        .select(F.col("vec_id").alias("q_id"), "v")
+    out = EMB.ivfpq_knn_join(qs, "q_id", "v", idx, "vec_id", "v",
+                             books, cents, nprobe=2, k=3)
+    return out.select("q_id", "neighbor_id",
+                      _r(F.col("adc_dist")).alias("adc_dist"), "rank")

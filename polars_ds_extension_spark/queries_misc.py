@@ -1675,9 +1675,10 @@ def group_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("triangle_count", """
 WITH co AS (
-  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
 ), tri AS (
   SELECT e1.x AS a, e1.y AS b, e2.y AS c
   FROM co e1 JOIN co e2 ON e1.x = e2.x AND e1.y < e2.y
@@ -1694,7 +1695,13 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier co-occurrence graph (suppliers sharing an order). The
     oracle is the brute canonical three-way join — affordable at test
     scale, orientation-free, so equality proves the oriented plan
-    counts every triangle once and none twice."""
+    counts every triangle once and none twice. The graph keeps only
+    STRONG edges (>= 5 joint orders): without the weight threshold the
+    co-occurrence graph saturates toward a complete graph as SF grows
+    (every pair eventually shares an order), and triangle counting on a
+    near-complete graph is Theta(n^3) OUTPUT — no algorithm fixes
+    that; thresholding is how co-occurrence graphs are built in
+    practice."""
     from .operators import graph as G
 
     li = load_table(spark, sf_dir, "lineitem") \
@@ -1703,9 +1710,10 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.alias("b")
     co = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
           .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-          .select(F.col("a.l_suppkey").alias("x"),
-                  F.col("b.l_suppkey").alias("y"))
-          .distinct())
+          .groupBy(F.col("a.l_suppkey").alias("x"),
+                   F.col("b.l_suppkey").alias("y"))
+          .agg(F.count(F.lit(1)).alias("w"))
+          .where(F.col("w") >= 5).drop("w"))
     return G.triangle_count(co, "x", "y")
 
 
@@ -1724,3 +1732,103 @@ def kfold_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+
+@query("time_gapfill", """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events
+), k AS (
+  SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, 3600000000)) AS t FROM k
+), gaps AS (
+  SELECT g.user_id, g.t FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = g.user_id
+                    AND b.t = g.t)
+), u AS (
+  SELECT user_id, t, value, FALSE AS gap FROM b
+  UNION ALL SELECT user_id, t, NULL, TRUE FROM gaps
+), f AS (
+  SELECT user_id, t, gap,
+    CASE WHEN gap THEN last_value(CASE WHEN NOT gap THEN value END
+                                  IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t, gap
+            ROWS UNBOUNDED PRECEDING)
+    ELSE value END AS v
+  FROM u
+)
+SELECT user_id, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN gap THEN 1 END) AS n_gaps,
+       ROUND(SUM(v), 4) AS sum_v
+FROM f GROUP BY user_id
+""")
+def time_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/temporal.fill_time_gaps —
+    the polars upsample / TimescaleDB gapfill shape): every user's
+    event timeline gets an hourly tick grid over its [min, max] span,
+    synthetic ticks forward-fill the last observed value (locf, carried
+    as one atomic struct). Grid explodes from one tiny per-key agg;
+    union + ffill window share one hash shuffle on the key. Oracle:
+    generate_series + IGNORE NULLS last_value."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    b = ev.select("user_id", t.alias("t"), "value")
+    out = TJ.fill_time_gaps(b, "t", 3_600_000_000, ["user_id"],
+                            ["value"], how="ffill")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("is_gap"), 1)).alias("n_gaps"),
+        F.round(F.sum("value"), 4).alias("sum_v"))
+
+
+
+@query("batch_sessionize", """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events
+), m AS (
+  SELECT user_id, t, value,
+    CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+            > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM b
+), s AS (
+  SELECT user_id, t, value,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m
+), per AS (
+  SELECT user_id, sid, COUNT(*) AS n, MAX(t) - MIN(t) AS span,
+         SUM(value) AS sv
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n) AS max_len, SUM(span)::BIGINT AS sum_span_us,
+       ROUND(SUM(sv), 4) AS sum_value
+FROM per GROUP BY user_id
+""")
+def batch_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (operators/temporal.
+    sessionize, 30-min gap): per-user session count, longest session,
+    total in-session span, value sum — the batch twin of
+    stream_sessionize on an arbitrary numeric time axis. One hash
+    shuffle; lag + running-sum windows share the partitioning. Oracle:
+    the classic LAG/SUM islands SQL."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    b = ev.select("user_id", t.alias("t"), "value")
+    s = TJ.sessionize(b, "t", ["user_id"], gap=1_800_000_000)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("t") - F.min("t")).alias("span"),
+        F.sum("value").alias("sv"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_len"),
+        F.sum("span").cast("long").alias("sum_span_us"),
+        F.round(F.sum("sv"), 4).alias("sum_value"))

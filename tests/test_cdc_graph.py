@@ -371,3 +371,103 @@ def test_kfold_split_properties(spark):
     assert all(100 < v < 300 for v in folds.values())  # roughly uniform
     with pytest.raises(ValueError):
         SMP.kfold_col("id", 1)
+
+
+# ------------------------------------------------------------------ ivfpq
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    from polars_ds_extension_spark.operators import embedding as EMB
+    from polars_ds_extension_spark.operators import knn as K
+
+    rng = np.random.default_rng(7)
+    # clustered blobs (recall is meaningful there, matching the PQ
+    # test): 10 centers, tight noise, queries jittered off index points
+    centers = rng.normal(0, 5, (10, 32))
+    X = np.vstack([c + rng.normal(0, 0.4, (40, 32)) for c in centers])
+    n, nq = len(X), 12
+    Qv = X[:nq]  # index points as queries — the house PQ-recall setup
+    idx = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "vec_id long, v array<double>")
+    qs = spark.createDataFrame(
+        [(1000 + i, Qv[i].tolist()) for i in range(nq)],
+        "q_id long, v array<double>")
+    books = EMB.pq_train(idx.orderBy("vec_id"), "v", m=8, k=16,
+                         sample_rows=400, method="kmeans", seed=3)
+    cents = K.ivf_centroids(idx, "vec_id", "v", n_centroids=8,
+                            method="kmeans", seed=1)
+    got = EMB.ivfpq_knn_join(qs, "q_id", "v", idx, "vec_id", "v",
+                             books, cents, nprobe=4, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    # recall@10 vs exact brute force (the house PQ-recall bar: ADC
+    # ranking inside a tight blob is quantization-noisy, so the
+    # meaningful signal is set overlap at k=10, not fine top-5 order)
+    hits = total = 0
+    for i in range(nq):
+        d = ((X - Qv[i]) ** 2).sum(1)
+        exact = set(np.argsort(d, kind="stable")[:10].tolist())
+        total += 10
+        hits += len(exact & by_q.get(1000 + i, set()))
+    assert hits / total >= 0.6, f"recall {hits/total:.2f}"
+    # ranks are 1..k and deterministic under relayout
+    got2 = EMB.ivfpq_knn_join(qs.repartition(5), "q_id", "v",
+                              idx.repartition(7), "vec_id", "v",
+                              books, cents, nprobe=4, k=10)
+    a = sorted((r["q_id"], r["rank"], r["neighbor_id"])
+               for r in got.collect())
+    b = sorted((r["q_id"], r["rank"], r["neighbor_id"])
+               for r in got2.collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------- gapfill
+
+def test_fill_time_gaps_ffill_and_null(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    df = spark.createDataFrame(
+        [("u", 0, 1.0), ("u", 10, None), ("u", 25, 3.0),
+         ("w", 100, 9.0)],
+        "k string, t long, v double")
+    out = TJ.fill_time_gaps(df, "t", 5, ["k"], ["v"], how="ffill") \
+        .orderBy("k", "t").collect()
+    got = [(r["k"], r["t"], r["v"], r["is_gap"]) for r in out]
+    # u grid: 0..25 step 5 -> ticks 0,5,10,15,20,25; 10 observed (NULL
+    # value rides atomically — ffill must NOT resurrect 1.0 for t=10);
+    # 25 off-grid? 25 = 0+5k yes on grid but observed wins.
+    assert got == [
+        ("u", 0, 1.0, False), ("u", 5, 1.0, True), ("u", 10, None, False),
+        ("u", 15, None, True), ("u", 20, None, True), ("u", 25, 3.0, False),
+        ("w", 100, 9.0, False)]
+    out2 = TJ.fill_time_gaps(df, "t", 5, ["k"], ["v"], how="null")
+    assert out2.where(F.col("is_gap") & F.col("v").isNotNull()).count() == 0
+
+
+def test_fill_time_gaps_preserves_offgrid_rows(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    df = spark.createDataFrame([("u", 0, 1.0), ("u", 7, 2.0)],
+                               "k string, t long, v double")
+    out = TJ.fill_time_gaps(df, "t", 5, ["k"], ["v"], how="ffill")
+    ts = sorted(r["t"] for r in out.collect())
+    assert ts == [0, 5, 7]  # off-grid observation kept, grid tick added
+
+
+def test_sessionize_islands(spark):
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 5), ("u", 30), ("u", 32), ("u", 100),
+         ("w", 1)],
+        "k string, t long")
+    out = TJ.sessionize(df, "t", ["k"], gap=10).orderBy("k", "t").collect()
+    assert [(r["k"], r["t"], r["session_id"]) for r in out] == [
+        ("u", 0, 0), ("u", 5, 0), ("u", 30, 1), ("u", 32, 1),
+        ("u", 100, 2), ("w", 1, 0)]
+    # layout invariance
+    out2 = TJ.sessionize(df.repartition(4), "t", ["k"], gap=10) \
+        .orderBy("k", "t").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
