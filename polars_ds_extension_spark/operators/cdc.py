@@ -52,6 +52,8 @@ def latest_by_key(
     """
     if not keys:
         raise ValueError("latest_by_key requires at least one key column")
+    if not order_by:
+        raise ValueError("latest_by_key requires at least one order column")
     w = Window.partitionBy(*[to_col(k) for k in keys]) \
         .orderBy(*_desc_cols(order_by))
     out = (df.withColumn("__rn", F.row_number().over(w))

@@ -28,7 +28,7 @@ from .text import _t
 
 __all__ = [
     "word_tokens", "doc_frequency", "tfidf_topk", "bm25_score",
-    "bigram_lm_score",
+    "bigram_lm_score", "word_ngram_terms", "top_terms", "pmi_bigrams",
 ]
 
 
@@ -236,3 +236,51 @@ def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
     w = Window.partitionBy(by).orderBy(*order)
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def pmi_bigrams(docs: DataFrame, text_col: str, k: int = 20,
+                min_count: int = 5) -> DataFrame:
+    """Top-k word associations by pointwise mutual information over
+    adjacent-bigram statistics — collocation mining ("new york",
+    "machine learning") for tokenizer vocab seeding and phrase-aware
+    dedup.
+
+        pmi(w1, w2) = ln( c12 · T / (c1 · c2) )
+
+    with T = total bigram occurrences; unigram counts here are counts
+    of the word as a bigram POSITION (left for c1, right for c2), the
+    convention that makes the probabilities normalize over the same
+    event space. ``min_count`` floors c12 (rare pairs otherwise
+    dominate PMI — the classic sparsity artifact).
+
+    Plan: one explode + TWO vocabulary-sized count shuffles (bigram,
+    word-position marginals derived from the bigram counts — the
+    corpus is read ONCE); top-k via TakeOrderedAndProject on the
+    (rounded) score with (w1, w2) tie order. Output: (w1, w2, c12,
+    pmi, rank).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(word_tokens(text_col).alias("__w"))
+    big = toks.select(
+        F.explode(F.zip_with(
+            F.slice("__w", 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+            F.slice("__w", 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("bg")).select("bg.w1", "bg.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("__t"))
+    scored = (c12.where(F.col("c12") >= min_count)
+              .join(c1, "w1").join(c2, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("w1", "w2", "c12",
+                      F.round(F.log(F.col("c12") * F.col("__t")
+                                    / (F.col("c1") * F.col("c2"))), 6)
+                      .alias("pmi")))
+    order = [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    out = scored.orderBy(*order).limit(k)
+    return out.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)))

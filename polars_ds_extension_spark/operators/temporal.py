@@ -233,6 +233,8 @@ def fill_time_gaps(
     """
     if how not in {"null", "ffill"}:
         raise ValueError("how must be 'null' or 'ffill'")
+    if step <= 0:
+        raise ValueError("step must be positive")
     keys = list(by)
     t = to_col(ts_col)
 
@@ -288,6 +290,8 @@ def sessionize(
     axis). ONE hash shuffle on ``by``; both window passes (lag +
     running sum) share the partitioning.
     """
+    if gap < 0:
+        raise ValueError("gap must be >= 0")
     keys = [to_col(k) for k in by]
     t = to_col(ts_col)
     w = Window.partitionBy(*keys).orderBy(t.asc())

@@ -1996,3 +1996,36 @@ def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              books, cents, nprobe=2, k=3)
     return out.select("q_id", "neighbor_id",
                       _r(F.col("adc_dist")).alias("adc_dist"), "rank")
+
+
+
+@query("pmi_collocations", r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), big AS (
+  SELECT bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg FROM toks)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
+), c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY w2
+), t AS (SELECT SUM(c12) AS t FROM c12
+), s AS (
+  SELECT w1, w2, c12,
+         ROUND(ln(c12 * t / (c1 * c2)), 6) AS pmi
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN t
+  WHERE c12 >= 5
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM s
+)
+SELECT w1, w2, c12, pmi, rank FROM r WHERE rank <= 20
+""")
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information
+    (operators/retrieval.pmi_bigrams): top-20 adjacent word pairs by
+    PMI with a min-count floor of 5 — the phrase-vocabulary seed pass.
+    Corpus read once; marginals derive from the bigram counts; global
+    top-k is TakeOrderedAndProject on the 6dp-ROUNDED score (ranking a
+    raw double would let last-ulp divergence reorder the boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.pmi_bigrams(docs, "text", k=20, min_count=5)

@@ -471,3 +471,25 @@ def test_sessionize_islands(spark):
     out2 = TJ.sessionize(df.repartition(4), "t", ["k"], gap=10) \
         .orderBy("k", "t").collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_pmi_bigrams_known_values(spark):
+    import math
+
+    # corpus: "a b" x4, "a c" x1, "c b" x1 -> T=6
+    rows = [("a b",)] * 4 + [("a c",), ("c b",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = R.pmi_bigrams(df, "text", k=5, min_count=1).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"], r["rank"])
+           for r in out}
+    # left marginals: a=5, c=1; right marginals: b=5, c=1
+    want = {
+        ("a", "b"): round(math.log(4 * 6 / (5 * 5)), 6),
+        ("a", "c"): round(math.log(1 * 6 / (5 * 1)), 6),
+        ("c", "b"): round(math.log(1 * 6 / (1 * 5)), 6),
+    }
+    assert {k: v[1] for k, v in got.items()} == want
+    # ranks: c-b (0.182) > a-c = a-b? ln(6/5)=0.182 for both a-c, c-b;
+    # a-b = ln(24/25) < 0. Tie c-b vs a-c breaks by w1: 'a' first.
+    assert got[("a", "c")][2] == 1 and got[("c", "b")][2] == 2
+    assert got[("a", "b")][2] == 3
