@@ -146,9 +146,16 @@ class DIA:
                 F.count_distinct(F.col(c)).alias(f"{c}__nu"),
                 F.min(ln).alias(f"{c}__minl"), F.avg(ln).alias(f"{c}__avgl"),
                 F.max(ln).alias(f"{c}__maxl"),
-                F.percentile(ln, F.array(F.lit(0.05), F.lit(0.95))).alias(f"{c}__pl"),
             ]
         row = df.agg(*aggs).first()
+        # length tail quantiles via the distributed selection plan —
+        # F.percentile's global agg buffers every length in one reducer
+        from ..plans.ranks import exact_quantiles
+
+        lens = df.select(*[F.length(F.col(c)).cast("double")
+                           .alias(f"__len_{c}") for c in cols])
+        qls = exact_quantiles(lens, {f"__len_{c}": [0.05, 0.95]
+                                     for c in cols})
         # modes: melt (column, value) → count → per-column max; ONE shuffle
         melted = df.select(F.explode(F.array(*[
             F.struct(F.lit(c).alias("col"), F.col(c).alias("val")) for c in cols
@@ -163,7 +170,7 @@ class DIA:
         out = []
         for c in cols:
             mf, mfc = modes.get(c, (None, None))
-            pl_ = row[f"{c}__pl"] or [None, None]
+            pl_ = qls.get(f"__len_{c}") or [None, None]
             out.append((
                 c, int(row[f"{c}__null"]), int(row[f"{c}__nu"]), mf, mfc,
                 int(row[f"{c}__minl"]) if row[f"{c}__minl"] is not None else None,

@@ -326,18 +326,17 @@ def winsorize(x, lower: float = 0.05, upper: float = 0.95,
 
 def winsorize_df(df: DataFrame, cols: Sequence[str],
                  lower: float = 0.05, upper: float = 0.95) -> DataFrame:
-    """Ungrouped winsorize at scale: ONE aggregation computes every
-    column's clip bounds (exact percentile — swap percentile_approx
-    outside oracle contexts), then the clip rides the scan as literals.
-    No window, no extra shuffle of the big side."""
-    row = df.agg(*[
-        F.percentile(to_col(c).cast("double"),
-                     F.array(F.lit(lower), F.lit(upper))).alias(c)
-        for c in cols
-    ]).first()
+    """Ungrouped winsorize at scale: every column's EXACT clip bounds
+    come from the distributed selection plan (plans/ranks.
+    exact_quantiles — F.percentile's global agg buffers every value in
+    one reducer), then the clip rides the scan as literals. No window,
+    no extra shuffle of the big side."""
+    from ..plans.ranks import exact_quantiles
+
+    qs = exact_quantiles(df, {c: [lower, upper] for c in cols})
     out = df
     for c in cols:
-        lo, hi = float(row[c][0]), float(row[c][1])
+        lo, hi = float(qs[c][0]), float(qs[c][1])
         xx = to_col(c)
         out = out.withColumn(
             c, F.when(xx < lo, F.lit(lo)).when(xx > hi, F.lit(hi)).otherwise(xx))

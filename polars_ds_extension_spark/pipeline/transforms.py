@@ -83,10 +83,18 @@ class Impute(Transform):
         if strat == "const":
             self.params = {c: float(self.kwargs["value"]) for c in cols}
             return self
+        if strat == "median":
+            # exact medians via the distributed selection plan —
+            # F.median's physical agg buffers every value per partition
+            # and merges in ONE reducer (plans/ranks.exact_quantiles,
+            # measured value-identical)
+            from ..plans.ranks import exact_quantiles
+
+            qs = exact_quantiles(df, {c: [0.5] for c in cols})
+            self.params = {c: float(qs[c][0]) for c in cols}
+            return self
         if strat == "mean":
             aggs = [F.avg(F.col(c)).alias(c) for c in cols]
-        elif strat == "median":
-            aggs = [F.median(F.col(c)).alias(c) for c in cols]
         elif strat == "mode":
             aggs = [F.mode(F.col(c)).alias(c) for c in cols]
         else:
@@ -113,6 +121,16 @@ class Scale(Transform):
     def fit(self, df: DataFrame, y=None) -> "Scale":
         cols = self.kwargs["cols"]
         method = self.kwargs["method"]
+        if method == "robust":
+            # median/IQR via the distributed selection plan, not the
+            # single-reducer F.median/F.percentile global aggs
+            from ..plans.ranks import exact_quantiles
+
+            qs = exact_quantiles(df, {c: [0.25, 0.5, 0.75] for c in cols})
+            self.params = {
+                c: [float(qs[c][1]), float(qs[c][2] - qs[c][0])]
+                for c in cols}
+            return self
         aggs = []
         for c in cols:
             cc = F.col(c).cast("double")
@@ -120,10 +138,6 @@ class Scale(Transform):
                 aggs += [F.avg(cc).alias(f"{c}__a"), F.stddev_samp(cc).alias(f"{c}__b")]
             elif method == "minmax":
                 aggs += [F.min(cc).alias(f"{c}__a"), F.max(cc).alias(f"{c}__b")]
-            elif method == "robust":
-                aggs += [F.median(cc).alias(f"{c}__a"),
-                         (F.percentile(cc, F.lit(0.75))
-                          - F.percentile(cc, F.lit(0.25))).alias(f"{c}__b")]
             elif method == "center":
                 aggs += [F.avg(cc).alias(f"{c}__a"),
                          F.lit(1.0).alias(f"{c}__b")]
@@ -157,13 +171,11 @@ class Winsorize(Transform):
     def fit(self, df: DataFrame, y=None) -> "Winsorize":
         cols = self.kwargs["cols"]
         lo, hi = self.kwargs["lower"], self.kwargs["upper"]
-        aggs = []
-        for c in cols:
-            cc = F.col(c).cast("double")
-            aggs += [F.percentile(cc, F.lit(lo)).alias(f"{c}__lo"),
-                     F.percentile(cc, F.lit(hi)).alias(f"{c}__hi")]
-        row = df.agg(*aggs).first()
-        self.params = {c: [float(row[f"{c}__lo"]), float(row[f"{c}__hi"])] for c in cols}
+        from ..plans.ranks import exact_quantiles
+
+        qs = exact_quantiles(df, {c: [lo, hi] for c in cols})
+        self.params = {c: [float(qs[c][0]), float(qs[c][1])]
+                       for c in cols}
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -378,7 +390,15 @@ class ConditionalImpute(Transform):
     def fit(self, df: DataFrame, y=None) -> "ConditionalImpute":
         sub = df.where(F.expr(self.kwargs["condition"]))
         strat = self.kwargs["strategy"]
-        agg = {"mean": F.avg, "median": F.median, "mode": F.mode}[strat]
+        if strat == "median":
+            from ..plans.ranks import exact_quantiles
+
+            qs = exact_quantiles(sub,
+                                 {c: [0.5] for c in self.kwargs["cols"]})
+            self.params = {c: float(qs[c][0])
+                           for c in self.kwargs["cols"]}
+            return self
+        agg = {"mean": F.avg, "mode": F.mode}[strat]
         row = sub.agg(*[agg(F.col(c)).alias(c) for c in self.kwargs["cols"]]).first()
         self.params = {c: float(row[c]) for c in self.kwargs["cols"]}
         return self

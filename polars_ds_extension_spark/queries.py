@@ -117,6 +117,11 @@ _GREEN_ROUND = {
 # (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
 # chunking), functions/string_.py (str_nearest metric family).
 _STALE = frozenset({
+    # round 7 late: pipeline fits moved off F.median/F.percentile onto
+    # plans/ranks.exact_quantiles (value-identical, re-stamp anyway)
+    "pipeline_transform", "pipeline_poly_impute", "pipeline_encode",
+    "pipeline_iv_rankhot", "pipeline_blueprint", "winsorize",
+    "dia_profile", "dia_col_validation", "dia_row_validation",
     "vocab_nearest",
     "asof_join", "bicor", "combinations", "copula_entropy",
     "corr_family", "corr_matrix", "curation_pipeline_v2",
