@@ -145,7 +145,10 @@ def _ordered(names) -> list:
         stamped = n in _GREEN_ROUND and n not in _STALE
         if not stamped:
             rank = 1 if n not in _ORACLES else 0
-            rnd = 0
+            # brand-new queries (never stamped) carry more evidence
+            # value than stale re-stamps (green once, code touched) —
+            # new first when the prefix can't cover both
+            rnd = 1 if n in _GREEN_ROUND else 0
         else:
             rank = 2
             rnd = _GREEN_ROUND[n]
