@@ -1441,10 +1441,15 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 (F.col("n_dup_windows") / F.col("n_windows"))
                 .alias("__ratio"))
+    from ._utils import pin
+
     gated = (docs
              .join(spans, "doc_id", "left")
              .where(F.coalesce(F.col("__ratio"), F.lit(0.0)) < 0.5)
              .where(T.quality_score("text") >= 0.75))
+    # mixture_sample's rate-fit collects per-language counts, then the
+    # final agg re-reads the gate — pin so the span join runs once
+    gated = pin(gated)
     mixed = SMP.mixture_sample(gated, "doc_id", "lang", alpha=0.5)
     return mixed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1897,7 +1902,12 @@ def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.lit("")))
     base = docs.select("doc_id", "source",
                        T.fix_double_encoded(raw).alias("t"))
-    g = base.where(T.gopher_rules("t").getField("pass"))
+    # the gated frame feeds the LM train, the score join, and the final
+    # accounting — pin it so the repair UDF + rule gate run ONCE, not
+    # once per consumer (functions/_utils.pin, LRU-released by bench)
+    from ._utils import pin
+
+    g = pin(base.where(T.gopher_rules("t").getField("pass")))
     scored = R.bigram_lm_score(g, "doc_id", "t", add_k=0.5) \
         .select("doc_id", F.round("cross_entropy", 6).alias("ce"))
     kept_ids = SMP.filter_by_global_quantile(
