@@ -369,6 +369,49 @@ class Polynomial(Transform):
         return df
 
 
+class QuantileBin(Transform):
+    """Equal-frequency binning: fit learns each column's ``n_bins - 1``
+    exact quantile cut points (the distributed selection plan — never a
+    single-reducer global percentile), transform assigns the 0-based
+    bin as a SUM of comparisons against the literal cuts:
+
+        bin(x) = Σ_i [x > cut_i]
+
+    — branch-free, engine-replayable, monotone in x; NULL stays NULL.
+    The standard discretizer for WOE/IV pipelines and drift (PSI)
+    bucketing. Beyond the reference's transform set.
+    """
+
+    name = "quantile_bin"
+
+    def __init__(self, cols: Sequence[str], n_bins: int = 4,
+                 suffix: str = "_bin"):
+        if n_bins < 2:
+            raise ValueError("n_bins must be >= 2")
+        super().__init__(cols=list(cols), n_bins=n_bins, suffix=suffix)
+
+    def fit(self, df: DataFrame, y=None) -> "QuantileBin":
+        from ..plans.ranks import exact_quantiles
+
+        n = self.kwargs["n_bins"]
+        probs = [i / n for i in range(1, n)]
+        qs = exact_quantiles(df, {c: probs for c in self.kwargs["cols"]})
+        self.params = {c: [float(v) for v in qs[c]]
+                       for c in self.kwargs["cols"]}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        sfx = self.kwargs["suffix"]
+        for c, cuts in self.params.items():
+            x = F.col(c).cast("double")
+            b = None
+            for cut in cuts:
+                term = (x > F.lit(cut)).cast("int")
+                b = term if b is None else b + term
+            df = df.withColumn(f"{c}{sfx}", b)
+        return df
+
+
 _REGISTRY = {
     t.name: t for t in
     [Impute, Scale, Winsorize, OneHot, Ordinal, TargetEncode, WoeEncode,
@@ -495,7 +538,7 @@ def select_by_std(df: DataFrame, cols: Sequence[str],
     return df.drop(*drop)
 
 
-_REGISTRY.update({t.name: t for t in [ConditionalImpute, IvEncode, RankHot]})
+_REGISTRY.update({t.name: t for t in [ConditionalImpute, IvEncode, RankHot, QuantileBin]})
 
 
 def linear_impute(df: DataFrame, cols: Sequence[str], order_by: str,

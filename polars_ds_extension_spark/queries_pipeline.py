@@ -225,3 +225,35 @@ def blueprint_dyn_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the epoch cast so it matches the oracle's naive epoch()
     ws = F.to_utc_timestamp(F.col("ts"), "UTC").cast("long")
     return out.select(ws.alias("ws"), "event_type", "n", "sum_value")
+
+
+
+@query("pipeline_qbin", """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS c
+  FROM lineitem
+), b AS (
+  SELECT (l_extendedprice > c[1])::INT + (l_extendedprice > c[2])::INT
+         + (l_extendedprice > c[3])::INT AS bin,
+         l_extendedprice AS x
+  FROM lineitem CROSS JOIN q
+)
+SELECT bin, COUNT(*) AS n, ROUND(MIN(x), 2) AS lo, ROUND(MAX(x), 2) AS hi
+FROM b GROUP BY bin
+""")
+def pipeline_qbin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning (pipeline/transforms.
+    QuantileBin): cut points are EXACT global quantiles from the
+    distributed selection plan, the bin is a branch-free sum of
+    comparisons against literal cuts (scan-speed transform). The oracle
+    recomputes the cuts with quantile_cont — exact_quantiles is
+    measured value-identical — and replays the same comparison sum."""
+    from .pipeline.transforms import QuantileBin
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    t = QuantileBin(["l_extendedprice"], n_bins=4).fit(li)
+    out = t.transform(li)
+    return out.groupBy(F.col("l_extendedprice_bin").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"))

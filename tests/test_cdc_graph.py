@@ -493,3 +493,34 @@ def test_pmi_bigrams_known_values(spark):
     # a-b = ln(24/25) < 0. Tie c-b vs a-c breaks by w1: 'a' first.
     assert got[("a", "c")][2] == 1 and got[("c", "b")][2] == 2
     assert got[("a", "b")][2] == 3
+
+
+def test_quantile_bin_transform(spark):
+    import numpy as np
+
+    from polars_ds_extension_spark.pipeline.transforms import (
+        QuantileBin, Transform)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=500)
+    df = spark.createDataFrame([(float(v),) for v in x] + [(None,)],
+                               "v double")
+    t = QuantileBin(["v"], n_bins=4).fit(df)
+    cuts = np.quantile(x, [0.25, 0.5, 0.75])
+    assert np.allclose(t.params["v"], cuts)
+    out = t.transform(df)
+    got = {r["v"]: r["v_bin"] for r in out.collect()}
+    for v, b in got.items():
+        if v is None:
+            assert b is None
+        else:
+            assert b == int((v > cuts).sum())
+    # near-equal bin sizes + JSON round trip
+    sizes = sorted(
+        r["n"] for r in out.where(F.col("v_bin").isNotNull())
+        .groupBy("v_bin").agg(F.count(F.lit(1)).alias("n")).collect())
+    assert len(sizes) == 4 and sizes[-1] - sizes[0] <= 2
+    t2 = Transform.from_dict(t.to_dict())
+    assert t2.params == t.params
+    with pytest.raises(ValueError):
+        QuantileBin(["v"], n_bins=1)
