@@ -679,3 +679,28 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def normalize_for_dedup(text) -> "Column":
+    """The C4-style dedup canonicalization: NFC-normalize, lowercase,
+    strip punctuation-adjacent whitespace variance (all whitespace runs
+    collapse to one space), trim. Two documents differing only in
+    casing, combining-character form, or spacing then hash identically
+    — 'fuzzy-exact' dedup without any pair comparison. The NFC step is
+    the Arrow-batch UDF (text.normalize_unicode); everything after is
+    JVM regexp."""
+    from .text import normalize_unicode
+
+    t = normalize_unicode(text, "NFC")
+    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def normalized_dedup(df: "DataFrame", text_col: str,
+                     id_col: str) -> "DataFrame":
+    """exact_dedup on the canonicalized text: keep the min-id row per
+    normalized-content class. Same 8-byte-hash shuffle shape as
+    exact_dedup — the canonicalization rides the scan."""
+    w = df.withColumn("__norm", normalize_for_dedup(text_col))
+    keep = (w.withColumn("__h", F.xxhash64(F.col("__norm")))
+            .groupBy("__h", "__norm").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -2039,3 +2039,47 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw double would let last-ulp divergence reorder the boundary)."""
     docs = load_table(spark, sf_dir, "documents")
     return R.pmi_bigrams(docs, "text", k=20, min_count=5)
+
+
+
+@query("normalized_dedup", """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         upper(substr(text, 1, 1)) || substr(text, 2) || '  '
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 400000, text || ' extra tail words here'
+  FROM documents WHERE doc_id % 5 = 0
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm
+  FROM u
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM n GROUP BY norm
+)
+SELECT COUNT(*) AS n_kept, SUM(doc_id)::BIGINT AS sum_id
+FROM keep
+""")
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style fuzzy-exact dedup (operators/dedup.normalized_dedup):
+    the corpus is unioned with case/whitespace-perturbed copies (must
+    dedup away, min id wins) and genuinely-extended copies (must
+    survive). Canonicalization = NFC + lowercase + whitespace collapse
+    riding the scan; dedup is the usual 8-byte hash shuffle. The
+    oracle replays the same normalization with DuckDB natives."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper(F.substring("text", 1, 1)),
+                 F.expr("substr(text, 2)"), F.lit("  ")).alias("text"))
+    ext = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words here"))
+        .alias("text"))
+    u = docs.unionByName(pert).unionByName(ext)
+    kept = D.normalized_dedup(u, "text", "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("sum_id"))

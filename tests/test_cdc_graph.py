@@ -524,3 +524,17 @@ def test_quantile_bin_transform(spark):
     assert t2.params == t.params
     with pytest.raises(ValueError):
         QuantileBin(["v"], n_bins=1)
+
+
+def test_normalized_dedup_classes(spark):
+    from polars_ds_extension_spark.operators import dedup as D
+
+    rows = [(1, "Café  du   Monde"),
+            (2, "café du monde"),   # decomposed + case + spacing
+            (3, "cafe du monde"),          # genuinely different (no accent)
+            (4, " CAFÉ DU MONDE ")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    kept = sorted(r["id"] for r in
+                  D.normalized_dedup(df, "t", "id").collect())
+    # 1, 2, 4 canonicalize identically -> min id 1 survives; 3 distinct
+    assert kept == [1, 3]
