@@ -465,16 +465,17 @@ def psi_discrete(df_new: DataFrame, df_base: DataFrame, x: str,
 
 
 def _quantile_breaks(df: DataFrame, x: str, n_bins: int) -> list[float]:
-    """Exact quantile breakpoints (deduplicated). Driver receives only
-    n_bins floats. For >TB data swap `percentile` for `percentile_approx`
-    (mergeable sketch) — parity tests use exact."""
+    """Exact quantile breakpoints (deduplicated) via the distributed
+    selection plan (plans/ranks.exact_quantiles — value-identical to
+    `percentile`, no single-reducer buffer of every value). Driver
+    receives only n_bins floats."""
+    from ..plans.ranks import exact_quantiles
+
     qs = [i / n_bins for i in range(1, n_bins)]
-    row = df.where(to_col(x).isNotNull()).agg(
-        F.expr(f"percentile({x}, array({','.join(str(q) for q in qs)}))").alias("b")
-    ).first()
+    vals = exact_quantiles(df.where(to_col(x).isNotNull()), {x: qs})[x]
     out: list[float] = []
-    for b in row["b"]:
-        if not out or b > out[-1]:
+    for b in vals:
+        if b is not None and (not out or b > out[-1]):
             out.append(float(b))
     return out
 

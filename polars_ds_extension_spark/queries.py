@@ -121,7 +121,7 @@ _STALE = frozenset({
     # plans/ranks.exact_quantiles (value-identical, re-stamp anyway)
     "pipeline_transform", "pipeline_poly_impute", "pipeline_encode",
     "pipeline_iv_rankhot", "pipeline_blueprint", "winsorize",
-    "dia_profile", "dia_col_validation", "dia_row_validation",
+    "dia_profile", "dia_col_validation", "dia_row_validation", "psi",
     "vocab_nearest",
     "asof_join", "bicor", "combinations", "copula_entropy",
     "corr_family", "corr_matrix", "curation_pipeline_v2",

@@ -1832,3 +1832,63 @@ def batch_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_len"),
         F.sum("span").cast("long").alias("sum_span_us"),
         F.round(F.sum("sv"), 4).alias("sum_value"))
+
+
+
+@query("drift_over_time", """
+WITH base AS (SELECT value, event_type FROM events
+              WHERE ts < TIMESTAMP '2024-01-16'),
+     nw   AS (SELECT value, event_type FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16'),
+     brk  AS (
+       SELECT DISTINCT q FROM (
+         SELECT UNNEST(QUANTILE_CONT(value, [0.2,0.4,0.6,0.8])) AS q
+         FROM base)
+     ),
+     bb AS (SELECT (SELECT COUNT(*) FROM brk WHERE q < b.value) AS bin
+            FROM base b),
+     bn AS (SELECT (SELECT COUNT(*) FROM brk WHERE q < n.value) AS bin
+            FROM nw n),
+     cb AS (SELECT bin, COUNT(*)::DOUBLE c FROM bb GROUP BY bin),
+     cn AS (SELECT bin, COUNT(*)::DOUBLE c FROM bn GROUP BY bin),
+     jv AS (
+       SELECT COALESCE(cn.c / (SELECT SUM(c) FROM cn), 0.0001) AS pn,
+              COALESCE(cb.c / (SELECT SUM(c) FROM cb), 0.0001) AS pb
+       FROM cb FULL OUTER JOIN cn USING (bin)
+     ),
+     tb AS (SELECT event_type AS cat, COUNT(*)::DOUBLE c FROM base
+            GROUP BY 1),
+     tn AS (SELECT event_type AS cat, COUNT(*)::DOUBLE c FROM nw
+            GROUP BY 1),
+     jt AS (
+       SELECT COALESCE(tn.c / (SELECT SUM(c) FROM tn), 0.0001) AS pn,
+              COALESCE(tb.c / (SELECT SUM(c) FROM tb), 0.0001) AS pb
+       FROM tb FULL OUTER JOIN tn USING (cat)
+     )
+SELECT 'type_mix' AS metric,
+       ROUND((SELECT SUM((pn - pb) * LN(pn/pb)) FROM jt), 6) AS psi
+UNION ALL
+SELECT 'value' AS metric,
+       ROUND((SELECT SUM((pn - pb) * LN(pn/pb)) FROM jv), 6) AS psi
+""")
+def drift_over_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal distribution drift — the monitoring pass every
+    long-running ingestion pipeline schedules: PSI of the value
+    distribution (quantile bins learned on the BASELINE half-month,
+    functions/num.psi) and of the event-type mix (psi_discrete) between
+    the first and second half of the month. Breakpoints come from the
+    distributed selection plan; everything else is two tiny grouped
+    counts per metric."""
+    from .functions import num as N
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.to_utc_timestamp(F.col("ts"), "UTC")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    base = ev.where(t < cut)
+    new = ev.where(t >= cut)
+    v = N.psi(new, base, "value", n_bins=5) \
+        .select(F.lit("value").alias("metric"), _r(F.col("psi")).alias("psi"))
+    ty = N.psi_discrete(new, base, "event_type") \
+        .select(F.lit("type_mix").alias("metric"),
+                _r(F.col("psi")).alias("psi"))
+    return v.unionByName(ty)
