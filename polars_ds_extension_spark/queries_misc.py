@@ -1892,3 +1892,90 @@ def drift_over_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("type_mix").alias("metric"),
                 _r(F.col("psi")).alias("psi"))
     return v.unionByName(ty)
+
+
+
+@query("rolling_anomaly", """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+), m AS (
+  SELECT user_id, event_id, t, value,
+    AVG(value) OVER w AS mu,
+    STDDEV_SAMP(value) OVER w AS sd,
+    COUNT(*) OVER w AS n
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, COUNT(*) AS n_scored,
+       COUNT(CASE WHEN ABS(value - mu) > 3 * sd THEN 1 END) AS n_anomalies,
+       ROUND(MAX(CASE WHEN sd > 0 THEN ABS(value - mu) / sd END), 6)
+         AS max_z
+FROM m WHERE n >= 10 GROUP BY user_id
+""")
+def rolling_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: each event scores
+    against the trailing-20-event mean/std (strictly BEFORE the event —
+    no self-leakage), flagged at |z| > 3; warmup rows with < 10 trailing
+    events are unscored. One hash shuffle on user_id; the window is a
+    bounded ROWS frame, so state per key is O(20) regardless of history
+    length — the batch shape of a streaming monitor. Oracle: the same
+    SQL window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    b = ev.select("user_id", "event_id", t.alias("t"), "value")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id") \
+        .rowsBetween(-20, -1)
+    m = b.select(
+        "user_id", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+    return (m.where(F.col("n") >= 10)
+            .groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                F.count(F.when(F.abs(F.col("value") - F.col("mu"))
+                               > 3 * F.col("sd"), 1)).alias("n_anomalies"),
+                _r(F.max(F.when(F.col("sd") > 0, z))).alias("max_z")))
+
+
+@query("regional_volume", """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""")
+def regional_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: a six-table star join
+    where the engine's own optimizer is the operator — region/nation/
+    supplier/customer broadcast (AQE converts the small sides), the
+    orders⋈lineitem spine shuffles once on orderkey, filters push into
+    every scan. No custom code by design: the point of building on
+    Catalyst is that the classic warehouse query needs none."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(o, c.c_custkey == o.o_custkey)
+         .join(li, li.l_orderkey == o.o_orderkey)
+         .join(s, (li.l_suppkey == s.s_suppkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(n, c.c_nationkey == n.n_nationkey)
+         .join(r, n.n_regionkey == r.r_regionkey)
+         .where(F.col("r_name").isin("ASIA", "EUROPE")))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
