@@ -301,3 +301,43 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type",
         F.col("event_id").alias("last_event_id"),
         F.round("value", 6).alias("value"))
+
+
+
+@query("stream_topk", """
+WITH w AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                               ORDER BY n DESC, event_type) AS rank
+  FROM w
+)
+SELECT ws, event_type, n, rank FROM r WHERE rank <= 3
+""")
+def stream_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters on a stream: the watermarked daily
+    count per event_type runs as a REAL Structured-Streaming job (the
+    only stateful part — state bounded by the watermark horizon), and
+    the top-3-per-window rank runs batch-side on the sink table — the
+    standard split, because a second aggregation over a streaming agg
+    is not expressible inside one streaming query. Oracle: the batch
+    count+ROW_NUMBER picture."""
+    from .streaming import ops as SO
+
+    ev = _events_stream(spark, sf_dir)
+    agg = SO.stream_windowed_agg(
+        ev, "ts", "1 day", {"n": F.count(F.lit(1))}, by=["event_type"],
+        watermark="1 hour")
+    # complete mode: append would omit windows not yet past the
+    # watermark when the availableNow stream drains (the final day)
+    sink = _run_to_table(spark, agg, "complete")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ws").orderBy(F.col("n").desc(),
+                                         F.col("event_type").asc())
+    base = sink.select(
+        F.col("window.start").cast("long").alias("ws"), "event_type", "n")
+    return (base.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3))
