@@ -316,3 +316,36 @@ def kfold_split(df: DataFrame, id_col: str, k: int,
                 out_col: str = "fold") -> DataFrame:
     """Attach the k-fold assignment column (see `kfold_col`)."""
     return df.withColumn(out_col, kfold_col(id_col, k))
+
+
+def weighted_sample_n(df: DataFrame, id_col: str, weight_col,
+                      n: int) -> DataFrame:
+    """EXACTLY ``n`` rows drawn without replacement with probability
+    proportional to ``weight_col`` — quality-weighted corpus draws
+    ("sample 1M docs, favor high quality"), deterministic and
+    append-stable.
+
+    Efraimidis-Spirakis exponential-sort keys: u = deterministic
+    per-row uniform from the scrambled id ((bucket + 0.5) / 10000 —
+    never 0 or 1), key = -ln(u) / w, keep the n SMALLEST keys. The key
+    is rounded to 9 dp BEFORE ranking (ties then break by id) so the
+    cut is engine-replayable; at 10k distinct u values the weighting is
+    exact in distribution over the id scramble. Rows with weight <= 0
+    or NULL are excluded (zero probability).
+
+    Scale plan: the key is a scan-side expression; the global top-n
+    runs on the two-pass range-bucket rank plan (plans/ranks.
+    global_min_rank) — no single-partition sort, same shape as
+    sample_exact_n.
+    """
+    from ..plans import global_min_rank
+
+    w = to_col(weight_col).cast("double")
+    u = (_bucket(id_col).cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.round(-F.log(u) / w, 9)
+    cand = df.where(w.isNotNull() & (w > 0)).withColumn("__wk", key)
+    ranked = global_min_rank(cand, "__wk", out_name="__wr")
+    win = Window.partitionBy("__wk").orderBy(to_col(id_col))
+    ranked = ranked.withColumn(
+        "__rnk", F.col("__wr") + F.row_number().over(win) - 1)
+    return ranked.where(F.col("__rnk") <= n).drop("__wk", "__wr", "__rnk")

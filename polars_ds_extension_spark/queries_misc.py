@@ -1979,3 +1979,35 @@ def regional_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
+
+
+
+@query("weighted_sample", """
+WITH cand AS (
+  SELECT doc_id, n_chars,
+         ROUND(-ln(((doc_id % 10000 * 2654435761) % 10000 + 0.5) / 10000)
+               / n_chars, 9) AS wk
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, n_chars,
+         RANK() OVER (ORDER BY wk) AS rk0,
+         ROW_NUMBER() OVER (PARTITION BY wk ORDER BY doc_id) AS rn
+  FROM cand
+)
+SELECT COUNT(*) AS n_kept, SUM(doc_id)::BIGINT AS sum_id,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM r WHERE rk0 + rn - 1 <= 100
+""")
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (functions/sample.
+    weighted_sample_n — Efraimidis-Spirakis exponential-sort keys on a
+    deterministic per-row uniform): exactly 100 documents with
+    probability ∝ n_chars. Keys round to 9 dp before ranking so the
+    global cut is engine-stable; the top-n runs on the two-pass rank
+    plan. The oracle replays key construction, min-rank, and the
+    within-tie row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.weighted_sample_n(docs, "doc_id", "n_chars", 100)
+    return out.agg(F.count(F.lit(1)).alias("n_kept"),
+                   F.sum("doc_id").alias("sum_id"),
+                   F.sum("n_chars").alias("sum_chars"))

@@ -538,3 +538,21 @@ def test_normalized_dedup_classes(spark):
                   D.normalized_dedup(df, "t", "id").collect())
     # 1, 2, 4 canonicalize identically -> min id 1 survives; 3 distinct
     assert kept == [1, 3]
+
+
+def test_weighted_sample_n_properties(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+
+    # heavy rows (weight 1000) vs light (weight 1): a 50-of-200 draw
+    # must strongly favor the heavy half, exact-n, layout-stable
+    rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(200)]
+    rows += [(900, None), (901, 0.0), (902, -1.0)]  # excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = SMP.weighted_sample_n(df, "id", "w", 50)
+    ids = sorted(r["id"] for r in out.collect())
+    assert len(ids) == 50 and not ({900, 901, 902} & set(ids))
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 40  # weight ratio 1000:1 dominates the draw
+    ids2 = sorted(r["id"] for r in SMP.weighted_sample_n(
+        df.repartition(7), "id", "w", 50).collect())
+    assert ids == ids2
