@@ -119,3 +119,33 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
            for a, b in pairs]
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double")
+
+
+def histogram(df: DataFrame, x: str, n_bins: int = 20) -> DataFrame:
+    """Equi-width histogram: one tiny (min, max) agg pins the range as
+    literals, then binning is a scan-side floor expression and ONE
+    map-side-combinable count — the two-pass shape any 100 TB
+    histogram needs (a one-pass approach would shuffle raw values).
+    The top edge closes right (max lands in the last bin). Output:
+    (bin, lo, hi, n) for non-empty bins.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    xx = F.col(x).cast("double")
+    row = df.agg(F.min(xx).alias("mn"), F.max(xx).alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mx == mn:
+        return (df.where(xx.isNotNull())
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(0).alias("bin"), F.lit(mn).alias("lo"),
+                        F.lit(mx).alias("hi"), "n"))
+    w = (mx - mn) / n_bins
+    b = F.least(F.floor((xx - F.lit(mn)) / F.lit(w)).cast("int"),
+                F.lit(n_bins - 1))
+    return (df.where(xx.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(mn) + F.col("bin") * F.lit(w)).alias("lo"),
+                    (F.lit(mn) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
+                    "n"))

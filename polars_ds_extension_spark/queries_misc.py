@@ -2011,3 +2011,31 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("n_kept"),
                    F.sum("doc_id").alias("sum_id"),
                    F.sum("n_chars").alias("sum_chars"))
+
+
+
+@query("histogram", """
+WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+b AS (
+  SELECT LEAST(FLOOR((value - mn) / ((mx - mn) / 20)), 19)::INT AS bin,
+         mn, mx
+  FROM events CROSS JOIN s WHERE value IS NOT NULL
+)
+SELECT bin, ROUND(mn + bin * ((mx - mn) / 20), 6) AS lo,
+       ROUND(mn + (bin + 1) * ((mx - mn) / 20), 6) AS hi,
+       COUNT(*) AS n
+FROM b GROUP BY bin, mn, mx
+""")
+def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value (functions/eda.
+    histogram): one tiny min/max agg pins the range, the bin is a
+    scan-side floor expression, counts are map-side combinable — the
+    two-pass shape a 100 TB histogram needs. Edge parity: both engines
+    evaluate the identical double expression, so boundary values land
+    in the same bin."""
+    from .functions import eda as E
+
+    ev = load_table(spark, sf_dir, "events")
+    out = E.histogram(ev, "value", n_bins=20)
+    return out.select("bin", _r(F.col("lo")).alias("lo"),
+                      _r(F.col("hi")).alias("hi"), "n")

@@ -556,3 +556,19 @@ def test_weighted_sample_n_properties(spark):
     ids2 = sorted(r["id"] for r in SMP.weighted_sample_n(
         df.repartition(7), "id", "w", 50).collect())
     assert ids == ids2
+
+
+def test_histogram_edges_and_degenerate(spark):
+    from polars_ds_extension_spark.functions import eda as E
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (10.0,), (None,)], "v double")
+    out = {r["bin"]: (r["lo"], r["hi"], r["n"])
+           for r in E.histogram(df, "v", n_bins=4).collect()}
+    # range [0,10], width 2.5: 0->bin0, 2.5->bin1 (left-closed),
+    # 5.0->bin2, 10.0 (the max) closes into the LAST bin
+    assert out[0][2] == 1 and out[1][2] == 1 and out[2][2] == 1
+    assert out[3][2] == 1 and out[3][1] == 10.0
+    const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    row = E.histogram(const, "v", n_bins=4).collect()
+    assert len(row) == 1 and row[0]["n"] == 2
