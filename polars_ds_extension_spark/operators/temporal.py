@@ -35,19 +35,26 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row: attach the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` key(s) — the trade
-    -to-quote join of time-series work (polars join_asof semantics,
-    backward direction, inclusive).
+    """For every left row: attach the matching right row within the
+    same ``by`` key(s) — the trade-to-quote join of time-series work,
+    with the full polars join_asof strategy set:
 
-    Plan: tag both sides, union them, ONE window per key ordered by
-    (time, side) with right-before-left on ties (so an equal timestamp
-    matches, mirroring DuckDB/polars inclusive semantics), and
-    last_value(..., ignorenulls) carries the latest right payload
-    forward. One hash shuffle on ``by``; per-key parallel sort; rows
-    stream through the window once. ``tolerance`` (same units as
-    ``on``) nulls out matches older than ``left.on - tolerance``.
+    * ``backward`` (default): most recent right with r.on <= l.on;
+    * ``forward``: earliest right with r.on >= l.on;
+    * ``nearest``: whichever of the two is closer in time (exact ties
+      prefer the backward match — deterministic, matching pandas
+      merge_asof).
+
+    Plan: tag both sides, union them, and per direction ONE window per
+    key — last_value(ignorenulls) over unbounded-preceding for
+    backward, first_value over unbounded-following for forward (tie
+    order flips so an equal timestamp stays inclusive on both sides);
+    nearest runs both frames over the SAME partitioning (one hash
+    shuffle on ``by``, two in-partition sorts) and picks per row.
+    ``tolerance`` (same units as ``on``) nulls out matches farther
+    than it in the match direction.
 
     ``by`` is required: a keyless global as-of would funnel the union
     through one sort partition — partition the timeline first if you
@@ -55,6 +62,8 @@ def asof_join(
     """
     if not by:
         raise ValueError("asof_join requires at least one `by` key")
+    if direction not in {"backward", "forward", "nearest"}:
+        raise ValueError("direction must be backward|forward|nearest")
     keys = list(by)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != on]
@@ -74,13 +83,37 @@ def asof_join(
                  *[F.col(c).alias(c) for c in rcols]).alias("__r"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
-    w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    u = u.withColumn("__m", F.last(F.col("__r"), ignorenulls=True).over(w))
+    if direction in ("backward", "nearest"):
+        # right-before-left on ties -> equal timestamps match inclusively
+        wb = Window.partitionBy(*keys) \
+            .orderBy(F.col(on).asc(), F.col("__side").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        u = u.withColumn("__mb", F.last(F.col("__r"), ignorenulls=True)
+                         .over(wb))
+    if direction in ("forward", "nearest"):
+        # left-before-right on ties (side DESC) -> inclusive forward
+        wf = Window.partitionBy(*keys) \
+            .orderBy(F.col(on).asc(), F.col("__side").desc()) \
+            .rowsBetween(0, Window.unboundedFollowing)
+        u = u.withColumn("__mf", F.first(F.col("__r"), ignorenulls=True)
+                         .over(wf))
     out = u.where(F.col("__side") == 1)
+    if direction == "backward":
+        m = F.col("__mb")
+    elif direction == "forward":
+        m = F.col("__mf")
+    else:
+        db = t - F.col("__mb").getField("__ts")
+        df_ = F.col("__mf").getField("__ts") - t
+        m = (F.when(F.col("__mb").isNull(), F.col("__mf"))
+             .when(F.col("__mf").isNull(), F.col("__mb"))
+             .when(df_ < db, F.col("__mf"))
+             .otherwise(F.col("__mb")))  # exact ties -> backward
+    out = out.withColumn("__m", m)
     if tolerance is not None:
-        ok = F.col("__m").getField("__ts") >= (to_col(on) - F.lit(tolerance))
-        out = out.withColumn("__m", F.when(ok, F.col("__m")))
+        dist = F.abs(to_col(on) - F.col("__m").getField("__ts"))
+        out = out.withColumn(
+            "__m", F.when(dist <= F.lit(tolerance), F.col("__m")))
     sel = [c for c in left.columns] + \
         [F.col("__m").getField(c).alias(f"{c}{suffix}") for c in rcols] + \
         [F.col("__m").getField("__ts").alias(f"{on}{suffix}")]

@@ -2039,3 +2039,40 @@ def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = E.histogram(ev, "value", n_bins=20)
     return out.select("bin", _r(F.col("lo")).alias("lo"),
                       _r(F.col("hi")).alias("hi"), "n")
+
+
+
+@query("asof_join_forward", """
+WITH b AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events
+), l AS (
+  SELECT event_id, user_id, t, value FROM b WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, t, value FROM b WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.t, ROUND(l.value, 6) AS value,
+       ROUND(r.value, 6) AS value_right, r.t AS t_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t
+""")
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/temporal.asof_join,
+    direction='forward'): every click gets the user's NEXT
+    equal-or-later purchase — the next-event attribution shape. Same
+    one-union-one-window plan as backward, with the frame and tie
+    order flipped. Oracle: DuckDB's native forward ASOF (l.t <= r.t)."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    base = ev.select("event_id", "user_id", "event_type", "value",
+                     t.alias("t"))
+    clicks = base.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "t", "value")
+    purch = base.where(F.col("event_type") == "purchase") \
+        .select("user_id", "t", "value")
+    out = TJ.asof_join(clicks, purch, on="t", by=["user_id"],
+                       right_cols=["value"], direction="forward")
+    return out.select(
+        "event_id", "user_id", "t", _r(F.col("value")).alias("value"),
+        _r(F.col("value_right")).alias("value_right"), F.col("t_right"))

@@ -572,3 +572,36 @@ def test_histogram_edges_and_degenerate(spark):
     const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
     row = E.histogram(const, "v", n_bins=4).collect()
     assert len(row) == 1 and row[0]["n"] == 2
+
+
+def test_asof_join_directions_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    rng = np.random.default_rng(9)
+    lt = np.sort(rng.integers(0, 1000, 60))
+    rt = np.sort(rng.integers(0, 1000, 25))
+    lf = pd.DataFrame({"k": "a", "t": lt, "i": range(60)})
+    rf = pd.DataFrame({"k": "a", "t": rt, "v": rng.normal(size=25)})
+    sl = spark.createDataFrame(lf)
+    sr = spark.createDataFrame(rf)
+    for direction in ("forward", "nearest"):
+        got = TJ.asof_join(sl, sr, on="t", by=["k"], right_cols=["v"],
+                           direction=direction).orderBy("i").collect()
+        want = pd.merge_asof(lf.sort_values("t"), rf.sort_values("t"),
+                             on="t", by="k", direction=direction)
+        want = want.sort_values("i")
+        for g, (_, w) in zip(got, want.iterrows()):
+            gv, wv = g["v_right"], w["v"]
+            assert (gv is None and pd.isna(wv)) or abs(gv - wv) < 1e-12, \
+                (direction, g["t"])
+    # tolerance in the forward direction
+    tol = TJ.asof_join(sl, sr, on="t", by=["k"], right_cols=["v"],
+                       direction="forward", tolerance=10).collect()
+    wantt = pd.merge_asof(lf.sort_values("t"), rf.sort_values("t"),
+                          on="t", by="k", direction="forward",
+                          tolerance=10)
+    assert sum(r["v_right"] is not None for r in tol) \
+        == int(wantt["v"].notna().sum())
