@@ -2076,3 +2076,41 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "t", _r(F.col("value")).alias("value"),
         _r(F.col("value_right")).alias("value_right"), F.col("t_right"))
+
+
+
+@query("feature_screen", """
+SELECT feature, ROUND(c, 6) AS corr_abs, rank FROM (
+  SELECT feature, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, feature) AS rank
+  FROM (
+    SELECT 'l_quantity' AS feature,
+           ABS(corr(l_quantity, l_extendedprice)) AS c FROM lineitem
+    UNION ALL SELECT 'l_discount',
+           ABS(corr(l_discount, l_extendedprice)) FROM lineitem
+    UNION ALL SELECT 'l_tax',
+           ABS(corr(l_tax, l_extendedprice)) FROM lineitem
+    UNION ALL SELECT 'l_suppkey',
+           ABS(corr(l_suppkey, l_extendedprice)) FROM lineitem
+    UNION ALL SELECT 'l_partkey',
+           ABS(corr(l_partkey, l_extendedprice)) FROM lineitem
+  )
+)
+""")
+def feature_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation feature screening: |pearson| of every candidate
+    column against the target in ONE aggregation pass (each corr is a
+    map-side-combinable sufficient-stats agg, so 50 features cost one
+    scan, not 50) — the cheap first cut before model-based selection.
+    Ties rank by feature name; the ranking itself happens driver-side
+    (the stats are already one collected row — no window anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_discount", "l_tax", "l_suppkey",
+             "l_partkey"]
+    row = li.agg(*[F.abs(F.corr(c, "l_extendedprice")).alias(c)
+                   for c in feats]).first()
+    ranked = sorted(((c, float(row[c])) for c in feats),
+                    key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(c, round(v, 6), i + 1) for i, (c, v) in enumerate(ranked)],
+        "feature string, corr_abs double, rank int")
