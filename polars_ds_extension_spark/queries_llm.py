@@ -2083,3 +2083,66 @@ def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = D.normalized_dedup(u, "text", "doc_id")
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     F.sum("doc_id").alias("sum_id"))
+
+
+
+@query("kmeans_inertia", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, y -> y::DOUBLE) AS ve
+  FROM embeddings WHERE vec_id < 300
+), c0 AS (
+  SELECT vec_id::INT AS c, ve AS ce FROM v WHERE vec_id < 8
+), a0 AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c0.c, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.ve, c0.ce),
+                        x -> (x[1] - x[2]) ^ 2)), c0.c) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+), c1 AS (
+  SELECT c0.c, COALESCE(n.ce, c0.ce) AS ce FROM c0 LEFT JOIN (
+    SELECT c, list(m ORDER BY pos) AS ce FROM (
+      SELECT a0.c, t.pos, AVG(v.ve[t.pos]) AS m
+      FROM a0 JOIN v USING (vec_id) CROSS JOIN unnest(range(1, 65)) t(pos)
+      GROUP BY a0.c, t.pos) GROUP BY c) n USING (c)
+), a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c1.c, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_sum(list_transform(list_zip(v.ve, c1.ce),
+                        x -> (x[1] - x[2]) ^ 2)), c1.c) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+), c2 AS (
+  SELECT c1.c, COALESCE(n.ce, c1.ce) AS ce FROM c1 LEFT JOIN (
+    SELECT c, list(m ORDER BY pos) AS ce FROM (
+      SELECT a1.c, t.pos, AVG(v.ve[t.pos]) AS m
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN unnest(range(1, 65)) t(pos)
+      GROUP BY a1.c, t.pos) GROUP BY c) n USING (c)
+), a2 AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT v.vec_id, c2.c,
+      list_sum(list_transform(list_zip(v.ve, c2.ce),
+               x -> (x[1] - x[2]) ^ 2)) AS d2,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY list_sum(list_transform(list_zip(v.ve, c2.ce),
+                          x -> (x[1] - x[2]) ^ 2)), c2.c) AS rn
+    FROM v CROSS JOIN c2) WHERE rn = 1
+)
+SELECT c AS cluster, COUNT(*) AS n, ROUND(SUM(d2), 4) AS inertia
+FROM a2 GROUP BY c
+""")
+def kmeans_inertia_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia (operators/cluster.kmeans_inertia — the
+    elbow statistic for choosing k): same deterministic 2-iteration fit
+    as the `kmeans` query, then size + summed within-cluster squared
+    distance per cluster, one combinable agg over the assign pass. The
+    oracle extends the kmeans replay by carrying each row's winning
+    distance into the final aggregate (rounded at 4 dp — the sum of
+    ~40 float64 distances differs across engines in the last ulp)."""
+    from .operators import cluster as CL
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") < 300) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    C = CL.kmeans_fit(emb, "vec_id", "v", k=8, n_iter=2, init="first")
+    stats = CL.kmeans_inertia(CL.kmeans_assign(emb, "vec_id", "v", C))
+    return stats.select("cluster", "n",
+                        F.round("inertia", 4).alias("inertia"))

@@ -2114,3 +2114,36 @@ def feature_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(c, round(v, 6), i + 1) for i, (c, v) in enumerate(ranked)],
         "feature string, corr_abs double, rank int")
+
+
+
+@query("graph_degrees", """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+), o AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
+), i AS (SELECT dst AS node, COUNT(*) AS id_ FROM e GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(od, 0) AS out_deg, COALESCE(id_, 0) AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+""")
+def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the symmetric customer-supplier graph
+    (operators/graph.degree_stats — two one-shuffle counts + a full
+    outer join): the sanity pass before any graph algorithm runs.
+    Oracle: the same counts in SQL."""
+    from .operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")) \
+        .unionAll(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    return G.degree_stats(edges, "src", "dst")
