@@ -134,11 +134,17 @@ def histogram(df: DataFrame, x: str, n_bins: int = 20) -> DataFrame:
     xx = F.col(x).cast("double")
     row = df.agg(F.min(xx).alias("mn"), F.max(xx).alias("mx")).first()
     mn, mx = row["mn"], row["mx"]
-    if mn is None or mx == mn:
+    if mn is None:
+        # All-NULL/empty column: no bins at all (an agg-based fallback
+        # would fabricate a phantom (0, NULL, NULL, 0) row).
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo double, hi double, n bigint")
+    if mx == mn:
         return (df.where(xx.isNotNull())
                 .agg(F.count(F.lit(1)).alias("n"))
-                .select(F.lit(0).alias("bin"), F.lit(mn).alias("lo"),
-                        F.lit(mx).alias("hi"), "n"))
+                .select(F.lit(0).alias("bin"),
+                        F.lit(mn).cast("double").alias("lo"),
+                        F.lit(mx).cast("double").alias("hi"), "n"))
     w = (mx - mn) / n_bins
     b = F.least(F.floor((xx - F.lit(mn)) / F.lit(w)).cast("int"),
                 F.lit(n_bins - 1))

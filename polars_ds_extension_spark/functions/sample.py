@@ -23,8 +23,11 @@ from .._utils import to_col
 
 __all__ = [
     "sample_random", "sample_deterministic", "downsample", "volume_neutral",
-    "split_by_ratio", "stratified_sample", "split_col",
+    "split_by_ratio", "stratified_sample", "split_col", "random_cols",
     "mixture_sample", "filter_by_global_quantile", "sample_exact_n",
+    "group_bucket", "group_split_col", "split_by_group",
+    "sample_exact_n_per_group", "kfold_col", "kfold_split",
+    "weighted_sample_n",
 ]
 
 _BUCKETS = 10_000

@@ -97,6 +97,7 @@ def kmeans_fit(
         F.sum(F.element_at("s", i + 1)).alias(f"_s{i}") for i in range(dim)
     ] + [F.sum("cnt").alias("_c")]
 
+    prev_bc = None
     for _ in range(n_iter):
         bc = sc.broadcast(C)
 
@@ -121,10 +122,18 @@ def kmeans_fit(
 
         agg = (df.select(vec_col).mapInPandas(_partials, schema)
                .groupBy("cluster").agg(*sum_cols).collect())
+        # The agg above is the last consumer of this iteration's broadcast;
+        # release it (and the previous one) so n_iter iterations don't pin
+        # n_iter copies of the centroid matrix on driver + executors.
+        if prev_bc is not None:
+            prev_bc.unpersist()
+        prev_bc = bc
         C = C.copy()  # empty clusters keep their previous centroid
         for r in agg:
             c = r["cluster"]
             C[c] = np.array([r[f"_s{i}"] for i in range(dim)]) / r["_c"]
+    if prev_bc is not None:
+        prev_bc.unpersist()
     return C.tolist()
 
 
@@ -136,7 +145,8 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
 
     C = np.asarray(centroids, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(C)
-    schema = f"{id_col} long, cluster int, dist_sq double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster int, dist_sq double"
 
     def _batches(batches):
         import pandas as pd

@@ -215,7 +215,8 @@ def pq_knn_join(queries, q_id: str, q_vec: str,
 def ivfpq_knn_join(queries, q_id: str, q_vec: str,
                    index, i_id: str, i_vec: str,
                    codebooks, centroids, nprobe: int = 2,
-                   k: int = 5) -> "DataFrame":
+                   k: int = 5, c_id: str = "centroid_id",
+                   c_vec: str = "centroid") -> "DataFrame":
     """IVF-PQ approximate search (the FAISS IVFADC architecture, minus
     residual encoding — codes quantize the RAW vectors, a documented
     simplification that keeps every stage SQL-replayable): coarse-route
@@ -240,15 +241,15 @@ def ivfpq_knn_join(queries, q_id: str, q_vec: str,
     from pyspark.sql.window import Window
     from .knn import ivf_assign
 
-    cells = ivf_assign(index, i_id, i_vec, centroids,
-                       "centroid_id", "centroid")
+    cells = ivf_assign(index, i_id, i_vec, centroids, c_id, c_vec)
     codes = pq_encode(index, i_id, i_vec, codebooks)
+    i_id_type = index.schema[i_id].dataType.simpleString()
     tab = (cells.join(codes, i_id)
-           .select(F.col("centroid_id").alias("__cell"),
+           .select(F.col(c_id).alias("__cell"),
                    F.col(i_id).alias("__nid"), F.col("codes"))
            .repartition("__cell"))
 
-    crows = centroids.select("centroid_id", "centroid").collect()
+    crows = centroids.select(c_id, c_vec).collect()
     cid = np.array([r[0] for r in crows], dtype=np.int64)
     C = np.array([list(r[1]) for r in crows], dtype=np.float64)
     sc = queries.sparkSession.sparkContext
@@ -299,7 +300,7 @@ def ivfpq_knn_join(queries, q_id: str, q_vec: str,
                                 "adc_dist": d})
 
     scored = joined.mapInPandas(
-        _adc, f"{q_id} {qf[0].dataType.simpleString()}, __nid long, "
+        _adc, f"{q_id} {qf[0].dataType.simpleString()}, __nid {i_id_type}, "
               "adc_dist double")
     w = Window.partitionBy(q_id).orderBy(F.col("adc_dist").asc(),
                                          F.col("__nid").asc())

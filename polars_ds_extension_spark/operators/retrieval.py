@@ -198,7 +198,13 @@ def word_ngram_terms(text, n: int = 1) -> Column:
     w = word_tokens(text)
     if n == 1:
         return w
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    # Short docs (< n tokens) must map to an EMPTY index: sequence(1, 0)
+    # would otherwise default its step to -1 and yield [1, 0], and
+    # slice(w, 0, n) then throws INVALID_PARAMETER_VALUE.START — one bad
+    # one-word document would abort the whole job.
+    idx = F.when(F.size(w) >= n,
+                 F.sequence(F.lit(1), F.size(w) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
 
 

@@ -124,6 +124,22 @@ def test_top_terms_global_and_ties(spark):
         ("x", 3, 1), ("z", 2, 2), ("q", 1, 3)]  # q < y on the tie
 
 
+def test_word_ngram_terms_short_docs(spark):
+    """Docs with fewer than n tokens must yield an EMPTY n-gram array —
+    the naive sequence(1, size-(n-1)) emits a descending [1, 0] when the
+    doc is short (Spark defaults step to -1) and slice(w, 0, n) then
+    aborts the whole job with INVALID_PARAMETER_VALUE.START."""
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b c")], "id int, text string")
+    out = {r["id"]: r["g"] for r in df.select(
+        "id", R.word_ngram_terms("text", 2).alias("g")).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["a b", "b c"]
+    # and the composed operator survives a corpus containing short docs
+    top = R.top_terms(df, "text", n=3, k=5).collect()
+    assert [(r["term"], r["cnt"]) for r in top] == [("a b c", 1)]
+
+
 def test_top_terms_trigrams_per_group(spark):
     df = spark.createDataFrame(
         [("g1", "a b c d"), ("g1", "a b c"), ("g2", "p q r")],
@@ -572,6 +588,10 @@ def test_histogram_edges_and_degenerate(spark):
     const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
     row = E.histogram(const, "v", n_bins=4).collect()
     assert len(row) == 1 and row[0]["n"] == 2
+    # all-NULL and empty columns produce NO bins, not a phantom row
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert E.histogram(nulls, "v", n_bins=4).collect() == []
+    assert E.histogram(nulls.limit(0), "v", n_bins=4).collect() == []
 
 
 def test_asof_join_directions_vs_pandas(spark):
