@@ -462,23 +462,49 @@ def ivf_assign(
     centroids: DataFrame, c_id: str, c_vec: str,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (l2, deterministic
-    tie-break on centroid id via lexicographic struct-min).
+    tie-break toward the LOWEST centroid id).
 
-    Centroids broadcast; the big side streams — no shuffle for the
-    distance scan, one partial-agg shuffle on id for the argmin.
-    Output: (id_col, centroid_id).
+    Centroids broadcast (centroid-count-sized by contract — √N rows at
+    the prescribed scaling, a few MB even at 10⁹ vectors); the big side
+    streams through one vectorized numpy argmin per Arrow batch — no
+    shuffle at all. The distance is the direct (x−c)² float64 sum
+    (cluster.py:_assign_np), the same expression an SQL replay computes
+    — NOT the x²−2xc+c² GEMM expansion, whose different rounding would
+    jitter argmin near-ties across engines. A JVM crossJoin+struct-min
+    formulation of this same contract measured ~30× slower at 20k×140
+    (per-pair higher-order folds + an N·C-row argmin shuffle, the r7
+    scale-probe's super-linear term); this shape is flop-bound and
+    shuffle-free. Output: (id_col, centroid_id).
     """
-    c = F.broadcast(centroids.select(F.col(c_id).alias("__cid"),
-                                     F.col(c_vec).alias("__cvec")))
-    q = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    scored = q.crossJoin(c).select(
-        "__id", "__cid", l2_sq(F.col("__vec"), F.col("__cvec")).alias("__d")
-    )
-    return (
-        scored.groupBy("__id")
-        .agg(F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"))
-        .select(F.col("__id").alias(id_col), F.col("__m.__cid").alias("centroid_id"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    from .cluster import _assign_np
+
+    crows = centroids.select(c_id, c_vec).collect()
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    # sort by centroid id so argmin's first-occurrence tie-break lands on
+    # the lowest cid — the ORDER BY (distance, cid) replay contract
+    order = np.argsort(cids, kind="stable")
+    cids, C = cids[order], C[order]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C))
+    id_type = df.schema[id_col].dataType.simpleString()
+    cid_type = centroids.schema[c_id].dataType.simpleString()
+    schema = f"{id_col} {id_type}, centroid_id {cid_type}"
+
+    def _batches(it):
+        ids_c, Cm = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a, _ = _assign_np(X, Cm)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "centroid_id": ids_c[a]})
+
+    return df.select(id_col, vec_col).mapInPandas(_batches, schema)
 
 
 def ivf_centroids(
@@ -564,11 +590,20 @@ def ivf_knn_join(
     pair stage never exceeds max_cell²·subcells even when one centroid
     swallows the dataset (recall inside an oversized cell drops to
     ~1/subcells per probe — the documented cap-vs-recall trade).
-    Output: (id, neighbor_id, cosine, rank).
+
+    The within-cell search is ONE numpy GEMM + argpartition per
+    (cell, salt) group (`applyInPandas`): the n²/C pair term runs as
+    BLAS flops instead of JVM per-pair array folds, and only the top-k
+    rows ever leave the group — the r7 self-join formulation emitted
+    every candidate pair into a window sort and probed 6.3× at 10×
+    data; this shape is the same one shuffle (on the cell key) with a
+    ~100× smaller constant. Memory per group is slab-chunked (query
+    rows × cell), so an unsalted giant cell degrades to streaming
+    slabs, not an OOM. Output: (id, neighbor_id, cosine, rank).
     """
-    # NB: no spread() here — the bottleneck is the within-bucket pair
-    # stage whose parallelism is the bucket count, not the scan; an extra
-    # repartition only adds a stage (measured +2s cold at sf0.1).
+    import numpy as np
+    import pandas as pd
+
     if isinstance(centroids, DataFrame):
         cents = centroids
         c_id, c_vec = "centroid_id", "centroid"
@@ -595,30 +630,46 @@ def ivf_knn_join(
         ).drop("__cn")
     else:
         tagged = tagged.withColumn("__salt", F.lit(0))
-    # norms ride as a per-ROW column so the pair stage does ONE array fold
-    # (dot) instead of three — dot/(na·nb) is bit-identical to cosine()
-    # (same inputs, same op order), so oracle values don't move
-    tagged = tagged.withColumn("__n", norm(F.col("__vec")))
-    a = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
-                      F.col("__n").alias("__na"))
-    b = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
-                      F.col("__n").alias("__nb"))
-    cand = (
-        a.join(b, ["__c", "__salt"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b",
-                (dot(F.col("__va"), F.col("__vb"))
-                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
-                "cosine", "rank")
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, neighbor_id {id_type}, "
+              "cosine double, rank int")
+
+    def _cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "cosine": [], "rank": []})
+        ids = pdf["__id"].to_numpy()
+        X = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+        # norms via the same dot-then-sqrt float64 expression the JVM /
+        # SQL replay uses; cosine = dot / (na·nb)
+        nrm = np.sqrt((X * X).sum(1))
+        kk = min(k, m - 1)
+        out = []
+        # slab-chunk the query rows so the (chunk × m) score matrix
+        # stays ~128 MB however big an unsalted cell gets
+        chunk = max(1, (1 << 27) // max(1, m * 8))
+        for s0 in range(0, m, chunk):
+            sl = slice(s0, min(s0 + chunk, m))
+            cos = (X[sl] @ X.T) / (nrm[sl][:, None] * nrm[None, :])
+            score = -cos
+            # exclude self by position (ids are unique within a cell)
+            score[np.arange(sl.stop - sl.start), np.arange(sl.start, sl.stop)] = np.inf
+            part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
+            psc = np.take_along_axis(score, part, axis=1)
+            nid = ids[part]
+            order = np.lexsort((nid, psc), axis=1)
+            out.append(pd.DataFrame({
+                id_col: np.repeat(ids[sl], kk),
+                "neighbor_id": np.take_along_axis(nid, order, axis=1).ravel(),
+                "cosine": -np.take_along_axis(psc, order, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                sl.stop - sl.start),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return (tagged.groupBy("centroid_id", "__salt")
+            .applyInPandas(_cell_topk, schema))
 
 
 def ivf_cosine_pairs(
@@ -646,6 +697,9 @@ def ivf_cosine_pairs(
         cents = ivf_centroids(df, id_col, vec_col, n_centroids,
                               method=centroids, seed=seed)
         c_id, c_vec = "centroid_id", "centroid"
+    import numpy as np
+    import pandas as pd
+
     asg = ivf_assign(df, id_col, vec_col, cents, c_id, c_vec)
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
@@ -660,21 +714,37 @@ def ivf_cosine_pairs(
         ).drop("__cn")
     else:
         tagged = tagged.withColumn("__salt", F.lit(0))
-    tagged = tagged.withColumn("__n", norm(F.col("__vec")))
-    a = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
-                      F.col("__n").alias("__na"))
-    b = tagged.select(F.col("centroid_id").alias("__c"), F.col("__salt"),
-                      F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
-                      F.col("__n").alias("__nb"))
-    return (
-        a.join(b, ["__c", "__salt"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                (dot(F.col("__va"), F.col("__vb"))
-                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
-        .where(F.col("cosine") >= min_cosine)
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    thr = float(min_cosine)
+
+    def _cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # one GEMM per (cell, salt) group, thresholded BEFORE any row
+        # leaves the group — the n²/C term runs as BLAS flops and the
+        # emitted set is only the qualifying pairs (same as the old
+        # self-join + filter, minus the per-pair JVM array folds and the
+        # full candidate-pair shuffle). Query rows slab-chunked as in
+        # ivf_knn_join so a giant unsalted cell streams instead of OOMs.
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        X = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(1))
+        out = []
+        chunk = max(1, (1 << 27) // max(1, m * 8))
+        for s0 in range(0, m, chunk):
+            sl = slice(s0, min(s0 + chunk, m))
+            cos = (X[sl] @ X.T) / (nrm[sl][:, None] * nrm[None, :])
+            ra, cb = np.nonzero(
+                (cos >= thr) & (ids[sl][:, None] < ids[None, :]))
+            out.append(pd.DataFrame({
+                "id_a": ids[sl][ra], "id_b": ids[cb],
+                "cosine": cos[ra, cb]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (tagged.groupBy("centroid_id", "__salt")
+            .applyInPandas(_cell_pairs, schema))
 
 
 def dist_from_kth_nb(

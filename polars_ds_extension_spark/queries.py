@@ -117,22 +117,14 @@ _GREEN_ROUND = {
 # (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
 # chunking), functions/string_.py (str_nearest metric family).
 _STALE = frozenset({
-    # round 7 late: pipeline fits moved off F.median/F.percentile onto
-    # plans/ranks.exact_quantiles (value-identical, re-stamp anyway)
-    "pipeline_transform", "pipeline_poly_impute", "pipeline_encode",
-    "pipeline_iv_rankhot", "pipeline_blueprint", "winsorize",
-    "dia_profile", "dia_col_validation", "dia_row_validation", "psi",
-    "vocab_nearest",
-    "asof_join", "bicor", "combinations", "copula_entropy",
-    "corr_family", "corr_matrix", "curation_pipeline_v2",
-    "dia_col_validation", "dia_profile", "dia_row_validation",
-    "downsample", "eda_describe", "hypertable_rollup", "kaplan_meier",
-    "kendall", "ks_2samp", "mann_whitney", "mase_full",
-    "mixture_resample", "multi_roc_auc", "pack_sequences",
-    "quality_quantile_filter", "range_join", "recursive_lin_reg",
-    "roc_auc", "sample_exact_n", "sample_split",
-    "series_entropy_oracle", "token_budget_sample", "tpr_fpr",
-    "volume_neutral", "xi_corr",
+    # round 8: IVF stages vectorized (knn.ivf_assign / ivf_knn_join /
+    # ivf_cosine_pairs → numpy GEMM kernels; value-identical contract,
+    # re-stamp every consumer)
+    "ivf_ann", "semantic_dedup", "ivfpq_search",
+    # round 8: kmeans broadcast lifecycle + schema derivation
+    "kmeans", "kmeans_inertia",
+    # round 8: word_ngram_terms short-doc guard; histogram empty-column
+    "top_ngrams", "histogram",
 })
 
 
