@@ -124,25 +124,45 @@ def main() -> None:
     # cold-single 12.7x vs warm-min 2.7x on the same data shape).
     # Skipped (never fatal) if the probe data can't be built.
     probe_ratio: dict[str, float] = {}
+    probe_ratio_dense: dict[str, float] = {}
+    probe_spread: dict[str, float] = {}
+
+    def _probe_set(names, pdir, out, spread=None):
+        # min of THREE large runs (was two): SURVEY §6's published probe
+        # numbers must reproduce in the driver environment, and two-run
+        # single-shot noise produced a 1.8x storytelling gap in r7.
+        # The spread (max/min of the large runs) is recorded so a noisy
+        # ratio is visibly noisy instead of silently authoritative.
+        qs = catalog.queries()
+        for name in names:
+            base_t = per_query.get(name)
+            if name not in qs or not base_t or base_t != base_t:
+                continue
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, pdir).count()
+                samples.append(time.perf_counter() - t0)
+                release_pins()
+                spark.catalog.clearCache()
+            t_large = min(samples)
+            out[name] = round(t_large / base_t, 1)
+            if spread is not None:
+                spread[name] = round(max(samples) / max(t_large, 1e-9), 2)
+            print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
+                  f"(x{out[name]}, spread x{max(samples) / t_large:.2f})",
+                  file=sys.stderr)
+
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
         try:
-            from scripts.scale_probe import DEFAULT_QUERIES, build_probe_data
-            pdir = build_probe_data(spark)
-            qs = catalog.queries()
-            for name in DEFAULT_QUERIES:
-                base_t = per_query.get(name)
-                if name not in qs or not base_t or base_t != base_t:
-                    continue
-                t_large = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    qs[name](spark, pdir).count()
-                    t_large = min(t_large, time.perf_counter() - t0)
-                    release_pins()
-                    spark.catalog.clearCache()
-                probe_ratio[name] = round(t_large / base_t, 1)
-                print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
-                      f"(x{probe_ratio[name]})", file=sys.stderr)
+            from scripts.scale_probe import (DEFAULT_QUERIES, DENSE_QUERIES,
+                                             build_probe_data)
+            _probe_set(DEFAULT_QUERIES, build_probe_data(spark),
+                       probe_ratio, probe_spread)
+            # adversarial hot-cluster variant for the dedup family: the
+            # bucket/cell caps are the defense; measure them every round
+            _probe_set(DENSE_QUERIES, build_probe_data(spark, dense=True),
+                       probe_ratio_dense)
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
 
@@ -154,6 +174,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "probe_ratio_10x": probe_ratio,
+        "probe_ratio_10x_dense": probe_ratio_dense,
+        "probe_spread": probe_spread,
         "sf": sf,
     }), file=sys.stderr)
 
@@ -167,6 +189,7 @@ def main() -> None:
             "unit": "sec",
             "queries": q,
             "probe_ratio_10x": probe_ratio,
+            "probe_ratio_10x_dense": probe_ratio_dense,
             "sf": sf,
             "n_queries": len(per_query),
         }, separators=(",", ":"))

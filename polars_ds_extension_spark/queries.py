@@ -125,6 +125,9 @@ _STALE = frozenset({
     "kmeans", "kmeans_inertia",
     # round 8: word_ngram_terms short-doc guard; histogram empty-column
     "top_ngrams", "histogram",
+    # round 8: the three rows-only queries got hard oracles (planted
+    # recall / projection invariants) — first hash stamps pending
+    "near_dup_simhash", "series_entropy", "smooth_spline",
 })
 
 

@@ -131,17 +131,46 @@ def blocked_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
-@query("near_dup_simhash")
+@query("near_dup_simhash", f"""
+WITH u AS ({_SQL_DUP_UNION}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+)
+SELECT COUNT(*)::BIGINT AS n_planted, COUNT(*)::BIGINT AS n_recovered,
+       1.0::DOUBLE AS recall
+FROM p
+""")
 def near_dup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-exact dup pairs: hamming <= 3 over 64-bit
-    fingerprints, 4x16-bit pigeonhole banding (recall exactly 1 for the
-    hamming criterion; Manku et al. WWW'07). Corpus: documents + EXACT
-    copies, which collide at hamming 0. Rows-only: fingerprints are
-    hash-defined, so no SQL oracle; the minhash query carries the
-    exact-parity near-dup check."""
+    """SimHash near-exact dup recall, as a HARD planted-recovery row
+    (operators/dedup.simhash_near_dup_pairs; Manku et al. WWW'07,
+    4x16-bit pigeonhole banding over 64-bit fingerprints).
+
+    Fingerprint values are hash-defined and not SQL-expressible, but the
+    RECALL CONTRACT is: identical text ⇒ identical fingerprint ⇒
+    hamming 0, and any pair within hamming ≤ 3 shares an intact band —
+    so every same-text pair in the corpus (documents ∪ exact copies)
+    MUST surface with hamming = 0. The query counts the same-text pairs
+    it recovers; the oracle computes the same pair set by text equality
+    and pins recall = 1. A banding, fingerprint-determinism, or
+    bucket-cap regression drops n_recovered below n_planted and fails
+    the hash. Pair-level output stays covered in tests/test_operators.py."""
     u = _docs_with_dups(spark, sf_dir)
     sd = D.simhash_near_dup_pairs(u, "doc_id", "text", max_hamming=3)
-    return sd.select("id_a", "id_b", "hamming")
+    a = u.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = u.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    planted = (a.join(b, F.col("__ta") == F.col("__tb"))
+               .where(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b"))
+    hits = (sd.where(F.col("hamming") == 0)
+            .select("id_a", "id_b").withColumn("__hit", F.lit(1)))
+    return (planted.join(hits, ["id_a", "id_b"], "left")
+            .agg(F.count(F.lit(1)).alias("n_planted"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("bigint").alias("n_recovered"))
+            .select("n_planted", "n_recovered",
+                    _r(F.col("n_recovered") / F.col("n_planted"))
+                    .alias("recall")))
 
 
 # ------------------------------------------------------------ text analysis

@@ -160,12 +160,30 @@ def ar_coeffs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("phi_2")).alias("phi_2"))
 
 
-@query("series_entropy")
+@query("series_entropy", """
+WITH n AS (SELECT COUNT(*) AS total FROM events),
+s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_used
+  FROM events, n
+  WHERE event_id % GREATEST(total // 10000, 1) = 0
+  GROUP BY event_type
+)
+SELECT event_type, n_used, TRUE AS sampen_nonneg, TRUE AS apen_finite,
+       TRUE AS lz_in_range
+FROM s
+""")
 def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample entropy + approximate entropy + Lempel-Ziv complexity per
-    event_type (ref ts_features.py:519, :571, :314). Whole-series numpy
-    kernels per group — rows-only check (O(n²) pair semantics are not
-    SQL-expressible); numpy parity in tests/test_tails.py.
+    event_type (ref ts_features.py:519, :571, :314), checked through the
+    kernels' HARD INVARIANTS: SampEn = −ln(A/B) with A ≤ B (the m+1
+    template matches are a subset of the m matches; Richman & Moorman
+    2000) so it is non-negative; ApEn is finite on any non-constant
+    series; LZ76 complexity (as a ratio of series length) lies in
+    (0, 1]. The oracle additionally pins
+    n_used — the deterministic stride-sample size per group — so the
+    sampling plumbing is value-checked, not just the booleans. Exact
+    entropy VALUES are pinned by the literal `series_entropy_oracle`
+    row and numpy-parity tests in tests/test_tails.py.
 
     The O(n²) entropy kernels are bounded here with a deterministic
     stride sample (≤ ~2k points/group) — entropy estimates converge well
@@ -176,11 +194,17 @@ def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = TS.query_sample_entropy(ev, "value", "event_id", by=["event_type"])
     ae = TS.query_approx_entropy(ev, "value", "event_id", by=["event_type"])
     lz = TS.query_lempel_ziv(ev, "value", "event_id", by=["event_type"])
+    n_used = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_used"))
     return (
-        se.join(ae, "event_type").join(lz, "event_type")
-        .select("event_type", _r(F.col("sample_entropy")).alias("sample_entropy"),
-                _r(F.col("approx_entropy")).alias("approx_entropy"),
-                _r(F.col("lempel_ziv")).alias("lempel_ziv"))
+        n_used.join(se, "event_type").join(ae, "event_type")
+        .join(lz, "event_type")
+        .select("event_type", "n_used",
+                (F.col("sample_entropy") >= 0).alias("sampen_nonneg"),
+                (~F.isnan("approx_entropy")
+                 & (F.abs("approx_entropy") != float("inf")))
+                .alias("apen_finite"),
+                ((F.col("lempel_ziv") > 0) & (F.col("lempel_ziv") <= 1))
+                .alias("lz_in_range"))
     )
 
 
@@ -945,16 +969,38 @@ def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col_a", "col_b", _r(F.col("corr")).alias("corr"))
 
 
-@query("smooth_spline")
+@query("smooth_spline", """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(AVG(value), 6) AS fit_mean,
+       TRUE AS roughness_reduced
+FROM events GROUP BY event_type
+""")
 def smooth_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whittaker-Eilers penalized smoothing of each event_type's value
     series (discrete analogue of the reference's cubic smoothing spline,
-    ref spline/smooth_spline). Rows-only; dense-solve parity and
-    limit-behavior tests in tests/test_tails.py."""
+    ref spline/smooth_spline), checked through the smoother's
+    PROJECTION INVARIANTS — the isotonic-query pattern: because the
+    second-difference penalty annihilates constants (D₂·1 = 0), the
+    solve (I + λD₂ᵀD₂)f = y preserves the mean EXACTLY, so
+    mean(smoothed) == mean(y) is a hard SQL row; and the penalty
+    functional must not increase, so Σ(Δ²f)² ≤ Σ(Δ²y)² pins a hard
+    boolean. Exact fitted VALUES are pinned by the literal dense-algebra
+    oracles `smooth_spline_oracle` / `smooth_spline_natural`; dense
+    parity and λ-limit behavior in tests/test_tails.py."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
     out = N.smooth_spline(ev, "value", "event_id", by=["event_type"], lam=25.0)
-    return out.select(F.col("__o").alias("event_id"),
-                      _r(F.col("smoothed")).alias("smoothed"))
+    w = Window.partitionBy("event_type").orderBy("__o")
+    d2 = lambda c: (F.col(c) - 2 * F.lag(c, 1).over(w) + F.lag(c, 2).over(w))
+    rough = out.select(
+        "event_type", "__y", "smoothed",
+        (d2("smoothed") ** 2).alias("__rf"), (d2("__y") ** 2).alias("__ry"))
+    return (rough.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.avg("smoothed")).alias("fit_mean"),
+                 (F.sum("__rf") <= F.sum("__ry")).alias("roughness_reduced"))
+            .select("event_type", "n", "fit_mean", "roughness_reduced"))
 
 
 @query("smooth_spline_oracle", """

@@ -73,6 +73,18 @@ DEFAULT_QUERIES = [
     # shuffles, the LM-gate composition, and the pandas-UDF scan family
     "upsert_latest", "pagerank", "top_ngrams", "perplexity_gate",
     "unicode_clean",
+    # round 8: the ANN tiers' scale path, the wedge-counting graph plan,
+    # and the sufficient-statistics iteration
+    "ivfpq_search", "triangle_count", "kmeans",
+]
+
+# the adversarial hot-cluster stress (--dense: text copied verbatim so
+# base dup clusters fuse 10x bigger): measured EVERY round beside the
+# constant-density number — the bucket/cell caps are the defense, and a
+# defense measured once is a defense that silently rots
+DENSE_QUERIES = [
+    "near_dup_minhash", "near_dup_cluster_dedup", "semantic_dedup",
+    "top_ngrams",
 ]
 
 
