@@ -75,11 +75,15 @@ class DIA:
         """Quantile profile + IQR-fence outlier counts. Two scans: one
         for the quantiles (their fences become literals), one for the
         outlier counts. Ref diagnosis.py:122."""
+        from .._utils import spread
         from ..plans.ranks import (
             exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse,
         )
 
-        df, spark = self._df, self._df.sparkSession
+        # spread: the percentile_approx boundary sketch is the CPU-heavy
+        # term of the stats agg; on a small-file scan (3 partitions at
+        # sf0.1) it otherwise runs 3-way parallel. No-op on real scans.
+        df, spark = spread(self._df), self._df.sparkSession
         cols = self.numerics
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:

@@ -23,12 +23,15 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         if f.dataType.simpleString() in
         ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
     ]
-    # Two passes: count_distinct plans an Expand (row duplicated once per
-    # distinct-agg), so it stays separate from the plain stats (measured
-    # 23s → ~4s at 600k rows by splitting). Medians go through the
-    # distributed-selection plan — F.median's physical agg buffers every
-    # value per partition and merges them in ONE reducer (a single-node
-    # sort at scale, and the slowest term of this profile locally too).
+    # ONE wide aggregation carries everything: plain moments, the
+    # count_distincts (their Expand duplicates the agg input rows-per-
+    # distinct-col, but paying that inside one spread 32-way agg beat a
+    # separate distinct job by ~1.5x at 600k — r8 measurement; the r5
+    # split predates the spread + fused-quantile plan), AND the quantile
+    # boundary sketch. Medians then go through the fused distributed-
+    # selection plan (plans/ranks.exact_quantiles: ONE more scan with
+    # observe()-riding counts) — never F.median, whose physical agg
+    # merges every value in ONE reducer (a single-node sort at scale).
     from .._utils import spread
     from ..plans.ranks import (
         exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse,
@@ -45,6 +48,7 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             F.stddev_samp(cc).alias(f"{c}__std"),
             F.min(cc).alias(f"{c}__min"),
             F.max(cc).alias(f"{c}__max"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
         ]
     aggs += quantile_sketch_aggs(cols)  # rides the same scan
     row = df.agg(*aggs).first().asDict()
@@ -52,10 +56,6 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
                            presketch=quantile_sketch_parse(row, cols))
     for c in cols:
         row[f"{c}__med"] = meds[c][0]
-    nd_row = df.agg(*[
-        F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
-    ]).first()
-    row.update(nd_row.asDict())
     out = [
         (
             c, int(row[f"{c}__n"]), int(row[f"{c}__nulls"]), int(row[f"{c}__nd"]),

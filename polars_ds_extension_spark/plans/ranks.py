@@ -287,22 +287,26 @@ def quantile_sketch_parse(row, cols: Sequence[str]):
 def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
                     n_parts: int | None = None,
                     presketch=None) -> "dict[str, list]":
-    """EXACT `quantile_cont` values for several columns in three scans —
-    the scale-safe replacement for ``F.percentile``/``F.median`` (whose
-    physical agg buffers every value per partition and merges them all
-    in ONE final reducer: exactly the single-node sort this module
-    exists to avoid).
+    """EXACT `quantile_cont` values for several columns in TWO scans
+    (one with presketch) — the scale-safe replacement for
+    ``F.percentile``/``F.median`` (whose physical agg buffers every
+    value per partition and merges them all in ONE final reducer:
+    exactly the single-node sort this module exists to avoid).
 
     Distributed selection: (1) ONE aggregation collects every column's
-    approx bucket boundaries + non-null count; (2) ONE scan counts rows
-    per (column, bucket) via literal comparisons — map-side combinable,
-    no shuffle; the driver prefix-sums the P×C counts and locates which
-    bucket holds each target order statistic; (3) ONE pass filters to
-    those target buckets only (scan-side predicate), sorts each *within
-    its bucket* (hash shuffle on ~|targets| bucket keys, each ~n/P
-    rows), and one final agg picks the order statistics. Interpolation
-    happens driver-side with the same lower + frac·(upper−lower) rule
-    as Spark's Percentile and DuckDB's quantile_cont.
+    approx bucket boundaries + non-null count (skipped entirely when the
+    caller prefunded it via ``presketch`` on a scan it already pays —
+    quantile_sketch_aggs); (2) ONE fused scan filters to the sketch-
+    predicted candidate buckets (±1) via direct value-range comparisons
+    (never a per-row all-buckets bucket id), PINS those ~|targets|·n/P
+    rows, and rides the exact candidate/prefix counts on the same job as
+    observe() metrics; the driver locates each order statistic from the
+    metrics and a final tiny window+agg over the PINNED rows (cache
+    read, not a table scan) picks the values. Interpolation happens
+    driver-side with the same lower + frac·(upper−lower) rule as
+    Spark's Percentile and DuckDB's quantile_cont. A sketch that
+    misranks by a whole bucket falls back to an exact per-bucket count
+    pass — correctness never depends on the sketch.
 
     Driver state: O(P × columns) scalars. No task ever sorts more than
     one bucket.
@@ -336,10 +340,10 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
             counts_n[c] = int(row[f"__n_{c}"])
             bounds[c] = _finite_bounds(row[f"__b_{c}"] if bprobs else [])
 
-    # ONE narrow projection computing each bucket id ONCE, as a single
-    # parsed SQL expression per column (a 31-term chained Column build
-    # costs ~100 py4j round-trips per column per call; the string parses
-    # in one).
+    # Narrow value projection; full bucket ids are only ever computed on
+    # the RARE sketch-miss fallback path (_full_counts) — the hot path
+    # below works from direct value-range comparisons instead, so the
+    # scan never evaluates the 31-term bucket CASE per column.
     def _pid_sql(c):
         if not bounds[c]:
             terms = "0"
@@ -349,10 +353,18 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
                 for b in bounds[c])
         return (f"CASE WHEN __v_{c} IS NULL THEN -1 ELSE {terms} END")
 
-    proj = df.select(*[to_col(c).cast("double").alias(f"__v_{c}")
-                       for c in cols])
-    for c in cols:
-        proj = proj.withColumn(f"__p_{c}", F.expr(_pid_sql(c)))
+    proj_v = df.select(*[to_col(c).cast("double").alias(f"__v_{c}")
+                         for c in cols])
+    _proj_cache = []
+
+    def _proj():
+        # fallback-only frame carrying the full bucket-id CASE
+        if not _proj_cache:
+            p = proj_v
+            for c in cols:
+                p = p.withColumn(f"__p_{c}", F.expr(_pid_sql(c)))
+            _proj_cache.append(p)
+        return _proj_cache[0]
 
     # which order statistics do we need, and which buckets could hold
     # them? The sketch already tells us: boundary i of the RAW list has
@@ -387,27 +399,92 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
                                          min(n_b, pred + 1) + 1)]
         cand_of[c] = cands
 
-    # pass 2: exact counts for candidate buckets + exact prefix below
-    # each candidate range — a handful of conditional sums over the
-    # precomputed int bucket ids
-    terms = []
-    seen = set()
+    # passes 2+3 fused into ONE scan: the candidate-bucket rows are
+    # materialized (pinned) for the rank pass while the exact candidate
+    # counts + prefixes ride the SAME job as observe() metrics — the
+    # separate counting scan the r7 plan paid is gone. Bucket membership
+    # and in-window bucket ids come from direct comparisons against the
+    # few candidate boundaries (bounds are strictly increasing, so
+    # pid >= b ⟺ v >= bounds[b-1] exactly — ties, NaN ordering and all),
+    # never the full per-row bucket CASE.
+    from pyspark.sql import Observation
+
+    def _runs(buckets: "list[int]") -> "list[list[int]]":
+        runs: "list[list[int]]" = []
+        for b in buckets:
+            if runs and b == runs[-1][-1] + 1:
+                runs[-1].append(b)
+            else:
+                runs.append([b])
+        return runs
+
+    runs_of = {
+        c: _runs(sorted({b for bs in cand_of[c].values() for b in bs}))
+        for c in cols
+    }
+    tag_of = {c: i for i, c in enumerate(cols)}
+
+    def _ge(c, i):
+        return f"(__v_{c} >= {_dlit(bounds[c][i])})"
+
+    def _lt(c, i):
+        return f"(__v_{c} < {_dlit(bounds[c][i])})"
+
+    obs_aggs, zero_keys = [], []
+    mem_exprs = []
     for c in cols:
-        allb = sorted({b for bs in cand_of[c].values() for b in bs})
-        for b in allb:
-            if (c, "cnt", b) not in seen:
-                seen.add((c, "cnt", b))
-                terms.append(F.sum((F.col(f"__p_{c}") == b).cast("long"))
-                             .alias(f"__c_{c}_{b}"))
-        for k, bs in cand_of[c].items():
-            bmin = min(bs) if bs else 0
-            if (c, "pre", bmin) not in seen:
-                seen.add((c, "pre", bmin))
-                terms.append(
-                    F.sum(((F.col(f"__p_{c}") >= 0)
-                           & (F.col(f"__p_{c}") < bmin)).cast("long"))
-                    .alias(f"__pre_{c}_{bmin}"))
-    crow = proj.agg(*terms).first().asDict() if terms else {}
+        nb = len(bounds[c])
+        branches = []
+        for run in runs_of[c]:
+            lo, hi = run[0], run[-1]
+            if lo > 0:
+                obs_aggs.append(F.expr(
+                    f"SUM(CASE WHEN __v_{c} IS NOT NULL AND {_lt(c, lo - 1)} "
+                    "THEN 1 ELSE 0 END)").alias(f"__pre_{c}_{lo}"))
+            else:
+                zero_keys.append(f"__pre_{c}_{lo}")
+            for b in run:
+                conds = [f"__v_{c} IS NOT NULL"]
+                if b > 0:
+                    conds.append(_ge(c, b - 1))
+                if b < nb:
+                    conds.append(_lt(c, b))
+                obs_aggs.append(F.expr(
+                    "SUM(CASE WHEN " + " AND ".join(conds)
+                    + " THEN 1 ELSE 0 END)").alias(f"__c_{c}_{b}"))
+            mconds = [f"__v_{c} IS NOT NULL"]
+            if lo > 0:
+                mconds.append(_ge(c, lo - 1))
+            if hi < nb:
+                mconds.append(_lt(c, hi))
+            if len(run) == 1:
+                pid_expr = str(lo)
+            else:
+                inner = " + ".join(f"CAST({_ge(c, i)} AS INT)"
+                                   for i in range(lo, hi))
+                pid_expr = f"{lo} + ({inner})"
+            branches.append(
+                f"WHEN {' AND '.join(mconds)} THEN named_struct("
+                f"'tag', {tag_of[c]}, 'pid', {pid_expr}, 'v', __v_{c})")
+        if branches:
+            mem_exprs.append("CASE " + " ".join(branches) + " ELSE NULL END")
+
+    crow: dict = {k: 0 for k in zero_keys}
+    stacked = None
+    if obs_aggs or mem_exprs:
+        obs = Observation()
+        observed = proj_v.observe(obs, *obs_aggs) if obs_aggs else proj_v
+        if mem_exprs:
+            stacked = observed.select(F.explode(F.filter(
+                F.array(*[F.expr(e) for e in mem_exprs]),
+                lambda s: s.isNotNull())).alias("s")
+            ).select("s.tag", "s.pid", "s.v")
+            stacked = _pin(stacked)
+            stacked.count()  # one job: scan + metrics + pinned candidates
+        else:
+            observed.count()
+        if obs_aggs:
+            crow.update(obs.get)
 
     # driver: locate (bucket, local position); if a position falls
     # outside its candidate window (sketch failure — shouldn't happen,
@@ -418,25 +495,34 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
     def _full_counts():
         nonlocal full_counts
         if full_counts is None:
-            tag_of_l = {c: i for i, c in enumerate(cols)}
+            proj = _proj()
             stacked_all = proj.select(F.explode(F.array(*[
-                F.struct(F.lit(tag_of_l[c]).alias("tag"),
+                F.struct(F.lit(tag_of[c]).alias("tag"),
                          F.col(f"__p_{c}").alias("pid"))
                 for c in cols])).alias("s")).select("s.tag", "s.pid")
             cc = {(r["tag"], r["pid"]): r["count"] for r in
                   stacked_all.groupBy("tag", "pid").count().collect()}
             full_counts = {
-                c: [int(cc.get((tag_of_l[c], p), 0))
+                c: [int(cc.get((tag_of[c], p), 0))
                     for p in range(len(bounds[c]) + 1)] for c in cols}
         return full_counts
 
+    in_window: "dict[str, set[int]]" = {
+        c: {b for run in runs_of[c] for b in run} for c in cols}
     targets: "dict[str, dict[int, tuple[int, int]]]" = {}
+    misses: "dict[str, set[int]]" = {}
     for c in cols:
         located = {}
+        run_start = {b: run[0] for run in runs_of[c] for b in run}
         for k in need_of[c]:
             bs = cand_of[c][k]
             bmin = min(bs) if bs else 0
-            cum = int(crow.get(f"__pre_{c}_{bmin}", 0) or 0)
+            # prefix below min(bs): the observed prefix below the run
+            # start plus the observed counts of the run buckets before it
+            lo = run_start.get(bmin, bmin)
+            cum = int(crow.get(f"__pre_{c}_{lo}", 0) or 0)
+            for b in range(lo, bmin):
+                cum += int(crow.get(f"__c_{c}_{b}", 0) or 0)
             found = False
             for b in bs:
                 cnt = int(crow.get(f"__c_{c}_{b}", 0) or 0)
@@ -451,48 +537,80 @@ def exact_quantiles(df: DataFrame, probs_by_col: "dict[str, Sequence[float]]",
                 for b, cnt in enumerate(per_bucket):
                     if cum2 < k <= cum2 + cnt:
                         located[k] = (b, k - cum2)
+                        if b not in in_window[c]:
+                            misses.setdefault(c, set()).add(b)
                         break
                     cum2 += cnt
         targets[c] = located
-    tag_of = {c: i for i, c in enumerate(cols)}
 
-    # pass 3: long format (column tag, bucket, value), filtered to the
-    # target buckets only — ONE window sorts exactly the rows that can
-    # hold a target statistic, each row once, parallel across
-    # (column, bucket) partitions
-    tb_conds = []
-    for c in cols:
-        tb = {b for (b, _) in targets[c].values()}
-        if tb:
-            tb_conds.append((c, tb))
+    # selection: pick every target order statistic from the PINNED
+    # candidate rows (already materialized by the fused job above — this
+    # reads the cache, not the table). Two shapes, chosen by the
+    # OBSERVED max bucket size: buckets that fit a heap array use
+    # sort_array(collect_list) per (tag, pid) — a group-local sort, ~8×
+    # faster than ranking every pinned row through a window (r8
+    # measurement at 1M pinned rows); oversized buckets fall back to the
+    # window rank, whose external sorter spills instead of OOMing.
     values: "dict[str, dict[int, float]]" = {c: {} for c in cols}
-    if tb_conds:
-        # build each row's array with ONLY its target-bucket entries
-        # (scan-side), so the explode emits ~|target rows|, not
-        # rows x columns
+    wanted = []  # (c, k, bucket, local-rank) for in-window targets
+    for c in cols:
+        for k, (b, k_loc) in targets[c].items():
+            if b in in_window[c]:
+                wanted.append((c, k, b, k_loc))
+    if wanted and stacked is not None:
+        max_bucket = max(
+            (int(crow.get(f"__c_{c}_{b}", 0) or 0) for c, _k, b, _l in wanted),
+            default=0)
+        if max_bucket <= 20_000_000:  # ≤ ~160 MB of doubles per group
+            ag = stacked.groupBy("tag", "pid").agg(
+                F.sort_array(F.collect_list("v")).alias("__a"))
+            sel = [F.max(F.when(
+                (F.col("tag") == tag_of[c]) & (F.col("pid") == b),
+                F.element_at("__a", k_loc))).alias(f"__s_{tag_of[c]}_{k}")
+                for c, k, b, k_loc in wanted]
+            srow = ag.agg(*sel).first()
+        else:
+            w = Window.partitionBy("tag", "pid").orderBy("v")
+            sel = [F.max(F.when(
+                (F.col("tag") == tag_of[c]) & (F.col("pid") == b)
+                & (F.col("r") == k_loc), F.col("v")))
+                .alias(f"__s_{tag_of[c]}_{k}")
+                for c, k, b, k_loc in wanted]
+            srow = (stacked.withColumn("r", F.row_number().over(w))
+                    .agg(*sel).first())
+        for c, k, _b, _l in wanted:
+            values[c][k] = srow[f"__s_{tag_of[c]}_{k}"]
+
+    # sketch-miss stragglers (target bucket outside the candidate
+    # window — possible only when the sketch misranked by a whole
+    # bucket): one extra old-style pass over just those buckets
+    if misses:
+        proj = _proj()
         elems = []
-        for c, tb in tb_conds:
+        for c, tb in misses.items():
             elems.append(F.when(
                 F.col(f"__p_{c}").isin(*tb),
                 F.struct(F.lit(tag_of[c]).alias("tag"),
                          F.col(f"__p_{c}").alias("pid"),
                          F.col(f"__v_{c}").alias("v"))))
-        stacked = proj.select(F.explode(
+        stacked2 = proj.select(F.explode(
             F.filter(F.array(*elems), lambda s: s.isNotNull())
         ).alias("s")).select("s.tag", "s.pid", "s.v")
         w = Window.partitionBy("tag", "pid").orderBy("v")
-        ranked = stacked.withColumn("r", F.row_number().over(w))
-        sel, names = [], []
-        for c, _ in tb_conds:
+        ranked2 = stacked2.withColumn("r", F.row_number().over(w))
+        sel2 = []
+        for c, tb in misses.items():
             for k, (b, k_loc) in targets[c].items():
-                sel.append(F.max(F.when(
-                    (F.col("tag") == tag_of[c]) & (F.col("pid") == b)
-                    & (F.col("r") == k_loc), F.col("v")))
-                    .alias(f"__s_{tag_of[c]}_{k}"))
-        srow = ranked.agg(*sel).first()
-        for c, _ in tb_conds:
-            for k in targets[c]:
-                values[c][k] = srow[f"__s_{tag_of[c]}_{k}"]
+                if b in tb:
+                    sel2.append(F.max(F.when(
+                        (F.col("tag") == tag_of[c]) & (F.col("pid") == b)
+                        & (F.col("r") == k_loc), F.col("v")))
+                        .alias(f"__s_{tag_of[c]}_{k}"))
+        srow2 = ranked2.agg(*sel2).first()
+        for c, tb in misses.items():
+            for k, (b, _loc) in targets[c].items():
+                if b in tb:
+                    values[c][k] = srow2[f"__s_{tag_of[c]}_{k}"]
 
     out: "dict[str, list]" = {}
     for c, ps_sorted in cols.items():

@@ -128,6 +128,12 @@ _STALE = frozenset({
     # round 8: the three rows-only queries got hard oracles (planted
     # recall / projection invariants) — first hash stamps pending
     "near_dup_simhash", "series_entropy", "smooth_spline",
+    # round 8: exact_quantiles fused to one observe()-riding scan +
+    # bounded collect_list selection; describe merged count_distinct
+    # into the main agg — value-identical, re-stamp every consumer
+    "eda_describe", "dia_profile", "pipeline_qbin", "psi", "winsorize",
+    "pipeline_transform", "mad", "bicor", "quality_quantile_filter",
+    "mixture_resample", "pipeline_poly_impute", "kaplan_meier",
 })
 
 
