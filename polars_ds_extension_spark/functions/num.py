@@ -464,15 +464,28 @@ def psi_discrete(df_new: DataFrame, df_base: DataFrame, x: str,
     return joined.select(per_bin.alias("psi_bin")).agg(F.sum("psi_bin").alias("psi"))
 
 
-def _quantile_breaks(df: DataFrame, x: str, n_bins: int) -> list[float]:
-    """Exact quantile breakpoints (deduplicated) via the distributed
-    selection plan (plans/ranks.exact_quantiles — value-identical to
-    `percentile`, no single-reducer buffer of every value). Driver
-    receives only n_bins floats."""
-    from ..plans.ranks import exact_quantiles
-
+def _quantile_breaks(df: DataFrame, x: str, n_bins: int,
+                     exact: bool = False) -> list[float]:
+    """Quantile breakpoints (deduplicated, sorted). Default: ONE
+    percentile_approx aggregation — drift metrics and coarse encoders
+    tolerate approximate cut positions by definition (a bin edge moved
+    by n/accuracy ranks shifts a 10-bin PSI in its 4th decimal), and
+    the approx sketch is a single map-side-combinable pass at any
+    scale. ``exact=True`` routes through the distributed selection plan
+    (plans/ranks.exact_quantiles — value-identical to `percentile`
+    with no single-reducer buffer), which cross-engine oracle replays
+    need because KLL sketch results are partition-order dependent.
+    Driver receives only n_bins floats either way."""
     qs = [i / n_bins for i in range(1, n_bins)]
-    vals = exact_quantiles(df.where(to_col(x).isNotNull()), {x: qs})[x]
+    nn = df.where(to_col(x).isNotNull())
+    if exact:
+        from ..plans.ranks import exact_quantiles
+
+        vals = exact_quantiles(nn, {x: qs})[x]
+    else:
+        vals = nn.agg(F.percentile_approx(
+            to_col(x).cast("double"), qs, 10_000).alias("q")).first()["q"]
+        vals = vals or []
     out: list[float] = []
     for b in vals:
         if b is not None and (not out or b > out[-1]):
@@ -535,11 +548,15 @@ def psi_w_breakpoints(df_new: DataFrame, df_base: DataFrame, x: str,
         .orderBy("bin").drop("bin"))
 
 
-def psi(df_new: DataFrame, df_base: DataFrame, x: str, n_bins: int = 10) -> DataFrame:
+def psi(df_new: DataFrame, df_base: DataFrame, x: str, n_bins: int = 10,
+        exact_breakpoints: bool = False) -> DataFrame:
     """Population Stability Index with quantile bins learned on the
-    baseline. Ref num.py:511. Breakpoints: one distributed exact-percentile
-    agg; binning: flat CASE expression (codegen); then as psi_discrete."""
-    breaks = _quantile_breaks(df_base, x, n_bins)
+    baseline. Ref num.py:511. Breakpoints: ONE percentile_approx agg by
+    default (drift tolerates approx cuts by definition;
+    ``exact_breakpoints=True`` opts into the distributed selection plan
+    when engine-reproducible cuts are required); binning: flat CASE
+    expression (codegen); then as psi_discrete."""
+    breaks = _quantile_breaks(df_base, x, n_bins, exact=exact_breakpoints)
     b = _bin_expr(x, breaks)
     new_b = df_new.where(to_col(x).isNotNull()).select(b.alias("bin"))
     base_b = df_base.where(to_col(x).isNotNull()).select(b.alias("bin"))
@@ -562,9 +579,10 @@ def woe_discrete(df: DataFrame, x: str, target: str) -> DataFrame:
     return agg.select(F.col("value"), F.log(ne_r / ev_r).alias("woe"))
 
 
-def woe(df: DataFrame, x: str, target: str, n_bins: int = 10) -> DataFrame:
+def woe(df: DataFrame, x: str, target: str, n_bins: int = 10,
+        exact_breakpoints: bool = False) -> DataFrame:
     """WOE for continuous x via quantile bins. Ref num.py:698."""
-    breaks = _quantile_breaks(df, x, n_bins)
+    breaks = _quantile_breaks(df, x, n_bins, exact=exact_breakpoints)
     binned = df.where(to_col(x).isNotNull()).select(
         _bin_expr(x, breaks).cast("string").alias("bin"), F.col(target)
     )
@@ -590,9 +608,10 @@ def info_value_discrete(df: DataFrame, x: str, target: str,
 
 
 def info_value(df: DataFrame, x: str, target: str, n_bins: int = 10,
-               return_sum: bool = True) -> DataFrame:
+               return_sum: bool = True,
+               exact_breakpoints: bool = False) -> DataFrame:
     """IV for continuous x via quantile bins. Ref num.py:760."""
-    breaks = _quantile_breaks(df, x, n_bins)
+    breaks = _quantile_breaks(df, x, n_bins, exact=exact_breakpoints)
     binned = df.where(to_col(x).isNotNull()).select(
         _bin_expr(x, breaks).cast("string").alias("bin"), F.col(target)
     )

@@ -62,51 +62,63 @@ _GREEN_ROUND = {
     # last stamped in round 4
     "benford": 4, "blocked_jaccard": 4, "chi2": 4,
     "classification_metrics": 4, "cond_entropy": 4, "cond_indep": 4,
-    "corr_family": 4, "count_uniques": 4, "dcg": 4, "dedup_stats": 4,
+    "corr_family": 7, "count_uniques": 4, "dcg": 4, "dedup_stats": 4,
     "elementwise_math": 4, "entropy": 4, "exact_dedup": 4, "f_test": 4,
     "gcd_lcm": 4, "integrate_detrend": 4, "is_monotonic": 4,
-    "kaplan_meier": 4, "kendall": 4, "ks_2samp": 4, "mad": 4,
-    "mann_whitney": 4, "mean_family": 4, "near_dup_minhash": 4,
-    "normality": 4, "pricing_summary": 4, "psi": 4,
-    "regression_metrics": 4, "roc_auc": 4, "softmax_znorm": 4,
+    "kaplan_meier": 7, "kendall": 7, "ks_2samp": 7, "mad": 4,
+    "mann_whitney": 7, "mean_family": 4, "near_dup_minhash": 4,
+    "normality": 4, "pricing_summary": 4, "psi": 7,
+    "regression_metrics": 4, "roc_auc": 7, "softmax_znorm": 4,
     "string_cleaning": 4, "string_similarity": 4, "target_encode": 4,
     "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered":
     4, "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4,
-    "weighted_stats": 4, "winsorize": 4, "woe_iv": 4, "xi_corr": 4,
+    "weighted_stats": 4, "winsorize": 7, "woe_iv": 4, "xi_corr": 7,
     # last stamped in round 5
     "bigram_lm": 5, "bm25_score": 5, "combinations": 5,
     "curation_pipeline": 5, "decontaminate": 5, "elastic_net": 5,
     "embedding_ops": 5, "fingerprints": 5, "ivf_ann": 5,
     "knn_from_target": 5, "language_id": 5, "lin_reg_multi": 5,
     "lin_reg_report": 5, "line_dedup": 5, "logistic_reg": 5,
-    "mase_full": 5, "multimodal_blobs": 5, "multimodal_decode": 5,
-    "near_dup_cluster_dedup": 5, "pack_sequences": 5, "pii_scrub": 5,
+    "mase_full": 7, "multimodal_blobs": 5, "multimodal_decode": 5,
+    "near_dup_cluster_dedup": 5, "pack_sequences": 7, "pii_scrub": 5,
     "pipeline_encode": 5, "pipeline_iv_rankhot": 5,
-    "pipeline_poly_impute": 5, "pipeline_transform": 5, "product": 5,
-    "recursive_lin_reg": 5, "repetition_signals": 5, "rolling_lin_reg":
+    "pipeline_poly_impute": 5, "pipeline_transform": 7, "product": 5,
+    "recursive_lin_reg": 7, "repetition_signals": 5, "rolling_lin_reg":
     5, "sample_split": 5, "simple_lin_reg": 5, "smooth_spline_natural":
     5, "stream_dedup": 5, "stream_running_stats": 5,
     "stream_sessionize": 5, "stream_windowed_agg": 5, "text_quality":
-    5, "tfidf_topk": 5, "token_budget_sample": 5,
+    5, "tfidf_topk": 5, "token_budget_sample": 7,
     "within_radius_target": 5,
     # last stamped in round 6
     "ar_coeffs": 6, "array_math": 6, "asof_join": 6,
     "blueprint_dyn_agg": 6, "bpe_tokenize_oracle": 6, "corr_matrix": 6,
-    "curation_pipeline_v2": 6, "dia_col_validation": 6, "dia_profile":
+    "curation_pipeline_v2": 7, "dia_col_validation": 6, "dia_profile":
     6, "dia_row_validation": 6, "dist_kth_nb": 6, "downsample": 6,
     "dup_spans": 6, "eda_describe": 6, "eda_flags": 6,
     "float_neighbors": 6, "glm_poisson": 6, "hypertable_rollup": 6,
     "isotonic": 6, "jaccard_arrays": 6, "knn_avg_label": 6,
     "knn_cosine": 6, "knn_freq": 6, "lin_reg_rcond_oracle": 6,
-    "mixture_resample": 6, "multimodal_resize": 6, "pca": 6,
+    "mixture_resample": 7, "multimodal_resize": 6, "pca": 6,
     "permute_entropy": 6, "pipeline_blueprint": 6, "pq_encode": 6,
-    "quality_quantile_filter": 6, "radius_nb_cnt": 6, "range_join": 6,
+    "quality_quantile_filter": 7, "radius_nb_cnt": 6, "range_join": 6,
     "rfft": 6, "salted_join": 6, "sample_exact_n": 6,
     "select_by_std_cols": 6, "semantic_decontaminate": 6,
     "semantic_dedup": 6, "series_entropy_oracle": 6, "similar_count":
     6, "singular_values": 6, "smooth_spline_oracle": 6,
     "stream_curation_gate": 6, "stream_interval_join": 6,
     "string_kernels_oracle": 6, "volume_neutral": 6,
+    # last stamped in round 7
+    "asof_join_forward": 7, "batch_sessionize": 7,
+    "curation_pipeline_v3": 7, "drift_over_time": 7, "feature_screen": 7,
+    "gopher_gate": 7, "graph_degrees": 7, "group_sample_exact": 7,
+    "group_split": 7, "histogram": 7, "ivfpq_search": 7, "kfold_split": 7,
+    "kmeans": 7, "kmeans_inertia": 7, "normalized_dedup": 7, "pagerank": 7,
+    "perplexity_gate": 7, "pipeline_qbin": 7, "pmi_collocations": 7,
+    "pq_search": 7, "regional_volume": 7, "rolling_anomaly": 7,
+    "scd2_history": 7, "script_profile": 7, "stream_topk": 7,
+    "stream_upsert": 7, "time_gapfill": 7, "top_ngrams": 7,
+    "triangle_count": 7, "unicode_clean": 7, "upsert_latest": 7,
+    "vocab_nearest_metrics": 7, "weighted_sample": 7,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -134,6 +146,7 @@ _STALE = frozenset({
     "eda_describe", "dia_profile", "pipeline_qbin", "psi", "winsorize",
     "pipeline_transform", "mad", "bicor", "quality_quantile_filter",
     "mixture_resample", "pipeline_poly_impute", "kaplan_meier",
+    "drift_over_time",
 })
 
 
@@ -753,10 +766,14 @@ WITH base AS (SELECT value FROM events WHERE event_id % 2 = 0),
 SELECT ROUND(SUM((pn - pb) * LN(pn/pb)), 6) AS psi FROM j
 """)
 def psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_breakpoints=True: the DuckDB replay computes QUANTILE_CONT
+    cuts, and KLL-sketch cuts (the library default — drift tolerates
+    them) are partition-order dependent, so only the exact selection
+    plan is cross-engine reproducible."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.where(F.col("event_id") % 2 == 0)
     new = ev.where(F.col("event_id") % 2 == 1)
-    out = N.psi(new, base, "value", n_bins=5)
+    out = N.psi(new, base, "value", n_bins=5, exact_breakpoints=True)
     return out.select(_r(F.col("psi")).alias("psi"))
 
 

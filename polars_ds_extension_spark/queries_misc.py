@@ -1932,7 +1932,7 @@ def drift_over_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-16").cast("timestamp")
     base = ev.where(t < cut)
     new = ev.where(t >= cut)
-    v = N.psi(new, base, "value", n_bins=5) \
+    v = N.psi(new, base, "value", n_bins=5, exact_breakpoints=True) \
         .select(F.lit("value").alias("metric"), _r(F.col("psi")).alias("psi"))
     ty = N.psi_discrete(new, base, "event_type") \
         .select(F.lit("type_mix").alias("metric"),

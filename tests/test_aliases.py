@@ -100,6 +100,25 @@ def test_renamed_aliases_round_trip(spark):
             for e in (0.1, 0.2, 0.3, 0.4)) / 4)
 
 
+def test_psi_breakpoint_modes_agree_small(spark):
+    """psi's default (percentile_approx cuts) vs exact_breakpoints=True
+    (selection-plan cuts): below the sketch accuracy percentile_approx
+    IS exact, so both modes must produce the identical PSI — pins the
+    r8 approx-default migration as a pure perf change, not a semantic
+    one, at test scale."""
+    from polars_ds_extension_spark.functions import num as N
+
+    base = spark.createDataFrame(
+        [(float(i % 17),) for i in range(200)], "x double")
+    new = spark.createDataFrame(
+        [(float((i * 3) % 23),) for i in range(200)], "x double")
+    approx = N.psi(new, base, "x", n_bins=5).first()["psi"]
+    exact = N.psi(new, base, "x", n_bins=5,
+                  exact_breakpoints=True).first()["psi"]
+    assert approx == pytest.approx(exact, abs=0)
+    assert approx > 0
+
+
 def test_psi_w_breakpoints_oracle(spark):
     """Per-bin PSI report vs a hand/duckdb computation (ref num.py:651,
     src/num_ext/psi.rs:77): right-closed custom bins, all bins present,
