@@ -431,6 +431,63 @@ def dup_span_stats(docs, id_col: str, text_col: str, n: int = 13):
     )
 
 
+def dup_char_span_stats(docs, id_col: str, text_col: str, n: int = 50,
+                        stride: int = 1, exact_keys: bool = False):
+    """CHARACTER-granular ExactSubstr duplication signal (Lee et al.
+    2022 fidelity tier): every length-``n`` char window (offsets 0,
+    stride, 2·stride, …) is keyed, and a window is *duplicated* when
+    its key occurs in ≥ 2 distinct documents. Catches duplicated spans
+    the word-13-gram tier (`dup_span_stats`) cannot see — a shared
+    45-char run spanning only 6 words produces zero duplicated 13-word
+    windows but plenty of duplicated char windows.
+
+    Same distributed shape as the word tier: linear explode, ONE
+    shuffle on the window key, map-side-combinable aggs, no driver
+    state. ``stride`` trades sensitivity for cost (stride-1 hashes
+    n bytes per char — the paper's suffix array is char-exact too, at
+    the price of a single-machine structure; stride=k cuts work k× but
+    only catches spans whose per-doc offsets AGREE mod k — duplicated
+    windows must be sampled at the same span-relative position in both
+    docs, so stride>1 is a probabilistic sampler, ~1/k recall on
+    arbitrary alignments, not a guarantee). Keys are
+    ``xxhash64`` (8-byte shuffle rows) by default; ``exact_keys=True``
+    shuffles the raw n-char window instead — collision-free and
+    SQL-replayable (DuckDB has no xxhash64), n× heavier rows.
+    Per doc with ≥ n chars: (id, n_windows, n_dup_windows, dup_frac).
+    """
+    if n < 1 or stride < 1:
+        raise ValueError("n and stride must be >= 1")
+    key = (f"substring(__s, i * {stride} + 1, {n})" if exact_keys
+           else f"xxhash64(substring(__s, i * {stride} + 1, {n}))")
+    wins = (
+        docs.select(F.col(id_col), F.lower(_t(text_col)).alias("__s"))
+        .where(F.length("__s") >= n)
+        .select(
+            id_col,
+            F.explode(F.expr(
+                f"transform(sequence(0, CAST((length(__s) - {n}) "
+                f"/ {stride} AS INT)), i -> {key})")).alias("__wh"),
+        )
+    )
+    dup = (
+        wins.select("__wh", id_col).distinct()
+        .groupBy("__wh").count().where(F.col("count") >= 2)
+        .select("__wh", F.lit(1).alias("__dup"))
+    )
+    return (
+        wins.join(dup, "__wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4))
+    )
+
+
 # ------------------------------------------------------------- PII scrubbing
 
 # Deliberately lookbehind-free so the SAME patterns run in Java regex

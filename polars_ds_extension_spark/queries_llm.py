@@ -1144,6 +1144,47 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.dup_span_stats(docs, "doc_id", "text", n=13)
 
 
+@query("dup_char_spans", r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 11, 90) AS text
+  FROM documents WHERE doc_id < 40
+), w AS (
+  SELECT doc_id, substr(lower(text), i, 40) AS g
+  FROM u, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+  WHERE length(text) >= 40
+), dup AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM w)
+  GROUP BY g HAVING COUNT(*) >= 2
+), marked AS (
+  SELECT w.doc_id, CASE WHEN d.g IS NULL THEN 0 ELSE 1 END AS isdup
+  FROM w LEFT JOIN dup d USING (g)
+)
+SELECT doc_id, COUNT(*) AS n_windows,
+       SUM(isdup)::BIGINT AS n_dup_windows,
+       ROUND(SUM(isdup)::DOUBLE / COUNT(*), 4) AS dup_frac
+FROM marked GROUP BY doc_id
+""")
+def dup_char_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR-granular ExactSubstr tier (operators/text.py
+    dup_char_span_stats) on a corpus with PLANTED char-level overlaps:
+    40 docs contribute a 90-char substring copy, so every 40-char
+    window inside the copied span is duplicated — spans the word-13-gram
+    tier can miss entirely (the copy starts mid-word and covers < 13
+    whole words for short docs). Spark groups on xxhash64 of each
+    window (8-byte shuffle keys); the oracle groups on the window text
+    itself — identical results absent 64-bit collisions, same contract
+    the word-tier `dup_spans` query already pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 300).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 11, 90).alias("text"))
+    return T.dup_char_span_stats(base.unionByName(planted),
+                                 "doc_id", "text", n=40)
+
+
 @query("mixture_resample", """
 WITH cnt AS (
   SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang

@@ -333,6 +333,46 @@ def test_dup_span_stats_flags_shared_spans(spark):
     assert by_id.loc[3, "dup_frac"] == 0.0
 
 
+def test_dup_char_span_catches_what_word_tier_misses(spark):
+    """A shared 45-char run spanning only 6 words: the word-13-gram
+    tier sees ZERO duplicated windows (no 13-word window repeats), the
+    char tier flags the span — the Lee et al. char-fidelity gap the r7
+    verdict called out, pinned."""
+    span = "extraordinarily incomprehensible deinstitutionalization"
+    pdf = pd.DataFrame({
+        "id": [1, 2],
+        "txt": [
+            "alpha beta gamma delta " + span + " epsilon zeta eta theta "
+            "iota kappa lam mu nu xi omicron pi rho sigma tau",
+            "one two three four five six seven eight nine ten eleven "
+            "twelve " + span + " thirteen fourteen",
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    word = T.dup_span_stats(df, "id", "txt", n=13).toPandas()
+    assert word["n_dup_windows"].sum() == 0          # word tier blind
+    char = T.dup_char_span_stats(df, "id", "txt", n=40).orderBy("id") \
+        .toPandas()
+    assert (char["n_dup_windows"] > 0).all()         # char tier catches
+    # hash keys and exact string keys agree on collision-free data
+    exact = T.dup_char_span_stats(df, "id", "txt", n=40, exact_keys=True) \
+        .orderBy("id").toPandas()
+    assert char.equals(exact)
+    # stride=k is a 1/k-recall sampler: it catches the span only when
+    # the per-doc span offsets agree mod k — pin both sides of that
+    pre1 = "alpha beta gamma delta "
+    pre2 = "one two three four five six seven eight nine ten eleven twelve "
+    pad = "z" * ((len(pre1) - len(pre2)) % 3)
+    aligned = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "txt": [pre1 + span + " epsilon zeta",
+                pre2 + pad + span + " thirteen"],
+    }))
+    strided = T.dup_char_span_stats(aligned, "id", "txt", n=40, stride=3) \
+        .orderBy("id").toPandas()
+    assert (strided["n_dup_windows"] > 0).all()
+
+
 def test_dup_span_stats_requires_distinct_docs(spark):
     # a span repeated WITHIN one doc is not a cross-doc duplicate
     pdf = pd.DataFrame({
