@@ -83,17 +83,26 @@ def asof_join(
                  *[F.col(c).alias(c) for c in rcols]).alias("__r"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
+    # DUPLICATE right timestamps need a deterministic tiebreak: with
+    # only (on, side) in the sort, the winner among equal-t right rows
+    # depended on partition order (an r8 hypothesis test caught it).
+    # Both directions order the payload struct so the match is the
+    # GREATEST payload among equal-t rights — engine-stable (struct
+    # comparison is field-lexicographic; payloads must stay orderable,
+    # i.e. no map columns in right_cols).
     if direction in ("backward", "nearest"):
         # right-before-left on ties -> equal timestamps match inclusively
         wb = Window.partitionBy(*keys) \
-            .orderBy(F.col(on).asc(), F.col("__side").asc()) \
+            .orderBy(F.col(on).asc(), F.col("__side").asc(),
+                     F.col("__r").asc()) \
             .rowsBetween(Window.unboundedPreceding, 0)
         u = u.withColumn("__mb", F.last(F.col("__r"), ignorenulls=True)
                          .over(wb))
     if direction in ("forward", "nearest"):
         # left-before-right on ties (side DESC) -> inclusive forward
         wf = Window.partitionBy(*keys) \
-            .orderBy(F.col(on).asc(), F.col("__side").desc()) \
+            .orderBy(F.col(on).asc(), F.col("__side").desc(),
+                     F.col("__r").desc()) \
             .rowsBetween(0, Window.unboundedFollowing)
         u = u.withColumn("__mf", F.first(F.col("__r"), ignorenulls=True)
                          .over(wf))

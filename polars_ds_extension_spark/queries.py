@@ -147,6 +147,10 @@ _STALE = frozenset({
     "pipeline_transform", "mad", "bicor", "quality_quantile_filter",
     "mixture_resample", "pipeline_poly_impute", "kaplan_meier",
     "drift_over_time",
+    # round 8: asof duplicate-right-timestamp determinism tiebreak
+    "asof_join", "asof_join_forward",
+    # round 8: char-granular ExactSubstr tier shares text.py
+    "dup_spans",
 })
 
 

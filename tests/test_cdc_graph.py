@@ -625,3 +625,90 @@ def test_asof_join_directions_vs_pandas(spark):
                           tolerance=10)
     assert sum(r["v_right"] is not None for r in tol) \
         == int(wantt["v"].notna().sum())
+
+
+# ---------------------------------------------- hypothesis property tests
+#
+# Spark-backed, so example counts are small (each example is a JVM
+# job); the generators aim at the EDGES — exact timestamp ties,
+# all-equal weights, all-NULL attribute runs — rather than volume.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_TS = st.lists(st.integers(0, 30), min_size=1, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(lt=_TS, rt=_TS)
+def test_asof_nearest_tie_prefers_backward_property(spark, lt, rt):
+    """nearest = whichever of backward/forward is closer; EXACT ties
+    (including equal timestamps, which the small integer domain forces
+    constantly) must resolve to the backward match — the pandas
+    merge_asof contract, property-checked."""
+    import pandas as pd
+
+    from polars_ds_extension_spark.operators import temporal as TJ
+
+    lf = pd.DataFrame({"k": "a", "t": sorted(lt), "i": range(len(lt))})
+    rf = pd.DataFrame({"k": "a", "t": sorted(rt),
+                       "v": [float(10 * j) for j in range(len(rt))]})
+    got = TJ.asof_join(spark.createDataFrame(lf), spark.createDataFrame(rf),
+                       on="t", by=["k"], right_cols=["v"],
+                       direction="nearest").orderBy("i").collect()
+    want = pd.merge_asof(lf, rf.drop_duplicates("t", keep="last"),
+                         on="t", by="k", direction="nearest")
+    for g, (_, w) in zip(got, want.iterrows()):
+        gv, wv = g["v_right"], w["v"]
+        assert (gv is None and pd.isna(wv)) or gv == wv, (lt, rt, g["t"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(n_rows=st.integers(5, 40), n=st.integers(1, 6),
+       parts=st.integers(1, 7))
+def test_weighted_sample_equal_weights_layout_invariant(spark, n_rows,
+                                                       n, parts):
+    """With all-equal weights, weighted_sample_n must pick the SAME id
+    set regardless of partition layout or row order (deterministic
+    scrambled-id keys, no RNG state), and exactly min(n, n_rows) rows;
+    zero/negative-weight rows are excluded from the draw entirely."""
+    from polars_ds_extension_spark.functions import sample as SMP
+
+    rows = [(i, 1.0) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(r["id"] for r in SMP.weighted_sample_n(df, "id", "w", n).collect())
+    shuffled = spark.createDataFrame(list(reversed(rows)),
+                                     "id long, w double").repartition(parts)
+    b = sorted(r["id"] for r in
+               SMP.weighted_sample_n(shuffled, "id", "w", n).collect())
+    assert a == b and len(a) == min(n, n_rows)
+    # zero-weight rows can never be drawn
+    dead = spark.createDataFrame(
+        [(i, 0.0) for i in range(n_rows)] + [(n_rows + 1, 2.0)],
+        "id long, w double")
+    picked = [r["id"] for r in
+              SMP.weighted_sample_n(dead, "id", "w", n).collect()]
+    assert picked == [n_rows + 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(attrs=st.lists(st.sampled_from([None, "x", "y"]),
+                      min_size=2, max_size=10))
+def test_scd2_collapse_all_null_runs_property(spark, attrs):
+    """collapse_unchanged with runs of all-NULL attributes: null-safe
+    comparison must merge consecutive equal (incl. NULL==NULL) versions,
+    leave no adjacent null-safe-equal survivors, keep exactly one
+    current row, and chain valid_to == next valid_from."""
+    from polars_ds_extension_spark.operators import cdc as CDC
+
+    rows = [(1, t, a) for t, a in enumerate(attrs)]
+    df = spark.createDataFrame(rows, "k int, ts long, attr string")
+    out = (CDC.scd2(df, ["k"], "ts", attr_cols=["attr"],
+                    collapse_unchanged=True)
+           .orderBy("valid_from").collect())
+    # reference collapse: keep rows whose attr differs from the previous
+    want = [a for i, a in enumerate(attrs) if i == 0 or a != attrs[i - 1]]
+    assert [r["attr"] for r in out] == want
+    assert sum(r["is_current"] for r in out) == 1 and out[-1]["is_current"]
+    for prev, nxt in zip(out, out[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+    assert out[-1]["valid_to"] is None
