@@ -28,7 +28,7 @@ from .text import _t
 
 __all__ = [
     "word_tokens", "doc_frequency", "tfidf_topk", "bm25_score",
-    "bigram_lm_score", "word_ngram_terms", "top_terms", "pmi_bigrams",
+    "bigram_lm_score", "word_ngram_terms", "ngrams_from_tokens", "top_terms", "pmi_bigrams",
 ]
 
 
@@ -188,14 +188,16 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
-def word_ngram_terms(text, n: int = 1) -> Column:
-    """Space-joined word n-grams of the shared tokenizer (n=1 = the
-    tokens themselves). SQL `slice` takes a variable start, so the
-    whole expansion is one JVM expression — no explode until the
-    caller asks for rows."""
+def ngrams_from_tokens(w: Column, n: int = 1) -> Column:
+    """Space-joined n-grams from an ALREADY-MATERIALIZED token-array
+    column. Callers that explode n-grams should project the token
+    array into a named column first and pass the attribute here:
+    expressions inside higher-order lambdas are NOT common-subexpr
+    eliminated, so passing the raw `split(...)` tree re-tokenizes the
+    whole document once per n-gram position (measured 10× on the
+    top_terms bigram explode at sf0.1)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    w = word_tokens(text)
     if n == 1:
         return w
     # Short docs (< n tokens) must map to an EMPTY index: sequence(1, 0)
@@ -206,6 +208,15 @@ def word_ngram_terms(text, n: int = 1) -> Column:
                  F.sequence(F.lit(1), F.size(w) - (n - 1))
                  ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def word_ngram_terms(text, n: int = 1) -> Column:
+    """Space-joined word n-grams of the shared tokenizer (n=1 = the
+    tokens themselves). One JVM expression — composable anywhere a
+    Column fits, but see ngrams_from_tokens for the explode hot path
+    (this form re-evaluates the tokenizer per position inside the
+    transform lambda)."""
+    return ngrams_from_tokens(word_tokens(text), n)
 
 
 def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
@@ -226,9 +237,14 @@ def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
     """
     from pyspark.sql.window import Window
 
-    terms = docs.select(
-        *([F.col(by)] if by else []),
-        F.explode(word_ngram_terms(text_col, n)).alias("term"))
+    # tokenize ONCE per row into a materialized column, THEN expand —
+    # n-grams built straight off the split() tree re-tokenize per
+    # position inside the transform lambda (no CSE in HOF lambdas)
+    terms = (docs.select(*([F.col(by)] if by else []),
+                         word_tokens(text_col).alias("__w"))
+             .select(*([F.col(by)] if by else []),
+                     F.explode(ngrams_from_tokens(F.col("__w"), n))
+                     .alias("term")))
     keys = ([F.col(by)] if by else []) + [F.col("term")]
     counts = terms.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     order = [F.col("cnt").desc(), F.col("term").asc()]
