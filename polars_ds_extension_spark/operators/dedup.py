@@ -475,6 +475,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Connected components of the (near-)duplicate pair graph:
     (id, component) where component = the smallest id reachable.
@@ -489,6 +490,7 @@ def connected_components(
     large-star/small-star (Kiveris+ '14); the pair graphs dedup emits
     don't need it.
     """
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     e = pairs.select(F.col(id_a).cast("long").alias("s"),
@@ -501,33 +503,45 @@ def connected_components(
     # exponential analysis cost and a stack overflow by ~10 rounds. The
     # checkpoint truncates lineage to the materialized partitions, the
     # same pattern GraphX/MLlib iterative jobs use.
+    #
+    # ``assume_unique``: the dedup pair producers emit each undirected
+    # pair exactly once with id_a < id_b, so the symmetrized union is
+    # duplicate-free BY CONSTRUCTION and the distinct() — a full extra
+    # shuffle of the edge set — is skipped. Duplicate edges would only
+    # repeat min() work, never change the answer, but the default keeps
+    # the shuffle for arbitrary caller input.
     edges = e.unionByName(e.select(F.col("d").alias("s"),
-                                   F.col("s").alias("d"))).distinct() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+                                   F.col("s").alias("d")))
+    if not assume_unique:
+        edges = edges.distinct()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # round-0 shortcut: start from min(id, min neighbor) — the same
         # single groupBy a comp=id init would cost, but it bakes the
         # first propagation in, saving one full join round (diameter-2
-        # dup clusters then converge in a single propagation)
-        lab = edges.groupBy(F.col("s").alias("id")).agg(
-            F.least(F.first("s"), F.min("d")).alias("comp")) \
-            .localCheckpoint(eager=True)
-        # labels only DECREASE, so sum(comp) strictly drops on any change
-        # — the fixpoint check is one agg on the checkpointed frame, no
-        # join. Each round: 1 hash join + 1 groupBy (neighbor labels and
-        # own label folded through one union-min).
-        prev_sum = lab.agg(F.sum("comp")).first()[0]
+        # dup clusters then converge in a single propagation).
+        # Labels only DECREASE, so sum(comp) strictly drops on any
+        # change — and the sum rides each round's CHECKPOINT job as an
+        # observe() metric, so the fixpoint check costs zero extra jobs.
+        obs0 = Observation()
+        lab = (edges.groupBy(F.col("s").alias("id"))
+               .agg(F.least(F.first("s"), F.min("d")).alias("comp"))
+               .observe(obs0, F.sum("comp").alias("s"))
+               .localCheckpoint(eager=True))
+        prev_sum = obs0.get["s"]
         for _ in range(max_iters):
             nb = (
                 edges.join(lab.withColumnRenamed("id", "d")
                               .withColumnRenamed("comp", "__nc"), "d")
                 .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
             )
+            obs = Observation()
             new = (
                 lab.unionByName(nb)
                 .groupBy("id").agg(F.min("comp").alias("comp"))
+                .observe(obs, F.sum("comp").alias("s"))
             ).localCheckpoint(eager=True)
-            new_sum = new.agg(F.sum("comp")).first()[0]
+            new_sum = obs.get["s"]
             # the superseded round's checkpointed partitions would stay
             # materialized for the whole session otherwise — O(rounds)
             # executor storage held by a loop that only needs 2 frames
@@ -555,7 +569,9 @@ def canonical_dedup(
     Rows never in any pair pass through untouched (left_anti against
     the non-canonical set, which is at most |pairs|-sized — tiny next
     to the corpus)."""
-    cc = connected_components(pairs, id_a, id_b)
+    # the dedup pair producers emit unique id_a < id_b pairs — skip the
+    # symmetrize-distinct shuffle
+    cc = connected_components(pairs, id_a, id_b, assume_unique=True)
     losers = cc.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")

@@ -151,6 +151,8 @@ _STALE = frozenset({
     "asof_join", "asof_join_forward",
     # round 8: char-granular ExactSubstr tier shares text.py
     "dup_spans",
+    # round 8: CC fixpoint sums ride observe(); unique-pair edge build
+    "near_dup_cluster_dedup",
 })
 
 
