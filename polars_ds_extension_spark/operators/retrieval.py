@@ -176,11 +176,17 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
         toks.select(F.explode("__w").alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = uni_counts.count()
+    # V rides as a broadcast 1-row scalar instead of a driver .count() —
+    # the count() action executed the whole unigram shuffle a SECOND
+    # time (once for the literal, once inside the join)
+    vocab = F.broadcast(uni_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("__v")))
     bi_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    p = (F.col("c12") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k * vocab))
+    p = (F.col("c12") + F.lit(add_k)) / (F.col("c1")
+                                         + F.lit(add_k) * F.col("__v"))
     return (
         big.join(bi_counts, ["w1", "w2"]).join(uni_counts, "w1")
+        .crossJoin(vocab)
         .groupBy("__id")
         .agg((-F.avg(F.log(p))).alias("cross_entropy"),
              F.count(F.lit(1)).alias("n_bigrams"))

@@ -1627,9 +1627,14 @@ def perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy is rounded to 6 dp BEFORE ranking so the cut point is
     engine-stable (ranking a raw double would let a last-ulp divergence
     flip rows at the boundary)."""
+    from ._utils import pin
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = R.bigram_lm_score(docs, "doc_id", "text", add_k=0.5) \
-        .select("doc_id", F.round("cross_entropy", 6).alias("ce"))
+    # pin the LM scores: the global-quantile rank plan reads its input
+    # twice (range sketch + ranked pass) and would re-train/re-score the
+    # whole bigram pipeline each time
+    scored = pin(R.bigram_lm_score(docs, "doc_id", "text", add_k=0.5)
+                 .select("doc_id", F.round("cross_entropy", 6).alias("ce")))
     kept = SMP.filter_by_global_quantile(scored, "ce", q=0.9,
                                          keep="bottom")
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
