@@ -747,6 +747,34 @@ def ivf_cosine_pairs(
             .applyInPandas(_cell_pairs, schema))
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame,
+               q_id: str = "vec_id",
+               n_id: str = "neighbor_id") -> DataFrame:
+    """Recall@k of an ANN result against the exact neighbor set: per
+    query, the fraction of exact neighbors the approximate search
+    recovered; averaged over queries. The standard ANN quality
+    diagnostic — run it on a held-out query sample to tune
+    nprobe/n_tables/centroid count before a full-corpus pass.
+
+    Inputs are any two (q_id, n_id, ...) neighbor frames (knn_join,
+    ann_lsh_join, ivf_knn_join, pq/ivfpq search). Plan: one left-semi
+    hash join on (q_id, n_id) + two map-side-combinable aggs — never
+    moves vectors, only id pairs. Output: one row
+    (n_queries, mean_recall, min_recall).
+    """
+    e = exact.select(F.col(q_id).alias("__q"), F.col(n_id).alias("__n"))
+    a = approx.select(F.col(q_id).alias("__q"), F.col(n_id).alias("__n"))
+    hits = (e.join(a, ["__q", "__n"], "left_semi")
+            .groupBy("__q").agg(F.count(F.lit(1)).alias("__hit")))
+    per = (e.groupBy("__q").agg(F.count(F.lit(1)).alias("__tot"))
+           .join(hits, "__q", "left")
+           .select((F.coalesce(F.col("__hit"), F.lit(0))
+                    / F.col("__tot")).alias("__r")))
+    return per.agg(F.count(F.lit(1)).alias("n_queries"),
+                   F.avg("__r").alias("mean_recall"),
+                   F.min("__r").alias("min_recall"))
+
+
 def dist_from_kth_nb(
     df: DataFrame, id_col: str, vec_col: str,
     k: int = 5, metric: str = "l2",

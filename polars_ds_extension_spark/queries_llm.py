@@ -425,6 +425,71 @@ def ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("ivf_recall", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 3
+),
+ex AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ) WHERE rk <= 3
+),
+per AS (
+  SELECT ex.vec_id,
+    SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)::DOUBLE
+      / COUNT(*) AS r
+  FROM ex LEFT JOIN approx ap
+    ON ex.vec_id = ap.vec_id AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY ex.vec_id
+)
+SELECT COUNT(*)::BIGINT AS n_queries, ROUND(AVG(r), 6) AS mean_recall,
+       ROUND(MIN(r), 6) AS min_recall
+FROM per
+""")
+def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality diagnostic (operators/knn.ann_recall): recall@3 of
+    the IVF tier against the exact brute-force neighbors, averaged over
+    every vector as a query. The oracle recomputes BOTH result sets
+    (the ivf_ann replay + a brute ROW_NUMBER ranking) and the recall
+    join in SQL — so the measurement machinery itself is hash-checked,
+    not just the searches it measures. The measured recall is LOW by
+    design: 'first'-id seed centroids are the SQL-replayable mode, and
+    on unclustered synthetic embeddings they make poor cells — exactly
+    the failure this diagnostic exists to expose before a production
+    run picks the kmeans-trained centroids instead
+    (tests/test_operators.py pins kmeans-mode recall beating this)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(16, math.ceil(math.sqrt(emb.count())))
+    approx = K.ivf_knn_join(emb, "vec_id", "embedding",
+                            n_centroids=n_cent, k=3)
+    exact = K.knn_join(emb, "vec_id", "embedding",
+                       emb, "vec_id", "embedding", k=3, metric="cosine")
+    out = K.ann_recall(approx, exact, "vec_id", "neighbor_id")
+    return out.select("n_queries", _r(F.col("mean_recall")).alias("mean_recall"),
+                      _r(F.col("min_recall")).alias("min_recall"))
+
+
 @query("multimodal_blobs", """
 WITH b AS (
   SELECT doc_id,

@@ -49,15 +49,30 @@ PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 FACTOR = 10
 
 # (table, columns shifted by k * (max+1) per copy k) — FK pairs shift by
-# the PARENT's stride so joins keep matching across copies
+# the PARENT's stride so joins keep matching across copies. Dimension
+# keys (supplier/part/customer) shift WITH their fact FKs: leaving them
+# fixed while facts inflate 10x piles 10x the joint-order weight onto
+# the SAME entity pairs, so co-occurrence graphs get 10x DENSER instead
+# of 10x BIGGER (the r8 triangle_count 15x probe artifact) — real
+# TPC-H growth scales the entity populations with SF.
 _SHIFTS = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
 }
-_COPY = ["region", "nation", "customer", "supplier", "part"]
+# child FK column -> parent key column (shares the parent's stride)
+_FK = {
+    "l_orderkey": "o_orderkey",
+    "l_suppkey": "s_suppkey",
+    "l_partkey": "p_partkey",
+    "o_custkey": "c_custkey",
+}
+_COPY = ["region", "nation"]
 
 # the 10 most expensive / scale-shape-critical catalog queries (r5
 # bench ordering) — each exercises a distinct plan family
@@ -98,19 +113,25 @@ def build_probe_data(spark, rebuild: bool = False,
             return probe_dir
         shutil.rmtree(probe_dir)
     os.makedirs(probe_dir, exist_ok=True)
+    # strides come from the PARENT's own key column (a parent row with
+    # no fact children would otherwise collide across copies if the
+    # stride were derived from the child FK's max)
     strides = {}
     for t, cols in _SHIFTS.items():
+        own = [c for c in cols if c not in _FK]
+        if not own:
+            continue
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        for c in cols:
-            key = c.replace("l_orderkey", "o_orderkey")  # share FK stride
-            if key not in strides:
-                strides[key] = int(
-                    df.agg(F.max(F.col(c))).first()[0]) + 1
+        row = df.agg(*[F.max(F.col(c)).alias(c) for c in own]).first()
+        for c in own:
+            strides[c] = int(row[c]) + 1
+    for t, cols in _SHIFTS.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
         parts = []
         for k in range(FACTOR):
             cp = df
             for c in cols:
-                key = c.replace("l_orderkey", "o_orderkey")
+                key = _FK.get(c, c)
                 cp = cp.withColumn(
                     c, (F.col(c) + k * strides[key]).cast(
                         dict(df.dtypes)[c]))

@@ -305,6 +305,54 @@ def test_semantic_dedup(spark):
     assert salted.count() >= 0  # runs; bounded pair stage
 
 
+def test_ann_recall_counts_exact_overlap(spark):
+    """ann_recall on hand-built neighbor frames: q1 recovers 2/3, q2
+    3/3, q3 0/3 -> mean 5/9, min 0."""
+    from polars_ds_extension_spark.operators.knn import ann_recall
+
+    exact = spark.createDataFrame(
+        [(q, n) for q, ns in [(1, [10, 11, 12]), (2, [20, 21, 22]),
+                              (3, [30, 31, 32])] for n in ns],
+        "vec_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99),      # 2/3
+         (2, 20), (2, 21), (2, 22),      # 3/3
+         (3, 98), (3, 97), (3, 96)],     # 0/3
+        "vec_id long, neighbor_id long")
+    row = ann_recall(approx, exact).first()
+    assert row["n_queries"] == 3
+    assert abs(row["mean_recall"] - 5 / 9) < 1e-12
+    assert row["min_recall"] == 0.0
+
+
+def test_ann_recall_kmeans_centroids_beat_first(spark):
+    """On clustered data, kmeans-trained IVF centroids must recover
+    more of the exact neighbor set than the degenerate 'first'-id
+    seeds — the tuning decision ann_recall exists to inform."""
+    import numpy as np
+
+    from polars_ds_extension_spark.operators.knn import (
+        ann_recall, ivf_knn_join, knn_join)
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(6, 8)) * 10
+    X = np.concatenate([c + rng.normal(size=(40, 8)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, v array<double>")
+    exact = knn_join(df, "id", "v", df, "id", "v", k=3, metric="cosine")
+    r_first = ann_recall(
+        ivf_knn_join(df, "id", "v", n_centroids=6, k=3,
+                     centroids="first"),
+        exact, "id").first()
+    r_km = ann_recall(
+        ivf_knn_join(df, "id", "v", n_centroids=6, k=3,
+                     centroids="kmeans"),
+        exact, "id").first()
+    assert r_km["mean_recall"] > r_first["mean_recall"]
+    assert r_km["mean_recall"] >= 0.6
+
+
 # ------------------------------------------------------- dup-span signal
 
 def test_dup_span_stats_flags_shared_spans(spark):
