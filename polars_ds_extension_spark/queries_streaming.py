@@ -341,3 +341,79 @@ def stream_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").cast("long").alias("ws"), "event_type", "n")
     return (base.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3))
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a streaming DataFrame."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+@query("stream_decontaminate", r"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN text || ' zz dup marker'
+         ELSE array_to_string(list_transform(range(1, 21),
+                i -> 'u' || doc_id || 'x' || i), ' ') END AS text
+  FROM documents
+), shl_s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS sh
+  FROM s
+), shl_r AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS sh
+  FROM documents
+), g_s AS (SELECT doc_id, unnest(sh) AS g FROM shl_s),
+g_r AS (SELECT doc_id, unnest(sh) AS g FROM shl_r),
+shared AS (
+  SELECT a.doc_id AS sid, b.doc_id AS rid, COUNT(*) AS c
+  FROM g_s a JOIN g_r b ON a.g = b.g
+  GROUP BY 1, 2
+), hits AS (
+  SELECT DISTINCT sid
+  FROM shared
+  JOIN (SELECT doc_id, len(sh) AS n FROM shl_s) ls ON ls.doc_id = sid
+  JOIN (SELECT doc_id, len(sh) AS n FROM shl_r) lr ON lr.doc_id = rid
+  WHERE c::DOUBLE / (ls.n + lr.n - c) >= 0.6
+)
+SELECT COUNT(*)::BIGINT AS n_contaminated,
+       SUM((sid % 2 = 0)::INT)::BIGINT AS n_even,
+       SUM((sid % 2 = 1)::INT)::BIGINT AS n_odd
+FROM hits
+""")
+def stream_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup decontamination (streaming/ops.
+    stream_near_dup_flags) driven as a REAL stream: the incoming docs
+    are the reference corpus MUTATED per parity — even ids become
+    near-dups of their source (marker suffix), odd ids become unique
+    synthetic text — and the stream is filtered against the static
+    reference's minhash band index (two stream-static joins + exact
+    Jaccard verify + one streaming dedup). The oracle computes the
+    contaminated set as ALL-PAIRS exact shingle Jaccard >= 0.6 in SQL —
+    identical construction to `near_dup_minhash`'s recall-1 oracle, so
+    banding recall and the streaming execution are both hash-checked."""
+    from .streaming import ops as SO
+
+    ref = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = _docs_stream(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(" zz dup marker")))
+        .otherwise(F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                               F.lit("x"), i.cast("string")))))
+        .alias("text"))
+    flags = SO.stream_near_dup_flags(s, ref, "doc_id", "text",
+                                     threshold=0.6)
+    sink = _run_to_table(spark, flags, "append")
+    return sink.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).cast("bigint")
+        .alias("n_even"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("int")).cast("bigint")
+        .alias("n_odd"))

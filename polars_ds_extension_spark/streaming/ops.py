@@ -179,3 +179,62 @@ def stream_latest_state(
     return out.select(
         *[F.col(k) for k in keys],
         *[F.col("__p").getField(c).alias(c) for c in payload_cols])
+
+
+def stream_near_dup_flags(
+    stream: DataFrame, ref: DataFrame,
+    id_col: str, text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12, n_hashes: int = 96, bands: int = 32,
+) -> DataFrame:
+    """Streaming near-dup decontamination against a STATIC reference
+    corpus: emit each incoming document whose exact char-k-shingle
+    Jaccard against ANY reference doc reaches ``threshold`` — the
+    filter-new-crawl-against-existing-corpus pass, run incrementally
+    instead of re-pairing the whole lake per batch.
+
+    Same recall contract as operators/dedup.near_dup_pairs (shared
+    shingle/banding parameters): MinHash banding only GENERATES
+    candidates, membership is decided purely by exact Jaccard — so the
+    emitted set is engine-independent and SQL-oracle-checkable.
+
+    Plan (all streaming-legal): stream docs shingle + band scan-side
+    (the same vectorized signature UDF as batch), two STREAM-STATIC
+    hash joins — candidates on (band, band_hash) against the
+    pre-banded reference (only ref ids travel), then shingle fetch by
+    ref id for the exact verify — and a streaming dropDuplicates on
+    the doc id so each contaminated doc emits once. State = the
+    contaminated id set (8-byte keys), bounded by the stream's
+    contaminated cardinality, not its length; the static side is
+    re-planned per micro-batch like any stream-static join.
+    Output stream: (id_col,) of contaminated docs, append mode.
+    """
+    from ..operators.dedup import (char_shingles, jaccard,
+                                   minhash_band_hashes)
+
+    def _prep(df: DataFrame, idc: str, shc: str, bc: str) -> DataFrame:
+        sh = F.transform(char_shingles(F.col(text_col), shingle_k),
+                         lambda s: F.xxhash64(s))
+        out = df.select(F.col(id_col).alias(idc), sh.alias(shc))
+        return out.withColumn(
+            bc, minhash_band_hashes(F.col(shc), n_hashes, bands))
+
+    r = _prep(ref, "__rid", "__rsh", "__rb")
+    ref_bands = r.select(
+        "__rid", F.posexplode("__rb").alias("band", "bh"))
+    ref_sh = r.select("__rid", "__rsh")
+
+    s = _prep(stream, "__sid", "__ssh", "__sb")
+    # NB: band-collision duplicates of a (stream doc, ref doc) pair are
+    # NOT deduped here — that would be a second stateful operator; the
+    # exact-verify filter and the final id dedup make them harmless
+    # (bounded by the band count per pair)
+    cand = (s.select("__sid", "__ssh",
+                     F.posexplode("__sb").alias("band", "bh"))
+            .join(ref_bands, ["band", "bh"])
+            .select("__sid", "__ssh", "__rid"))
+    hits = (cand.join(ref_sh, "__rid")
+            .where(jaccard(F.col("__ssh"), F.col("__rsh"))
+                   >= F.lit(threshold)))
+    return (hits.select(F.col("__sid").alias(id_col))
+            .dropDuplicates([id_col]))

@@ -136,3 +136,30 @@ def test_stream_interval_join_matches_batch(spark, stream_dir):
                  & (F.col("r_ts") >= F.expr("ts - INTERVAL 2 MINUTES"))
                  & (F.col("r_ts") <= F.col("ts"))).count()
     assert len(got) == exp and exp > 0
+
+
+def test_stream_near_dup_flags_planted(spark):
+    """Planted contamination: stream docs 1,3 are near-copies of
+    reference docs, 2,4 are unique — exactly {1,3} must emit, once
+    each, from a REAL stream run."""
+    import tempfile
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    other = ("completely different content about distributed systems "
+             "and columnar execution engines with vectorized kernels")
+    ref = spark.createDataFrame(
+        [(10, base), (11, other)], "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="pds_nd_stream_")
+    spark.createDataFrame(
+        [(1, base + " zz"), (2, "u1 u2 u3 u4 u5 u6 u7 u8 totally new"),
+         (3, other + " yy"), (4, "qqq www eee rrr ttt yyy uuu iii ooo")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    s = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = STR.stream_near_dup_flags(s, ref, "doc_id", "text",
+                                    threshold=0.6)
+    name = f"nd{uuid.uuid4().hex[:8]}"
+    got = sorted(r["doc_id"] for r in
+                 _run_stream(spark, out, name).collect())
+    assert got == [1, 3]
