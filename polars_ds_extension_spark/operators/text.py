@@ -431,6 +431,57 @@ def dup_span_stats(docs, id_col: str, text_col: str, n: int = 13):
     )
 
 
+def contamination_report(
+    docs,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str,
+    n_gram: int = 3,
+):
+    """GRADED benchmark-contamination report: per document, the
+    FRACTION of its distinct word n-grams found in the evaluation
+    corpus — the decision input when a binary gate (`decontaminate`)
+    is too blunt (a 2% incidental overlap and a 95% verbatim leak are
+    different problems; thresholding belongs to the caller).
+
+    Same scale shape as `decontaminate`: benchmark reduced to its
+    distinct gram set and BROADCAST, corpus grams explode scan-side
+    into a semi-join, per-doc groupBy keyed on doc id; the per-doc
+    distinct-gram denominator is a scan-side array size — no extra
+    shuffle. Output: (id_col, n_grams, n_contaminated_grams,
+    overlap_frac [4 dp]).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n_gram)).alias("__g"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col).alias("__did"),
+                       word_shingles(text_col, n_gram).alias("__gs"))
+    doc_grams = base.select("__did", F.explode("__gs").alias("__g"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    n_hit = F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+    return (
+        base.select("__did", F.size("__gs").alias("n_grams"))
+        .join(hits, "__did", "left")
+        .select(
+            F.col("__did").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_hit.cast("long").alias("n_contaminated_grams"),
+            F.round(n_hit / F.col("n_grams"), 4).alias("overlap_frac"),
+        )
+    )
+
+
 def dup_char_span_stats(docs, id_col: str, text_col: str, n: int = 50,
                         stride: int = 1, exact_keys: bool = False):
     """CHARACTER-granular ExactSubstr duplication signal (Lee et al.

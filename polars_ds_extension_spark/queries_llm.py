@@ -1413,6 +1413,53 @@ def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("adc_dist")).alias("adc_dist"), "rank")
 
 
+@query("contamination_report", r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS g FROM bench
+), dgl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  )) AS gs FROM corpus
+), dg AS (
+  SELECT doc_id, unnest(gs) AS g FROM dgl
+), hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n FROM dg JOIN bg USING (g) GROUP BY 1
+), per AS (
+  SELECT dgl.doc_id, len(gs)::BIGINT AS n_grams,
+         COALESCE(hits.n, 0)::BIGINT AS n_hit
+  FROM dgl LEFT JOIN hits ON dgl.doc_id = hits.doc_id
+)
+SELECT CAST(FLOOR(ROUND(n_hit::DOUBLE / n_grams, 4) * 10) AS INT) AS band,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(n_hit::DOUBLE / n_grams), 6) AS mean_frac
+FROM per GROUP BY 1
+""")
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination profile (operators/text.
+    contamination_report): per-doc benchmark-overlap fractions,
+    summarized into tenth-bands (band = floor(frac·10)) with doc counts
+    and mean fraction — the report that separates incidental 2% overlap
+    from wholesale eval leakage before choosing a gate threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    rep = T.contamination_report(corpus, "doc_id", "text", bench, "text",
+                                 n_gram=3)
+    frac = F.col("n_contaminated_grams") / F.col("n_grams")
+    return (rep.groupBy(F.floor(F.col("overlap_frac") * 10).cast("int")
+                        .alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 _r(F.avg(frac)).alias("mean_frac")))
+
+
 @query("semantic_decontaminate", """
 WITH bench AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20

@@ -741,3 +741,21 @@ def test_bpe_encode_matches_reference_and_handles_unseen(spark):
     assert out[2] == (2, ["newest</w>", "newest</w>"])
     assert out[3][0] == 11          # character fallback for unseen words
     assert out[4] == (0, [])        # null text
+
+
+def test_contamination_report_fractions(spark):
+    """Planted overlap: doc 1 shares half its 3-gram set with the
+    benchmark, doc 2 none."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta unique tail here"),
+         (2, "completely different words only in this doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.contamination_report(
+        docs, "doc_id", "text", bench, "text", n_gram=3).collect()}
+    # doc1: 5 distinct 3-grams, 2 of them ("alpha beta gamma",
+    # "beta gamma delta") in the benchmark
+    assert out[1]["n_grams"] == 5 and out[1]["n_contaminated_grams"] == 2
+    assert out[1]["overlap_frac"] == 0.4
+    assert out[2]["n_contaminated_grams"] == 0 and out[2]["overlap_frac"] == 0.0
