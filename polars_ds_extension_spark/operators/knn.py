@@ -410,8 +410,19 @@ def ann_lsh_join(
     join, so the per-bucket pair term is bounded by max_bucket² instead
     of n². Same guard the minhash dedup path uses; members of an
     oversized bucket simply fall back to their other n_tables-1
-    signatures. Output: (id, neighbor_id, cosine, rank).
+    signatures.
+
+    The within-bucket scoring is one slab-chunked numpy GEMM per
+    (table, signature) group (`applyInPandas`) — the same r8 treatment
+    as ivf_knn_join: per-pair cost is BLAS flops instead of JVM array
+    folds, and only thresholded candidate pairs leave the group. The
+    cross-table dedup (a pair can share several tables) and the
+    per-query top-k stay as one combinable groupBy + one partitioned
+    window. Output: (id, neighbor_id, cosine, rank).
     """
+    import numpy as np
+    import pandas as pd
+
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     # one signature per table, each with a distinct hash seed
     sigs = base.select(
@@ -424,28 +435,40 @@ def ann_lsh_join(
         ])).alias("__b"),
     ).select("__id", "__vec", "__b.t", "__b.sig")
     # bucket-size guard: one partial-agg pass over (t, sig), then a
-    # semi-join on the same key the pair join shuffles on (co-located)
+    # semi-join on the same key the pair stage shuffles on (co-located)
     ok = (
         sigs.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("__n"))
         .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
         .select("t", "sig")
     )
-    sigs = sigs.join(ok, ["t", "sig"], "left_semi") \
-        .withColumn("__n", norm(F.col("__vec")))
-    a = sigs.select("t", "sig", F.col("__id").alias("id_a"),
-                    F.col("__vec").alias("__va"), F.col("__n").alias("__na"))
-    b = sigs.select("t", "sig", F.col("__id").alias("id_b"),
-                    F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"))
-    cand = (
-        a.join(b, ["t", "sig"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b",
-                (dot(F.col("__va"), F.col("__vb"))
-                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
-        .groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine"))
-    )
-    if min_cosine is not None:
-        cand = cand.where(F.col("cosine") >= min_cosine)
+    sigs = sigs.join(ok, ["t", "sig"], "left_semi")
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    thr = float(min_cosine) if min_cosine is not None else None
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        X = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(1))
+        out = []
+        chunk = max(1, (1 << 27) // max(1, m * 8))
+        for s0 in range(0, m, chunk):
+            sl = slice(s0, min(s0 + chunk, m))
+            cos = (X[sl] @ X.T) / (nrm[sl][:, None] * nrm[None, :])
+            keep = ids[sl][:, None] != ids[None, :]
+            if thr is not None:
+                keep &= cos >= thr
+            ra, cb = np.nonzero(keep)
+            out.append(pd.DataFrame({
+                "id_a": ids[sl][ra], "id_b": ids[cb],
+                "cosine": cos[ra, cb]}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = (sigs.groupBy("t", "sig").applyInPandas(_bucket_pairs, schema)
+            .groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine")))
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
