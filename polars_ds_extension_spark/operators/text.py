@@ -363,12 +363,15 @@ def dup_line_fraction(text) -> Column:
 
 
 def word_ngrams_of(text, n: int = 2) -> Column:
-    """Whitespace-word n-grams joined with single spaces."""
-    toks = whitespace_tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    """Whitespace-word n-grams joined with single spaces. Tokens are
+    let-bound so the split runs once per row, not once per n-gram
+    position (no CSE inside HOF lambdas)."""
+    from .dedup import _let
+
+    return _let(whitespace_tokens(text), lambda w: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    ))
 
 
 def dup_ngram_fraction(text, n: int = 2) -> Column:
@@ -445,11 +448,13 @@ def contamination_report(
     is too blunt (a 2% incidental overlap and a 95% verbatim leak are
     different problems; thresholding belongs to the caller).
 
-    Same scale shape as `decontaminate`: benchmark reduced to its
-    distinct gram set and BROADCAST, corpus grams explode scan-side
-    into a semi-join, per-doc groupBy keyed on doc id; the per-doc
-    distinct-gram denominator is a scan-side array size — no extra
-    shuffle. Output: (id_col, n_grams, n_contaminated_grams,
+    Same scale shape as `decontaminate`, ONE pass tighter: benchmark
+    reduced to its distinct gram set and BROADCAST with a hit flag,
+    corpus grams explode scan-side into a broadcast LEFT join, and a
+    single per-doc groupBy counts total grams (the denominator —
+    word_shingles is distinct, so the explode count IS the distinct
+    count) and flagged grams together — one scan, one shuffle keyed on
+    doc id. Output: (id_col, n_grams, n_contaminated_grams,
     overlap_frac [4 dp]).
     """
     from pyspark.sql import functions as F
@@ -459,25 +464,22 @@ def contamination_report(
     bench_grams = (
         benchmark.select(
             F.explode(word_shingles(bench_text_col, n_gram)).alias("__g"))
-        .distinct()
+        .distinct().withColumn("__hit", F.lit(1))
     )
-    base = docs.select(F.col(id_col).alias("__did"),
-                       word_shingles(text_col, n_gram).alias("__gs"))
-    doc_grams = base.select("__did", F.explode("__gs").alias("__g"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
-        .groupBy("__did")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
-    )
-    n_hit = F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, n_gram)).alias("__g"))
+    n_hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
     return (
-        base.select("__did", F.size("__gs").alias("n_grams"))
-        .join(hits, "__did", "left")
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             n_hit.cast("long").alias("n_contaminated_grams"))
         .select(
-            F.col("__did").alias(id_col),
-            F.col("n_grams").cast("long").alias("n_grams"),
-            n_hit.cast("long").alias("n_contaminated_grams"),
-            F.round(n_hit / F.col("n_grams"), 4).alias("overlap_frac"),
+            F.col("__did").alias(id_col), "n_grams",
+            "n_contaminated_grams",
+            F.round(F.col("n_contaminated_grams") / F.col("n_grams"), 4)
+            .alias("overlap_frac"),
         )
     )
 

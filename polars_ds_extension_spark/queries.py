@@ -153,6 +153,11 @@ _STALE = frozenset({
     "dup_spans",
     # round 8: CC fixpoint sums ride observe(); unique-pair edge build
     "near_dup_cluster_dedup",
+    # round 8 late: word_shingles/word_ngrams_of let-binding +
+    # jaccard_distinct verify — value-identical, re-stamp consumers
+    "near_dup_minhash", "decontaminate", "gopher_gate", "text_quality",
+    "blocked_jaccard", "curation_pipeline_v2", "curation_pipeline_v3",
+    "curation_pipeline",
 })
 
 
