@@ -27,7 +27,7 @@ __all__ = [
     "mixture_sample", "filter_by_global_quantile", "sample_exact_n",
     "group_bucket", "group_split_col", "split_by_group",
     "sample_exact_n_per_group", "kfold_col", "kfold_split",
-    "weighted_sample_n",
+    "weighted_sample_n", "token_mixture_sample",
 ]
 
 _BUCKETS = 10_000
@@ -176,6 +176,51 @@ def mixture_sample(df: DataFrame, id_col: str, group_col: str,
     for g, r in rates.items():
         # eqNullSafe so a NULL source group matches its own rate instead
         # of null-comparing its rows straight out of the sample
+        rate_col = F.when(to_col(group_col).eqNullSafe(F.lit(g)), F.lit(r)) \
+            .otherwise(rate_col)
+    return df.where(_bucket(id_col) < rate_col * _BUCKETS)
+
+
+def token_mixture_sample(df: DataFrame, id_col: str, group_col: str,
+                         token_col, target_weights: dict,
+                         token_budget: float | None = None) -> DataFrame:
+    """TOKEN-budget mixture sampling across sources — the data-mixing
+    step specified the way LLM training actually consumes corpora: a
+    target mixture in TOKENS (``target_weights``, normalized
+    internally) and a total ``token_budget`` (default: the corpus
+    token count — pure re-balancing). ``mixture_sample`` balances
+    document COUNTS; with heterogeneous doc lengths that is the wrong
+    knob — a source of 10x-longer documents eats 10x its intended
+    share of the compute budget.
+
+    Per-source keep-rate r_s = min(1, w_s·B / T_s) over per-source
+    token totals T_s; selection is the deterministic id scramble, so
+    the EXPECTED sampled token mass per source is w_s·B (capped by
+    availability) and the sample is engine-reproducible and
+    append-stable. Sources missing from ``target_weights`` get weight
+    0 (dropped).
+
+    Plan: ONE tiny groupBy collects per-source token totals (sources ≪
+    rows) to the driver, rates come back as a scan-side literal CASE —
+    no shuffle of the corpus at any point.
+    Output: the sampled rows (original schema).
+    """
+    totals = dict(sorted(
+        ((r[0], float(r[1])) for r in
+         df.groupBy(group_col).agg(F.sum(to_col(token_col))).collect()),
+        key=lambda kv: (kv[0] is None, str(kv[0]))))
+    corpus_tokens = sum(totals.values())
+    budget = float(token_budget if token_budget is not None
+                   else corpus_tokens)
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    rates = {}
+    for g, t in totals.items():
+        w = float(target_weights.get(g, 0.0)) / wsum
+        rates[g] = min(1.0, (w * budget / t) if t > 0 else 0.0)
+    rate_col = F.lit(None).cast("double")
+    for g, r in rates.items():
         rate_col = F.when(to_col(group_col).eqNullSafe(F.lit(g)), F.lit(r)) \
             .otherwise(rate_col)
     return df.where(_bucket(id_col) < rate_col * _BUCKETS)

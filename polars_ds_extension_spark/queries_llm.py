@@ -1279,6 +1279,46 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_id"))
 
 
+@query("token_mixture", r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+  FROM documents
+), t AS (
+  SELECT source, SUM(n_tok)::DOUBLE AS tt FROM d GROUP BY source
+), r AS (
+  SELECT source, CASE source
+    WHEN 'src0' THEN LEAST(1.0, 0.5 * 1500 / tt)
+    WHEN 'src1' THEN LEAST(1.0, 0.25 * 1500 / tt)
+    WHEN 'src2' THEN LEAST(1.0, 0.25 * 1500 / tt)
+    ELSE 0.0 END AS rate
+  FROM t
+), s AS (
+  SELECT d.*, r.rate FROM d JOIN r USING (source)
+  WHERE (doc_id % 10000 * 2654435761) % 10000 < rate * 10000
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS kept_tokens
+FROM s GROUP BY source
+""")
+def token_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (functions/sample.
+    token_mixture_sample): a 1500-token budget split 50/25/25 across
+    three sources — the mixture knob specified in TOKENS, the unit LLM
+    training actually consumes (mixture_resample balances doc counts;
+    with heterogeneous doc lengths that over-serves long-doc sources).
+    One tiny per-source token-total groupBy to the driver, literal
+    keep-rates back, deterministic id-scramble selection — the corpus
+    never shuffles, and the oracle replays rates and buckets exactly."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"))
+    out = SMP.token_mixture_sample(
+        docs, "doc_id", "source", "n_tok",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25}, token_budget=1500)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("kept_tokens"))
+
+
 @query("quality_quantile_filter", """
 WITH r AS (
   SELECT doc_id, n_chars, RANK() OVER (ORDER BY n_chars) AS rk

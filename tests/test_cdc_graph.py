@@ -712,3 +712,26 @@ def test_scd2_collapse_all_null_runs_property(spark, attrs):
     for prev, nxt in zip(out, out[1:]):
         assert prev["valid_to"] == nxt["valid_from"]
     assert out[-1]["valid_to"] is None
+
+
+def test_token_mixture_sample_budget_shares(spark):
+    """Token-budget mixture: expected kept-token mass tracks the target
+    weights (deterministic scramble ≈ uniform); an over-asked source
+    caps at rate 1; unlisted sources drop entirely."""
+    rows = []
+    for i in range(300):
+        src = ["a", "b", "c"][i % 3]
+        rows.append((i, src, 10 if src != "c" else 100))
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    # totals: a=1000, b=1000, c=10000; budget 600: a 50% -> 300 toks
+    # (rate .3), b 50% -> 300 toks (rate .3), c unlisted -> dropped
+    out = SMP.token_mixture_sample(df, "id", "src", "toks",
+                                   {"a": 0.5, "b": 0.5}, token_budget=600)
+    got = {r["src"]: r["kept"] for r in
+           out.groupBy("src").agg(F.sum("toks").alias("kept")).collect()}
+    assert "c" not in got
+    assert abs(got["a"] - 300) <= 120 and abs(got["b"] - 300) <= 120
+    # cap: asking for more than a source has keeps ALL of it
+    capped = SMP.token_mixture_sample(df, "id", "src", "toks",
+                                      {"a": 1.0}, token_budget=50_000)
+    assert capped.where(F.col("src") == "a").count() == 100
