@@ -425,6 +425,37 @@ def ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "neighbor_id", _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("lsh_recall", """
+SELECT (2 * COUNT(*))::BIGINT AS n_queries,
+       (2 * COUNT(*))::BIGINT AS n_perfect,
+       1.0::DOUBLE AS recall
+FROM embeddings
+""")
+def lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH planted-recovery hard row (operators/knn.ann_lsh_join —
+    the multi-table random-hyperplane scale path, previously
+    pytest-only): the corpus is embeddings ∪ IDENTICAL copies, and an
+    identical vector shares every table's signature by construction, so
+    each of the 2N queries MUST surface its partner at rank 1 with
+    cosine ~1 (the max natural pairwise cosine in this table is ~0.6 —
+    measured headroom, not hope). Signature hashes never reach the
+    output; the oracle pins that every query reports a perfect match —
+    a banding, signature-determinism, or bucket-cap regression drops
+    n_perfect below n_queries and fails the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    out = K.ann_lsh_join(u, "vec_id", "embedding", k=1,
+                         n_tables=4, n_planes=12)
+    top1 = out.where(F.col("rank") == 1)
+    return top1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("cosine") > 0.999999).cast("int")).cast("bigint")
+        .alias("n_perfect"),
+        _r(F.sum((F.col("cosine") > 0.999999).cast("int"))
+           / F.count(F.lit(1))).alias("recall"))
+
+
 @query("ivf_recall", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e
