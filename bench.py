@@ -126,8 +126,9 @@ def main() -> None:
     probe_ratio: dict[str, float] = {}
     probe_ratio_dense: dict[str, float] = {}
     probe_spread: dict[str, float] = {}
+    probe_abs: dict[str, list] = {}
 
-    def _probe_set(names, pdir, out, spread=None):
+    def _probe_set(names, pdir, out, spread=None, abs_out=None):
         # min of THREE large runs (was two): SURVEY §6's published probe
         # numbers must reproduce in the driver environment, and two-run
         # single-shot noise produced a 1.8x storytelling gap in r7.
@@ -149,6 +150,8 @@ def main() -> None:
             out[name] = round(t_large / base_t, 1)
             if spread is not None:
                 spread[name] = round(max(samples) / max(t_large, 1e-9), 2)
+            if abs_out is not None:
+                abs_out[name] = [round(base_t, 2), round(t_large, 2)]
             print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
                   f"(x{out[name]}, spread x{max(samples) / t_large:.2f})",
                   file=sys.stderr)
@@ -158,7 +161,7 @@ def main() -> None:
             from scripts.scale_probe import (DEFAULT_QUERIES, DENSE_QUERIES,
                                              build_probe_data)
             _probe_set(DEFAULT_QUERIES, build_probe_data(spark),
-                       probe_ratio, probe_spread)
+                       probe_ratio, probe_spread, probe_abs)
             # adversarial hot-cluster variant for the dedup family: the
             # bucket/cell caps are the defense; measure them every round
             _probe_set(DENSE_QUERIES, build_probe_data(spark, dense=True),
@@ -176,12 +179,20 @@ def main() -> None:
         "probe_ratio_10x": probe_ratio,
         "probe_ratio_10x_dense": probe_ratio_dense,
         "probe_spread": probe_spread,
+        "probe_abs": probe_abs,
         "sf": sf,
     }), file=sys.stderr)
 
     # The driver parses only the LAST ~2000 chars of stdout, so stdout is
-    # exactly ONE JSON line that must fit that window in full. Degrade
-    # per-query precision, then trim the fastest queries, until it fits.
+    # exactly ONE JSON line that must fit that window in full. The probe
+    # evidence (ratio + spread + absolute small/large times) ships IN the
+    # parsed line — per-query catalog timings are the trim victim (they
+    # are the least informative: the full set is on stderr, and the
+    # driver's own CORRECTNESS record re-times the prefix anyway).
+    # [spread, t_small, t_large] per probed query — compact enough to
+    # survive the budget next to probe_ratio_10x
+    probe_sbl = {n: [probe_spread.get(n), *probe_abs[n]] for n in probe_abs}
+
     def _line(q: dict) -> str:
         return json.dumps({
             "metric": "catalog_total_runtime",
@@ -189,6 +200,7 @@ def main() -> None:
             "unit": "sec",
             "queries": q,
             "probe_ratio_10x": probe_ratio,
+            "probe_sbl": probe_sbl,
             "probe_ratio_10x_dense": probe_ratio_dense,
             "sf": sf,
             "n_queries": len(per_query),

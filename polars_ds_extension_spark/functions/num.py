@@ -580,8 +580,15 @@ def woe_discrete(df: DataFrame, x: str, target: str) -> DataFrame:
 
 
 def woe(df: DataFrame, x: str, target: str, n_bins: int = 10,
-        exact_breakpoints: bool = False) -> DataFrame:
-    """WOE for continuous x via quantile bins. Ref num.py:698."""
+        exact_breakpoints: bool = True) -> DataFrame:
+    """WOE for continuous x via quantile bins. Ref num.py:698.
+
+    Default EXACT cuts (plans/ranks.exact_quantiles — distributed
+    selection, no single-reducer buffer): WOE encodings feed model
+    features, so bin edges must match the reference's exact quantile
+    binning at any scale, not drift by up to n/accuracy ranks the way a
+    sketch would. ``exact_breakpoints=False`` opts into the one-pass
+    percentile_approx sketch when the caller only monitors drift."""
     breaks = _quantile_breaks(df, x, n_bins, exact=exact_breakpoints)
     binned = df.where(to_col(x).isNotNull()).select(
         _bin_expr(x, breaks).cast("string").alias("bin"), F.col(target)
@@ -609,8 +616,11 @@ def info_value_discrete(df: DataFrame, x: str, target: str,
 
 def info_value(df: DataFrame, x: str, target: str, n_bins: int = 10,
                return_sum: bool = True,
-               exact_breakpoints: bool = False) -> DataFrame:
-    """IV for continuous x via quantile bins. Ref num.py:760."""
+               exact_breakpoints: bool = True) -> DataFrame:
+    """IV for continuous x via quantile bins. Ref num.py:760.
+    Default EXACT cuts for the same reason as `woe` (feature-grade
+    encodings; see its docstring) — `exact_breakpoints=False` opts into
+    the approx sketch for monitoring-only callers."""
     breaks = _quantile_breaks(df, x, n_bins, exact=exact_breakpoints)
     binned = df.where(to_col(x).isNotNull()).select(
         _bin_expr(x, breaks).cast("string").alias("bin"), F.col(target)

@@ -78,6 +78,38 @@ def _chunked_dist(Q, m, metric, slab_bytes: int = 1 << 28):
     return out
 
 
+def _topk_rows(score, ids, kk):
+    """Per-row top-kk selection by (score ASC, id ASC) with EXACT
+    boundary-tie handling. np.argpartition alone is unstable at the
+    kk-th boundary: when the kk-th and (kk+1)-th candidates score
+    exactly equal (guaranteed with duplicate/identical vectors — the
+    planted-pair scenario the recall oracles use), the emitted set
+    would depend on partition order instead of the lowest id. Fast
+    path: argpartition; rows where an UNSELECTED column ties the kk-th
+    score fall back to a full (score, id) lexsort of that row, so the
+    boundary resolves to the lowest id — the same ORDER BY (score, id)
+    contract the SQL replays pin. Returns (scores, ids) both sorted
+    (score ASC, id ASC) per row, shape (rows, kk)."""
+    import numpy as np
+
+    part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
+    psc = np.take_along_axis(score, part, axis=1)
+    kth = psc.max(axis=1)
+    with np.errstate(invalid="ignore"):
+        n_le = (score <= kth[:, None]).sum(axis=1)
+    tied = np.nonzero(n_le > kk)[0]
+    if tied.size:
+        sc_t = score[tied]
+        ids_b = np.broadcast_to(ids[None, :], sc_t.shape)
+        full = np.lexsort((ids_b, sc_t), axis=1)[:, :kk]
+        part[tied] = full
+        psc[tied] = np.take_along_axis(sc_t, full, axis=1)
+    nid = ids[part]
+    order = np.lexsort((nid, psc), axis=1)
+    return (np.take_along_axis(psc, order, axis=1),
+            np.take_along_axis(nid, order, axis=1))
+
+
 # ---------------------------------------------------- brute force (broadcast)
 
 #: hard cap on broadcast index rows — at 128d float64 this is ~5 GB,
@@ -172,15 +204,9 @@ def knn_join(
                 raise ValueError(f"unknown metric {metric}")
             score[qids[:, None] == iids[None, :]] = np.inf  # exclude self
             kk = min(k, score.shape[1] - 1 if score.shape[1] > 1 else 1)
-            part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-            # fully columnar top-k emit: per-row (score, id) lexsort of
-            # the kk candidates, then one flat boolean mask — no
-            # per-pair Python appends
-            psc = np.take_along_axis(score, part, axis=1)
-            nid = iids[part]
-            order = np.lexsort((nid, psc), axis=1)
-            psc = np.take_along_axis(psc, order, axis=1)
-            nid = np.take_along_axis(nid, order, axis=1)
+            # fully columnar top-k emit with exact (score, id) boundary
+            # tie-break — no per-pair Python appends
+            psc, nid = _topk_rows(score, iids, kk)
             if metric == "cosine":
                 vals = -psc
             elif metric == "l2":
@@ -505,7 +531,11 @@ def ivf_assign(
     from .cluster import _assign_np
 
     crows = centroids.select(c_id, c_vec).collect()
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    # natural dtype (ints -> int64, strings -> str, decimals -> object):
+    # the output schema derives cid_type from the centroid frame, so the
+    # collected ids must NOT be coerced to int64 — a string/decimal
+    # centroid id would raise here while the schema promised it back
+    cids = np.array([r[0] for r in crows])
     C = np.array([list(r[1]) for r in crows], dtype=np.float64)
     # sort by centroid id so argmin's first-occurrence tie-break lands on
     # the lowest cid — the ORDER BY (distance, cid) replay contract
@@ -594,7 +624,7 @@ def ivf_knn_join(
     df: DataFrame, id_col: str, vec_col: str,
     n_centroids: int = 16, k: int = 5,
     centroids: str | DataFrame = "first",
-    max_cell: int | None = None,
+    max_cell: int | None = 100_000,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate self-KNN via an IVF (inverted-file) index.
@@ -608,11 +638,17 @@ def ivf_knn_join(
     n_centroids ~ sqrt(N) keeps buckets executor-sized, and the
     all-pairs term n²/C is C× cheaper than brute force.
 
-    ``max_cell`` bounds the quadratic term on skewed data: cells larger
-    than max_cell are salted into ceil(n/max_cell) sub-cells, so the
-    pair stage never exceeds max_cell²·subcells even when one centroid
-    swallows the dataset (recall inside an oversized cell drops to
-    ~1/subcells per probe — the documented cap-vs-recall trade).
+    ``max_cell`` (default 100k) bounds the quadratic term on skewed
+    data: cells larger than max_cell are salted into ceil(n/max_cell)
+    sub-cells, so the pair stage never exceeds max_cell²·subcells even
+    when one centroid swallows the dataset (recall inside an oversized
+    cell drops to ~1/subcells per probe — the documented cap-vs-recall
+    trade). The finite default also bounds what applyInPandas
+    MATERIALIZES: each (cell, salt) group's ids + vectors land in one
+    in-memory pandas frame before scoring, so only the salting keeps a
+    degenerate cell from OOMing an executor — the slab chunking below
+    bounds the SCORE MATRIX, not the group itself. Pass max_cell=None
+    only when the cell-size distribution is known to be bounded.
 
     The within-cell search is ONE numpy GEMM + argpartition per
     (cell, salt) group (`applyInPandas`): the n²/C pair term runs as
@@ -620,9 +656,8 @@ def ivf_knn_join(
     rows ever leave the group — the r7 self-join formulation emitted
     every candidate pair into a window sort and probed 6.3× at 10×
     data; this shape is the same one shuffle (on the cell key) with a
-    ~100× smaller constant. Memory per group is slab-chunked (query
-    rows × cell), so an unsalted giant cell degrades to streaming
-    slabs, not an OOM. Output: (id, neighbor_id, cosine, rank).
+    ~100× smaller constant. The (query-chunk × cell) score matrix is
+    slab-chunked to ~128 MB. Output: (id, neighbor_id, cosine, rank).
     """
     import numpy as np
     import pandas as pd
@@ -678,14 +713,11 @@ def ivf_knn_join(
             score = -cos
             # exclude self by position (ids are unique within a cell)
             score[np.arange(sl.stop - sl.start), np.arange(sl.start, sl.stop)] = np.inf
-            part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-            psc = np.take_along_axis(score, part, axis=1)
-            nid = ids[part]
-            order = np.lexsort((nid, psc), axis=1)
+            psc, nid = _topk_rows(score, ids, kk)
             out.append(pd.DataFrame({
                 id_col: np.repeat(ids[sl], kk),
-                "neighbor_id": np.take_along_axis(nid, order, axis=1).ravel(),
-                "cosine": -np.take_along_axis(psc, order, axis=1).ravel(),
+                "neighbor_id": nid.ravel(),
+                "cosine": -psc.ravel(),
                 "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
                                 sl.stop - sl.start),
             }))
@@ -700,7 +732,7 @@ def ivf_cosine_pairs(
     min_cosine: float,
     n_centroids: int = 16,
     centroids: str | DataFrame = "first",
-    max_cell: int | None = None,
+    max_cell: int | None = 100_000,
     seed: int = 42,
 ) -> DataFrame:
     """All within-cell pairs with cosine >= ``min_cosine`` — the

@@ -55,70 +55,72 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 3
-    "add_at": 3, "bicor": 3, "cat_cross_entropy": 3, "convolve": 3,
-    "copula_entropy": 3, "knn_entropy": 3, "linear_impute": 3,
-    "multi_roc_auc": 3, "tpr_fpr": 3, "transfer_entropy": 3,
     # last stamped in round 4
-    "benford": 4, "blocked_jaccard": 4, "chi2": 4,
-    "classification_metrics": 4, "cond_entropy": 4, "cond_indep": 4,
-    "corr_family": 7, "count_uniques": 4, "dcg": 4, "dedup_stats": 4,
-    "elementwise_math": 4, "entropy": 4, "exact_dedup": 4, "f_test": 4,
-    "gcd_lcm": 4, "integrate_detrend": 4, "is_monotonic": 4,
-    "kaplan_meier": 7, "kendall": 7, "ks_2samp": 7, "mad": 4,
-    "mann_whitney": 7, "mean_family": 4, "near_dup_minhash": 4,
-    "normality": 4, "pricing_summary": 4, "psi": 7,
-    "regression_metrics": 4, "roc_auc": 7, "softmax_znorm": 4,
+    "benford": 4, "chi2": 4, "classification_metrics": 4,
+    "cond_entropy": 4, "cond_indep": 4, "count_uniques": 4, "dcg": 4,
+    "dedup_stats": 4, "elementwise_math": 4, "entropy": 4,
+    "exact_dedup": 4, "f_test": 4, "gcd_lcm": 4, "integrate_detrend": 4,
+    "is_monotonic": 4, "mean_family": 4, "normality": 4,
+    "pricing_summary": 4, "regression_metrics": 4, "softmax_znorm": 4,
     "string_cleaning": 4, "string_similarity": 4, "target_encode": 4,
     "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered":
     4, "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4,
-    "weighted_stats": 4, "winsorize": 7, "woe_iv": 4, "xi_corr": 7,
+    "weighted_stats": 4, "woe_iv": 4,
     # last stamped in round 5
-    "bigram_lm": 5, "bm25_score": 5, "combinations": 5,
-    "curation_pipeline": 5, "decontaminate": 5, "elastic_net": 5,
-    "embedding_ops": 5, "fingerprints": 5, "ivf_ann": 5,
-    "knn_from_target": 5, "language_id": 5, "lin_reg_multi": 5,
-    "lin_reg_report": 5, "line_dedup": 5, "logistic_reg": 5,
-    "mase_full": 7, "multimodal_blobs": 5, "multimodal_decode": 5,
-    "near_dup_cluster_dedup": 5, "pack_sequences": 7, "pii_scrub": 5,
-    "pipeline_encode": 5, "pipeline_iv_rankhot": 5,
-    "pipeline_poly_impute": 5, "pipeline_transform": 7, "product": 5,
-    "recursive_lin_reg": 7, "repetition_signals": 5, "rolling_lin_reg":
-    5, "sample_split": 5, "simple_lin_reg": 5, "smooth_spline_natural":
-    5, "stream_dedup": 5, "stream_running_stats": 5,
-    "stream_sessionize": 5, "stream_windowed_agg": 5, "text_quality":
-    5, "tfidf_topk": 5, "token_budget_sample": 7,
-    "within_radius_target": 5,
+    "bigram_lm": 5, "bm25_score": 5, "combinations": 5, "elastic_net":
+    5, "embedding_ops": 5, "fingerprints": 5, "knn_from_target": 5,
+    "language_id": 5, "lin_reg_multi": 5, "lin_reg_report": 5,
+    "line_dedup": 5, "logistic_reg": 5, "multimodal_blobs": 5,
+    "multimodal_decode": 5, "pii_scrub": 5, "pipeline_encode": 5,
+    "pipeline_iv_rankhot": 5, "product": 5, "repetition_signals": 5,
+    "rolling_lin_reg": 5, "sample_split": 5, "simple_lin_reg": 5,
+    "smooth_spline_natural": 5, "stream_dedup": 5,
+    "stream_running_stats": 5, "stream_sessionize": 5,
+    "stream_windowed_agg": 5, "tfidf_topk": 5, "within_radius_target": 5,
     # last stamped in round 6
-    "ar_coeffs": 6, "array_math": 6, "asof_join": 6,
-    "blueprint_dyn_agg": 6, "bpe_tokenize_oracle": 6, "corr_matrix": 6,
-    "curation_pipeline_v2": 7, "dia_col_validation": 6, "dia_profile":
-    6, "dia_row_validation": 6, "dist_kth_nb": 6, "downsample": 6,
-    "dup_spans": 6, "eda_describe": 6, "eda_flags": 6,
-    "float_neighbors": 6, "glm_poisson": 6, "hypertable_rollup": 6,
-    "isotonic": 6, "jaccard_arrays": 6, "knn_avg_label": 6,
-    "knn_cosine": 6, "knn_freq": 6, "lin_reg_rcond_oracle": 6,
-    "mixture_resample": 7, "multimodal_resize": 6, "pca": 6,
+    "ar_coeffs": 6, "array_math": 6, "blueprint_dyn_agg": 6,
+    "bpe_tokenize_oracle": 6, "corr_matrix": 6, "dia_col_validation": 6,
+    "dia_row_validation": 6, "dist_kth_nb": 6, "downsample": 6,
+    "eda_flags": 6, "float_neighbors": 6, "glm_poisson": 6,
+    "hypertable_rollup": 6, "isotonic": 6, "jaccard_arrays": 6,
+    "knn_avg_label": 6, "knn_cosine": 6, "knn_freq": 6,
+    "lin_reg_rcond_oracle": 6, "multimodal_resize": 6, "pca": 6,
     "permute_entropy": 6, "pipeline_blueprint": 6, "pq_encode": 6,
-    "quality_quantile_filter": 7, "radius_nb_cnt": 6, "range_join": 6,
-    "rfft": 6, "salted_join": 6, "sample_exact_n": 6,
-    "select_by_std_cols": 6, "semantic_decontaminate": 6,
-    "semantic_dedup": 6, "series_entropy_oracle": 6, "similar_count":
-    6, "singular_values": 6, "smooth_spline_oracle": 6,
+    "radius_nb_cnt": 6, "range_join": 6, "rfft": 6, "salted_join": 6,
+    "sample_exact_n": 6, "select_by_std_cols": 6,
+    "semantic_decontaminate": 6, "series_entropy_oracle": 6,
+    "similar_count": 6, "singular_values": 6, "smooth_spline_oracle": 6,
     "stream_curation_gate": 6, "stream_interval_join": 6,
     "string_kernels_oracle": 6, "volume_neutral": 6,
     # last stamped in round 7
-    "asof_join_forward": 7, "batch_sessionize": 7,
-    "curation_pipeline_v3": 7, "drift_over_time": 7, "feature_screen": 7,
-    "gopher_gate": 7, "graph_degrees": 7, "group_sample_exact": 7,
-    "group_split": 7, "histogram": 7, "ivfpq_search": 7, "kfold_split": 7,
-    "kmeans": 7, "kmeans_inertia": 7, "normalized_dedup": 7, "pagerank": 7,
-    "perplexity_gate": 7, "pipeline_qbin": 7, "pmi_collocations": 7,
-    "pq_search": 7, "regional_volume": 7, "rolling_anomaly": 7,
-    "scd2_history": 7, "script_profile": 7, "stream_topk": 7,
-    "stream_upsert": 7, "time_gapfill": 7, "top_ngrams": 7,
-    "triangle_count": 7, "unicode_clean": 7, "upsert_latest": 7,
-    "vocab_nearest_metrics": 7, "weighted_sample": 7,
+    "batch_sessionize": 7, "corr_family": 7, "feature_screen": 7,
+    "graph_degrees": 7, "group_sample_exact": 7, "group_split": 7,
+    "kendall": 7, "kfold_split": 7, "ks_2samp": 7, "mann_whitney": 7,
+    "mase_full": 7, "normalized_dedup": 7, "pack_sequences": 7,
+    "pagerank": 7, "perplexity_gate": 7, "pmi_collocations": 7,
+    "pq_search": 7, "recursive_lin_reg": 7, "regional_volume": 7,
+    "roc_auc": 7, "rolling_anomaly": 7, "scd2_history": 7,
+    "script_profile": 7, "stream_topk": 7, "stream_upsert": 7,
+    "time_gapfill": 7, "token_budget_sample": 7, "triangle_count": 7,
+    "unicode_clean": 7, "upsert_latest": 7, "vocab_nearest_metrics": 7,
+    "weighted_sample": 7, "xi_corr": 7,
+    # last stamped in round 8
+    "add_at": 8, "asof_join": 8, "asof_join_forward": 8, "bicor": 8,
+    "blocked_jaccard": 8, "cat_cross_entropy": 8,
+    "contamination_report": 8, "convolve": 8, "copula_entropy": 8,
+    "curation_pipeline": 8, "curation_pipeline_v2": 8,
+    "curation_pipeline_v3": 8, "decontaminate": 8, "dia_profile": 8,
+    "drift_over_time": 8, "dup_char_spans": 8, "dup_spans": 8,
+    "eda_describe": 8, "gopher_gate": 8, "histogram": 8, "ivf_ann": 8,
+    "ivf_recall": 8, "ivfpq_search": 8, "kaplan_meier": 8, "kmeans": 8,
+    "kmeans_inertia": 8, "knn_entropy": 8, "linear_impute": 8,
+    "lsh_recall": 8, "mad": 8, "mixture_resample": 8, "multi_roc_auc":
+    8, "near_dup_cluster_dedup": 8, "near_dup_minhash": 8,
+    "near_dup_simhash": 8, "pipeline_poly_impute": 8, "pipeline_qbin":
+    8, "pipeline_transform": 8, "psi": 8, "quality_quantile_filter": 8,
+    "semantic_dedup": 8, "series_entropy": 8, "smooth_spline": 8,
+    "stream_decontaminate": 8, "text_quality": 8, "token_mixture": 8,
+    "top_ngrams": 8, "tpr_fpr": 8, "transfer_entropy": 8, "winsorize": 8,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -129,35 +131,14 @@ _GREEN_ROUND = {
 # (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
 # chunking), functions/string_.py (str_nearest metric family).
 _STALE = frozenset({
-    # round 8: IVF stages vectorized (knn.ivf_assign / ivf_knn_join /
-    # ivf_cosine_pairs → numpy GEMM kernels; value-identical contract,
-    # re-stamp every consumer)
-    "ivf_ann", "semantic_dedup", "ivfpq_search",
-    # round 8: kmeans broadcast lifecycle + schema derivation
-    "kmeans", "kmeans_inertia",
-    # round 8: word_ngram_terms short-doc guard; histogram empty-column
-    "top_ngrams", "histogram",
-    # round 8: the three rows-only queries got hard oracles (planted
-    # recall / projection invariants) — first hash stamps pending
-    "near_dup_simhash", "series_entropy", "smooth_spline",
-    # round 8: exact_quantiles fused to one observe()-riding scan +
-    # bounded collect_list selection; describe merged count_distinct
-    # into the main agg — value-identical, re-stamp every consumer
-    "eda_describe", "dia_profile", "pipeline_qbin", "psi", "winsorize",
-    "pipeline_transform", "mad", "bicor", "quality_quantile_filter",
-    "mixture_resample", "pipeline_poly_impute", "kaplan_meier",
-    "drift_over_time",
-    # round 8: asof duplicate-right-timestamp determinism tiebreak
-    "asof_join", "asof_join_forward",
-    # round 8: char-granular ExactSubstr tier shares text.py
-    "dup_spans",
-    # round 8: CC fixpoint sums ride observe(); unique-pair edge build
-    "near_dup_cluster_dedup",
-    # round 8 late: word_shingles/word_ngrams_of let-binding +
-    # jaccard_distinct verify — value-identical, re-stamp consumers
-    "near_dup_minhash", "decontaminate", "gopher_gate", "text_quality",
-    "blocked_jaccard", "curation_pipeline_v2", "curation_pipeline_v3",
-    "curation_pipeline",
+    # round 9: knn._topk_rows exact boundary-tie contract (knn_join +
+    # ivf_knn_join consumers), ivf_assign natural-dtype centroid ids,
+    # finite default max_cell — value-identical on tie-free data,
+    # re-stamp every consumer
+    "knn_cosine", "knn_avg_label", "knn_freq", "ivf_ann", "ivf_recall",
+    "dist_kth_nb", "lsh_recall", "semantic_dedup",
+    # round 9: woe/info_value default flipped to exact breakpoints
+    "woe_iv",
 })
 
 
