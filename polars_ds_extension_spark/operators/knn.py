@@ -15,6 +15,9 @@ Spark-shaped:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -148,6 +151,8 @@ def knn_join(
     k: int = 5, metric: str = "cosine",
     broadcast_index: bool = True,
     max_bound: float | None = None,
+    route: str = "brute",
+    route_threshold: int = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors of each query among ``index`` rows.
 
@@ -156,21 +161,41 @@ def knn_join(
     GEMM + argpartition top-k — the big side streams with zero shuffle,
     and per-pair cost is a fused multiply-add instead of a JVM
     higher-order fold (~40× faster at 2k×2k×128d). For index sets too
-    big to broadcast use `ann_lsh_join` / `ivf_knn_join`.
+    big to broadcast use `ann_lsh_join` / `ivf_knn_join` / `ivf_search`.
     Output: (q_id, neighbor_id, cosine|dist, rank), rank 1..k,
     ties broken by neighbor id ascending. ``max_bound`` (distance
     metrics only — ref expr_knn.py max_bound) drops neighbors farther
     than the bound, so a query may return fewer than k rows. The
     reference's eval_mask/data_mask are subsumed by this two-frame API:
     filter ``queries``/``index`` before the call.
+
+    ``route="auto"`` (cosine only): when the index side exceeds
+    ``route_threshold`` rows, delegate to the IVF scale path
+    (`ivf_search` with sqrt(N) centroids, nprobe=2) instead of failing
+    at the broadcast cap — results become probe-bounded APPROXIMATE
+    above the threshold, the documented industry trade at corpus
+    scale. Below the threshold the exact brute path runs unchanged.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import StructType
 
     if max_bound is not None and metric == "cosine":
         raise ValueError("max_bound applies to distance metrics; for "
                          "cosine use ann_lsh_join(min_cosine=...)")
+    if route == "auto":
+        import math
+
+        n_index = index.count()
+        if n_index > route_threshold:
+            if metric != "cosine":
+                raise ValueError(
+                    "route='auto' supports metric='cosine' only; for "
+                    "distance metrics pre-bucket with ivf_assign")
+            return ivf_search(
+                queries, q_id, q_vec, index, i_id, i_vec, k=k,
+                n_centroids=max(16, math.ceil(math.sqrt(n_index))),
+                nprobe=2, centroids="kmeans")
+    elif route != "brute":
+        raise ValueError(f"unknown route {route!r}")
     ids, mat = _collect_index(index, i_id, i_vec)
     if metric == "cosine":
         mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -438,39 +463,90 @@ def ann_lsh_join(
     oversized bucket simply fall back to their other n_tables-1
     signatures.
 
-    The within-bucket scoring is one slab-chunked numpy GEMM per
-    (table, signature) group (`applyInPandas`) — the same r8 treatment
-    as ivf_knn_join: per-pair cost is BLAS flops instead of JVM array
-    folds, and only thresholded candidate pairs leave the group. The
-    cross-table dedup (a pair can share several tables) and the
-    per-query top-k stay as one combinable groupBy + one partitioned
-    window. Output: (id, neighbor_id, cosine, rank).
-    """
-    import numpy as np
-    import pandas as pd
+    All ``n_tables`` signatures are computed in ONE vectorized Arrow
+    batch UDF (an (batch × dim) @ (dim × tables·planes) GEMM + bit
+    pack): the plane normals are drawn from a seeded generator at the
+    first batch, so signatures are deterministic across partitionings
+    and layouts, and the per-row cost is BLAS flops instead of
+    tables × planes × dim interpreted JVM lambda folds (the unrolled
+    `hyperplane_signature` Column form — kept as the composable
+    scan-side API — measured ~2 s for 4×12×64d at 4 k rows; this path
+    is milliseconds at that size).
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    # one signature per table, each with a distinct hash seed
+    Within-bucket scoring is SIZE-ROUTED after ONE shuffle that
+    collects each (table, signature) bucket's members: LSH buckets are
+    tiny by design (that is the point of the data structure), and an
+    `applyInPandas` per bucket pays ~2 ms of Arrow/pandas overhead per
+    GROUP — 2.6 k buckets of ~3 members measured 5.5 s of pure
+    per-group overhead for ~11 k pairs of actual work. Small buckets
+    (≤ ``small_bucket``) therefore pair up entirely JVM-side: norms are
+    precomputed scan-side, the i<j member pairs come from one nested
+    array transform, and the per-pair cost is a single dot-product
+    fold. Only oversized buckets (rare: spam clusters, degenerate
+    embeddings) re-explode into the slab-chunked numpy-GEMM
+    `applyInPandas` path, where the Python overhead amortizes over
+    ≥ small_bucket² pairs. The cross-table dedup (a pair can share
+    several tables) and the per-query top-k stay as one combinable
+    groupBy + one partitioned window.
+    Output: (id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    small_bucket = 64
+
+    @pandas_udf("array<long>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        X = np.array([list(v) for v in vs], dtype=np.float64)
+        if X.ndim != 2 or not len(X):
+            return pd.Series([[0] * n_tables] * len(vs))
+        rng = np.random.default_rng(0x5EED ^ (n_planes << 8) ^ n_tables)
+        R = rng.standard_normal((n_tables * n_planes, X.shape[1]))
+        bits = (X @ R.T) >= 0.0                 # (rows, tables*planes)
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        sig = (bits.reshape(len(X), n_tables, n_planes)
+               .astype(np.uint64) * weights[None, None, :]).sum(
+            axis=2, dtype=np.uint64)
+        return pd.Series(list(sig.view(np.int64)))
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"))
     sigs = base.select(
-        "__id", "__vec",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     hyperplane_signature(F.col("__vec"), n_planes,
-                                          seed=7 + 131 * t).alias("sig"))
-            for t in range(n_tables)
-        ])).alias("__b"),
-    ).select("__id", "__vec", "__b.t", "__b.sig")
-    # bucket-size guard: one partial-agg pass over (t, sig), then a
-    # semi-join on the same key the pair stage shuffles on (co-located)
-    ok = (
-        sigs.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("__n"))
-        .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-        .select("t", "sig")
+        "__id", "__vec", "__nrm",
+        F.posexplode(_sigs(F.col("__vec"))).alias("t", "sig"),
     )
-    sigs = sigs.join(ok, ["t", "sig"], "left_semi")
+    # ONE shuffle on the bucket key collects members AND applies the
+    # 2..max_bucket size guard (no separate count + semi-join pass)
+    buckets = (
+        sigs.groupBy("t", "sig")
+        .agg(F.collect_list(F.struct("__id", "__vec", "__nrm")).alias("mem"))
+        .where((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    )
     id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     thr = float(min_cosine) if min_cosine is not None else None
+
+    # small buckets: i<j pairs + dot-product cosine, pure JVM
+    pair_structs = F.flatten(F.transform(
+        F.col("mem"),
+        lambda x, i: F.transform(
+            F.slice(F.col("mem"), i + 2,
+                    F.greatest(F.size("mem") - i - 1, F.lit(0))),
+            lambda y: F.struct(
+                x["__id"].alias("id_a"), y["__id"].alias("id_b"),
+                (dot(x["__vec"], y["__vec"]) / (x["__nrm"] * y["__nrm"]))
+                .alias("cosine")),
+        )))
+    half = (buckets.where(F.size("mem") <= small_bucket)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b", "p.cosine"))
+    if thr is not None:
+        half = half.where(F.col("cosine") >= thr)
+    small_pairs = half.unionByName(half.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
+
+    # oversized buckets: re-explode and run the slab-chunked GEMM per
+    # bucket — Python overhead amortizes over >= small_bucket² pairs
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         m = len(pdf)
@@ -493,8 +569,18 @@ def ann_lsh_join(
                 "cosine": cos[ra, cb]}))
         return pd.concat(out, ignore_index=True)
 
-    cand = (sigs.groupBy("t", "sig").applyInPandas(_bucket_pairs, schema)
-            .groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine")))
+    big = (buckets.where(F.size("mem") > small_bucket)
+           .select("t", "sig", F.explode("mem").alias("m"))
+           .select("t", "sig", F.col("m.__id").alias("__id"),
+                   F.col("m.__vec").alias("__vec")))
+    big_pairs = big.groupBy("t", "sig").applyInPandas(_bucket_pairs, schema)
+
+    # max, not first: the JVM fold (small buckets) and the numpy GEMM
+    # (big buckets) can differ in the last ulp for the SAME pair seen
+    # through two tables — a deterministic combiner keeps the re-rank
+    # reproducible across partitionings
+    cand = (small_pairs.unionByName(big_pairs)
+            .groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine")))
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -725,6 +811,141 @@ def ivf_knn_join(
 
     return (tagged.groupBy("centroid_id", "__salt")
             .applyInPandas(_cell_topk, schema))
+
+
+def ivf_assign_probe(
+    df: DataFrame, id_col: str, vec_col: str,
+    centroids: DataFrame, c_id: str, c_vec: str,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (l2,
+    ties toward the LOWEST centroid id — the multi-probe generalization
+    of ivf_assign, same broadcast + vectorized-batch shape, no
+    shuffle). Output: (id_col, centroid_id, probe) with probe 1..nprobe.
+    """
+    crows = centroids.select(c_id, c_vec).collect()
+    cids = np.array([r[0] for r in crows])
+    C = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    order = np.argsort(cids, kind="stable")
+    cids, C = cids[order], C[order]
+    npb = min(nprobe, len(cids))
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C))
+    id_type = df.schema[id_col].dataType.simpleString()
+    cid_type = centroids.schema[c_id].dataType.simpleString()
+    schema = f"{id_col} {id_type}, centroid_id {cid_type}, probe int"
+
+    def _batches(it):
+        ids_c, Cm = bc.value
+        pos = np.arange(len(ids_c))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            # direct (x-c)² sum — the same float64 expression the SQL
+            # replay computes (see ivf_assign)
+            d = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(2)
+            _, sel = _topk_rows(d, pos, npb)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].values, npb),
+                "centroid_id": ids_c[sel].ravel(),
+                "probe": np.tile(np.arange(1, npb + 1, dtype=np.int32),
+                                 len(X)),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(_batches, schema)
+
+
+def ivf_search(
+    queries: DataFrame, q_id: str, q_vec: str,
+    index: DataFrame, i_id: str, i_vec: str,
+    k: int = 5, n_centroids: int = 16, nprobe: int = 2,
+    centroids: str | DataFrame = "first",
+    seed: int = 42,
+) -> DataFrame:
+    """Two-frame IVF cosine search: each QUERY probes its ``nprobe``
+    nearest cells of an inverted-file index over ``index`` — the scale
+    path `knn_join(route="auto")` delegates to when the index side
+    outgrows the broadcast cap.
+
+    Plan (the standard distributed IVF shape): centroids broadcast;
+    index rows bucket to their nearest cell and queries to their
+    ``nprobe`` nearest cells — both pure scan-side vectorized batches,
+    no shuffle; then ONE cogroup shuffle on centroid_id brings each
+    cell's queries and index members together and a numpy GEMM +
+    exact-tie-break top-k runs per cell; a final window takes the
+    global top-k per query across its probed cells (an index row lives
+    in exactly one cell, so no cross-probe duplicates exist). At 100 TB
+    with n_centroids ~ sqrt(N), per-cell work is (q·nprobe/C) × (N/C)
+    flops and nothing ever broadcasts the corpus. Recall is
+    probe-bounded exactly as published for IVF (nprobe/C of the space
+    searched); self-matches (same id) are excluded as in knn_join.
+    ``centroids``: "first" (deterministic lowest-id rows of the index —
+    the SQL-replayable mode), "sample"/"kmeans", or a prebuilt frame.
+    Output: (q_id, neighbor_id, cosine, rank).
+    """
+    if isinstance(centroids, DataFrame):
+        cents, c_id, c_vec = centroids, "centroid_id", "centroid"
+    elif centroids == "first":
+        cents, c_id, c_vec = (index.where(F.col(i_id) < n_centroids),
+                              i_id, i_vec)
+    else:
+        cents = ivf_centroids(index, i_id, i_vec, n_centroids,
+                              method=centroids, seed=seed)
+        c_id, c_vec = "centroid_id", "centroid"
+    iasg = ivf_assign(index, i_id, i_vec, cents, c_id, c_vec)
+    itag = (index.select(F.col(i_id).alias("__iid"),
+                         F.col(i_vec).alias("__ivec"))
+            .join(iasg.select(F.col(i_id).alias("__iid"), "centroid_id"),
+                  "__iid"))
+    qasg = ivf_assign_probe(queries, q_id, q_vec, cents, c_id, c_vec,
+                            nprobe=nprobe)
+    qtag = (queries.select(F.col(q_id).alias("__qid"),
+                           F.col(q_vec).alias("__qvec"))
+            .join(qasg.select(F.col(q_id).alias("__qid"), "centroid_id"),
+                  "__qid"))
+    q_type = queries.schema[q_id].dataType.simpleString()
+    i_type = index.schema[i_id].dataType.simpleString()
+    schema = (f"{q_id} {q_type}, neighbor_id {i_type}, "
+              "cosine double, rank int")
+
+    def _cell(key, qpdf: "pd.DataFrame", ipdf: "pd.DataFrame"):
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(
+                {q_id: [], "neighbor_id": [], "cosine": [], "rank": []})
+        qids = qpdf["__qid"].to_numpy()
+        iids = ipdf["__iid"].to_numpy()
+        Q = np.array([list(v) for v in qpdf["__qvec"]], dtype=np.float64)
+        X = np.array([list(v) for v in ipdf["__ivec"]], dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(1))
+        xn = np.sqrt((X * X).sum(1))
+        out = []
+        chunk = max(1, (1 << 27) // max(1, len(iids) * 8))
+        for s0 in range(0, len(qids), chunk):
+            sl = slice(s0, min(s0 + chunk, len(qids)))
+            score = -(Q[sl] @ X.T) / (qn[sl][:, None] * xn[None, :])
+            score[qids[sl][:, None] == iids[None, :]] = np.inf
+            kk = min(k, score.shape[1])
+            psc, nid = _topk_rows(score, iids, kk)
+            keep = np.isfinite(psc).ravel()
+            out.append(pd.DataFrame({
+                q_id: np.repeat(qids[sl], kk)[keep],
+                "neighbor_id": nid.ravel()[keep],
+                "cosine": -psc.ravel()[keep],
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                sl.stop - sl.start)[keep],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    per_cell = (qtag.groupBy("centroid_id")
+                .cogroup(itag.groupBy("centroid_id"))
+                .applyInPandas(_cell, schema))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col("neighbor_id").asc())
+    return (per_cell.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select(q_id, "neighbor_id", "cosine",
+                    F.col("__r").cast("int").alias("rank")))
 
 
 def ivf_cosine_pairs(

@@ -238,7 +238,14 @@ def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
     The global top-k then runs as orderBy().limit(k) — Spark plans
     TakeOrderedAndProject: each task keeps its own k, the driver merges
     k·tasks candidates, nothing global ever sorts. The per-group form is
-    a row_number window hash-partitioned on the group. Output:
+    TWO-PHASE: a partial top-k per (group, term-hash salt) window cuts
+    each group's vocabulary-sized count set down to k·n_salts rows
+    BEFORE the final per-group window — a single window partitioned
+    only by the group would sort the whole vocabulary inside at most
+    |groups| partitions (tens of sources × millions of n-grams = a
+    handful of giant sorts, the r8 10×-probe's 5.5× term). Each term
+    appears exactly once per group in the count set, so the per-salt
+    top-k provably contains the group's true top-k. Output:
     ([group,] term, cnt, rank).
     """
     from pyspark.sql.window import Window
@@ -261,8 +268,14 @@ def top_terms(docs: DataFrame, text_col: str, n: int = 1, k: int = 10,
         out = counts.orderBy(*order).limit(k)
         return out.withColumn(
             "rank", F.row_number().over(Window.orderBy(*order)))
+    n_salts = docs.sparkSession.sparkContext.defaultParallelism
+    wp = Window.partitionBy(F.col(by),
+                            F.pmod(F.xxhash64("term"), F.lit(n_salts))
+                            ).orderBy(*order)
+    pruned = (counts.withColumn("__pr", F.row_number().over(wp))
+              .where(F.col("__pr") <= k).drop("__pr"))
     w = Window.partitionBy(by).orderBy(*order)
-    return (counts.withColumn("rank", F.row_number().over(w))
+    return (pruned.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 

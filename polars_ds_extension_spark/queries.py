@@ -139,6 +139,10 @@ _STALE = frozenset({
     "dist_kth_nb", "lsh_recall", "semantic_dedup",
     # round 9: woe/info_value default flipped to exact breakpoints
     "woe_iv",
+    # round 9: top_terms two-phase salted per-group top-k (same result
+    # set, plan changed); lsh_recall bounded planted sample + JVM
+    # small-bucket pair path
+    "top_ngrams",
 })
 
 

@@ -91,6 +91,9 @@ DEFAULT_QUERIES = [
     # round 8: the ANN tiers' scale path, the wedge-counting graph plan,
     # and the sufficient-statistics iteration
     "ivfpq_search", "triangle_count", "kmeans",
+    # round 9: the routed two-frame IVF search (knn_join route="auto"'s
+    # delegate) and the rebuilt SRP-LSH bucket plan
+    "ann_ivf_search", "lsh_recall",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
