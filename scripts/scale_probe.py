@@ -11,13 +11,22 @@ so join integrity holds) and materializes them as parquet under
 
 Two variants control DUP-CLUSTER DENSITY in the text corpus:
 
-* default (sf1.0, constant density): every token in copy k gets the
-  suffix k, so the 10 copies carry disjoint vocabularies. A token-level
-  bijection preserves within-copy Jaccard exactly (and char-shingle
-  Jaccard almost exactly), so each copy keeps the base corpus's dup
-  structure — same absolute cluster sizes, 10x as many clusters. This
-  is what a 10x-bigger real corpus looks like, and the shape the probe
-  grades.
+* default (sf1.0, constant density): copy k's text goes through a
+  LENGTH-PRESERVING character rotation cipher (a-z, A-Z, 0-9 each
+  rotated by k; k=0 identity), so the 10 copies carry disjoint token
+  AND char-shingle vocabularies while every within-copy pairwise
+  Jaccard — word or char-shingle — is EXACTLY the base corpus's (a
+  char-wise bijection maps each 12-shingle bijectively). Each copy
+  keeps the base dup structure: same absolute cluster sizes, 10x as
+  many clusters — what a 10x-bigger real corpus looks like, and the
+  shape the probe grades. (The previous per-token digit-SUFFIX
+  transform was NOT Jaccard-preserving for the low-similarity
+  background: the inserted digits lengthen the character runs shared
+  around common short tokens, so 12-char windows collide across
+  unrelated docs far more often — measured: max LSH bucket 16 at base
+  vs 116 at 10x, 42x distinct candidate pairs for 10x docs. That made
+  near_dup_minhash look super-linear (r8's 5.0x) when the operator's
+  own growth was linear — a probe-data artifact, not a plan property.)
 * --dense (sf1.0-dense): text copied VERBATIM — every base-corpus dup
   cluster fuses across copies into one 10x-bigger cluster, so pair
   emission inside clusters grows ~100x by construction (the r6 probe's
@@ -44,7 +53,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _PROBE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".probe_data")
-PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0")
+# v2: cipher transform (dir name versions the transform so a cached
+# build from the old suffix transform can never be silently reused)
+PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0v2")
 PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 FACTOR = 10
 
@@ -138,15 +149,20 @@ def build_probe_data(spark, rebuild: bool = False,
                 cp = cp.withColumn(
                     c, (F.col(c) + k * strides[key]).cast(
                         dict(df.dtypes)[c]))
-            if t == "documents" and not dense:
-                # constant-density text: suffix every token with the
-                # copy digit — a bijective token map per copy, so each
-                # copy keeps the base corpus's dup structure while the
-                # copies share no shingles with each other
-                cp = cp.withColumn(
-                    "text",
-                    F.regexp_replace(F.col("text"), r"(\S+)",
-                                     r"$1" + str(k)))
+            if t == "documents" and not dense and k > 0:
+                # constant-density text: per-copy rotation cipher over
+                # a-z / A-Z / 0-9 — length-preserving, so tokenization,
+                # char windows, and every within-copy Jaccard are
+                # EXACTLY the base corpus's while copies share no
+                # vocabulary (see module docstring for why the old
+                # token-suffix transform was wrong)
+                import string as _s
+
+                src = _s.ascii_lowercase + _s.ascii_uppercase + _s.digits
+                dst = (_s.ascii_lowercase[k:] + _s.ascii_lowercase[:k]
+                       + _s.ascii_uppercase[k:] + _s.ascii_uppercase[:k]
+                       + _s.digits[k:] + _s.digits[:k])
+                cp = cp.withColumn("text", F.translate("text", src, dst))
             parts.append(cp)
         out = parts[0]
         for p in parts[1:]:
