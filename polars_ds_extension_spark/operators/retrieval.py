@@ -145,20 +145,38 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
 
 
 def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
-                    add_k: float = 0.5) -> DataFrame:
+                    add_k: float = 0.5,
+                    vocab_size: int | None = 65536,
+                    unk_token: str = "<unk>") -> DataFrame:
     """Per-document cross-entropy under an add-k-smoothed bigram LM
     trained on the corpus itself — the KenLM-style perplexity quality
     filter of training-data pipelines (low = fluent/common, high =
     garbled/rare).
 
-    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = distinct unigrams.
-    Cross-entropy = -mean ln P over the document's bigrams.
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = distinct LM
+    vocabulary entries. Cross-entropy = -mean ln P over the document's
+    bigrams.
 
-    Plan: 2 vocabulary-sized count shuffles (unigrams, bigrams) train
-    the model; scoring explodes each document's bigrams once and joins
-    the two count tables by key — pure hash joins on term keys, partial
-    aggregation does the per-document mean. Documents with < 2 tokens
-    are omitted (no bigrams).
+    ``vocab_size`` caps the LM vocabulary at the top-K unigrams by
+    (count DESC, token ASC); everything else maps to ``unk_token``
+    before bigram counting — the standard KenLM/UNK treatment, and the
+    piece that makes this 100 TB-safe: an UNCAPPED web-corpus
+    vocabulary is ~O(corpus) distinct tokens, so the bigram count
+    shuffle and the per-doc scoring joins would grow with corpus size
+    instead of being bounded by K². With the cap, the vocab selection
+    is one TakeOrdered over the unigram counts, the token→kept mapping
+    is a BROADCAST join applied scan-side to the bigram stream, and
+    both count tables are ≤ (K+1)² / ≤ K+1 rows. ``vocab_size=None``
+    restores the uncapped model. Corpora whose vocabulary is already
+    below the cap score identically with or without it (nothing maps
+    to UNK).
+
+    Plan: 2 bounded count shuffles (unigrams, mapped bigrams) train
+    the model; scoring explodes each document's bigrams once, maps
+    through the broadcast vocab, and joins the two count tables by key
+    — pure hash joins on term keys, partial aggregation does the
+    per-document mean. Documents with < 2 tokens are omitted (no
+    bigrams).
 
     Output: (id_col, cross_entropy, n_bigrams).
     """
@@ -172,10 +190,43 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
             lambda a, b2: F.struct(a.alias("w1"), b2.alias("w2")),
         )).alias("bg"),
     ).select("__id", "bg.w1", "bg.w2")
-    uni_counts = (
+    uni_raw = (
         toks.select(F.explode("__w").alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     )
+    if vocab_size is not None:
+        # top-K unigrams via TakeOrdered (k per task, driver merge —
+        # no global sort); deterministic (count DESC, token ASC) cut
+        kept = F.broadcast(uni_raw
+                           .orderBy(F.col("c1").desc(), F.col("w1").asc())
+                           .limit(vocab_size)
+                           .select("w1", F.lit(True).alias("__in")))
+        # map the bigram stream scan-side through the broadcast vocab
+        big = (big
+               .join(kept.withColumnRenamed("w1", "w1k")
+                     .withColumnRenamed("__in", "__in1"),
+                     F.col("w1") == F.col("w1k"), "left")
+               .join(kept.withColumnRenamed("w1", "w2k")
+                     .withColumnRenamed("__in", "__in2"),
+                     F.col("w2") == F.col("w2k"), "left")
+               .select(
+                   "__id",
+                   F.when(F.col("__in1").isNotNull(), F.col("w1"))
+                   .otherwise(F.lit(unk_token)).alias("w1"),
+                   F.when(F.col("__in2").isNotNull(), F.col("w2"))
+                   .otherwise(F.lit(unk_token)).alias("w2")))
+        # mapped unigram counts: fold the raw (vocab-sized) count table
+        # through the same mapping — an agg over counts, never a second
+        # pass over the corpus
+        uni_counts = (uni_raw
+                      .join(kept, "w1", "left")
+                      .select(F.when(F.col("__in").isNotNull(),
+                                     F.col("w1"))
+                              .otherwise(F.lit(unk_token)).alias("w1"),
+                              "c1")
+                      .groupBy("w1").agg(F.sum("c1").alias("c1")))
+    else:
+        uni_counts = uni_raw
     # V rides as a broadcast 1-row scalar instead of a driver .count() —
     # the count() action executed the whole unigram shuffle a SECOND
     # time (once for the literal, once inside the join)

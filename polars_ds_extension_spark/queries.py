@@ -143,6 +143,9 @@ _STALE = frozenset({
     # set, plan changed); lsh_recall bounded planted sample + JVM
     # small-bucket pair path
     "top_ngrams",
+    # round 9: bigram LM top-K vocab cap (identity below the cap —
+    # vocab here is 31 — but the scoring plan changed)
+    "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
 })
 
 

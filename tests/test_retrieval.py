@@ -110,3 +110,47 @@ def test_bigram_lm_skips_short_docs(spark):
     got = {r["doc_id"] for r in
            R.bigram_lm_score(docs, "doc_id", "text").collect()}
     assert got == {2}
+
+
+def test_bigram_lm_vocab_cap_unk(spark, docs):
+    """vocab_size=K: top-K unigrams by (count DESC, token ASC) survive,
+    everything else maps to <unk> BEFORE bigram counting — checked
+    against a straight-line reimplementation of the capped model."""
+    add_k, K = 0.5, 3
+    toks = _toks()
+    uni_raw = {}
+    for ws in toks.values():
+        for w in ws:
+            uni_raw[w] = uni_raw.get(w, 0) + 1
+    kept = {w for w, _ in sorted(uni_raw.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:K]}
+    mapped = {i: [w if w in kept else "<unk>" for w in ws]
+              for i, ws in toks.items()}
+    uni, bi = {}, {}
+    for ws in mapped.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b2 in zip(ws, ws[1:]):
+            bi[(a, b2)] = bi.get((a, b2), 0) + 1
+    v = len(uni)
+    expected = {}
+    for i, ws in mapped.items():
+        lps = [math.log((bi[(a, b2)] + add_k) / (uni[a] + add_k * v))
+               for a, b2 in zip(ws, ws[1:])]
+        expected[i] = -sum(lps) / len(lps)
+    got = {r["doc_id"]: r["cross_entropy"]
+           for r in R.bigram_lm_score(docs, "doc_id", "text", add_k=add_k,
+                                      vocab_size=K).collect()}
+    assert set(got) == set(expected)
+    for i, ce in expected.items():
+        assert got[i] == pytest.approx(ce, rel=1e-12)
+
+
+def test_bigram_lm_cap_above_vocab_is_identity(spark, docs):
+    base = {r["doc_id"]: r["cross_entropy"]
+            for r in R.bigram_lm_score(docs, "doc_id", "text",
+                                       vocab_size=None).collect()}
+    capped = {r["doc_id"]: r["cross_entropy"]
+              for r in R.bigram_lm_score(docs, "doc_id", "text",
+                                         vocab_size=65536).collect()}
+    assert base == capped
