@@ -26,9 +26,10 @@ from .pipeline import Pipeline
 from .steps import (CastBoolsStep, DropStep, ExprStep, GroupByAggStep,
                     GroupByDynAggStep, IntToFloatStep, NanToNullStep,
                     RenameStep, SortStep, SQLStep)
-from .transforms import (ConditionalImpute, Impute, IvEncode, OneHot,
-                         Ordinal, Polynomial, RankHot, Scale, TargetEncode,
-                         Transform, Winsorize, WoeEncode)
+from .transforms import (ConditionalImpute, FitFuncStep, Impute, IvEncode,
+                         LinearImpute, OneHot, Ordinal, Polynomial, RankHot,
+                         Scale, SelectByStd, TargetEncode, Transform,
+                         Winsorize, WoeEncode)
 
 __all__ = ["Blueprint"]
 
@@ -108,10 +109,52 @@ class Blueprint:
     def iv_encode(self, cols: Sequence[str], target: str | None = None):
         return self._append(IvEncode(cols, self._target(target)))
 
+    def linear_impute(self, features: Sequence[str],
+                      target: str | None = None, add_bias: bool = False):
+        """Regression imputation of ``target`` from ``features`` — ref
+        pipeline.py:438."""
+        return self._append(LinearImpute(features, self._target(target),
+                                         add_bias=add_bias))
+
+    def select_by_std(self, min_: float, max_: float = float("inf")):
+        """Keep numeric columns with std in [min_, max_]; non-numeric
+        columns and the Blueprint's target always survive — ref
+        pipeline.py:524."""
+        keep = [self.target] if self.target else []
+        return self._append(SelectByStd(min_, max_, keep=keep))
+
     def append_step(self, step: Transform):
         """Any Transform (custom fit steps included) — ref
         append_fit_func's escape hatch."""
         return self._append(step)
+
+    def append_fit_func(self, func, cols: Sequence[str], **kwargs):
+        """Custom learned step — ref pipeline.py:975. ``func(df, cols,
+        **kwargs)`` runs at fit time and returns (name, Column) pairs /
+        a dict name→Column applied as withColumns. If func's signature
+        has a ``target`` parameter and none is passed, the Blueprint's
+        target is injected (reference behavior). Pipelines holding one
+        do not JSON-serialize."""
+        import inspect
+
+        if ("target" in inspect.signature(func).parameters
+                and "target" not in kwargs):
+            kwargs["target"] = self._target(None)
+        return self._append(FitFuncStep(func, cols, **kwargs))
+
+    def append_step_from_dict(self, dictionary: dict):
+        """Append a step named by dict — ref pipeline.py:1015: keys
+        ``name`` (a public Blueprint method), ``args`` (list), and
+        ``kwargs`` (dict)."""
+        name = dictionary.get("name")
+        args = dictionary.get("args", []) or []
+        kwargs = dictionary.get("kwargs", {}) or {}
+        if (not isinstance(name, str) or name.startswith("_")
+                or not callable(getattr(self, name, None))):
+            raise ValueError(f"Unknown or invalid method name {name!r}.")
+        if not isinstance(args, (list, tuple)) or not isinstance(kwargs, dict):
+            raise ValueError("args must be a list and kwargs a dict")
+        return getattr(self, name)(*args, **kwargs)
 
     # --------------------------------------------------- stateless steps
 
@@ -161,11 +204,29 @@ class Blueprint:
 
     # -------------------------------------------------------- materialize
 
+    def with_features_out(self, features: Sequence[str],
+                          ensure_features_out: bool = True):
+        """Declare the pipeline's output features — applied to the
+        materialized Pipeline (ref pipeline.py:125)."""
+        self._features_out = (list(features), bool(ensure_features_out))
+        return self
+
+    def ensure_features_io(self, ensure_in: bool = True,
+                           ensure_out: bool = True):
+        """Opt the materialized Pipeline into feature-name checks at
+        transform time (ref pipeline.py:189)."""
+        self._ensure_io = (bool(ensure_in), bool(ensure_out))
+        return self
+
     def materialize(self) -> Pipeline:
         """Fit every learned step sequentially on the attached frame and
         return the fitted Pipeline (ref pipeline.py:1027)."""
         pipe = Pipeline(self._steps)
         pipe.fit(self._df)
+        if getattr(self, "_ensure_io", None) is not None:
+            pipe.ensure_features_io(*self._ensure_io)
+        if getattr(self, "_features_out", None) is not None:
+            pipe.with_features_out(*self._features_out)
         return pipe
 
     def fit(self, X=None, y=None) -> Pipeline:

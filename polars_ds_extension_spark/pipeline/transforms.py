@@ -538,7 +538,120 @@ def select_by_std(df: DataFrame, cols: Sequence[str],
     return df.drop(*drop)
 
 
-_REGISTRY.update({t.name: t for t in [ConditionalImpute, IvEncode, RankHot, QuantileBin]})
+_NUMERIC_TYPES = ("int", "bigint", "double", "float", "smallint",
+                  "tinyint", "decimal")
+
+
+class SelectByStd(Transform):
+    """Learned column selection by standard deviation — ref
+    pipeline.py:524 (Blueprint.select_by_std): keep numeric columns
+    whose std lies in [min_std, max_std]; non-numeric columns and
+    ``keep`` (the target, from the Blueprint) always survive. fit is
+    ONE agg pass; the learned drop list serializes with the pipeline
+    so transform is a pure projection."""
+
+    name = "select_by_std"
+
+    def __init__(self, min_std: float, max_std: float = float("inf"),
+                 keep: Sequence[str] = ()):
+        super().__init__(min_std=float(min_std), max_std=float(max_std),
+                         keep=list(keep))
+
+    def fit(self, df: DataFrame, y=None) -> "SelectByStd":
+        keep = set(self.kwargs["keep"])
+        num = [f.name for f in df.schema.fields
+               if f.dataType.simpleString().split("(")[0] in _NUMERIC_TYPES
+               and f.name not in keep]
+        lo, hi = self.kwargs["min_std"], self.kwargs["max_std"]
+        if not num:
+            self.params = {"drop": []}
+            return self
+        row = df.agg(*[F.stddev_samp(F.col(c).cast("double")).alias(c)
+                       for c in num]).first()
+        self.params = {"drop": [
+            c for c in num
+            if row[c] is None or not (lo <= float(row[c]) <= hi)]}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.drop(*self.params["drop"])
+
+
+class LinearImpute(Transform):
+    """Regression imputation — ref pipeline.py:438
+    (Blueprint.linear_impute): fit trains OLS of ``target`` on
+    ``features`` over the rows where all are non-null (functions/
+    linear.lin_reg — one X'X/X'y aggregation pass, driver solve);
+    transform fills the target's nulls with the linear prediction, a
+    pure scan-side expression with the coefficients as literals. The
+    target is cast to double, as in the reference."""
+
+    name = "linear_impute"
+
+    def __init__(self, features: Sequence[str], target: str,
+                 add_bias: bool = False):
+        super().__init__(features=list(features), target=target,
+                         add_bias=bool(add_bias))
+
+    def fit(self, df: DataFrame, y=None) -> "LinearImpute":
+        from ..functions.linear import lin_reg
+
+        beta = lin_reg(df, self.kwargs["features"], self.kwargs["target"],
+                       add_bias=self.kwargs["add_bias"],
+                       null_policy="skip")
+        self.params = {"beta": [float(b) for b in beta]}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        feats = self.kwargs["features"]
+        beta = self.params["beta"]
+        pred = (F.lit(float(beta[-1])) if self.kwargs["add_bias"]
+                else F.lit(0.0))
+        for i, f in enumerate(feats):
+            pred = pred + F.lit(float(beta[i])) * F.col(f).cast("double")
+        t = self.kwargs["target"]
+        return df.withColumn(
+            t, F.coalesce(F.col(t).cast("double"), pred))
+
+
+class FitFuncStep(Transform):
+    """Custom learned step — ref pipeline.py:975
+    (Blueprint.append_fit_func): ``func(df, cols, **kwargs)`` runs at
+    fit time and must return a list of (name, Column) pairs (or a dict
+    name→Column); transform applies them as withColumns. The learned
+    expressions live in memory only — a pipeline holding one does NOT
+    JSON-serialize (mirrors the reference, where a custom callable is
+    equally unserializable), and to_dict raises a clear error."""
+
+    name = "fit_func"
+
+    def __init__(self, func, cols: Sequence[str], **func_kwargs):
+        super().__init__(cols=list(cols), **func_kwargs)
+        self._func = func
+        self._exprs = None
+
+    def fit(self, df: DataFrame, y=None) -> "FitFuncStep":
+        kwargs = {k: v for k, v in self.kwargs.items() if k != "cols"}
+        out = self._func(df, list(self.kwargs["cols"]), **kwargs)
+        self._exprs = dict(out)
+        self.params = {}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self._exprs is None:
+            raise RuntimeError("FitFuncStep.transform before fit")
+        return df.withColumns(self._exprs)
+
+    def to_dict(self) -> dict:
+        raise NotImplementedError(
+            "a pipeline with a custom fit function (append_fit_func) "
+            "cannot be JSON-serialized; express the step as a built-in "
+            "Transform to serialize")
+
+
+_REGISTRY.update({t.name: t for t in [ConditionalImpute, IvEncode, RankHot,
+                                      QuantileBin, SelectByStd,
+                                      LinearImpute]})
 
 
 def linear_impute(df: DataFrame, cols: Sequence[str], order_by: str,

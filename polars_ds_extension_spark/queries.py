@@ -146,6 +146,9 @@ _STALE = frozenset({
     # round 9: bigram LM top-K vocab cap (identity below the cap —
     # vocab here is 31 — but the scoring plan changed)
     "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
+    # round 9: Pipeline feature-name contracts + dict JSON format
+    # (round-trip consumers re-stamp)
+    "pipeline_blueprint", "blueprint_dyn_agg",
 })
 
 

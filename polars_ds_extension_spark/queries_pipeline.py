@@ -196,6 +196,44 @@ def pipeline_blueprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n", "n_users")
 
 
+@query("blueprint_lin_impute", """
+WITH coef AS (
+  SELECT REGR_SLOPE(value, user_id) AS b,
+         REGR_INTERCEPT(value, user_id) AS a
+  FROM events
+)
+SELECT COUNT(*) AS n,
+       ROUND(AVG(COALESCE(value, a + b * user_id)), 6) AS avg_v,
+       SUM((COALESCE(value, a + b * user_id) IS NULL)::INT)::BIGINT
+         AS null_cnt,
+       ROUND(ANY_VALUE(b), 6) AS slope, ROUND(ANY_VALUE(a), 6) AS intercept
+FROM events, coef
+""")
+def blueprint_lin_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blueprint.linear_impute (r9 parity tail, ref pipeline.py:438):
+    regression-impute `value` from user_id via the chainable builder,
+    serialized to JSON and RE-MATERIALIZED before scoring. The oracle
+    replays the OLS fit with REGR_SLOPE/REGR_INTERCEPT (the 1-feature
+    normal equations are the same algebra) and pins both the learned
+    coefficients and the imputed column's mean."""
+    from .pipeline import Blueprint
+
+    ev = load_table(spark, sf_dir, "events")
+    pipe = (Blueprint(ev.select("user_id", "value"), target="value")
+            .linear_impute(["user_id"], add_bias=True)
+            .materialize())
+    rehydrated = Pipeline.from_json(pipe.to_json())
+    out = rehydrated.transform(ev.select("user_id", "value"))
+    beta = rehydrated.steps[0].params["beta"]
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg("value")).alias("avg_v"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint")
+        .alias("null_cnt"),
+        F.round(F.lit(float(beta[0])), 6).alias("slope"),
+        F.round(F.lit(float(beta[1])), 6).alias("intercept"))
+
+
 @query("blueprint_dyn_agg", """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
        event_type,

@@ -246,3 +246,70 @@ def test_blueprint_center_and_target(spark):
     assert sorted(r["x"] for r in out.collect()) == [-1.0, 1.0]
     with _pt.raises(ValueError):
         Blueprint(df).target_encode(["x"])  # no target anywhere
+
+
+def test_blueprint_parity_tail(spark):
+    """r9 Blueprint parity: linear_impute / select_by_std /
+    append_step_from_dict / append_fit_func / with_features_out /
+    ensure_features_io (ref pipeline.py:438,524,975,1015,125,189)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from polars_ds_extension_spark.pipeline import Blueprint, Pipeline
+
+    rows = [(float(i), 2.0 * i + 1.0, float(i % 3)) for i in range(20)]
+    rows[5] = (5.0, None, 2.0)       # y null -> linear_impute fills 11
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+
+    # linear_impute: y ~ x with bias; the planted line is y = 2x + 1
+    pipe = (Blueprint(df, target="y")
+            .linear_impute(["x"], add_bias=True)
+            .materialize())
+    got = {r["x"]: r["y"] for r in pipe.transform(df).collect()}
+    assert got[5.0] == _pt.approx(11.0, rel=1e-9)
+    # the learned step JSON round-trips
+    got2 = {r["x"]: r["y"]
+            for r in Pipeline.from_json(pipe.to_json()).transform(df).collect()}
+    assert got2[5.0] == _pt.approx(11.0, rel=1e-9)
+
+    # select_by_std: z (std ~0.83) dropped by min 1.0; target survives
+    df2 = spark.createDataFrame(
+        [(float(i), float(i % 2), 100.0 + i) for i in range(10)],
+        "a double, b double, t double")
+    p2 = (Blueprint(df2, target="t").select_by_std(1.0).materialize())
+    assert set(p2.transform(df2).columns) == {"a", "t"}
+
+    # append_step_from_dict drives a public method; bad names raise
+    p3 = (Blueprint(df, target="y")
+          .append_step_from_dict(
+              {"name": "impute", "args": [["y"]],
+               "kwargs": {"method": "mean"}})
+          .materialize())
+    assert p3.transform(df).where(F.col("y").isNull()).count() == 0
+    with _pt.raises(ValueError):
+        Blueprint(df).append_step_from_dict({"name": "_append", "args": []})
+    with _pt.raises(ValueError):
+        Blueprint(df).append_step_from_dict({"name": "nope"})
+
+    # append_fit_func: custom learned step, target injected by signature
+    def my_fit(frame, cols, target):
+        m = frame.agg(F.avg(target)).first()[0]
+        return [(f"{c}_gap", F.col(c) - F.lit(float(m))) for c in cols]
+
+    p4 = (Blueprint(df, target="y").append_fit_func(my_fit, ["x"])
+          .materialize())
+    out4 = p4.transform(df)
+    assert "x_gap" in out4.columns
+    with _pt.raises(NotImplementedError):
+        p4.to_json()
+
+    # feature-name contracts
+    p5 = (Blueprint(df, target="y").impute(["y"], method="mean")
+          .ensure_features_io().materialize())
+    with _pt.raises(ValueError):
+        p5.transform(df.drop("z"))
+    p5.ensure_features_io(ensure_in=False, ensure_out=False)
+    assert p5.transform(df.drop("z")).columns == ["x", "y"]
+    # with_features_out projects the declared output
+    p6 = (Blueprint(df, target="y").impute(["y"], method="mean")
+          .with_features_out(["x", "y"]).materialize())
+    assert p6.transform(df).columns == ["x", "y"]
