@@ -212,43 +212,56 @@ def minhash_band_hashes(hashes: Column, n_hashes: int = 96,
     arithmetic → bit-identical results on every platform. The hash family
     only shapes candidate recall; output pairs are exact-Jaccard verified.
     """
+    @pandas_udf("array<long>")
+    def _udf(hs: "pd.Series") -> "pd.Series":
+        out = minhash_bands_batch(list(hs), n_hashes, bands)
+        return pd.Series(list(out))
+
+    return _udf(hashes)
+
+
+def minhash_bands_batch(arrays, n_hashes: int = 96,
+                        bands: int = 32) -> "np.ndarray":
+    """The numpy kernel behind minhash_band_hashes' UDF, exposed at
+    module level so the banding invariants (shingle-order independence,
+    batch-boundary determinism, identical-set band equality — the
+    recall floor for exact duplicates) are directly property-testable
+    without a JVM. ``arrays`` is a sequence of int64 shingle-hash
+    arrays (one per doc); returns an (rows × bands) int64 array of
+    band hashes. Pure code move from the r8 UDF body — expression for
+    expression, so band hashes are bit-identical to every prior round."""
     rows_per_band = n_hashes // bands
     rng = np.random.default_rng(0xD5D5)
     pa = rng.integers(0, 1 << 64, size=n_hashes, dtype=np.uint64) | np.uint64(1)
     pb = rng.integers(0, 1 << 64, size=n_hashes, dtype=np.uint64)
-
-    @pandas_udf("array<long>")
-    def _udf(hs: "pd.Series") -> "pd.Series":
-        lens = np.array([len(v) for v in hs], dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            return pd.Series([[0] * bands] * len(hs))
-        flat = np.empty(total, dtype=np.int64)
-        pos = 0
-        for v in hs:
-            n = len(v)
-            flat[pos:pos + n] = v
-            pos += n
-        hm = flat.view(np.uint64)
-        starts = np.zeros(len(hs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        nonempty = lens > 0
-        sig = np.zeros((len(hs), n_hashes), dtype=np.uint64)
-        for i in range(n_hashes):
-            perm = pa[i] * hm + pb[i]  # wraps mod 2^64: bijective, odd a
-            mins = np.minimum.reduceat(perm, starts[nonempty]) \
-                if nonempty.any() else np.empty(0, dtype=np.uint64)
-            sig[nonempty, i] = mins
-        # band hash: wrapping polynomial fold of the band's minima
-        out = np.zeros((len(hs), bands), dtype=np.uint64)
-        for b in range(bands):
-            acc = np.zeros(len(hs), dtype=np.uint64)
-            for r in range(rows_per_band):
-                acc = acc * np.uint64(1_000_003) + sig[:, b * rows_per_band + r]
-            out[:, b] = acc
-        return pd.Series(list(out.view(np.int64)))
-
-    return _udf(hashes)
+    lens = np.array([len(v) for v in arrays], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((len(arrays), bands), dtype=np.int64)
+    flat = np.empty(total, dtype=np.int64)
+    pos = 0
+    for v in arrays:
+        n = len(v)
+        flat[pos:pos + n] = v
+        pos += n
+    hm = flat.view(np.uint64)
+    starts = np.zeros(len(arrays), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    sig = np.zeros((len(arrays), n_hashes), dtype=np.uint64)
+    for i in range(n_hashes):
+        perm = pa[i] * hm + pb[i]  # wraps mod 2^64: bijective, odd a
+        mins = np.minimum.reduceat(perm, starts[nonempty]) \
+            if nonempty.any() else np.empty(0, dtype=np.uint64)
+        sig[nonempty, i] = mins
+    # band hash: wrapping polynomial fold of the band's minima
+    out = np.zeros((len(arrays), bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.zeros(len(arrays), dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = acc * np.uint64(1_000_003) + sig[:, b * rows_per_band + r]
+        out[:, b] = acc
+    return out.view(np.int64)
 
 
 def near_dup_pairs(

@@ -444,6 +444,27 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, seed: int = 7) -> Colu
     return sig
 
 
+def srp_signatures_batch(X, n_tables: int, n_planes: int):
+    """All-tables SRP signatures for a (rows × dim) float64 matrix —
+    the numpy kernel behind ann_lsh_join's signature UDF, exposed at
+    module level so the invariants (row-order independence, positive
+    scale invariance, identical-vector determinism) are directly
+    property-testable without a JVM. Plane normals derive from a
+    seeded generator keyed only on (n_tables, n_planes), so signatures
+    are deterministic across batch boundaries and data layouts.
+    Returns an (rows × n_tables) int64 array of packed sign bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(0x5EED ^ (n_planes << 8) ^ n_tables)
+    R = rng.standard_normal((n_tables * n_planes, X.shape[1]))
+    bits = (X @ R.T) >= 0.0                     # (rows, tables*planes)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+    sig = (bits.reshape(len(X), n_tables, n_planes)
+           .astype(np.uint64) * weights[None, None, :]).sum(
+        axis=2, dtype=np.uint64)
+    return sig.view(np.int64)
+
+
 def ann_lsh_join(
     df: DataFrame, id_col: str, vec_col: str,
     k: int = 5,
@@ -499,14 +520,7 @@ def ann_lsh_join(
         X = np.array([list(v) for v in vs], dtype=np.float64)
         if X.ndim != 2 or not len(X):
             return pd.Series([[0] * n_tables] * len(vs))
-        rng = np.random.default_rng(0x5EED ^ (n_planes << 8) ^ n_tables)
-        R = rng.standard_normal((n_tables * n_planes, X.shape[1]))
-        bits = (X @ R.T) >= 0.0                 # (rows, tables*planes)
-        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
-        sig = (bits.reshape(len(X), n_tables, n_planes)
-               .astype(np.uint64) * weights[None, None, :]).sum(
-            axis=2, dtype=np.uint64)
-        return pd.Series(list(sig.view(np.int64)))
+        return pd.Series(list(srp_signatures_batch(X, n_tables, n_planes)))
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),

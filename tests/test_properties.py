@@ -82,3 +82,84 @@ def test_batch_kernels_match_scalar(pairs):
         assert osa[i] == _osa(x, y)
         assert dl[i] == _dleven(x, y)
         assert lcs[i] == _lcs_subseq_len(x, y)
+
+
+# ---------------------------------------------------- LSH / banding (r9)
+
+from polars_ds_extension_spark.operators.dedup import minhash_bands_batch
+from polars_ds_extension_spark.operators.knn import srp_signatures_batch
+
+SHINGLES = st.lists(
+    st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(SHINGLES, min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=3))
+def test_minhash_bands_order_and_batch_invariance(docs, cut):
+    """Band hashes must not depend on shingle order within a doc, on
+    row order across docs, or on where Arrow batch boundaries fall —
+    any of those leaking in would make LSH recall partition-dependent."""
+    arrays = [np.array(d, dtype=np.int64) for d in docs]
+    base = minhash_bands_batch(arrays, 24, 8)
+    # shingle-order independence (min over a set)
+    shuffled = [a[::-1].copy() for a in arrays]
+    assert np.array_equal(minhash_bands_batch(shuffled, 24, 8), base)
+    # batch-boundary independence: split at an arbitrary point
+    k = min(cut, len(arrays))
+    split = np.vstack([minhash_bands_batch(arrays[:k], 24, 8)
+                       .reshape(k, 8),
+                       minhash_bands_batch(arrays[k:], 24, 8)
+                       .reshape(len(arrays) - k, 8)])
+    assert np.array_equal(split, base)
+
+
+@settings(max_examples=100, deadline=None)
+@given(SHINGLES.filter(lambda d: len(d) > 0),
+       st.sampled_from([(24, 8), (24, 12), (96, 32), (96, 16)]))
+def test_minhash_identical_sets_share_every_band(doc, shape):
+    """Recall floor for exact duplicates: two docs with the SAME
+    shingle set share every band hash at ANY (n_hashes, bands) with
+    bands | n_hashes — banding can never lose an exact dup."""
+    n_hashes, bands = shape
+    a = np.array(doc, dtype=np.int64)
+    b = np.array(list(reversed(doc)) + [doc[0]], dtype=np.int64)  # same set
+    out = minhash_bands_batch([a, np.unique(a), b], n_hashes, bands)
+    assert np.array_equal(out[0], out[1])
+    # b adds a duplicate element only — set-identical, bands identical
+    assert np.array_equal(out[0], out[2])
+
+
+VEC = st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                         allow_nan=False, allow_infinity=False,
+                         width=64),
+               min_size=2, max_size=16)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(VEC, min_size=1, max_size=6).filter(
+    lambda vs: len({len(v) for v in vs}) == 1))
+def test_srp_signatures_row_order_and_determinism(vecs):
+    X = np.array(vecs, dtype=np.float64)
+    s1 = srp_signatures_batch(X, 4, 12)
+    # determinism across calls and row orders
+    assert np.array_equal(srp_signatures_batch(X.copy(), 4, 12), s1)
+    perm = np.arange(len(X))[::-1].copy()
+    assert np.array_equal(srp_signatures_batch(X[perm], 4, 12), s1[perm])
+    # identical rows get identical signatures in every table
+    X2 = np.vstack([X, X[0:1]])
+    s2 = srp_signatures_batch(X2, 4, 12)
+    assert np.array_equal(s2[-1], s2[0])
+    # signatures fit in n_planes bits
+    assert (s1 >= 0).all() and (s1 < (1 << 12)).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(VEC, st.floats(min_value=0.25, max_value=4.0))
+def test_srp_signature_positive_scale_invariance(v, c):
+    """sign(c·x @ r) == sign(x @ r) for c > 0 — LSH bucketing must
+    depend only on direction, never magnitude."""
+    X = np.array([v], dtype=np.float64)
+    assert np.array_equal(srp_signatures_batch(X * c, 4, 12),
+                          srp_signatures_batch(X, 4, 12))
