@@ -149,7 +149,6 @@ def knn_join(
     queries: DataFrame, q_id: str, q_vec: str,
     index: DataFrame, i_id: str, i_vec: str,
     k: int = 5, metric: str = "cosine",
-    broadcast_index: bool = True,
     max_bound: float | None = None,
     route: str = "brute",
     route_threshold: int = MAX_BROADCAST_INDEX_ROWS,

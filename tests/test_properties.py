@@ -155,8 +155,18 @@ def test_srp_signatures_row_order_and_determinism(vecs):
     assert (s1 >= 0).all() and (s1 < (1 << 12)).all()
 
 
+# components are 0 or of sane magnitude: scaling a DENORMAL (5e-324)
+# underflows to 0 and legitimately flips the sign bit — an fp artifact
+# outside the operator's embedding domain, found by hypothesis
+NORMAL_VEC = st.lists(
+    st.one_of(st.just(0.0),
+              st.floats(min_value=1e-6, max_value=1e6),
+              st.floats(min_value=-1e6, max_value=-1e-6)),
+    min_size=2, max_size=16)
+
+
 @settings(max_examples=100, deadline=None)
-@given(VEC, st.floats(min_value=0.25, max_value=4.0))
+@given(NORMAL_VEC, st.floats(min_value=0.25, max_value=4.0))
 def test_srp_signature_positive_scale_invariance(v, c):
     """sign(c·x @ r) == sign(x @ r) for c > 0 — LSH bucketing must
     depend only on direction, never magnitude."""
