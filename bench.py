@@ -113,59 +113,79 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     # Scale probe: the most expensive queries on the lazily materialized
-    # 10x CONSTANT-DENSITY data (.probe_data/sf1.0 — per-copy disjoint
-    # token vocabularies keep dup-cluster sizes fixed, see
-    # scripts/scale_probe.py); ratio vs this round's own sf0.1 median.
+    # 10x CONSTANT-DENSITY data (.probe_data/sf1.0v2 — per-copy cipher
+    # keeps dup-cluster sizes fixed, see scripts/scale_probe.py).
     # Converts "the plans are 100x-shaped" from code-reading to
     # measurement — a scan-bound query should land near the inflation
-    # factor, sample-bounded kernels below it. TWO large runs, min: the
-    # base time is a warmed median, so a single cold large run mixes
-    # JIT/codegen warmup into the ratio (measured: near_dup_minhash
-    # cold-single 12.7x vs warm-min 2.7x on the same data shape).
+    # factor, sample-bounded kernels below it.
+    #
+    # SYMMETRIC FRESH-SESSION protocol (r9): both sides of every ratio
+    # are min-of-3 runs in a FRESH JVM started after the catalog loop.
+    # The r8 protocol divided a fresh-ish large-side min by the
+    # long-session catalog median, so a query's ratio moved with
+    # whatever heap/JIT residue ~185 queries left behind (measured:
+    # eda_describe x3.4 late in the catalog session vs x1.3 fresh,
+    # identical code — r8's "2.4x regression" was this asymmetry, not
+    # the plan). min-of-3 on BOTH sides compares warmed plans; the
+    # spread (max/min of the large runs) is recorded so a noisy ratio
+    # is visibly noisy instead of silently authoritative.
     # Skipped (never fatal) if the probe data can't be built.
     probe_ratio: dict[str, float] = {}
     probe_ratio_dense: dict[str, float] = {}
     probe_spread: dict[str, float] = {}
     probe_abs: dict[str, list] = {}
+    probe_small: dict[str, float] = {}
+
+    def _probe_time(qs, name, d):
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, d).count()
+            samples.append(time.perf_counter() - t0)
+            release_pins()
+            spark.catalog.clearCache()
+        return min(samples), max(samples)
 
     def _probe_set(names, pdir, out, spread=None, abs_out=None):
-        # min of THREE large runs (was two): SURVEY §6's published probe
-        # numbers must reproduce in the driver environment, and two-run
-        # single-shot noise produced a 1.8x storytelling gap in r7.
-        # The spread (max/min of the large runs) is recorded so a noisy
-        # ratio is visibly noisy instead of silently authoritative.
         qs = catalog.queries()
         for name in names:
-            base_t = per_query.get(name)
-            if name not in qs or not base_t or base_t != base_t:
+            if name not in qs:
                 continue
-            samples = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                qs[name](spark, pdir).count()
-                samples.append(time.perf_counter() - t0)
-                release_pins()
-                spark.catalog.clearCache()
-            t_large = min(samples)
-            out[name] = round(t_large / base_t, 1)
+            try:
+                if name not in probe_small:
+                    probe_small[name] = _probe_time(qs, name, sf_dir)[0]
+                base_t = probe_small[name]
+                t_large, t_max = _probe_time(qs, name, pdir)
+            except Exception as ex:  # pragma: no cover
+                print(f"probe error in {name}: {ex}", file=sys.stderr)
+                continue
+            out[name] = round(t_large / max(base_t, 1e-9), 1)
             if spread is not None:
-                spread[name] = round(max(samples) / max(t_large, 1e-9), 2)
+                spread[name] = round(t_max / max(t_large, 1e-9), 2)
             if abs_out is not None:
                 abs_out[name] = [round(base_t, 2), round(t_large, 2)]
             print(f"probe {name}: {base_t:.2f}s -> {t_large:.2f}s "
-                  f"(x{out[name]}, spread x{max(samples) / t_large:.2f})",
+                  f"(x{out[name]}, spread x{t_max / t_large:.2f})",
                   file=sys.stderr)
 
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
         try:
             from scripts.scale_probe import (DEFAULT_QUERIES, DENSE_QUERIES,
                                              build_probe_data)
-            _probe_set(DEFAULT_QUERIES, build_probe_data(spark),
+            pdir = build_probe_data(spark)
+            pdir_dense = build_probe_data(spark, dense=True)
+            # fresh JVM for the probe stage (see protocol note above)
+            spark.stop()
+            spark = get_spark(app="pds-spark-bench-probe")
+            spark.sparkContext.setLogLevel("ERROR")
+            load_table(spark, sf_dir, "lineitem").count()
+            spark.range(0, 32 * 256, 1, 32).select(
+                _wu(F.col("id").cast("double"))).count()
+            _probe_set(DEFAULT_QUERIES, pdir,
                        probe_ratio, probe_spread, probe_abs)
             # adversarial hot-cluster variant for the dedup family: the
             # bucket/cell caps are the defense; measure them every round
-            _probe_set(DENSE_QUERIES, build_probe_data(spark, dense=True),
-                       probe_ratio_dense)
+            _probe_set(DENSE_QUERIES, pdir_dense, probe_ratio_dense)
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
 
