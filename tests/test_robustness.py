@@ -342,3 +342,84 @@ def test_exact_quantiles_adversarial_shapes(spark):
         got = exact_quantiles(sdf, {"x": probs}, n_parts=4)["x"]
         exp = [float(np.quantile(vals, q)) for q in probs]
         assert got == pytest.approx(exp, rel=1e-12), (name, got, exp)
+
+
+def test_ivf_search_matches_brute_when_one_cell(spark):
+    """nprobe >= n_centroids with a single cell must equal exact brute
+    force — the recall-loss term vanishes when every cell is probed."""
+    import numpy as np
+    from polars_ds_extension_spark.operators import knn as K
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(v) for v in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = K.ivf_search(df.where("vec_id < 10"), "vec_id", "embedding",
+                       df, "vec_id", "embedding",
+                       k=3, n_centroids=1, nprobe=1, centroids="first")
+    exact = K.knn_join(df.where("vec_id < 10"), "vec_id", "embedding",
+                       df, "vec_id", "embedding", k=3, metric="cosine")
+    g = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    e = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert g == e
+
+
+def test_ivf_search_nprobe_above_centroid_count(spark):
+    """nprobe larger than the centroid count clamps instead of erroring,
+    and then equals exact brute force (all cells probed)."""
+    import numpy as np
+    from polars_ds_extension_spark.operators import knn as K
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(v) for v in rng.randn(6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = K.ivf_search(df, "vec_id", "embedding", df, "vec_id", "embedding",
+                       k=2, n_centroids=4, nprobe=99, centroids="first")
+    exact = K.knn_join(df, "vec_id", "embedding", df, "vec_id", "embedding",
+                       k=2, metric="cosine")
+    g = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    e = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert g == e
+
+
+def test_knn_join_auto_route_brute_below_threshold(spark):
+    """route='auto' stays exact below the threshold and delegates to
+    ivf_search above it (results then probe-bounded but well-formed)."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from polars_ds_extension_spark.operators import knn as K
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(v) for v in rng.randn(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    below = K.knn_join(df.where("vec_id < 5"), "vec_id", "embedding",
+                       df, "vec_id", "embedding", k=3, route="auto",
+                       route_threshold=1000)
+    exact = K.knn_join(df.where("vec_id < 5"), "vec_id", "embedding",
+                       df, "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, below.select("vec_id", "rank", "neighbor_id")
+                      .collect())) \
+        == sorted(map(tuple, exact.select("vec_id", "rank", "neighbor_id")
+                      .collect()))
+    routed = K.knn_join(df.where("vec_id < 5"), "vec_id", "embedding",
+                        df, "vec_id", "embedding", k=3, route="auto",
+                        route_threshold=10)
+    out = routed.collect()
+    assert len(out) > 0
+    assert all(r["rank"] <= 3 and r["neighbor_id"] != r["vec_id"]
+               for r in out)
+    with pytest.raises(ValueError):
+        K.knn_join(df, "vec_id", "embedding", df, "vec_id", "embedding",
+                   route="nope")
+
+
+def test_ivf_search_empty_queries(spark):
+    from polars_ds_extension_spark.operators import knn as K
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>")
+    got = K.ivf_search(df.where("vec_id < 0"), "vec_id", "embedding",
+                       df, "vec_id", "embedding", k=2, n_centroids=2,
+                       centroids="first")
+    assert got.count() == 0
