@@ -125,11 +125,7 @@ _GREEN_ROUND = {
 
 # Queries whose covering code changed AFTER their last stamp — their
 # green rows are stale, so they rank with the unstamped until the
-# driver re-stamps them. Round 7: temporal.py (asof struct-carry fix),
-# plans/ranks.py (finite-bounds filter + Java-safe double literals —
-# every global-rank/exact-quantile consumer), functions/sample.py
-# (NULL-safe mixture groups), functions/ts.py (byte-budget entropy
-# chunking), functions/string_.py (str_nearest metric family).
+# driver re-stamps them.
 _STALE = frozenset({
     # round 9: knn._topk_rows exact boundary-tie contract (knn_join +
     # ivf_knn_join consumers), ivf_assign natural-dtype centroid ids,
