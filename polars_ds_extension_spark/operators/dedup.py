@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 # 31-bit Mersenne prime modulus for the permutation family: products
 # a·h + b stay < 2^62, so the arithmetic is exact in int64 everywhere
@@ -603,6 +604,39 @@ def canonical_dedup(
     cc = connected_components(pairs, id_a, id_b, assume_unique=True)
     losers = cc.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
+def cluster_downsample(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    keep_per_cluster: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep at most ``keep_per_cluster`` members of each near-dup
+    cluster — the soft-dedup middle ground between keep-all and
+    `canonical_dedup`'s keep-one (web-scale curation commonly retains
+    a few representatives of popular templates/boilerplate instead of
+    exactly one, preserving natural duplication signal while bounding
+    it). Members survive deterministically by ASCENDING id, so the
+    canonical member is always kept and the result is engine-
+    replayable; to keep the highest-QUALITY members instead, re-key
+    ids by quality rank upstream or anti-join a custom loser set.
+
+    Plan: connected components over the PAIR set (never the corpus),
+    one window over the component-labelled ids (a frame bounded by
+    2·|pairs|, tiny next to the corpus) ranks members, and the corpus
+    anti-joins the losers — rows in no pair pass through untouched.
+    """
+    if keep_per_cluster < 1:
+        raise ValueError("keep_per_cluster must be >= 1")
+    cc = connected_components(pairs, id_a, id_b, assume_unique=True)
+    w = Window.partitionBy("comp").orderBy(F.col("id").asc())
+    losers = (cc.withColumn("__r", F.row_number().over(w))
+              .where(F.col("__r") > keep_per_cluster)
+              .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -704,6 +704,73 @@ def near_dup_cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_dedup(u, "doc_id", pairs).select("doc_id")
 
 
+@query("dup_cluster_downsample", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), u AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz dup marker' AS text
+  FROM base
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' qq dup marker two' AS text
+  FROM base
+), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM u
+), sh AS (
+  SELECT doc_id, unnest(s) AS g FROM shl
+), ln AS (
+  SELECT doc_id, len(s) AS n FROM shl
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN ln la ON la.doc_id = id_a JOIN ln lb ON lb.doc_id = id_b
+  WHERE c::DOUBLE / (la.n + lb.n - c) >= 0.6
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), comp AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+), rk AS (
+  SELECT id, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY id) AS r
+  FROM comp
+)
+SELECT u.doc_id FROM u LEFT JOIN rk ON u.doc_id = rk.id
+WHERE rk.id IS NULL OR rk.r <= 2
+""")
+def dup_cluster_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.cluster_downsample): near-dup pairs →
+    connected components → keep the TWO smallest-id members per cluster
+    (the keep-a-few-representatives middle ground between keep-all and
+    canonical keep-one). The corpus plants 3-member clusters (base doc
+    + two distinct-marker perturbations), so k=2 is distinguishable
+    from both keep-one and keep-all; the oracle replays the exact-
+    Jaccard pair set, a recursive-CTE transitive closure, and the
+    per-cluster rank cut. Even-id docs only — the planted structure is
+    id-independent, and the half corpus keeps this row mid-pack in the
+    catalog instead of heaviest."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0)
+    u = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zz dup marker"))
+                    .alias("text"))
+    ).unionByName(
+        docs.select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" qq dup marker two"))
+                    .alias("text")))
+    pairs = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
+    out = D.cluster_downsample(u, "doc_id", pairs, keep_per_cluster=2)
+    return out.select("doc_id")
+
+
 @query("decontaminate", r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0

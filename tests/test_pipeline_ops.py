@@ -100,3 +100,30 @@ def test_sql_step_view_hygiene(spark):
     out2 = SQLStep("SELECT COUNT(*) AS n FROM df").transform(frame)
     assert out2.first()["n"] == 2
     assert not spark.catalog.tableExists("df")
+
+
+def test_cluster_downsample(spark):
+    """keep_per_cluster=k keeps the k smallest ids of each component;
+    k=1 equals canonical_dedup; unpaired rows always pass."""
+    import pytest
+    from pyspark.sql import functions as F
+    from polars_ds_extension_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 10)], "id bigint, text string")
+    # clusters: {1,2,3,4} (chain), {6,7}; 5, 8, 9 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a bigint, id_b bigint")
+    got2 = sorted(r["id"] for r in
+                  D.cluster_downsample(df, "id", pairs, 2).collect())
+    assert got2 == [1, 2, 5, 6, 7, 8, 9]
+    got1 = sorted(r["id"] for r in
+                  D.cluster_downsample(df, "id", pairs, 1).collect())
+    canon = sorted(r["id"] for r in
+                   D.canonical_dedup(df, "id", pairs).collect())
+    assert got1 == canon == [1, 5, 6, 8, 9]
+    got9 = sorted(r["id"] for r in
+                  D.cluster_downsample(df, "id", pairs, 9).collect())
+    assert got9 == list(range(1, 10))
+    with pytest.raises(ValueError):
+        D.cluster_downsample(df, "id", pairs, 0)
