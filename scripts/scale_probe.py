@@ -103,8 +103,9 @@ DEFAULT_QUERIES = [
     # and the sufficient-statistics iteration
     "ivfpq_search", "triangle_count", "kmeans",
     # round 9: the routed two-frame IVF search (knn_join route="auto"'s
-    # delegate) and the rebuilt SRP-LSH bucket plan
-    "ann_ivf_search", "lsh_recall",
+    # delegate), the rebuilt SRP-LSH bucket plan, and the keep-k soft
+    # dedup (pairs + CC + component window)
+    "ann_ivf_search", "lsh_recall", "dup_cluster_downsample",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
