@@ -173,3 +173,28 @@ def test_srp_signature_positive_scale_invariance(v, c):
     X = np.array([v], dtype=np.float64)
     assert np.array_equal(srp_signatures_batch(X * c, 4, 12),
                           srp_signatures_batch(X, 4, 12))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=2, max_value=12),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=0, max_value=10_000))
+def test_topk_rows_matches_full_lexsort(rows, cols, k, seed):
+    """_topk_rows must equal a full (score ASC, id ASC) lexsort
+    truncated to k — including at tied boundaries. Scores are drawn
+    from a tiny value set so k-th-boundary ties are the COMMON case,
+    not a fluke."""
+    from polars_ds_extension_spark.operators.knn import _topk_rows
+
+    rng = np.random.default_rng(seed)
+    score = rng.integers(0, 4, size=(rows, cols)).astype(np.float64)
+    ids = rng.permutation(cols * 3)[:cols].astype(np.int64)
+    kk = min(k, cols)
+    psc, nid = _topk_rows(score.copy(), ids, kk)
+    ids_b = np.broadcast_to(ids[None, :], score.shape)
+    order = np.lexsort((ids_b, score), axis=1)[:, :kk]
+    ref_psc = np.take_along_axis(score, order, axis=1)
+    ref_nid = np.take_along_axis(ids_b, order, axis=1)
+    assert np.array_equal(psc, ref_psc)
+    assert np.array_equal(nid, ref_nid)
