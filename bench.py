@@ -184,8 +184,19 @@ def main() -> None:
             _probe_set(DEFAULT_QUERIES, pdir,
                        probe_ratio, probe_spread, probe_abs)
             # adversarial hot-cluster variant for the dedup family: the
-            # bucket/cell caps are the defense; measure them every round
-            _probe_set(DENSE_QUERIES, pdir_dense, probe_ratio_dense)
+            # bucket/cell caps are the defense; measure them every
+            # round. Absolutes recorded under a @dense key — the RATIO
+            # shares the const-density small-side denominator, so a
+            # small-side speedup inflates it with no large-side change
+            # (measured r9: minhash dense abs 17s -> 12s while the
+            # ratio ROSE 4.2x -> 8.2x)
+            dense_spread: dict[str, float] = {}
+            dense_abs: dict[str, list] = {}
+            _probe_set(DENSE_QUERIES, pdir_dense, probe_ratio_dense,
+                       dense_spread, dense_abs)
+            for n, v in dense_abs.items():
+                probe_spread[f"{n}@dense"] = dense_spread.get(n)
+                probe_abs[f"{n}@dense"] = v
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
 
