@@ -145,6 +145,12 @@ def _collect_index(index: DataFrame, i_id: str, i_vec: str,
     return ids, mat
 
 
+#: knn_join(route="auto") memoizes index row counts here so repeated
+#: calls against the SAME DataFrame object pay the counting action once
+#: (weak keys: entries vanish with the frame, no lifetime coupling)
+_INDEX_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = None
+
+
 def knn_join(
     queries: DataFrame, q_id: str, q_vec: str,
     index: DataFrame, i_id: str, i_vec: str,
@@ -152,6 +158,7 @@ def knn_join(
     max_bound: float | None = None,
     route: str = "brute",
     route_threshold: int = MAX_BROADCAST_INDEX_ROWS,
+    index_count: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors of each query among ``index`` rows.
 
@@ -174,6 +181,11 @@ def knn_join(
     at the broadcast cap — results become probe-bounded APPROXIMATE
     above the threshold, the documented industry trade at corpus
     scale. Below the threshold the exact brute path runs unchanged.
+    Routing needs the index cardinality: pass ``index_count`` when the
+    caller already knows it (catalog stats, a prior action) to skip the
+    counting job entirely; otherwise one `count()` runs per DISTINCT
+    index frame — memoized weakly per DataFrame object, so repeated
+    auto-routed calls against the same index pay it once.
     """
     from pyspark.sql.types import StructType
 
@@ -182,8 +194,21 @@ def knn_join(
                          "cosine use ann_lsh_join(min_cosine=...)")
     if route == "auto":
         import math
+        import weakref
 
-        n_index = index.count()
+        global _INDEX_COUNT_CACHE
+        if _INDEX_COUNT_CACHE is None:
+            _INDEX_COUNT_CACHE = weakref.WeakKeyDictionary()
+        if index_count is not None:
+            n_index = int(index_count)
+        else:
+            n_index = _INDEX_COUNT_CACHE.get(index)
+            if n_index is None:
+                n_index = index.count()
+                try:
+                    _INDEX_COUNT_CACHE[index] = n_index
+                except TypeError:
+                    pass
         if n_index > route_threshold:
             if metric != "cosine":
                 raise ValueError(
@@ -420,6 +445,10 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, seed: int = 7) -> Colu
     Plane p's normal components are derived per-dimension from
     xxhash64(seed, p, dim) — deterministic, no stored model, computed
     scan-side. sign(v·r_p) gives bit p. Charikar STOC'02.
+
+    NOTE: a DIFFERENT seed scheme from `srp_signatures_batch` (the
+    numpy kernel behind ann_lsh_join) — the two signature spaces are
+    disjoint by design; never compare buckets across the two APIs.
     """
     dim = F.size(vec)
     sig = F.lit(0).cast("long")
@@ -451,9 +480,20 @@ def srp_signatures_batch(X, n_tables: int, n_planes: int):
     property-testable without a JVM. Plane normals derive from a
     seeded generator keyed only on (n_tables, n_planes), so signatures
     are deterministic across batch boundaries and data layouts.
+
+    NOTE: this seed scheme deliberately DIVERGES from the Column-form
+    `hyperplane_signature` (xxhash64(seed=7+…) per plane component,
+    kept as the composable scan-side API): the two produce DISJOINT
+    signature spaces. Never mix them — prebucketing with
+    `hyperplane_signature` and comparing against `ann_lsh_join` buckets
+    matches nothing. Within one mechanism signatures are stable.
     Returns an (rows × n_tables) int64 array of packed sign bits."""
     import numpy as np
 
+    if n_planes > 64:
+        raise ValueError(
+            f"srp_signatures_batch: n_planes={n_planes} > 64 overflows "
+            "the uint64 bit-pack; use <= 64 planes (or more tables)")
     rng = np.random.default_rng(0x5EED ^ (n_planes << 8) ^ n_tables)
     R = rng.standard_normal((n_tables * n_planes, X.shape[1]))
     bits = (X @ R.T) >= 0.0                     # (rows, tables*planes)
@@ -524,6 +564,13 @@ def ann_lsh_join(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"))
+    # zero-norm vectors have no defined cosine; drop them scan-side so
+    # BOTH size routes see the same candidate set (the JVM fold yields
+    # NULL for 0/0 — sorted last — while the numpy GEMM yields NaN —
+    # which Spark orders greater than any value, i.e. ranked FIRST; the
+    # same degenerate pair would otherwise rank differently depending on
+    # which route its bucket took)
+    base = base.where(F.col("__nrm") > 0)
     sigs = base.select(
         "__id", "__vec", "__nrm",
         F.posexplode(_sigs(F.col("__vec"))).alias("t", "sig"),
@@ -630,6 +677,12 @@ def ivf_assign(
     from .cluster import _assign_np
 
     crows = centroids.select(c_id, c_vec).collect()
+    if not crows:
+        raise ValueError(
+            "ivf_assign: centroid frame is empty — with centroids='first' "
+            "this means no row has id < n_centroids (the contract assumes "
+            "dense 0-based ids); use centroids='kmeans'/'sample' or pass a "
+            "prebuilt centroid frame for filtered/offset/string id spaces")
     # natural dtype (ints -> int64, strings -> str, decimals -> object):
     # the output schema derives cid_type from the centroid frame, so the
     # collected ids must NOT be coerced to int64 — a string/decimal
@@ -837,6 +890,10 @@ def ivf_assign_probe(
     shuffle). Output: (id_col, centroid_id, probe) with probe 1..nprobe.
     """
     crows = centroids.select(c_id, c_vec).collect()
+    if not crows:
+        raise ValueError(
+            "ivf_assign_probe: centroid frame is empty — see ivf_assign; "
+            "'first' centroids require dense 0-based ids")
     cids = np.array([r[0] for r in crows])
     C = np.array([list(r[1]) for r in crows], dtype=np.float64)
     order = np.argsort(cids, kind="stable")
@@ -851,14 +908,26 @@ def ivf_assign_probe(
     def _batches(it):
         ids_c, Cm = bc.value
         pos = np.arange(len(ids_c))
+        # byte-bounded query chunk (cluster._assign_np's bound): the
+        # (chunk × n_centroids × dim) broadcast temporary stays ~256 MB
+        # however many centroids there are — at the auto-route scale
+        # (√N ≳ 2237 centroids, 128d) an unchunked 10k-row Arrow batch
+        # would materialize a ~23 GB slab and OOM the executor exactly
+        # when the scale path activates
+        slab = max(1, (1 << 28) // max(1, Cm.shape[0] * Cm.shape[1] * 8))
         for pdf in it:
             if not len(pdf):
                 continue
             X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            # direct (x-c)² sum — the same float64 expression the SQL
-            # replay computes (see ivf_assign)
-            d = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(2)
-            _, sel = _topk_rows(d, pos, npb)
+            sels = []
+            for s0 in range(0, len(X), slab):
+                sl = slice(s0, s0 + slab)
+                # direct (x-c)² sum — the same float64 expression the
+                # SQL replay computes (see ivf_assign)
+                d = ((X[sl, None, :] - Cm[None, :, :]) ** 2).sum(2)
+                _, sel = _topk_rows(d, pos, npb)
+                sels.append(sel)
+            sel = np.concatenate(sels) if len(sels) > 1 else sels[0]
             yield pd.DataFrame({
                 id_col: np.repeat(pdf[id_col].values, npb),
                 "centroid_id": ids_c[sel].ravel(),
@@ -893,8 +962,12 @@ def ivf_search(
     flops and nothing ever broadcasts the corpus. Recall is
     probe-bounded exactly as published for IVF (nprobe/C of the space
     searched); self-matches (same id) are excluded as in knn_join.
-    ``centroids``: "first" (deterministic lowest-id rows of the index —
-    the SQL-replayable mode), "sample"/"kmeans", or a prebuilt frame.
+    ``centroids``: "first" (id < n_centroids — the SQL-replayable mode;
+    REQUIRES a dense 0-based numeric id space, and fails fast in
+    ivf_assign when that yields an empty frame — filtered/offset/string
+    ids should use "kmeans"/"sample" or a prebuilt frame, which is what
+    knn_join(route='auto') passes), "sample"/"kmeans", or a prebuilt
+    (centroid_id, centroid) DataFrame.
     Output: (q_id, neighbor_id, cosine, rank).
     """
     if isinstance(centroids, DataFrame):

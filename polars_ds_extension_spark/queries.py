@@ -55,72 +55,74 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 4
-    "benford": 4, "chi2": 4, "classification_metrics": 4,
-    "cond_entropy": 4, "cond_indep": 4, "count_uniques": 4, "dcg": 4,
-    "dedup_stats": 4, "elementwise_math": 4, "entropy": 4,
-    "exact_dedup": 4, "f_test": 4, "gcd_lcm": 4, "integrate_detrend": 4,
-    "is_monotonic": 4, "mean_family": 4, "normality": 4,
-    "pricing_summary": 4, "regression_metrics": 4, "softmax_znorm": 4,
-    "string_cleaning": 4, "string_similarity": 4, "target_encode": 4,
-    "token_stats": 4, "ts_autocorr": 4, "ts_moments": 4, "ts_ordered":
-    4, "ts_streaks": 4, "ttest": 4, "vocab_nearest": 4,
-    "weighted_stats": 4, "woe_iv": 4,
     # last stamped in round 5
-    "bigram_lm": 5, "bm25_score": 5, "combinations": 5, "elastic_net":
-    5, "embedding_ops": 5, "fingerprints": 5, "knn_from_target": 5,
-    "language_id": 5, "lin_reg_multi": 5, "lin_reg_report": 5,
-    "line_dedup": 5, "logistic_reg": 5, "multimodal_blobs": 5,
-    "multimodal_decode": 5, "pii_scrub": 5, "pipeline_encode": 5,
-    "pipeline_iv_rankhot": 5, "product": 5, "repetition_signals": 5,
-    "rolling_lin_reg": 5, "sample_split": 5, "simple_lin_reg": 5,
-    "smooth_spline_natural": 5, "stream_dedup": 5,
-    "stream_running_stats": 5, "stream_sessionize": 5,
-    "stream_windowed_agg": 5, "tfidf_topk": 5, "within_radius_target": 5,
+    "bm25_score": 5, "combinations": 5, "elastic_net": 5,
+    "embedding_ops": 5, "fingerprints": 5, "knn_from_target": 5,
+    "lin_reg_multi": 5, "lin_reg_report": 5, "line_dedup": 5,
+    "logistic_reg": 5, "multimodal_blobs": 5, "multimodal_decode": 5,
+    "pii_scrub": 5, "pipeline_encode": 5, "pipeline_iv_rankhot": 5,
+    "product": 5, "repetition_signals": 5, "rolling_lin_reg": 5,
+    "sample_split": 5, "simple_lin_reg": 5, "smooth_spline_natural": 5,
+    "stream_dedup": 5, "stream_running_stats": 5, "stream_sessionize":
+    5, "stream_windowed_agg": 5, "tfidf_topk": 5,
+    "within_radius_target": 5,
     # last stamped in round 6
-    "ar_coeffs": 6, "array_math": 6, "blueprint_dyn_agg": 6,
-    "bpe_tokenize_oracle": 6, "corr_matrix": 6, "dia_col_validation": 6,
-    "dia_row_validation": 6, "dist_kth_nb": 6, "downsample": 6,
-    "eda_flags": 6, "float_neighbors": 6, "glm_poisson": 6,
-    "hypertable_rollup": 6, "isotonic": 6, "jaccard_arrays": 6,
-    "knn_avg_label": 6, "knn_cosine": 6, "knn_freq": 6,
-    "lin_reg_rcond_oracle": 6, "multimodal_resize": 6, "pca": 6,
-    "permute_entropy": 6, "pipeline_blueprint": 6, "pq_encode": 6,
-    "radius_nb_cnt": 6, "range_join": 6, "rfft": 6, "salted_join": 6,
-    "sample_exact_n": 6, "select_by_std_cols": 6,
-    "semantic_decontaminate": 6, "series_entropy_oracle": 6,
-    "similar_count": 6, "singular_values": 6, "smooth_spline_oracle": 6,
-    "stream_curation_gate": 6, "stream_interval_join": 6,
-    "string_kernels_oracle": 6, "volume_neutral": 6,
+    "ar_coeffs": 6, "array_math": 6, "bpe_tokenize_oracle": 6,
+    "corr_matrix": 6, "dia_col_validation": 6, "dia_row_validation": 6,
+    "downsample": 6, "eda_flags": 6, "float_neighbors": 6,
+    "glm_poisson": 6, "hypertable_rollup": 6, "isotonic": 6,
+    "jaccard_arrays": 6, "lin_reg_rcond_oracle": 6, "multimodal_resize":
+    6, "pca": 6, "permute_entropy": 6, "pq_encode": 6, "radius_nb_cnt":
+    6, "range_join": 6, "rfft": 6, "salted_join": 6, "sample_exact_n":
+    6, "select_by_std_cols": 6, "semantic_decontaminate": 6,
+    "series_entropy_oracle": 6, "similar_count": 6, "singular_values":
+    6, "smooth_spline_oracle": 6, "stream_curation_gate": 6,
+    "stream_interval_join": 6, "string_kernels_oracle": 6,
+    "volume_neutral": 6,
     # last stamped in round 7
     "batch_sessionize": 7, "corr_family": 7, "feature_screen": 7,
     "graph_degrees": 7, "group_sample_exact": 7, "group_split": 7,
     "kendall": 7, "kfold_split": 7, "ks_2samp": 7, "mann_whitney": 7,
     "mase_full": 7, "normalized_dedup": 7, "pack_sequences": 7,
-    "pagerank": 7, "perplexity_gate": 7, "pmi_collocations": 7,
-    "pq_search": 7, "recursive_lin_reg": 7, "regional_volume": 7,
-    "roc_auc": 7, "rolling_anomaly": 7, "scd2_history": 7,
-    "script_profile": 7, "stream_topk": 7, "stream_upsert": 7,
-    "time_gapfill": 7, "token_budget_sample": 7, "triangle_count": 7,
-    "unicode_clean": 7, "upsert_latest": 7, "vocab_nearest_metrics": 7,
-    "weighted_sample": 7, "xi_corr": 7,
+    "pagerank": 7, "pmi_collocations": 7, "pq_search": 7,
+    "recursive_lin_reg": 7, "regional_volume": 7, "roc_auc": 7,
+    "rolling_anomaly": 7, "scd2_history": 7, "script_profile": 7,
+    "stream_topk": 7, "stream_upsert": 7, "time_gapfill": 7,
+    "token_budget_sample": 7, "triangle_count": 7, "unicode_clean": 7,
+    "upsert_latest": 7, "vocab_nearest_metrics": 7, "weighted_sample":
+    7, "xi_corr": 7,
     # last stamped in round 8
     "add_at": 8, "asof_join": 8, "asof_join_forward": 8, "bicor": 8,
     "blocked_jaccard": 8, "cat_cross_entropy": 8,
     "contamination_report": 8, "convolve": 8, "copula_entropy": 8,
-    "curation_pipeline": 8, "curation_pipeline_v2": 8,
-    "curation_pipeline_v3": 8, "decontaminate": 8, "dia_profile": 8,
-    "drift_over_time": 8, "dup_char_spans": 8, "dup_spans": 8,
-    "eda_describe": 8, "gopher_gate": 8, "histogram": 8, "ivf_ann": 8,
-    "ivf_recall": 8, "ivfpq_search": 8, "kaplan_meier": 8, "kmeans": 8,
-    "kmeans_inertia": 8, "knn_entropy": 8, "linear_impute": 8,
-    "lsh_recall": 8, "mad": 8, "mixture_resample": 8, "multi_roc_auc":
-    8, "near_dup_cluster_dedup": 8, "near_dup_minhash": 8,
-    "near_dup_simhash": 8, "pipeline_poly_impute": 8, "pipeline_qbin":
-    8, "pipeline_transform": 8, "psi": 8, "quality_quantile_filter": 8,
-    "semantic_dedup": 8, "series_entropy": 8, "smooth_spline": 8,
-    "stream_decontaminate": 8, "text_quality": 8, "token_mixture": 8,
-    "top_ngrams": 8, "tpr_fpr": 8, "transfer_entropy": 8, "winsorize": 8,
+    "curation_pipeline": 8, "curation_pipeline_v2": 8, "decontaminate":
+    8, "dia_profile": 8, "drift_over_time": 8, "dup_char_spans": 8,
+    "dup_spans": 8, "eda_describe": 8, "gopher_gate": 8, "histogram": 8,
+    "ivfpq_search": 8, "kaplan_meier": 8, "kmeans": 8, "kmeans_inertia":
+    8, "knn_entropy": 8, "linear_impute": 8, "mad": 8,
+    "mixture_resample": 8, "multi_roc_auc": 8, "near_dup_cluster_dedup":
+    8, "near_dup_minhash": 8, "near_dup_simhash": 8,
+    "pipeline_poly_impute": 8, "pipeline_qbin": 8, "pipeline_transform":
+    8, "psi": 8, "quality_quantile_filter": 8, "series_entropy": 8,
+    "smooth_spline": 8, "stream_decontaminate": 8, "text_quality": 8,
+    "token_mixture": 8, "tpr_fpr": 8, "transfer_entropy": 8,
+    "winsorize": 8,
+    # last stamped in round 9
+    "ann_ivf_search": 9, "benford": 9, "bigram_lm": 9,
+    "blueprint_dyn_agg": 9, "blueprint_lin_impute": 9, "chi2": 9,
+    "classification_metrics": 9, "cond_entropy": 9, "cond_indep": 9,
+    "count_uniques": 9, "curation_pipeline_v3": 9, "dcg": 9,
+    "dedup_stats": 9, "dist_kth_nb": 9, "dup_cluster_downsample": 9,
+    "elementwise_math": 9, "entropy": 9, "exact_dedup": 9, "f_test": 9,
+    "gcd_lcm": 9, "integrate_detrend": 9, "is_monotonic": 9, "ivf_ann":
+    9, "ivf_recall": 9, "knn_avg_label": 9, "knn_cosine": 9, "knn_freq":
+    9, "language_id": 9, "lsh_recall": 9, "mean_family": 9, "normality":
+    9, "perplexity_gate": 9, "pipeline_blueprint": 9, "pricing_summary":
+    9, "regression_metrics": 9, "semantic_dedup": 9, "softmax_znorm": 9,
+    "string_cleaning": 9, "string_similarity": 9, "target_encode": 9,
+    "token_stats": 9, "top_ngrams": 9, "ts_autocorr": 9, "ts_moments":
+    9, "ts_ordered": 9, "ts_streaks": 9, "ttest": 9, "vocab_nearest": 9,
+    "weighted_stats": 9, "woe_iv": 9,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -134,24 +136,19 @@ _GREEN_ROUND = {
 # prefix — the change was verified by a full independent mirror run:
 # 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
-    # round 9: knn._topk_rows exact boundary-tie contract (knn_join +
-    # ivf_knn_join consumers), ivf_assign natural-dtype centroid ids,
-    # finite default max_cell — value-identical on tie-free data,
-    # re-stamp every consumer
-    "knn_cosine", "knn_avg_label", "knn_freq", "ivf_ann", "ivf_recall",
-    "dist_kth_nb", "lsh_recall", "semantic_dedup",
-    # round 9: woe/info_value default flipped to exact breakpoints
-    "woe_iv",
-    # round 9: top_terms two-phase salted per-group top-k (same result
-    # set, plan changed); lsh_recall bounded planted sample + JVM
-    # small-bucket pair path
-    "top_ngrams",
-    # round 9: bigram LM top-K vocab cap (identity below the cap —
-    # vocab here is 31 — but the scoring plan changed)
-    "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
-    # round 9: Pipeline feature-name contracts + dict JSON format
-    # (round-trip consumers re-stamp)
-    "pipeline_blueprint", "blueprint_dyn_agg",
+    # round 10: near_dup_pairs rework (hash-first shingle distinct +
+    # fused band pin — value-identical by the hash-equivalence already
+    # relied on, but the covering plan changed) → every consumer
+    "near_dup_minhash", "near_dup_cluster_dedup",
+    # round 10: dup_cluster_downsample base bounded to even ids < 2000
+    # (query text + oracle changed together)
+    "dup_cluster_downsample",
+    # round 10: ivf_assign_probe slab chunking + ivf_assign empty-
+    # centroid guard (same values, covering code changed)
+    "ann_ivf_search",
+    # round 10: ann_lsh_join zero-norm scan-side filter (identity on
+    # the planted corpus — no zero vectors — but the plan changed)
+    "lsh_recall",
 })
 
 

@@ -706,7 +706,7 @@ def near_dup_cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dup_cluster_downsample", """
 WITH RECURSIVE base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 2000
 ), u AS (
   SELECT doc_id, text FROM base
   UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz dup marker' AS text
@@ -753,11 +753,14 @@ def dup_cluster_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two distinct-marker perturbations), so k=2 is distinguishable
     from both keep-one and keep-all; the oracle replays the exact-
     Jaccard pair set, a recursive-CTE transitive closure, and the
-    per-cluster rank cut. Even-id docs only — the planted structure is
-    id-independent, and the half corpus keeps this row mid-pack in the
-    catalog instead of heaviest."""
+    per-cluster rank cut. BOUNDED base (even ids < 2000, ≤1000 docs at
+    any SF — the lsh_recall precedent): the planted-cluster contract is
+    id-independent, and full-corpus minhash pair mining already has its
+    own probed rows (near_dup_minhash / near_dup_cluster_dedup) — this
+    query grades the keep-k cut, not pair mining, and was the heaviest
+    catalog row (7.9 s) when it tripled the half corpus."""
     docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 2 == 0)
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2000))
     u = docs.select("doc_id", "text").unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" zz dup marker"))
