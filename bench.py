@@ -135,6 +135,8 @@ def main() -> None:
     probe_spread: dict[str, float] = {}
     probe_abs: dict[str, list] = {}
     probe_small: dict[str, float] = {}
+    probe_pairs: dict[str, list] = {}
+    probe_100x: dict[str, float] = {}
 
     def _probe_time(qs, name, d):
         samples = []
@@ -200,6 +202,53 @@ def main() -> None:
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
 
+        # Candidate-pair evidence for the minhash plan ("no silent
+        # caps", r9 verdict): slots / distinct pairs / max bucket on
+        # the SAME near-dup corpus the probed queries run, at 1x, 10x
+        # const-density, and 10x dense. Linear slots+distinct with a
+        # super-linear wall ratio attributes the ratio to constants
+        # (parallelism floor), not pair explosion; dropped_buckets > 0
+        # says the max_bucket cap started binding.
+        try:
+            from polars_ds_extension_spark.operators.dedup import (
+                lsh_candidate_stats)
+            from polars_ds_extension_spark.queries_llm import (
+                _docs_with_near_dups)
+            for tag, d in (("1x", sf_dir), ("10x", pdir),
+                           ("10xd", pdir_dense)):
+                st = lsh_candidate_stats(
+                    _docs_with_near_dups(spark, d), "doc_id", "text")
+                spark.catalog.clearCache()
+                probe_pairs[tag] = [st["cand_slots"], st["cand_distinct"],
+                                    st["max_bucket_size"],
+                                    st["dropped_buckets"]]
+                print(f"lsh pair stats {tag}: {st}", file=sys.stderr)
+        except Exception as ex:  # pragma: no cover
+            print(f"pair stats skipped: {ex}", file=sys.stderr)
+
+        # 100x spot probe (r9 verdict #5): ONE timed run per query on
+        # 100x documents+embeddings — where polynomial growth would
+        # compound visibly (a true n^p, p>1 plan would land ~ratio^2
+        # above its 10x absolute). Single-shot by design: the absolute
+        # magnitude is the signal, min-of-3 wall time is not worth
+        # 3x the suite cost here.
+        if os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0":
+            try:
+                from scripts.scale_probe import (SPOT_QUERIES,
+                                                 build_spot_data)
+                sdir = build_spot_data(spark)
+                qs = catalog.queries()
+                for name in SPOT_QUERIES:
+                    t0 = time.perf_counter()
+                    qs[name](spark, sdir).count()
+                    probe_100x[name] = round(time.perf_counter() - t0, 1)
+                    release_pins()
+                    spark.catalog.clearCache()
+                    print(f"probe100 {name}: {probe_100x[name]}s",
+                          file=sys.stderr)
+            except Exception as ex:  # pragma: no cover
+                print(f"100x spot probe skipped: {ex}", file=sys.stderr)
+
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).
     print(json.dumps({
@@ -211,6 +260,8 @@ def main() -> None:
         "probe_ratio_10x_dense": probe_ratio_dense,
         "probe_spread": probe_spread,
         "probe_abs": probe_abs,
+        "probe_pairs": probe_pairs,
+        "probe_100x": probe_100x,
         "sf": sf,
     }), file=sys.stderr)
 
@@ -233,6 +284,9 @@ def main() -> None:
             "probe_ratio_10x": probe_ratio,
             "probe_sbl": probe_sbl,
             "probe_ratio_10x_dense": probe_ratio_dense,
+            # [cand_slots, cand_distinct, max_bucket, dropped] per corpus
+            "probe_pairs": probe_pairs,
+            "probe_100x": probe_100x,
             "sf": sf,
             "n_queries": len(per_query),
         }, separators=(",", ":"))

@@ -159,6 +159,7 @@ def knn_join(
     route: str = "brute",
     route_threshold: int = MAX_BROADCAST_INDEX_ROWS,
     index_count: int | None = None,
+    route_centroids: "str | DataFrame" = "kmeans",
 ) -> DataFrame:
     """Exact top-k neighbors of each query among ``index`` rows.
 
@@ -214,10 +215,13 @@ def knn_join(
                 raise ValueError(
                     "route='auto' supports metric='cosine' only; for "
                     "distance metrics pre-bucket with ivf_assign")
+            # route_centroids: "kmeans" (default — balanced cells on any
+            # id space) or "first"/prebuilt for deterministic
+            # SQL-replayable routing (the knn_auto_route oracle)
             return ivf_search(
                 queries, q_id, q_vec, index, i_id, i_vec, k=k,
                 n_centroids=max(16, math.ceil(math.sqrt(n_index))),
-                nprobe=2, centroids="kmeans")
+                nprobe=2, centroids=route_centroids)
     elif route != "brute":
         raise ValueError(f"unknown route {route!r}")
     ids, mat = _collect_index(index, i_id, i_vec)

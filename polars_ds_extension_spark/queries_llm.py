@@ -475,6 +475,55 @@ def ann_ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("knn_auto_route", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
+qasg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT q.vec_id, q.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)::INT AS rank
+  FROM qasg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+) WHERE rank <= 2
+""")
+def knn_auto_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute→IVF HANDOFF itself (operators/knn.knn_join
+    route='auto'): every fifth vector queries the whole embeddings
+    table with a route_threshold the index always exceeds, so the call
+    DELEGATES to ivf_search (sqrt(N) centroids, nprobe=2) instead of
+    broadcasting — the exact path a 100 TB index takes past the 5M-row
+    broadcast cap, now bench-visible in the scale probe.
+    route_centroids='first' keeps the routed machinery SQL-replayable
+    end to end (cell assignment, multi-probe, tie-breaks — the
+    ann_ivf_search contract); production auto-routing defaults to
+    balanced kmeans centroids instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_join(emb.where(F.col("vec_id") % 5 == 0), "vec_id",
+                     "embedding", emb, "vec_id", "embedding",
+                     k=2, route="auto", route_threshold=15,
+                     route_centroids="first")
+    return out.select("vec_id", "neighbor_id",
+                      _r(F.col("cosine")).alias("cosine"), "rank")
+
+
 @query("lsh_recall", """
 SELECT (2 * LEAST(500, COUNT(*)))::BIGINT AS n_queries,
        (2 * LEAST(500, COUNT(*)))::BIGINT AS n_perfect,

@@ -57,6 +57,18 @@ _PROBE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 # build from the old suffix transform can never be silently reused)
 PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0v2")
 PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
+# 100x spot set (documents+embeddings only — the tables the
+# scale-critical dedup/ANN/ngram family reads): one datapoint per round
+# at a scale where 10x-ratio compounding would be visible. Uses a
+# seeded PERMUTATION cipher per copy (not rotation: rotation keys
+# collide mod 26, so copies 0/26/52/78 of a 100x build would carry
+# IDENTICAL text and fuse dup clusters across copies — the exact
+# artifact class the v2 cipher fixed at 10x).
+PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v1-perm")
+SPOT_FACTOR = 100
+SPOT_TABLES = ("documents", "embeddings")
+SPOT_QUERIES = ["near_dup_minhash", "near_dup_cluster_dedup",
+                "ann_ivf_search", "top_ngrams"]
 FACTOR = 10
 
 # (table, columns shifted by k * (max+1) per copy k) — FK pairs shift by
@@ -106,6 +118,9 @@ DEFAULT_QUERIES = [
     # delegate), the rebuilt SRP-LSH bucket plan, and the keep-k soft
     # dedup (pairs + CC + component window)
     "ann_ivf_search", "lsh_recall", "dup_cluster_downsample",
+    # round 10: the brute→IVF handoff itself (knn_join route='auto'
+    # actually routing) — the 100 TB path past the broadcast cap
+    "knn_auto_route",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
@@ -115,7 +130,41 @@ DEFAULT_QUERIES = [
 DENSE_QUERIES = [
     "near_dup_minhash", "near_dup_cluster_dedup", "semantic_dedup",
     "top_ngrams",
+    # round 10: the keep-k soft dedup under fused clusters — its base
+    # is bounded (even ids < 2000) so this grades the bound holding
+    # under the hot-cluster stress, not pair mining at large
+    "dup_cluster_downsample",
 ]
+
+
+def _cipher_maps(k: int) -> "tuple[str, str]":
+    """Length-preserving per-copy text cipher: each character class
+    (a-z, A-Z, 0-9) maps bijectively within itself, so tokenization,
+    char-window counts, n_chars, and every WITHIN-copy Jaccard are
+    exactly the base corpus's while distinct copies share (essentially)
+    no shingle vocabulary. k < 26: rotation by k — byte-identical to
+    the established v2 10x build. k >= 26: a seeded random permutation
+    per class (rotation keys collide mod 26; permutations drawn from
+    disjoint seeds collide with probability ~1/26!)."""
+    import random
+    import string as _s
+
+    src = _s.ascii_lowercase + _s.ascii_uppercase + _s.digits
+    if k < 26:
+        # NB: digits deliberately use the raw [k:]+[:k] slices (identity
+        # for k >= 10) — byte-compatible with the cached v2 build
+        dst = (_s.ascii_lowercase[k:] + _s.ascii_lowercase[:k]
+               + _s.ascii_uppercase[k:] + _s.ascii_uppercase[:k]
+               + _s.digits[k:] + _s.digits[:k])
+    else:
+        rng = random.Random(0xC1FE00 + k)
+        parts = []
+        for cls in (_s.ascii_lowercase, _s.ascii_uppercase, _s.digits):
+            chars = list(cls)
+            rng.shuffle(chars)
+            parts.append("".join(chars))
+        dst = "".join(parts)
+    return src, dst
 
 
 def build_probe_data(spark, rebuild: bool = False,
@@ -151,18 +200,10 @@ def build_probe_data(spark, rebuild: bool = False,
                     c, (F.col(c) + k * strides[key]).cast(
                         dict(df.dtypes)[c]))
             if t == "documents" and not dense and k > 0:
-                # constant-density text: per-copy rotation cipher over
-                # a-z / A-Z / 0-9 — length-preserving, so tokenization,
-                # char windows, and every within-copy Jaccard are
-                # EXACTLY the base corpus's while copies share no
-                # vocabulary (see module docstring for why the old
+                # constant-density text: per-copy cipher (see
+                # _cipher_maps and the module docstring for why the old
                 # token-suffix transform was wrong)
-                import string as _s
-
-                src = _s.ascii_lowercase + _s.ascii_uppercase + _s.digits
-                dst = (_s.ascii_lowercase[k:] + _s.ascii_lowercase[:k]
-                       + _s.ascii_uppercase[k:] + _s.ascii_uppercase[:k]
-                       + _s.digits[k:] + _s.digits[:k])
+                src, dst = _cipher_maps(k)
                 cp = cp.withColumn("text", F.translate("text", src, dst))
             parts.append(cp)
         out = parts[0]
@@ -174,6 +215,44 @@ def build_probe_data(spark, rebuild: bool = False,
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
         df.write.mode("overwrite").parquet(f"{probe_dir}/{t}.parquet")
     return probe_dir
+
+
+def build_spot_data(spark, rebuild: bool = False) -> str:
+    """100x documents+embeddings for the per-round spot probe: a 10x
+    const-density ratio near 3 compounds to ~9x at 100x if truly
+    polynomial — one 100x absolute per round distinguishes super-linear
+    constants from asymptotes. Only the two tables the spot queries
+    read (~75 MB total); lazily built, reused after."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(PROBE_DIR_SPOT):
+        if not rebuild:
+            return PROBE_DIR_SPOT
+        shutil.rmtree(PROBE_DIR_SPOT)
+    os.makedirs(PROBE_DIR_SPOT, exist_ok=True)
+    for t in SPOT_TABLES:
+        cols = _SHIFTS[t]
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        own = [c for c in cols if c not in _FK]
+        row = df.agg(*[F.max(F.col(c)).alias(c) for c in own]).first()
+        strides = {c: int(row[c]) + 1 for c in own}
+        parts = []
+        for k in range(SPOT_FACTOR):
+            cp = df
+            for c in cols:
+                cp = cp.withColumn(
+                    c, (F.col(c) + k * strides[_FK.get(c, c)]).cast(
+                        dict(df.dtypes)[c]))
+            if t == "documents" and k > 0:
+                src, dst = _cipher_maps(k)
+                cp = cp.withColumn("text", F.translate("text", src, dst))
+            parts.append(cp)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(64).write.mode("overwrite").parquet(
+            f"{PROBE_DIR_SPOT}/{t}.parquet")
+    return PROBE_DIR_SPOT
 
 
 def run_probe(spark, names=None, runs: int = 2,
