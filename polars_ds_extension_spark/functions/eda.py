@@ -23,15 +23,19 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         if f.dataType.simpleString() in
         ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
     ]
-    # ONE wide aggregation carries everything: plain moments, the
-    # count_distincts (their Expand duplicates the agg input rows-per-
-    # distinct-col, but paying that inside one spread 32-way agg beat a
-    # separate distinct job by ~1.5x at 600k — r8 measurement; the r5
-    # split predates the spread + fused-quantile plan), AND the quantile
-    # boundary sketch. Medians then go through the fused distributed-
-    # selection plan (plans/ranks.exact_quantiles: ONE more scan with
-    # observe()-riding counts) — never F.median, whose physical agg
-    # merges every value in ONE reducer (a single-node sort at scale).
+    # TWO aggregations, split on purpose: (moments + quantile boundary
+    # sketch) in one scan, the exact count_distincts in another. A
+    # fused single agg pays Expand — Spark rewrites multi-column
+    # DISTINCT aggs by duplicating every input row once per distinct
+    # column (+1 for the plain aggs), so the moment/sketch buffers also
+    # chew 4× the rows. r10 measurement on 3 lineitem columns: fused
+    # 4.0 s vs split 1.7 s at 6M rows (and a tie at 600k — the r8
+    # fused-wins measurement didn't survive the 10× probe). Two pruned
+    # parquet scans beat one 4×-expanded scan at any scale. Medians
+    # then go through the fused distributed-selection plan
+    # (plans/ranks.exact_quantiles: ONE more scan with observe()-riding
+    # counts) — never F.median, whose physical agg merges every value
+    # in ONE reducer (a single-node sort at scale).
     from .._utils import spread
     from ..plans.ranks import (
         exact_quantiles, quantile_sketch_aggs, quantile_sketch_parse,
@@ -48,10 +52,12 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             F.stddev_samp(cc).alias(f"{c}__std"),
             F.min(cc).alias(f"{c}__min"),
             F.max(cc).alias(f"{c}__max"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
         ]
     aggs += quantile_sketch_aggs(cols)  # rides the same scan
     row = df.agg(*aggs).first().asDict()
+    row.update(df.agg(*[
+        F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
+    ]).first().asDict())
     meds = exact_quantiles(df, {c: [0.5] for c in cols},
                            presketch=quantile_sketch_parse(row, cols))
     for c in cols:

@@ -149,6 +149,9 @@ _STALE = frozenset({
     # round 10: ann_lsh_join zero-norm scan-side filter (identity on
     # the planted corpus — no zero vectors — but the plan changed)
     "lsh_recall",
+    # round 10: eda.describe split-agg rework (same values, the Expand
+    # plan became two scans)
+    "eda_describe",
 })
 
 
