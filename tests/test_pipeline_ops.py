@@ -127,3 +127,61 @@ def test_cluster_downsample(spark):
     assert got9 == list(range(1, 10))
     with pytest.raises(ValueError):
         D.cluster_downsample(df, "id", pairs, 0)
+
+
+def test_cluster_downsample_matches_union_find_property(spark):
+    """Hypothesis sweep (r9 verdict #9): cluster_downsample must equal
+    a driver-side union-find reference — components, then keep the k
+    SMALLEST ids per component, pass-through for unpaired rows — on
+    random CHAINED graphs (a guaranteed path through a shuffled node
+    subset forces multi-round label propagation, plus random extra
+    edges for merged components) across the k>2 boundary. One Spark
+    session, bounded examples: the CC fixpoint runs per example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from polars_ds_extension_spark.operators import dedup as D
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def run(data):
+        rng_ids = data.draw(st.permutations(list(range(1, 25))))
+        n_nodes = data.draw(st.integers(min_value=4, max_value=16))
+        nodes = rng_ids[:n_nodes]
+        chain_len = data.draw(st.integers(min_value=3,
+                                          max_value=n_nodes))
+        edges = {tuple(sorted((nodes[i], nodes[i + 1])))
+                 for i in range(chain_len - 1)}
+        extra = data.draw(st.lists(
+            st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)),
+            max_size=8))
+        edges |= {tuple(sorted(e)) for e in extra if e[0] != e[1]}
+        keep = data.draw(st.integers(min_value=1, max_value=4))
+
+        # union-find reference
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps = {}
+        for v in nodes:
+            comps.setdefault(find(v), []).append(v)
+        expect = set()
+        for members in comps.values():
+            expect |= set(sorted(members)[:keep])
+
+        df = spark.createDataFrame([(v,) for v in nodes], "id bigint")
+        pairs = spark.createDataFrame(
+            sorted(edges), "id_a bigint, id_b bigint")
+        got = {r["id"] for r in
+               D.cluster_downsample(df, "id", pairs, keep).collect()}
+        assert got == expect, (sorted(edges), keep, got, expect)
+
+    run()

@@ -198,3 +198,58 @@ def test_topk_rows_matches_full_lexsort(rows, cols, k, seed):
     ref_nid = np.take_along_axis(ids_b, order, axis=1)
     assert np.array_equal(psc, ref_psc)
     assert np.array_equal(nid, ref_nid)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=2, max_value=40),   # index rows
+       st.integers(min_value=1, max_value=10),   # queries
+       st.integers(min_value=1, max_value=6),    # k
+       st.integers(min_value=1, max_value=5),    # cells
+       st.integers(min_value=1, max_value=5),    # nprobe
+       st.integers(min_value=0, max_value=10_000))
+def test_ivf_percell_topk_then_merge_equals_global(n, q, k, cells,
+                                                   nprobe, seed):
+    """ivf_search's two-stage selection (per-cell top-k inside the
+    cogroup, then a per-query (score DESC, id ASC) window merge across
+    the probed cells) must equal ONE global top-k over the union of the
+    probed cells' members — cell-local truncation may never drop a
+    global winner, INCLUDING at exact score ties (scores drawn from a
+    tiny integer set so k-th-boundary ties are the common case, the
+    regime where r9's _topk_rows boundary fix lives). Pure-numpy model
+    of knn.ivf_search's selection semantics (per-cell _topk_rows with
+    the same (score, id) contract, then a lexsort merge)."""
+    from polars_ds_extension_spark.operators.knn import _topk_rows
+
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)
+    cell_of = rng.integers(0, cells, size=n)
+    # scores per (query, index row) from a tiny set -> dense exact ties
+    score = rng.integers(0, 3, size=(q, n)).astype(np.float64)
+    probed = [rng.choice(cells, size=min(nprobe, cells), replace=False)
+              for _ in range(q)]
+
+    merged_sc = np.full((q, k), np.inf)
+    merged_id = np.full((q, k), -1, dtype=np.int64)
+    for qi in range(q):
+        # stage 1: per-cell top-k (what each cogroup cell emits)
+        cand_sc, cand_id = [], []
+        for c in probed[qi]:
+            m = cell_of == c
+            if not m.any():
+                continue
+            kk = min(k, int(m.sum()))
+            psc, nid = _topk_rows(score[qi:qi + 1, m], ids[m], kk)
+            cand_sc += list(psc[0])
+            cand_id += list(nid[0])
+        if not cand_sc:
+            continue
+        # stage 2: the window merge — (score ASC here, id ASC), take k
+        order = np.lexsort((cand_id, cand_sc))[:k]
+        got_sc = np.array(cand_sc)[order]
+        got_id = np.array(cand_id)[order]
+        # reference: ONE global selection over the probed-cell union
+        m_all = np.isin(cell_of, probed[qi])
+        kk = min(k, int(m_all.sum()))
+        ref_sc, ref_id = _topk_rows(score[qi:qi + 1, m_all], ids[m_all], kk)
+        assert np.array_equal(got_sc, ref_sc[0])
+        assert np.array_equal(got_id, ref_id[0])
