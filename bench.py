@@ -267,13 +267,24 @@ def main() -> None:
 
     # The driver parses only the LAST ~2000 chars of stdout, so stdout is
     # exactly ONE JSON line that must fit that window in full. The probe
-    # evidence (ratio + spread + absolute small/large times) ships IN the
-    # parsed line — per-query catalog timings are the trim victim (they
-    # are the least informative: the full set is on stderr, and the
-    # driver's own CORRECTNESS record re-times the prefix anyway).
-    # [spread, t_small, t_large] per probed query — compact enough to
-    # survive the budget next to probe_ratio_10x
-    probe_sbl = {n: [probe_spread.get(n), *probe_abs[n]] for n in probe_abs}
+    # evidence ships IN the parsed line as ONE combined dict —
+    # {query: [ratio, spread, t_small, t_large]}, with @dense keys
+    # carrying the dense-variant ratio — r10 fit fix: the r9 layout
+    # (separate probe_ratio_10x + probe_sbl + dense dicts) repeated
+    # every query name twice and blew the budget to 2164 chars once
+    # probe_pairs/probe_100x joined the line. Per-query catalog timings
+    # remain the trim victim (full set on stderr; the driver's own
+    # CORRECTNESS record re-times the prefix anyway).
+    def _t(v: float) -> float:
+        return round(v, 2) if v < 10 else round(v, 1)
+
+    probe = {}
+    for n in probe_abs:
+        base = n.split("@")[0]
+        r = (probe_ratio_dense.get(base) if n.endswith("@dense")
+             else probe_ratio.get(base))
+        probe[n] = [r, probe_spread.get(n),
+                    _t(probe_abs[n][0]), _t(probe_abs[n][1])]
 
     def _line(q: dict) -> str:
         return json.dumps({
@@ -281,9 +292,8 @@ def main() -> None:
             "value": round(total, 4),
             "unit": "sec",
             "queries": q,
-            "probe_ratio_10x": probe_ratio,
-            "probe_sbl": probe_sbl,
-            "probe_ratio_10x_dense": probe_ratio_dense,
+            # {query: [ratio_10x, spread, t_small, t_large]}
+            "probe": probe,
             # [cand_slots, cand_distinct, max_bucket, dropped] per corpus
             "probe_pairs": probe_pairs,
             "probe_100x": probe_100x,

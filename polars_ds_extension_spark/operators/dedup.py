@@ -310,12 +310,16 @@ def _minhash_base(df: DataFrame, id_col: str, text_col: str,
 def _lsh_buckets(base: DataFrame, max_bucket: int) -> DataFrame:
     """(band, band_hash) buckets of 2..max_bucket members from the
     pinned minhash base — ONE shuffle on the bucket key; the size guard
-    applies in the same aggregation (no separate count + semi-join)."""
+    applies in the same aggregation (no separate count + semi-join).
+    collect_list, not collect_set: a doc emits exactly ONE row per band
+    (posexplode of its per-doc band array), so members are unique by
+    construction and the per-element set-dedup hashing is pure waste;
+    array_sort then pins the deterministic i<j pair order either way."""
     exploded = base.select(
         "__id", F.posexplode("__bands").alias("band", "bh"))
     return (
         exploded.groupBy("band", "bh")
-        .agg(F.collect_set("__id").alias("ids"))
+        .agg(F.collect_list("__id").alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.array_sort("ids").alias("ids"))
     )

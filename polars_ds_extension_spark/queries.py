@@ -152,6 +152,13 @@ _STALE = frozenset({
     # round 10: eda.describe split-agg rework (same values, the Expand
     # plan became two scans)
     "eda_describe",
+    # NB (r10): knn_join also changed, but ONLY inside the route='auto'
+    # branch (count memoization + route_centroids pass-through) — the
+    # brute path every stamped knn consumer takes is line-identical.
+    # The changed branch is covered by the NEW knn_auto_route oracle
+    # (which actually routes) + pytest, so the brute-path stamps
+    # (knn_cosine/knn_avg_label/knn_freq/dist_kth_nb, r9) stay green
+    # and the driver prefix budget keeps rotating the r5/r6 block.
 })
 
 
