@@ -258,12 +258,22 @@ def ivfpq_knn_join(queries, q_id: str, q_vec: str,
 
     def _route(it):
         ids_c, Cm = bc_route.value
+        # byte-bounded query chunk (the ivf_assign_probe r10 fix): the
+        # (chunk × C × dim) broadcast temporary stays ~256 MB however
+        # many coarse centroids the index uses — C ~ √N at scale
+        slab = max(1, (1 << 28) // max(1, Cm.shape[0] * Cm.shape[1] * 8))
         for pdf in it:
             Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
-            d2 = ((Q[:, None, :] - Cm[None, :, :]) ** 2).sum(2)
-            # deterministic nprobe pick: order by (distance, centroid id)
-            order = np.lexsort((np.broadcast_to(ids_c, d2.shape), d2),
-                               axis=1)[:, :npb]
+            orders = []
+            for s0 in range(0, len(Q), slab):
+                sl = slice(s0, s0 + slab)
+                d2 = ((Q[sl, None, :] - Cm[None, :, :]) ** 2).sum(2)
+                # deterministic nprobe pick: order by (distance, cid)
+                orders.append(np.lexsort(
+                    (np.broadcast_to(ids_c, d2.shape), d2),
+                    axis=1)[:, :npb])
+            order = (np.concatenate(orders) if len(orders) > 1
+                     else orders[0])
             vecs = [list(v) for v in pdf[q_vec]]
             yield pd.DataFrame({
                 q_id: np.repeat(pdf[q_id].to_numpy(), npb),

@@ -755,7 +755,14 @@ def ivf_centroids(
     if method == "sample":
         C = X[rng.choice(X.shape[0], n_centroids, replace=False)]
     elif method == "kmeans":
-        # farthest-point init, then Lloyd on the sample
+        from .cluster import _assign_np
+
+        # farthest-point init, then Lloyd on the sample. Assignment via
+        # the slab-chunked _assign_np: the naive (pool × C × dim)
+        # broadcast temporary is ~64·C²·d doubles — at the auto-route
+        # scale (C = √N ≈ 2237 for a 5M-row index) that is ~300 GB on
+        # the DRIVER, the same unbounded-slab class the r9 advice
+        # flagged in ivf_assign_probe
         C = [X[rng.randint(X.shape[0])]]
         d2 = ((X - C[0]) ** 2).sum(1)
         for _ in range(n_centroids - 1):
@@ -763,8 +770,7 @@ def ivf_centroids(
             d2 = np.minimum(d2, ((X - C[-1]) ** 2).sum(1))
         C = np.array(C)
         for _ in range(kmeans_iters):
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
-            lab = d.argmin(1)
+            lab, _ = _assign_np(X, C)
             for j in range(n_centroids):
                 m = lab == j
                 if m.any():

@@ -152,6 +152,9 @@ _STALE = frozenset({
     # round 10: eda.describe split-agg rework (same values, the Expand
     # plan became two scans)
     "eda_describe",
+    # round 10: ivfpq coarse-route slab chunking (same values/order,
+    # covering code changed)
+    "ivfpq_search",
     # NB (r10): knn_join also changed, but ONLY inside the route='auto'
     # branch (count memoization + route_centroids pass-through) — the
     # brute path every stamped knn consumer takes is line-identical.
