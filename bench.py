@@ -223,6 +223,19 @@ def main() -> None:
                                     st["max_bucket_size"],
                                     st["dropped_buckets"]]
                 print(f"lsh pair stats {tag}: {st}", file=sys.stderr)
+            # SRP twin (stderr record only — the parsed line's budget
+            # is spent; dropped_buckets growing round-over-round here
+            # means ann_lsh_join's cap started binding)
+            from polars_ds_extension_spark.operators.knn import (
+                srp_bucket_stats)
+            from polars_ds_extension_spark.sources import load_table as _lt
+            for tag, d in (("1x", sf_dir), ("10x", pdir)):
+                emb = _lt(spark, d, "embeddings")
+                sst = srp_bucket_stats(
+                    emb.selectExpr("vec_id",
+                                   "cast(embedding as array<double>) v"),
+                    "vec_id", "v")
+                print(f"srp bucket stats {tag}: {sst}", file=sys.stderr)
         except Exception as ex:  # pragma: no cover
             print(f"pair stats skipped: {ex}", file=sys.stderr)
 

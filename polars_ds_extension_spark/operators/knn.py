@@ -508,6 +508,58 @@ def srp_signatures_batch(X, n_tables: int, n_planes: int):
     return sig.view(np.int64)
 
 
+def srp_bucket_stats(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_tables: int = 4, n_planes: int = 12,
+    max_bucket: int = 1000,
+) -> dict:
+    """Measured bucket-volume evidence for the SRP-LSH plan — the
+    "no silent caps" twin of dedup.lsh_candidate_stats: ann_lsh_join
+    DROPS buckets larger than ``max_bucket`` before the pair stage
+    (their members fall back to their other n_tables−1 signatures), and
+    a dropped count that grows with the data says the cap started
+    binding (recall quietly degrading) while pair_slots growing faster
+    than rows says the bucket geometry stopped fitting the corpus.
+    Replays ann_lsh_join's exact signature + bucket pipeline (zero-norm
+    rows dropped scan-side, same seeded GEMM signatures); returns
+    {n_rows, n_buckets, max_bucket_size, dropped_buckets, pair_slots}
+    via one tiny aggregation action."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        X = np.array([list(v) for v in vs], dtype=np.float64)
+        if X.ndim != 2 or not len(X):
+            return pd.Series([[0] * n_tables] * len(vs))
+        return pd.Series(list(srp_signatures_batch(X, n_tables, n_planes)))
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    ).where(F.col("__nrm") > 0)
+    n_rows = base.count()
+    sizes = (base.select(F.posexplode(_sigs(F.col("__vec")))
+                         .alias("t", "sig"))
+             .groupBy("t", "sig").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= 2))
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0))
+        .alias("dropped_buckets"),
+        F.sum(F.when(F.col("n") <= max_bucket,
+                     F.col("n") * (F.col("n") - 1) / 2).otherwise(0))
+        .alias("pair_slots"),
+    ).collect()[0]
+    return {
+        "n_rows": int(n_rows),
+        "n_buckets": int(agg["n_buckets"] or 0),
+        "max_bucket_size": int(agg["max_bucket_size"] or 0),
+        "dropped_buckets": int(agg["dropped_buckets"] or 0),
+        "pair_slots": int(agg["pair_slots"] or 0),
+    }
+
+
 def ann_lsh_join(
     df: DataFrame, id_col: str, vec_col: str,
     k: int = 5,

@@ -759,3 +759,34 @@ def test_contamination_report_fractions(spark):
     assert out[1]["n_grams"] == 5 and out[1]["n_contaminated_grams"] == 2
     assert out[1]["overlap_frac"] == 0.4
     assert out[2]["n_contaminated_grams"] == 0 and out[2]["overlap_frac"] == 0.0
+
+
+def test_srp_bucket_stats(spark):
+    """srp_bucket_stats replays ann_lsh_join's bucket pipeline: planted
+    identical copies must surface as non-singleton buckets (pair slots
+    >= one slot per planted pair per colliding table), zero-norm rows
+    are excluded from n_rows, and a tiny max_bucket reports drops
+    instead of silently capping."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import knn as K
+    from polars_ds_extension_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("v")).limit(40)
+    dup = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "v")
+    zero = spark.range(1).select(
+        (F.col("id") + 20_000).alias("vec_id"),
+        F.array(*[F.lit(0.0)] * 64).alias("v"))
+    u = emb.unionByName(dup).unionByName(zero)
+    st = K.srp_bucket_stats(u, "vec_id", "v", n_tables=4, n_planes=10)
+    assert st["n_rows"] == 80  # zero-norm row excluded
+    # every identical pair collides in EVERY table (same signature)
+    assert st["pair_slots"] >= 40 * 4
+    assert st["max_bucket_size"] >= 2
+    assert st["dropped_buckets"] == 0
+    st2 = K.srp_bucket_stats(u, "vec_id", "v", n_tables=4, n_planes=10,
+                             max_bucket=1)
+    assert st2["dropped_buckets"] == st2["n_buckets"]
+    assert st2["pair_slots"] == 0
