@@ -705,6 +705,88 @@ def canonical_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def near_dup_canonical_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """End-to-end near-dup corpus dedup with the PRODUCTION pipeline
+    ordering: exact dedup FIRST, minhash near-dup mining over distinct
+    texts only, then connected components over (representative
+    near-dup pairs) ∪ (member → representative) edges.
+
+    Same result as near_dup_pairs → canonical_dedup over the raw
+    corpus — provably: identical texts have Jaccard 1 ≥ threshold, so
+    member→rep edges are true pairs; and any cross-group true pair
+    (a, b) implies J(rep_a, rep_b) = J(a, b) ≥ threshold (identical
+    text ⇒ identical shingle set), so the rep edge reconnects what the
+    collapse removed. Components — and therefore the smallest-id
+    survivors — are identical.
+
+    Why it matters at scale: a text duplicated m times contributes
+    m·(m−1)/2 candidate pairs to the raw plan (the exact-duplicate
+    quadratic term a real crawl corpus is FULL of — r10 dense stress:
+    30.6M candidate slots, 25.6 s) but only (m−1) exact-hash edges +
+    ONE representative row to this plan (measured 25.6 → ~10 s dense).
+
+    The collapse is ADAPTIVE: one cheap 8-byte-hash aggregation
+    measures the exact-dup rate first, and a corpus that is mostly
+    distinct (rate ≤ 10%) skips straight to the raw plan — the collapse
+    pays a full (hash, id, text) shuffle to build representatives, and
+    on an all-distinct corpus that shuffle bought nothing (measured:
+    const-density probe 10 → 15.6 s with the collapse forced, vs
+    unchanged with the gate; dense 25.6 → ~10 s either way). The same
+    decide-from-measured-stats shape AQE uses, driven by one scalar."""
+    # approx, not exact: BOTH branches compute the same answer, so the
+    # gate only needs a rate estimate — approx_count_distinct's
+    # mergeable HLL sketch skips the Expand an exact distinct pays,
+    # and a 5% rsd cannot flip a decision that only matters when the
+    # true rate is far from the 10% line
+    n, n_distinct = df.agg(
+        F.count(F.lit(1)),
+        F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
+    if n == 0 or (n - n_distinct) / n <= 0.10:
+        pairs = near_dup_pairs(
+            df, id_col, text_col, threshold=threshold,
+            shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
+            max_bucket=max_bucket)
+        return canonical_dedup(df, id_col, pairs)
+    # heavy exact duplication: collapse to representatives. The rep
+    # corpus comes from ONE (hash, id, text) shuffle with a struct-min
+    # by id per hash group (no corpus-vs-reps semi-join pass); the
+    # member→rep edges come from a SKINNY hash join — (id, hash) only,
+    # 16 bytes/row, never a per-group member array that a
+    # billion-times-duplicated text would blow up.
+    from .._utils import pin
+
+    keyed = df.select(F.col(id_col).alias("__m"),
+                      F.col(text_col).alias("__t"),
+                      F.xxhash64(F.col(text_col)).alias("__h"))
+    rep = pin(keyed.groupBy("__h").agg(
+        F.min(F.struct("__m", "__t")).alias("__r")))
+    reps_df = rep.select(F.col("__r.__m").alias(id_col),
+                         F.col("__r.__t").alias(text_col))
+    exact_edges = (keyed.select("__m", "__h")
+                   .join(rep.select("__h", F.col("__r.__m").alias("id_a")),
+                         "__h")
+                   .where(F.col("id_a") != F.col("__m"))
+                   .select("id_a", F.col("__m").alias("id_b")))
+    near_edges = near_dup_pairs(
+        reps_df, id_col, text_col, threshold=threshold,
+        shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
+        max_bucket=max_bucket).select("id_a", "id_b")
+    # both edge sets are unique undirected pairs, and they are disjoint
+    # (near edges connect distinct texts, exact edges identical ones),
+    # so assume_unique still holds for the union
+    return canonical_dedup(df, id_col,
+                           near_edges.unionByName(exact_edges))
+
+
 def cluster_downsample(
     df: DataFrame,
     id_col: str,

@@ -185,3 +185,29 @@ def test_cluster_downsample_matches_union_find_property(spark):
         assert got == expect, (sorted(edges), keep, got, expect)
 
     run()
+
+
+def test_near_dup_canonical_dedup_both_branches(spark):
+    """The adaptive exact-dup collapse must be invisible in results:
+    a mostly-distinct corpus (raw branch) and a heavily-duplicated one
+    (collapse branch) both match the raw near_dup_pairs→canonical_dedup
+    composition exactly."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import dedup as D
+    from polars_ds_extension_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(60)
+    near = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                       F.concat("text", F.lit(" zz tail")).alias("text"))
+    distinct_u = docs.unionByName(near)          # 0% exact dups -> raw
+    dup_u = distinct_u.unionByName(               # ~33% exact dups
+        docs.select((F.col("doc_id") + 2000).alias("doc_id"), "text"))
+    for u in (distinct_u, dup_u):
+        ref = set(r[0] for r in D.canonical_dedup(
+            u, "doc_id", D.near_dup_pairs(u, "doc_id", "text", 0.6))
+            .select("doc_id").collect())
+        got = set(r[0] for r in D.near_dup_canonical_dedup(
+            u, "doc_id", "text", 0.6).select("doc_id").collect())
+        assert got == ref
