@@ -787,6 +787,28 @@ def near_dup_canonical_dedup(
                            near_edges.unionByName(exact_edges))
 
 
+def dup_cluster_sizes(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster size HISTOGRAM from a near-dup pair set:
+    (cluster_size, n_clusters), size ≥ 2 — the curation report that
+    decides dedup policy (keep-one vs keep-k vs drop-cluster) before
+    any rows are deleted: a corpus whose mass sits in a few giant
+    clusters wants different handling than one with many pairs.
+
+    Plan: connected components over the PAIR set only (the corpus is
+    never touched), one groupBy(component) count, one groupBy(size)
+    count — every shuffle is on the |pairs|-bounded label frame.
+    Output sorted by cluster_size for deterministic display."""
+    cc = connected_components(pairs, id_a, id_b, assume_unique=True)
+    return (cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
 def cluster_downsample(
     df: DataFrame,
     id_col: str,

@@ -829,6 +829,71 @@ def dup_cluster_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@query("dup_cluster_sizes", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+), u AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz dup marker' AS text
+  FROM base WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' qq dup marker two' AS text
+  FROM base WHERE doc_id % 4 = 0
+), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM u
+), sh AS (
+  SELECT doc_id, unnest(s) AS g FROM shl
+), ln AS (
+  SELECT doc_id, len(s) AS n FROM shl
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN ln la ON la.doc_id = id_a JOIN ln lb ON lb.doc_id = id_b
+  WHERE c::DOUBLE / (la.n + lb.n - c) >= 0.6
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), comp AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+), sz AS (
+  SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp
+)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sz GROUP BY cluster_size ORDER BY cluster_size
+""")
+def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/dedup.
+    dup_cluster_sizes) — the pre-dedup curation report: CC over the
+    near-dup pair graph, per-component counts, then a size histogram,
+    with the corpus never touched past pair mining. The bounded base
+    plants a MIXED size distribution (ids ≡ 0 mod 4 → 3-member
+    clusters, other even ids → 2-member), so the histogram has two
+    distinguishable rows and the oracle replays pair mining, the
+    recursive-CTE closure, and both groupBys."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000)
+    u = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz dup marker"))
+                .alias("text"))
+    ).unionByName(
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq dup marker two"))
+                .alias("text")))
+    pairs = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
+    return D.dup_cluster_sizes(pairs)
+
+
 @query("decontaminate", r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
