@@ -156,6 +156,20 @@ def main() -> None:
             try:
                 if name not in probe_small:
                     probe_small[name] = _probe_time(qs, name, sf_dir)[0]
+                    # contamination tripwire: a fresh-session min-of-3
+                    # far above the long-session catalog median means
+                    # something else is eating the machine (r10: a
+                    # transient co-tenant inflated the first 4 probe
+                    # rows ~3x in one run — the rerun was clean). The
+                    # warning makes a poisoned artifact self-describing
+                    # instead of silently authoritative.
+                    cat_t = per_query.get(name)
+                    if cat_t and cat_t == cat_t \
+                            and probe_small[name] > 2.5 * cat_t:
+                        print(f"PROBE CONTAMINATION WARNING {name}: "
+                              f"fresh small-side {probe_small[name]:.2f}s"
+                              f" vs catalog median {cat_t:.2f}s",
+                              file=sys.stderr)
                 base_t = probe_small[name]
                 t_large, t_max = _probe_time(qs, name, pdir)
             except Exception as ex:  # pragma: no cover
