@@ -211,3 +211,23 @@ def test_near_dup_canonical_dedup_both_branches(spark):
         got = set(r[0] for r in D.near_dup_canonical_dedup(
             u, "doc_id", "text", 0.6).select("doc_id").collect())
         assert got == ref
+
+
+def test_near_dup_canonical_dedup_degenerate_corpora(spark):
+    """Boundary cases of the adaptive collapse: an ALL-IDENTICAL corpus
+    (dup rate (n-1)/n — one representative, n-1 hash edges, exactly one
+    survivor) and a single-doc corpus (no pairs, passes through)."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import dedup as D
+
+    same = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same document text repeated many times over "
+              "and over again in every row").alias("text"))
+    out = D.near_dup_canonical_dedup(same, "doc_id", "text", 0.6)
+    assert [r["doc_id"] for r in out.collect()] == [0]
+
+    one = same.limit(1)
+    assert D.near_dup_canonical_dedup(one, "doc_id", "text", 0.6) \
+        .count() == 1
