@@ -116,3 +116,19 @@ def release_pins() -> None:
             _PINNED.pop().unpersist(blocking=False)
         except Exception:
             pass
+
+
+def unpin(df) -> None:
+    """Unpersist ONE pinned frame and drop it from the registry —
+    for library code that pins internally and cleans up after itself
+    (diagnostics, bounded two-pass plans). release_pins() is a global
+    sweep for harness boundaries; calling it from inside an operator
+    would evict every OTHER live pin in the session too."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+    try:
+        _PINNED.remove(df)
+    except ValueError:
+        pass

@@ -311,17 +311,23 @@ def _lsh_buckets(base: DataFrame, max_bucket: int) -> DataFrame:
     """(band, band_hash) buckets of 2..max_bucket members from the
     pinned minhash base — ONE shuffle on the bucket key; the size guard
     applies in the same aggregation (no separate count + semi-join).
-    collect_list, not collect_set: a doc emits exactly ONE row per band
-    (posexplode of its per-doc band array), so members are unique by
-    construction and the per-element set-dedup hashing is pure waste;
-    array_sort then pins the deterministic i<j pair order either way."""
+    collect_list + one array_distinct per bucket, not collect_set: a
+    doc emits exactly ONE row per band (posexplode of its per-doc band
+    array), so members are unique whenever input ids are — but that is
+    a caller property, not a contract, and a duplicated input id would
+    otherwise survive twice and emit a (x, x) self-pair with jaccard 1
+    from the i<j transform. One vectorized distinct per bucket array
+    restores collect_set's tolerance at a fraction of its per-element
+    accumulation cost; array_sort then pins the deterministic i<j pair
+    order."""
     exploded = base.select(
         "__id", F.posexplode("__bands").alias("band", "bh"))
     return (
         exploded.groupBy("band", "bh")
         .agg(F.collect_list("__id").alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.array_sort("ids").alias("ids"))
+        .select(F.array_sort(F.array_distinct("ids")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
 
 
@@ -367,7 +373,7 @@ def lsh_candidate_stats(
     bucket-size histogram and the distinct-pair count); r10 measured at
     10× const-density inflation: every field within 6% of 10× its base
     value — the banded pair term is linear in corpus size."""
-    from .._utils import release_pins
+    from .._utils import unpin
 
     base = _minhash_base(df, id_col, text_col, shingle_k, n_hashes, bands)
     sizes = (base.select("__id", F.posexplode("__bands").alias("band", "bh"))
@@ -385,7 +391,9 @@ def lsh_candidate_stats(
     n_docs = base.count()
     cand_distinct = _bucket_pairs(
         _lsh_buckets(base, max_bucket)).distinct().count()
-    release_pins()
+    unpin(base)  # only OUR pin — a global release_pins() here would
+    # evict every other live pin in the session (diagnostics must not
+    # have side effects on unrelated plans)
     return {
         "n_docs": int(n_docs),
         "n_buckets": int(agg["n_buckets"] or 0),
@@ -720,13 +728,22 @@ def near_dup_canonical_dedup(
     texts only, then connected components over (representative
     near-dup pairs) ∪ (member → representative) edges.
 
-    Same result as near_dup_pairs → canonical_dedup over the raw
-    corpus — provably: identical texts have Jaccard 1 ≥ threshold, so
-    member→rep edges are true pairs; and any cross-group true pair
-    (a, b) implies J(rep_a, rep_b) = J(a, b) ≥ threshold (identical
-    text ⇒ identical shingle set), so the rep edge reconnects what the
-    collapse removed. Components — and therefore the smallest-id
-    survivors — are identical.
+    Result contract: when no LSH bucket exceeds ``max_bucket``
+    (dropped_buckets == 0 in lsh_candidate_stats — the condition the
+    scale probe records every round), this equals near_dup_pairs →
+    canonical_dedup over the raw corpus — provably: identical texts
+    have Jaccard 1 ≥ threshold, so member→rep edges are true pairs;
+    and any cross-group true pair (a, b) implies J(rep_a, rep_b) =
+    J(a, b) ≥ threshold (identical text ⇒ identical shingle set), so
+    the rep edge reconnects what the collapse removed. When buckets DO
+    hit the cap, near-dup recall between DISTINCT texts is cap-limited
+    exactly as near_dup_pairs documents (the collapse branch caps
+    later, since its buckets hold one row per distinct text) — but
+    EXACT-duplicate clusters dedupe fully in BOTH branches regardless
+    of the cap: each branch carries the 8-byte-hash member→rep edge
+    set, so an identical cluster bigger than any bucket can never
+    silently survive (it would under banded pairs alone — every one of
+    its buckets gets dropped).
 
     Why it matters at scale: a text duplicated m times contributes
     m·(m−1)/2 candidate pairs to the raw plan (the exact-duplicate
@@ -742,11 +759,10 @@ def near_dup_canonical_dedup(
     const-density probe 10 → 15.6 s with the collapse forced, vs
     unchanged with the gate; dense 25.6 → ~10 s either way). The same
     decide-from-measured-stats shape AQE uses, driven by one scalar."""
-    # approx, not exact: BOTH branches compute the same answer, so the
-    # gate only needs a rate estimate — approx_count_distinct's
-    # mergeable HLL sketch skips the Expand an exact distinct pays,
-    # and a 5% rsd cannot flip a decision that only matters when the
-    # true rate is far from the 10% line
+    # approx, not exact: the gate only needs a rate estimate —
+    # approx_count_distinct's mergeable HLL sketch skips the Expand an
+    # exact distinct pays, and a 5% rsd cannot flip a decision that
+    # only matters when the true rate is far from the 10% line
     n, n_distinct = df.agg(
         F.count(F.lit(1)),
         F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
@@ -754,8 +770,23 @@ def near_dup_canonical_dedup(
         pairs = near_dup_pairs(
             df, id_col, text_col, threshold=threshold,
             shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
-            max_bucket=max_bucket)
-        return canonical_dedup(df, id_col, pairs)
+            max_bucket=max_bucket).select("id_a", "id_b")
+        # exact-dup edges ride along UNCONDITIONALLY (8-byte-hash
+        # groupBy + 16-byte-row join — text never shuffles): an
+        # exact-dup cluster larger than max_bucket would otherwise be
+        # invisible to the banded pairs (its buckets are all dropped)
+        # while the collapse branch dedupes it via these same edges —
+        # i.e. without this the GATE would decide whether an oversized
+        # identical cluster gets deduped at all. Duplicate edges vs the
+        # LSH pairs (identical texts ≤ cap pair both ways) only repeat
+        # min() work in the CC — see connected_components.
+        keyed8 = df.select(F.col(id_col).alias("__m"),
+                           F.xxhash64(F.col(text_col)).alias("__h"))
+        rep8 = keyed8.groupBy("__h").agg(F.min("__m").alias("id_a"))
+        exact8 = (keyed8.join(rep8, "__h")
+                  .where(F.col("id_a") != F.col("__m"))
+                  .select("id_a", F.col("__m").alias("id_b")))
+        return canonical_dedup(df, id_col, pairs.unionByName(exact8))
     # heavy exact duplication: collapse to representatives. The rep
     # corpus comes from ONE (hash, id, text) shuffle with a struct-min
     # by id per hash group (no corpus-vs-reps semi-join pass); the

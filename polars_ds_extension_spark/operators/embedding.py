@@ -263,6 +263,8 @@ def ivfpq_knn_join(queries, q_id: str, q_vec: str,
         # many coarse centroids the index uses — C ~ √N at scale
         slab = max(1, (1 << 28) // max(1, Cm.shape[0] * Cm.shape[1] * 8))
         for pdf in it:
+            if not len(pdf):
+                continue
             Q = np.array([list(v) for v in pdf[q_vec]], dtype=np.float64)
             orders = []
             for s0 in range(0, len(Q), slab):

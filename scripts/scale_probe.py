@@ -64,7 +64,10 @@ PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 # collide mod 26, so copies 0/26/52/78 of a 100x build would carry
 # IDENTICAL text and fuse dup clusters across copies — the exact
 # artifact class the v2 cipher fixed at 10x).
-PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v1-perm")
+# v2: permutation cipher for EVERY copy k >= 1 (v1 reused the
+# 10x rotation for k < 26 — collision surface documented in
+# _cipher_maps; dir name versions the transform)
+PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v2-perm")
 SPOT_FACTOR = 100
 SPOT_TABLES = ("documents", "embeddings")
 SPOT_QUERIES = ["near_dup_minhash", "near_dup_cluster_dedup",
@@ -137,22 +140,29 @@ DENSE_QUERIES = [
 ]
 
 
-def _cipher_maps(k: int) -> "tuple[str, str]":
+def _cipher_maps(k: int, rotate_below_26: bool = True) -> "tuple[str, str]":
     """Length-preserving per-copy text cipher: each character class
     (a-z, A-Z, 0-9) maps bijectively within itself, so tokenization,
     char-window counts, n_chars, and every WITHIN-copy Jaccard are
     exactly the base corpus's while distinct copies share (essentially)
-    no shingle vocabulary. k < 26: rotation by k — byte-identical to
-    the established v2 10x build. k >= 26: a seeded random permutation
-    per class (rotation keys collide mod 26; permutations drawn from
-    disjoint seeds collide with probability ~1/26!)."""
+    no shingle vocabulary.
+
+    ``rotate_below_26`` (10x build): k < 26 is rotation by k —
+    byte-identical to the established cached v2 build, INCLUDING its
+    digit-identity quirk for k >= 10 (digits[k:]+digits[:k] is the
+    identity there; harmless at factor 10 where k <= 9). The SPOT build
+    passes False so every copy k >= 1 gets a seeded random permutation
+    per class — at factor 100 the rotation family both collides mod 26
+    AND leaves digit-only/letter-free windows unmapped for 10<=k<=25,
+    either of which fuses dup clusters across copies (the current
+    corpus has zero letter-free 12-char windows, verified, but the
+    cipher must not depend on that). Distinct seeds collide with
+    probability ~1/26!."""
     import random
     import string as _s
 
     src = _s.ascii_lowercase + _s.ascii_uppercase + _s.digits
-    if k < 26:
-        # NB: digits deliberately use the raw [k:]+[:k] slices (identity
-        # for k >= 10) — byte-compatible with the cached v2 build
+    if k < 26 and rotate_below_26:
         dst = (_s.ascii_lowercase[k:] + _s.ascii_lowercase[:k]
                + _s.ascii_uppercase[k:] + _s.ascii_uppercase[:k]
                + _s.digits[k:] + _s.digits[:k])
@@ -230,12 +240,21 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
             return PROBE_DIR_SPOT
         shutil.rmtree(PROBE_DIR_SPOT)
     os.makedirs(PROBE_DIR_SPOT, exist_ok=True)
+    # key column -> owning table, so FK strides resolve from the
+    # PARENT's parquet even when the parent is not in SPOT_TABLES
+    # (e.g. adding lineitem here must read orders/supplier/part maxima,
+    # not KeyError into bench's probe-skipped handler)
+    key_owner = {c: t for t, cs in _SHIFTS.items()
+                 for c in cs if c not in _FK}
     for t in SPOT_TABLES:
         cols = _SHIFTS[t]
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        own = [c for c in cols if c not in _FK]
-        row = df.agg(*[F.max(F.col(c)).alias(c) for c in own]).first()
-        strides = {c: int(row[c]) + 1 for c in own}
+        strides = {}
+        for c in cols:
+            key = _FK.get(c, c)
+            pdf = (df if key_owner[key] == t else
+                   spark.read.parquet(f"{BASE}/{key_owner[key]}.parquet"))
+            strides[key] = int(pdf.agg(F.max(F.col(key))).first()[0]) + 1
         parts = []
         for k in range(SPOT_FACTOR):
             cp = df
@@ -244,7 +263,7 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
                     c, (F.col(c) + k * strides[_FK.get(c, c)]).cast(
                         dict(df.dtypes)[c]))
             if t == "documents" and k > 0:
-                src, dst = _cipher_maps(k)
+                src, dst = _cipher_maps(k, rotate_below_26=False)
                 cp = cp.withColumn("text", F.translate("text", src, dst))
             parts.append(cp)
         out = parts[0]

@@ -231,3 +231,41 @@ def test_near_dup_canonical_dedup_degenerate_corpora(spark):
     one = same.limit(1)
     assert D.near_dup_canonical_dedup(one, "doc_id", "text", 0.6) \
         .count() == 1
+
+
+def test_near_dup_dedup_oversized_exact_cluster_both_branches(spark):
+    """An exact-dup cluster LARGER than max_bucket must dedupe to one
+    survivor in BOTH gate branches: its LSH buckets are all dropped by
+    the size cap, so only the unconditional 8-byte-hash member->rep
+    edges can catch it (the code-review r10 finding: the raw branch
+    previously missed it entirely, making the gate flip results)."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import dedup as D
+    from polars_ds_extension_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(40)
+    big = spark.range(300).select(
+        (F.col("id") + 50_000).alias("doc_id"),
+        F.lit("identical oversized cluster text that repeats in "
+              "three hundred rows and overflows every lsh bucket")
+        .alias("text"))
+    # ~40 distinct + 300 copies -> dup rate ~88% -> collapse branch
+    collapse_u = docs.unionByName(big)
+    out = D.near_dup_canonical_dedup(collapse_u, "doc_id", "text", 0.6,
+                                     max_bucket=200)
+    assert out.where(F.col("doc_id") >= 50_000).count() == 1
+    # pad with 3000 synthetic DISTINCT docs so the dup rate lands ~9%
+    # -> RAW branch, same cap (sf-table pads are too small: 500 rows
+    # left the rate at 36% and both assertions took the collapse path)
+    pad = spark.range(3000).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("distinct pad document number "),
+                 F.col("id").cast("string"),
+                 F.lit(" with enough unique words to shingle"))
+        .alias("text"))
+    raw_u = collapse_u.unionByName(pad)
+    out2 = D.near_dup_canonical_dedup(raw_u, "doc_id", "text", 0.6,
+                                      max_bucket=200)
+    assert out2.where(F.col("doc_id") >= 50_000).count() == 1

@@ -547,3 +547,24 @@ def test_dia_validation(spark):
     with pytest.raises(ValueError):
         dia.row_validation((F.col("x") > 0, "r"),
                            (F.col("x") < 9, "r"), id_col="id")
+
+
+def test_exact_quantiles_last_run_diagnostics(spark):
+    """plans/ranks.LAST_RUN must record the selection branch after a
+    call — the diagnostic the r9 eda_describe verdict item is answered
+    with (sort_array branch, zero sketch misses at 10x); this consumer
+    pins the keys so the bookkeeping cannot silently drift from the
+    branches it describes."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.plans import ranks
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 977).cast("double").alias("v"))
+    out = ranks.exact_quantiles(df, {"v": [0.25, 0.5, 0.75]})
+    assert out["v"][1] is not None
+    lr = ranks.LAST_RUN
+    assert lr["selection"] == "sort_array"  # far below the 20M cut
+    assert lr["sketch_misses"] == 0 and not lr["full_counts_pass"]
+    assert lr["pinned_rows"] > 0 and lr["n_targets"] >= 3
+    assert lr["max_bucket"] > 0
