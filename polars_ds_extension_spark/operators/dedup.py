@@ -448,6 +448,80 @@ def near_dup_pairs(
     )
 
 
+def near_dup_against_index(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Incremental near-dup detection: flag NEW documents whose exact
+    char-shingle Jaccard against any INDEX document is ≥ ``threshold``
+    — the daily-crawl dedup step, where the corpus already exists and
+    only the new batch must be checked against it (full
+    `near_dup_pairs` over index ∪ new would re-mine the index against
+    itself every day).
+
+    Plan (asymmetric by design — the index is the 100 TB side):
+      * both frames get the one-pass pinned shingle+band base
+        (`_minhash_base`); the index side then moves ONLY its band
+        hashes — (bands per doc) 8-byte rows — through ONE aggregation
+        on the bucket key, never its text or shingle sets;
+      * index buckets are capped at ``max_bucket`` members in that same
+        aggregation (hot-bucket guard, identical rationale to
+        `near_dup_pairs`; over-cap buckets are dropped, which is a
+        recall cap on pathological collision clusters — use
+        `near_dup_canonical_dedup`'s exact-collapse upstream if the
+        index carries giant exact-dup clusters);
+      * the new batch's exploded band hashes join those buckets on
+        (band, bucket-hash) — with a small daily batch AQE turns this
+        into a broadcast join and the bucket frame streams past it;
+      * candidates are exact-Jaccard verified (the hash functions only
+        generate candidates, so the output is engine-independent), and
+        the verify join touches only candidate ids on each side.
+
+    Output: one row per flagged new doc — (new_id, index_id, jaccard)
+    with its BEST match (max Jaccard, ties → min index_id).
+    """
+    nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
+    ib = _minhash_base(index, id_col, text_col, shingle_k, n_hashes, bands)
+
+    new_ex = nb.select(
+        F.col("__id").alias("__nid"),
+        F.posexplode("__bands").alias("band", "bh"))
+    idx_buckets = (
+        ib.select("__id", F.posexplode("__bands").alias("band", "bh"))
+        .groupBy("band", "bh")
+        .agg(F.collect_list("__id").alias("ids"))
+        .where(F.size("ids") <= max_bucket)
+        .select("band", "bh", F.array_distinct("ids").alias("ids"))
+    )
+    cand = (
+        new_ex.join(idx_buckets, ["band", "bh"])
+        .select("__nid", F.explode("ids").alias("__iid"))
+        .distinct()
+    )
+    nsh = nb.select(F.col("__id").alias("__nid"), F.col("__sh").alias("__sh_n"))
+    ish = ib.select(F.col("__id").alias("__iid"), F.col("__sh").alias("__sh_i"))
+    scored = (
+        cand.join(nsh, "__nid").join(ish, "__iid")
+        .select(
+            F.col("__nid").alias("new_id"),
+            F.col("__iid").alias("index_id"),
+            jaccard_distinct(F.col("__sh_n"), F.col("__sh_i")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("index_id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
 # -------------------------------------------------------------------- simhash
 
 def simhash(text, k_shingle: int = 0) -> Column:

@@ -107,6 +107,67 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
+@query("incremental_dedup", """
+WITH nw AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 3 = 1
+), shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM nw
+), shi AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM documents
+), nn AS (
+  SELECT doc_id, len(s) AS n FROM shn
+), ni AS (
+  SELECT doc_id, len(s) AS n FROM shi
+), ns AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), ig AS (
+  SELECT doc_id, unnest(s) AS g FROM shi
+), shared AS (
+  SELECT n.doc_id AS nid, i.doc_id AS iid, COUNT(*) AS c
+  FROM ns n JOIN ig i ON n.g = i.g GROUP BY 1, 2
+), j AS (
+  SELECT nid, iid, c::DOUBLE / (a.n + b.n - c) AS jac
+  FROM shared JOIN nn a ON a.doc_id = nid JOIN ni b ON b.doc_id = iid
+  WHERE c::DOUBLE / (a.n + b.n - c) >= 0.6
+), best AS (
+  SELECT nid, iid, jac,
+    ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jac DESC, iid ASC) AS rn
+  FROM j
+)
+SELECT nid AS new_id, iid AS index_id, ROUND(jac, 6) AS jaccard
+FROM best WHERE rn = 1
+""")
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the existing corpus
+    (dedup.near_dup_against_index): new = perturbed copies of every
+    3rd doc (must flag, best-match = the source) ∪ reversed texts of
+    every 3rd+1 doc (fresh content — must NOT flag); index = the
+    documents table. The index side moves only band hashes; output is
+    exact-Jaccard defined, so the oracle replays it with a sparse
+    shingle join."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz dup marker")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 1)
+            .select((F.col("doc_id") + 300000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text")))
+    )
+    out = D.near_dup_against_index(
+        new, docs.select("doc_id", "text"), "doc_id", "text", threshold=0.6)
+    return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
+
+
 @query("blocked_jaccard", r"""
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS sp

@@ -47,6 +47,35 @@ def test_near_dup_pairs_finds_planted_dups(spark):
     assert (out["jaccard"] >= 0.6).all()
 
 
+def test_near_dup_against_index_flags_only_new_dups(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    index = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": t} for i, t in enumerate(texts)]))
+    # new batch: 5 perturbed copies (must flag, best match = source) +
+    # 5 fresh docs (must not flag)
+    fresh = [" ".join(rng.choice(vocab, 40)) for _ in range(5)]
+    new = spark.createDataFrame(pd.DataFrame(
+        [{"id": 100 + i, "txt": texts[i] + " extra"} for i in range(5)]
+        + [{"id": 200 + i, "txt": t} for i, t in enumerate(fresh)]))
+    out = D.near_dup_against_index(new, index, "id", "txt",
+                                   threshold=0.6).toPandas()
+    got = dict(zip(out["new_id"], out["index_id"]))
+    assert got == {100 + i: i for i in range(5)}
+    assert (out["jaccard"] >= 0.6).all()
+    # one row per flagged new doc (best match), never more
+    assert out["new_id"].is_unique
+
+
+def test_near_dup_against_index_empty_sides(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{"id": 1, "txt": "some document text here ok"}]))
+    empty = df.where(F.lit(False))
+    assert D.near_dup_against_index(empty, df, "id", "txt").count() == 0
+    assert D.near_dup_against_index(df, empty, "id", "txt").count() == 0
+
+
 def test_simhash_properties(spark):
     sdf = spark.createDataFrame(pd.DataFrame({
         "a": ["the quick brown fox jumps over the lazy dog"],
