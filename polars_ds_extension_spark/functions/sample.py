@@ -28,6 +28,7 @@ __all__ = [
     "group_bucket", "group_split_col", "split_by_group",
     "sample_exact_n_per_group", "kfold_col", "kfold_split",
     "weighted_sample_n", "token_mixture_sample",
+    "shuffle_key", "shuffle_shards",
 ]
 
 _BUCKETS = 10_000
@@ -279,6 +280,53 @@ def sample_exact_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
     ranked = ranked.withColumn(
         "__rnk", F.col("__br") + F.row_number().over(w) - 1)
     return ranked.where(F.col("__rnk") <= n).drop("__bk", "__br", "__rnk")
+
+
+_SHUFFLE_P = 2_147_483_647  # Mersenne prime 2^31-1: products stay < 2^47
+
+
+def _shuffle_consts(seed: int) -> tuple[int, int, int]:
+    """Seed-derived offsets for `shuffle_key` — plain Python ints so the
+    DuckDB oracle can inline the identical literals."""
+    return ((seed * 2654435761) % _SHUFFLE_P,
+            (seed * 1013904223 + 12345) % _SHUFFLE_P,
+            (seed * 1664525 + 1013904223) % _SHUFFLE_P)
+
+
+def shuffle_key(id_col, seed: int = 42) -> Column:
+    """Deterministic pseudo-random sort key for GLOBAL training-data
+    shuffling: two chained affine-congruential rounds (classic MCG
+    multipliers 48271 / 69621) over the Mersenne prime 2^31−1. Every
+    product stays < 2^47, so the arithmetic is exact int64 in any
+    engine — the shuffle order is reproducible across Spark, DuckDB,
+    and reruns/appends, unlike `rand()`-keyed shuffles.
+
+    Sequential ids scatter across the 31-bit key space; sorting by
+    (key, id) yields the IID-looking batch order LLM training wants
+    after mixture assembly groups documents by source. Non-negative
+    ids assumed (Spark's pmod and SQL's % agree there).
+    """
+    s, b1, b2 = _shuffle_consts(seed)
+    h = F.pmod(to_col(id_col).cast("long") + F.lit(s), F.lit(_SHUFFLE_P))
+    h = F.pmod(h * F.lit(48271) + F.lit(b1), F.lit(_SHUFFLE_P))
+    return F.pmod(h * F.lit(69621) + F.lit(b2), F.lit(_SHUFFLE_P))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   seed: int = 42) -> DataFrame:
+    """Assign every row a training shard and its position within the
+    shard's globally-shuffled order: shard = shuffle_key % n_shards,
+    position = rank of (key, id) inside the shard. One sort-shuffle on
+    the shard key; the companion writer `sinks.write_training_shards`
+    materializes one sorted file per shard from the same plan.
+    Output: input columns + (shard, pos).
+    """
+    key = shuffle_key(id_col, seed)
+    out = df.withColumn("__key", key) \
+            .withColumn("shard", F.pmod(F.col("__key"), F.lit(n_shards)))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__key").asc(), to_col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("__key")
 
 
 def group_bucket(group_col, buckets: int = _BUCKETS) -> Column:

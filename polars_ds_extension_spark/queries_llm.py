@@ -1619,6 +1619,44 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_id"))
 
 
+_SHUF7 = SMP._shuffle_consts(7)
+
+
+@query("shuffle_shards", f"""
+WITH k AS (
+  SELECT doc_id,
+    (69621 * ((48271 * ((doc_id + {_SHUF7[0]}) % 2147483647)
+               + {_SHUF7[1]}) % 2147483647)
+     + {_SHUF7[2]}) % 2147483647 AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key, key % 8 AS shard,
+    ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS pos
+  FROM k
+)
+SELECT shard, COUNT(*)::BIGINT AS n_docs,
+  SUM(pos * doc_id)::BIGINT AS order_checksum,
+  MIN_BY(doc_id, pos) AS first_doc,
+  MAX_BY(doc_id, pos) AS last_doc
+FROM s GROUP BY shard
+""")
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (functions/sample.
+    shuffle_shards): every doc gets a shard (shuffle_key % 8) and its
+    position in the shard's shuffled order; the per-shard
+    position-weighted checksum pins the EXACT order cross-engine, so
+    the oracle verifies the shuffle itself, not just the partition
+    counts. The same key feeds sinks.write_training_shards (one sorted
+    file per shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = SMP.shuffle_shards(docs.select("doc_id"), "doc_id", 8, seed=7)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+        F.min_by("doc_id", "pos").alias("first_doc"),
+        F.max_by("doc_id", "pos").alias("last_doc"))
+
+
 @query("token_mixture", r"""
 WITH d AS (
   SELECT doc_id, source,

@@ -63,6 +63,42 @@ def write_parquet(
         out.write.mode(mode).parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Globally shuffle ``df`` into ``n_shards`` training shards and
+    write one SORTED parquet file per shard under ``path/shard=K/`` —
+    the last mile of a training-data pipeline: after mixture assembly
+    the corpus is grouped by source, and the trainer wants shards whose
+    concatenation reads in IID-looking order.
+
+    The order is `sample.shuffle_key` (deterministic, engine- and
+    rerun-reproducible — a re-run of the pipeline writes bit-identical
+    shards, which `rand()` ordering cannot promise). ONE sort-shuffle:
+    repartition on the shard id co-locates each shard in a single task
+    (several shards may share a task; each still writes its own file
+    under its own hive directory), and sortWithinPartitions orders rows
+    by (shard, key, id) so every shard file is written in final order.
+    """
+    from ..functions.sample import shuffle_key
+
+    key = shuffle_key(id_col, seed)
+    out = (
+        df.withColumn("__key", key)
+        .withColumn("shard", F.pmod(F.col("__key"), F.lit(n_shards)))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard").asc(), F.col("__key").asc(),
+                              F.col(id_col).asc())
+        .drop("__key")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
 def stream_to_parquet(out: DataFrame, path: str, checkpoint: str,
                       trigger_once: bool = False):
     """writeStream → parquet files with exactly-once file-sink semantics

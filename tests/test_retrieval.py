@@ -153,4 +153,10 @@ def test_bigram_lm_cap_above_vocab_is_identity(spark, docs):
     capped = {r["doc_id"]: r["cross_entropy"]
               for r in R.bigram_lm_score(docs, "doc_id", "text",
                                          vocab_size=65536).collect()}
-    assert base == capped
+    # identity up to float-sum merge order: the capped plan joins the
+    # broadcast vocab, so its per-doc ln-P partial sums can combine in
+    # a different order than the uncapped plan's (last-ulp wobble that
+    # surfaces when AQE coalesces differently, e.g. under load)
+    assert set(base) == set(capped)
+    for k, v in base.items():
+        assert capped[k] == pytest.approx(v, rel=1e-12, abs=1e-12)

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from polars_ds_extension_spark.sources import (estimate_row_bytes,
                                                stream_to_parquet,
-                                               write_parquet)
+                                               write_parquet,
+                                               write_training_shards)
 
 
 @pytest.fixture()
@@ -40,6 +41,45 @@ def test_write_parquet_file_sizing(spark, outdir):
                   n_rows=200_000)
     assert len(glob.glob(os.path.join(p2, "bucket=*"))) == 4
     assert spark.read.parquet(p2).count() == 200_000
+
+
+def test_write_training_shards_sorted_and_complete(spark, outdir):
+    from polars_ds_extension_spark.functions.sample import shuffle_key
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id") \
+        .withColumn("payload", F.col("doc_id") * 2)
+    path = os.path.join(outdir, "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4, seed=7)
+    dirs = sorted(os.path.basename(d) for d in glob.glob(path + "/shard=*"))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(500))
+    # each shard file is written in (shuffle_key, id) order and matches
+    # the shard assignment of the key itself
+    for shard in range(4):
+        files = glob.glob(f"{path}/shard={shard}/*.parquet")
+        assert len(files) == 1
+        rows = spark.read.parquet(files[0]) \
+            .withColumn("__k", shuffle_key("doc_id", seed=7)).collect()
+        keys = [(r["__k"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+        assert all(r["__k"] % 4 == shard for r in rows)
+
+
+def test_shuffle_shards_positions_are_dense_ranks(spark):
+    from polars_ds_extension_spark.functions.sample import shuffle_shards
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", 5, seed=3).toPandas()
+    assert sorted(out["doc_id"]) == list(range(300))
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # deterministic: a second run produces the identical assignment
+    again = shuffle_shards(df, "doc_id", 5, seed=3).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_estimate_row_bytes(spark):
