@@ -668,6 +668,54 @@ def encoding_artifact_counts(text) -> Column:
 
 # ------------------------------------------------- rule-based quality gates
 
+def quality_classifier_scores(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+    label,
+    keep_cols: "Sequence[str] | None" = None,
+    l2: float = 1.0,
+    n_iters: int = 8,
+) -> "tuple[list[float], DataFrame]":
+    """Model-based quality scoring with WEAK supervision — the
+    fastText-classifier step of corpus curation (CCNet/LLaMA-style:
+    label a slice of the corpus cheaply, fit a tiny linear model on
+    scan-side features, score everything): ``label`` is any 0/1 Column
+    (a heuristic rule, a benchmark-overlap flag, a lang tag…), the
+    features are the two cheapest fluency signals (stopword ratio and
+    mean token length, both pure JVM scan expressions), and the model
+    is ridge-logistic via the existing one-pass-per-iteration IRLS
+    (`functions.linear.logistic_reg`).
+
+    Ridge (``l2``, bias unpenalized) is load-bearing: weak labels are
+    often near-separable in these features, and the penalty keeps the
+    Newton fixpoint finite and engine-reproducible.
+
+    Scale shape: each IRLS pass aggregates 9 doubles; scoring is one
+    scan-side sigmoid over literal coefficients — the corpus never
+    shuffles. Returns ``(beta, scored)`` where beta =
+    [coef_stopword, coef_mean_tok_len, intercept] and ``scored`` =
+    (id_col, *keep_cols, x_sw, x_mtl, score).
+    """
+    from ..functions import linear as LIN
+
+    feats = (
+        # trim-nonempty, not size(tokens)>0: splitting "" yields [""]
+        docs.where(F.trim(_t(text_col)) != "")
+        .select(F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
+                stopword_ratio(text_col).alias("x_sw"),
+                mean_token_length(text_col).alias("x_mtl"),
+                label.cast("double").alias("__y"))
+    )
+    beta = LIN.logistic_reg(feats, ["x_sw", "x_mtl"], "__y",
+                            add_bias=True, n_iters=n_iters, l2=l2)
+    eta = (F.lit(beta[0]) * F.col("x_sw")
+           + F.lit(beta[1]) * F.col("x_mtl") + F.lit(beta[2]))
+    scored = feats.drop("__y").withColumn(
+        "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+    return beta, scored
+
+
 def gopher_rules(text) -> Column:
     """Struct of the classic repetition-free Gopher quality rules
     (Rae et al. 2021, table A1 — the public heuristics every corpus

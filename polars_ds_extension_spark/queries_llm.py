@@ -1619,6 +1619,75 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_id"))
 
 
+def _ridge_logistic_quality_sql(l2: float = 1.0, n_iters: int = 8) -> str:
+    """Unrolled ridge-IRLS on (stopword_ratio, mean_token_len) vs the
+    weak label lang='en', mirroring functions/linear.logistic_reg's
+    ridge handling exactly (H + λI off the bias, g − λβ off the bias),
+    then scan-side scoring and a per-source report. Same 3×3 Cramer
+    algebra as `queries_linear._logistic_irls_sql`; Newton with ridge
+    converges to |step|<1e-10 well inside 8 iterations, so both engines
+    land on the same fixpoint to far beyond 6 dp."""
+    sw = "['the','a','an','and','or','of','to','in','is','was','for'," \
+         "'on','with','as','at','by','it','be','are','this','that']"
+    ctes = [f"""d AS (
+  SELECT doc_id, source,
+    list_sum(list_transform(w, t -> CASE WHEN list_contains({sw}, lower(t))
+      THEN 1 ELSE 0 END))::DOUBLE / len(w) AS x1,
+    list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w) AS x2,
+    (lang = 'en')::INT::DOUBLE AS y
+  FROM (SELECT doc_id, source, lang,
+        string_split_regex(trim(text), '\\s+') AS w FROM documents
+        WHERE trim(text) <> ''))""",
+            "b0 AS (SELECT 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)"]
+    lam = float(l2)
+    for i in range(1, n_iters + 1):
+        p = "(1.0 / (1.0 + EXP(-(b.b1*x1 + b.b2*x2 + b.b3))))"
+        ctes.append(f"""a{i} AS (
+  SELECT SUM({p}*(1-{p})*x1*x1) + {lam} AS h11, SUM({p}*(1-{p})*x1*x2) AS h12,
+         SUM({p}*(1-{p})*x1) AS h13, SUM({p}*(1-{p})*x2*x2) + {lam} AS h22,
+         SUM({p}*(1-{p})*x2) AS h23, SUM({p}*(1-{p})) AS h33,
+         SUM((y-{p})*x1) - {lam}*MAX(b.b1) AS g1,
+         SUM((y-{p})*x2) - {lam}*MAX(b.b2) AS g2, SUM(y-{p}) AS g3,
+         MAX(b.b1) AS b1, MAX(b.b2) AS b2, MAX(b.b3) AS b3
+  FROM d, b{i-1} b)""")
+        ctes.append(f"""b{i} AS (
+  SELECT b1 + ( g1*(h22*h33-h23*h23) - h12*(g2*h33-h23*g3) + h13*(g2*h23-h22*g3))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b1,
+         b2 + (h11*(g2*h33-h23*g3) - g1*(h12*h33-h23*h13) + h13*(h12*g3-g2*h13))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b2,
+         b3 + (h11*(h22*g3-g2*h23) - h12*(h12*g3-g2*h13) + g1*(h12*h23-h22*h13))
+            / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)) AS b3
+  FROM a{i})""")
+    ctes.append(f"""scored AS (
+  SELECT source, 1.0 / (1.0 + EXP(-(b.b1*x1 + b.b2*x2 + b.b3))) AS p
+  FROM d, b{n_iters} b)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT source, COUNT(*)::BIGINT AS n_docs, ROUND(AVG(p), 6) AS mean_score,
+  COUNT(CASE WHEN ROUND(p, 6) >= 0.5 THEN 1 END)::BIGINT AS n_flagged
+FROM scored GROUP BY source""")
+
+
+@query("quality_classifier", _ridge_logistic_quality_sql())
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision quality classifier (text.
+    quality_classifier_scores): weak label lang='en', two scan-side
+    fluency features, ridge-logistic IRLS fit (8 one-pass iterations),
+    then scan-side scoring — per-source mean score + flagged count.
+    The oracle replays features, the full ridge-Newton unroll, AND the
+    scoring, so the fit itself is correctness-gated, not just the
+    report. Thresholding happens on the ROUNDED score (engine-stable
+    cut, same discipline as perplexity_gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, scored = T.quality_classifier_scores(
+        docs, "doc_id", "text", (F.col("lang") == "en"),
+        keep_cols=["source"], l2=1.0, n_iters=8)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r(F.avg("score")).alias("mean_score"),
+        F.count(F.when(F.round(F.col("score"), 6) >= 0.5, 1))
+         .alias("n_flagged"))
+
+
 _SHUF7 = SMP._shuffle_consts(7)
 
 

@@ -126,6 +126,37 @@ def test_quality_and_language(spark):
     assert lid == "de"
 
 
+def test_quality_classifier_learns_weak_signal(spark):
+    # fluent docs (high stopword ratio) labeled 1, keyword spam labeled 0
+    fluent = ["the cat sat on the mat and it was a good day for this",
+              "it is a fine day and the sun was out in the sky",
+              "this is the story of a dog that was in the park"]
+    spam = ["buy cheap widgets discount sale bargain deals offers",
+            "keyword keyword stuffing spam links click here now",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit"]
+    rows = [{"id": i, "txt": t, "y": 1} for i, t in enumerate(fluent * 4)]
+    rows += [{"id": 100 + i, "txt": t, "y": 0}
+             for i, t in enumerate(spam * 4)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    beta, scored = T.quality_classifier_scores(
+        df, "id", "txt", F.col("y"), l2=1.0)
+    out = scored.toPandas().set_index("id")["score"]
+    # perfectly separable in stopword ratio — ridge keeps the fit
+    # finite, and the ranking must still put every fluent doc on top
+    assert all(np.isfinite(beta)) and abs(beta[0]) < 50
+    assert out[out.index < 100].min() > out[out.index >= 100].max()
+
+
+def test_quality_classifier_skips_empty_docs(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"id": 1, "txt": "the cat is on the mat", "y": 1},
+         {"id": 2, "txt": "   ", "y": 0},
+         {"id": 3, "txt": "spam words only here", "y": 0}]))
+    _, scored = T.quality_classifier_scores(df, "id", "txt", F.col("y"))
+    ids = {r["id"] for r in scored.collect()}
+    assert ids == {1, 3}
+
+
 def test_fingerprints(spark):
     sdf = spark.createDataFrame(pd.DataFrame({
         "a": ["Hello   World"], "b": ["hello world"], "c": ["other text"],
