@@ -124,6 +124,11 @@ DEFAULT_QUERIES = [
     # round 10: the brute→IVF handoff itself (knn_join route='auto'
     # actually routing) — the 100 TB path past the broadcast cap
     "knn_auto_route",
+    # round 10b: incremental batch-vs-index dedup (asymmetric band
+    # join), the weak-label ridge-IRLS classifier (8 fixed one-pass
+    # scans — must stay linear), and the global shard shuffle (one
+    # sort-shuffle of the corpus)
+    "incremental_dedup", "quality_classifier", "shuffle_shards",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
@@ -137,6 +142,10 @@ DENSE_QUERIES = [
     # is bounded (even ids < 2000) so this grades the bound holding
     # under the hot-cluster stress, not pair mining at large
     "dup_cluster_downsample",
+    # round 10b: batch-vs-index dedup under verbatim-copy clusters —
+    # every new doc hits a fused index bucket; the max_bucket cap is
+    # the defense being measured
+    "incremental_dedup",
 ]
 
 
