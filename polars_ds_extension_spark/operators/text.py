@@ -668,6 +668,65 @@ def encoding_artifact_counts(text) -> Column:
 
 # ------------------------------------------------- rule-based quality gates
 
+def source_overlap_matrix(
+    docs: "DataFrame",
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+) -> "DataFrame":
+    """Pairwise word-n-gram overlap between corpus SOURCES — the
+    which-dumps-duplicate-each-other report that decides whether two
+    crawls/snapshots should both enter the mixture (CommonCrawl dumps
+    overlap 30-80% snapshot-to-snapshot; doc-level dedup sees trees,
+    this sees the forest).
+
+    Plan: distinct (source, gram) pairs with grams as xxhash64 longs
+    (8-byte shuffle keys, not n-gram strings; distinct grams stay
+    distinct at ~n²/2⁶⁴ collision odds — same contract as
+    `dedup.hashed_char_shingles`) → ONE self-equi-join on the gram
+    hash. A gram present in s sources emits s·(s−1)/2 pair rows, so
+    join output is bounded by |distinct grams| · |sources|²/2 — the
+    sources axis is tiny by nature, the corpus axis shuffles once.
+
+    Output: (source_a, source_b, grams_a, grams_b, shared, jaccard)
+    for source_a < source_b.
+    """
+    from .dedup import word_shingles
+
+    grams = (
+        docs.select(F.col(group_col).alias("__src"),
+                    F.explode(word_shingles(text_col, n)).alias("__g"))
+        .select("__src", F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    from .._utils import pin
+
+    grams = pin(grams)
+    counts = grams.groupBy("__src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("__src").alias("source_a"), "__h")
+    b = grams.select(F.col("__src").alias("source_b"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("__src").alias("source_a"),
+                       F.col("n_grams").alias("grams_a"))
+    cb = counts.select(F.col("__src").alias("source_b"),
+                       F.col("n_grams").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "grams_a", "grams_b", "shared",
+            (F.col("shared").cast("double")
+             / (F.col("grams_a") + F.col("grams_b") - F.col("shared"))
+             ).alias("jaccard"),
+        )
+    )
+
+
 def quality_classifier_scores(
     docs: "DataFrame",
     id_col: str,

@@ -1619,6 +1619,40 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_id"))
 
 
+@query("source_overlap", r"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS sp
+  FROM documents
+), g AS (
+  SELECT source, list_distinct(list_transform(
+    range(1, greatest(len(sp) - 2, 1) + 1),
+    i -> array_to_string(list_slice(sp, i, i + 2), ' '))) AS s
+  FROM t
+), sg AS (
+  SELECT DISTINCT source, g FROM (SELECT source, unnest(s) AS g FROM g)
+), c AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM sg GROUP BY source
+), sh AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, ca.n AS grams_a, cb.n AS grams_b, shared,
+  ROUND(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard
+FROM sh JOIN c ca ON ca.source = source_a JOIN c cb ON cb.source = source_b
+""")
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level word-3-gram overlap matrix (text.
+    source_overlap_matrix) — which corpus sources duplicate each
+    other's content wholesale; grams shuffle as 8-byte hashes, the
+    oracle replays on raw strings (distinct counts agree at the
+    documented ~n²/2⁶⁴ hash-collision odds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.source_overlap_matrix(docs, "source", "text", n=3)
+    return out.select("source_a", "source_b", "grams_a", "grams_b",
+                      "shared", _r(F.col("jaccard")).alias("jaccard"))
+
+
 def _ridge_logistic_quality_sql(l2: float = 1.0, n_iters: int = 8) -> str:
     """Unrolled ridge-IRLS on (stopword_ratio, mean_token_len) vs the
     weak label lang='en', mirroring functions/linear.logistic_reg's

@@ -126,6 +126,26 @@ def test_quality_and_language(spark):
     assert lid == "de"
 
 
+def test_source_overlap_matrix_planted(spark):
+    # srcA and srcB share one doc verbatim; srcC is disjoint
+    shared_doc = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        {"id": 1, "src": "A", "txt": shared_doc},
+        {"id": 2, "src": "A", "txt": "one two three four five six"},
+        {"id": 3, "src": "B", "txt": shared_doc},
+        {"id": 4, "src": "C", "txt": "cat dog bird fish mouse horse"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = T.source_overlap_matrix(df, "src", "txt", n=3).toPandas()
+    got = {(r.source_a, r.source_b): r for r in out.itertuples()}
+    # A has 8 distinct 3-grams (4 per doc), B has 4, all of B's shared
+    ab = got[("A", "B")]
+    assert (ab.grams_a, ab.grams_b, ab.shared) == (8, 4, 4)
+    assert ab.jaccard == pytest.approx(4 / 8)
+    # C overlaps nothing — no row at all for (A,C) or (B,C)
+    assert set(got) == {("A", "B")}
+
+
 def test_quality_classifier_learns_weak_signal(spark):
     # fluent docs (high stopword ratio) labeled 1, keyword spam labeled 0
     fluent = ["the cat sat on the mat and it was a good day for this",
