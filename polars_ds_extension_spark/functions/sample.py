@@ -307,7 +307,11 @@ def shuffle_key(id_col, seed: int = 42) -> Column:
     ids assumed (Spark's pmod and SQL's % agree there).
     """
     s, b1, b2 = _shuffle_consts(seed)
-    h = F.pmod(to_col(id_col).cast("long") + F.lit(s), F.lit(_SHUFFLE_P))
+    # reduce the id mod p BEFORE adding the seed offset: (id%p + s) % p
+    # == (id+s) % p, but the sum stays < 2^32 so ids near 2^63 can't
+    # hit ANSI ARITHMETIC_OVERFLOW (same guard as `_bucket`)
+    h = F.pmod(F.pmod(to_col(id_col).cast("long"), F.lit(_SHUFFLE_P))
+               + F.lit(s), F.lit(_SHUFFLE_P))
     h = F.pmod(h * F.lit(48271) + F.lit(b1), F.lit(_SHUFFLE_P))
     return F.pmod(h * F.lit(69621) + F.lit(b2), F.lit(_SHUFFLE_P))
 

@@ -568,3 +568,30 @@ def test_exact_quantiles_last_run_diagnostics(spark):
     assert lr["sketch_misses"] == 0 and not lr["full_counts_pass"]
     assert lr["pinned_rows"] > 0 and lr["n_targets"] >= 3
     assert lr["max_bucket"] > 0
+
+
+def test_shuffle_key_matches_reference_and_handles_huge_ids(spark):
+    """shuffle_key must equal the pure-int reference (the contract the
+    DuckDB oracle relies on) including at ids near 2^63, where a naive
+    (id + offset) % p would ANSI-overflow before the mod."""
+    p = SMP._SHUFFLE_P
+    s, b1, b2 = SMP._shuffle_consts(9)
+
+    def ref(i):
+        h = (i % p + s) % p
+        h = (h * 48271 + b1) % p
+        return (h * 69621 + b2) % p
+
+    ids = [0, 1, 2, p - 1, p, p + 1, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["k"]
+           for r in df.select("doc_id",
+                              SMP.shuffle_key("doc_id", seed=9).alias("k")
+                              ).collect()}
+    assert got == {i: ref(i) for i in ids}
+    # the affine rounds are invertible mod p, so distinct residues give
+    # distinct keys — no funnelling into a few shards
+    many = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    n_keys = many.select(
+        SMP.shuffle_key("doc_id").alias("k")).distinct().count()
+    assert n_keys == 5000
