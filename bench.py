@@ -235,7 +235,8 @@ def main() -> None:
                 spark.catalog.clearCache()
                 probe_pairs[tag] = [st["cand_slots"], st["cand_distinct"],
                                     st["max_bucket_size"],
-                                    st["dropped_buckets"]]
+                                    st["dropped_buckets"],
+                                    st["collapsed"], st["n_mined"]]
                 print(f"lsh pair stats {tag}: {st}", file=sys.stderr)
             # SRP twin (stderr record only — the parsed line's budget
             # is spent; dropped_buckets growing round-over-round here
@@ -321,7 +322,9 @@ def main() -> None:
             "queries": q,
             # {query: [ratio_10x, spread, t_small, t_large]}
             "probe": probe,
-            # [cand_slots, cand_distinct, max_bucket, dropped] per corpus
+            # [cand_slots, cand_distinct, max_bucket, dropped,
+            #  collapsed, n_mined] per corpus (collapsed=1: volumes are
+            #  rep-level — the plan the gated query actually runs)
             "probe_pairs": probe_pairs,
             "probe_100x": probe_100x,
             "sf": sf,

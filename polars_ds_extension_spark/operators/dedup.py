@@ -302,6 +302,10 @@ def _minhash_base(df: DataFrame, id_col: str, text_col: str,
 
     return pin(spread(df).select(
         F.col(id_col).alias("__id"),
+        # 8-byte text hash rides the pin so identical-text handling
+        # (within-pairs, candidate h-filter) never re-scans the corpus
+        F.xxhash64(F.col(text_col) if isinstance(text_col, str)
+                   else text_col).alias("__th"),
         hashed_char_shingles(text_col, shingle_k).alias("__sh"),
     ).withColumn(
         "__bands", minhash_band_hashes(F.col("__sh"), n_hashes, bands)))
@@ -359,6 +363,7 @@ def lsh_candidate_stats(
     n_hashes: int = 96,
     bands: int = 32,
     max_bucket: int = 200,
+    collapse: "bool | str" = "auto",
 ) -> dict:
     """Measured candidate-volume evidence for the minhash-LSH plan —
     the "no silent caps" diagnostic the scale probe records each round
@@ -369,13 +374,36 @@ def lsh_candidate_stats(
     recall); max_bucket_size tracks how close the data sits to the cap.
 
     Returns {n_docs, n_buckets, max_bucket_size, dropped_buckets,
-    cand_slots, cand_distinct} via two tiny aggregation actions (the
-    bucket-size histogram and the distinct-pair count); r10 measured at
-    10× const-density inflation: every field within 6% of 10× its base
-    value — the banded pair term is linear in corpus size."""
+    cand_slots, cand_distinct, collapsed, n_mined} via two tiny
+    aggregation actions (the bucket-size histogram and the
+    distinct-pair count); r10 measured at 10× const-density inflation:
+    every field within 6% of 10× its base value — the banded pair term
+    is linear in corpus size.
+
+    ``collapse`` mirrors `near_dup_pairs`' gate exactly (same 10% rate
+    rule on "auto"), so the reported candidate volume is the volume of
+    the plan the query actually runs: on a heavily-duplicated corpus
+    the stats measure mining over one representative per distinct text
+    (``collapsed`` = 1, ``n_mined`` = number of reps), which is where
+    the banding really happens."""
     from .._utils import unpin
 
-    base = _minhash_base(df, id_col, text_col, shingle_k, n_hashes, bands)
+    if collapse == "auto":
+        n, nd = df.agg(
+            F.count(F.lit(1)),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
+        collapse = bool(n) and (n - nd) / n > 0.10
+    mined = df
+    if collapse:
+        keyed_t = df.select(F.col(id_col).alias("__m"),
+                            F.col(text_col).alias("__t"),
+                            F.xxhash64(F.col(text_col)).alias("__h"))
+        mined = (keyed_t.groupBy("__h")
+                 .agg(F.min(F.struct("__m", "__t")).alias("__r"))
+                 .select(F.col("__r.__m").alias(id_col),
+                         F.col("__r.__t").alias(text_col)))
+    base = _minhash_base(mined, id_col, text_col,
+                         shingle_k, n_hashes, bands)
     sizes = (base.select("__id", F.posexplode("__bands").alias("band", "bh"))
              .groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
              .where(F.col("n") >= 2))
@@ -388,49 +416,29 @@ def lsh_candidate_stats(
                      F.col("n") * (F.col("n") - 1) / 2).otherwise(0))
         .alias("cand_slots"),
     ).collect()[0]
-    n_docs = base.count()
+    n_mined = base.count()
     cand_distinct = _bucket_pairs(
         _lsh_buckets(base, max_bucket)).distinct().count()
     unpin(base)  # only OUR pin — a global release_pins() here would
     # evict every other live pin in the session (diagnostics must not
     # have side effects on unrelated plans)
     return {
-        "n_docs": int(n_docs),
+        "n_docs": int(n_mined) if not collapse else int(df.count()),
         "n_buckets": int(agg["n_buckets"] or 0),
         "max_bucket_size": int(agg["max_bucket_size"] or 0),
         "dropped_buckets": int(agg["dropped_buckets"] or 0),
         "cand_slots": int(agg["cand_slots"] or 0),
         "cand_distinct": int(cand_distinct),
+        "collapsed": int(bool(collapse)),
+        "n_mined": int(n_mined),
     }
 
 
-def near_dup_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.6,
-    shingle_k: int = 12,
-    n_hashes: int = 96,
-    bands: int = 32,
-    max_bucket: int = 200,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
-
-    Pipeline: shingle hashes + band hashes in ONE pinned pass
-    (`_minhash_base`: JVM k-gram hashing feeding the vectorized numpy
-    banding UDF) → banded LSH (one shuffle) → candidate pairs → join
-    back for shingle sets → exact Jaccard filter. The hash functions
-    only generate candidates; the output is defined purely by
-    Jaccard ≥ threshold, so it is engine-independent (the SQL oracle
-    computes the same set). Candidate volume is measured, not assumed:
-    `lsh_candidate_stats` replays this exact candidate plan and the
-    scale probe records its growth every round (r10: linear at 10×
-    const-density — slots 162k→1.64M, distinct 8.6k→90k, max bucket
-    16→43 vs cap 200).
-    Output: (id_a, id_b, jaccard).
-    """
-    base = _minhash_base(df, id_col, text_col, shingle_k, n_hashes, bands)
-    cand = _bucket_pairs(_lsh_buckets(base, max_bucket)).distinct()
+def _verify_pairs(base: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against the
+    pinned shingle sets — the kernel both `near_dup_pairs` branches
+    share. Output: (id_a, id_b, jaccard) with jaccard ≥ threshold."""
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (
         cand.join(sh.withColumnRenamed("__id", "id_a")
@@ -446,6 +454,156 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _exact_within_pairs(keyed: DataFrame) -> DataFrame:
+    """All (id_a < id_b, jaccard = 1.0) pairs inside each identical-text
+    cluster of ``keyed`` = (__m id, __h text-hash) — one 16-byte-row
+    shuffle on the hash, pairs via the same nested transform as LSH
+    buckets. Identical texts have identical shingle sets, so the 1.0 is
+    exact, not an approximation. NB the member array (and the m²/2 pair
+    output) is bounded by the largest exact-dup cluster — quadratic
+    output is the PAIRS contract; corpus-dedup callers that only need
+    connectivity use skinny member→rep edges instead
+    (`near_dup_canonical_dedup`)."""
+    groups = (
+        keyed.groupBy("__h")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("__m")))
+             .alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select("ids")
+    )
+    return _bucket_pairs(groups).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard"))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+    collapse: "bool | str" = "auto",
+    exact_pairs: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle hashes + band hashes in ONE pinned pass
+    (`_minhash_base`: JVM k-gram hashing feeding the vectorized numpy
+    banding UDF) → banded LSH (one shuffle) → candidate pairs → join
+    back for shingle sets → exact Jaccard filter. The hash functions
+    only generate candidates; the output is defined purely by
+    Jaccard ≥ threshold, so it is engine-independent (the SQL oracle
+    computes the same set). Candidate volume is measured, not assumed:
+    `lsh_candidate_stats` replays this exact candidate plan and the
+    scale probe records its growth every round (r10: linear at 10×
+    const-density — slots 162k→1.64M, distinct 8.6k→90k, max bucket
+    16→43 vs cap 200).
+
+    ``exact_pairs=True`` (default) makes identical-text pairs
+    CAP-INDEPENDENT: every exact-dup cluster emits its full i<j pair
+    set (jaccard exactly 1.0) from an 8-byte-hash aggregation, whether
+    or not its LSH buckets clear ``max_bucket``, and identical-text
+    candidates are excluded from the banded verify path so no pair
+    appears twice. On top of that, ``collapse`` routes heavily-
+    duplicated corpora (exact-dup rate > 10%, measured by one
+    count+HLL aggregation when ``"auto"``) through a collapse→mine→
+    expand plan: mine LSH pairs among one REPRESENTATIVE per distinct
+    text, then expand each rep pair (ra, rb, J) to all member combos —
+    exact, because identical text ⇒ identical shingle set ⇒ identical
+    Jaccard. A text duplicated m times then contributes ONE row to
+    mining instead of m·(m−1)/2 candidate slots (the r10 dense stress:
+    30.6M slots); the m² term survives only in the OUTPUT, which is
+    the contract. Distinct-text recall under a binding cap is measured
+    from the branch actually taken (collapsed buckets hold one row per
+    distinct text, so the cap binds later — never earlier).
+
+    ``exact_pairs=False`` restores the pure banded plan (LSH pairs
+    only, cap-limited recall on everything) — the corpus-dedup callers
+    use it and carry their own skinny member→rep exact edges.
+
+    Output: (id_a, id_b, jaccard).
+    """
+    if not exact_pairs:
+        base = _minhash_base(df, id_col, text_col,
+                             shingle_k, n_hashes, bands)
+        return _verify_pairs(
+            base, _bucket_pairs(_lsh_buckets(base, max_bucket)).distinct(),
+            threshold)
+
+    if collapse == "auto":
+        # approx, not exact: the gate only needs a rate estimate (same
+        # rationale and threshold as near_dup_canonical_dedup)
+        n, nd = df.agg(
+            F.count(F.lit(1)),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
+        collapse = bool(n) and (n - nd) / n > 0.10
+
+    if not collapse:
+        base = _minhash_base(df, id_col, text_col,
+                             shingle_k, n_hashes, bands)
+        # id→text-hash map and within-pairs read the PIN (the __th
+        # column rides it) — zero extra corpus scans on this branch
+        keyed = base.select(F.col("__id").alias("__m"),
+                            F.col("__th").alias("__h"))
+        within = _exact_within_pairs(keyed)
+        cand = _bucket_pairs(_lsh_buckets(base, max_bucket)).distinct()
+        # identical-text candidates route through `within` (and an
+        # over-cap identical cluster that never reaches `cand` still
+        # does) — drop them here so nothing verifies or emits twice
+        cand = (
+            cand.join(keyed.select(F.col("__m").alias("id_a"),
+                                   F.col("__h").alias("__ha")), "id_a")
+            .join(keyed.select(F.col("__m").alias("id_b"),
+                               F.col("__h").alias("__hb")), "id_b")
+            .where(F.col("__ha") != F.col("__hb"))
+            .select("id_a", "id_b")
+        )
+        return _verify_pairs(base, cand, threshold).unionByName(within)
+
+    keyed = df.select(F.col(id_col).alias("__m"),
+                      F.xxhash64(F.col(text_col)).alias("__h"))
+    within = _exact_within_pairs(keyed)
+
+    # collapse→mine→expand: one (hash, id, text) struct-min shuffle
+    # builds the representative corpus (same construction as
+    # near_dup_canonical_dedup), mining runs on distinct texts only
+    from .._utils import pin
+
+    keyed_t = df.select(F.col(id_col).alias("__m"),
+                        F.col(text_col).alias("__t"),
+                        F.xxhash64(F.col(text_col)).alias("__h"))
+    rep = pin(keyed_t.groupBy("__h").agg(
+        F.min(F.struct("__m", "__t")).alias("__r")))
+    reps_df = rep.select(F.col("__r.__m").alias(id_col),
+                         F.col("__r.__t").alias(text_col))
+    base = _minhash_base(reps_df, id_col, text_col,
+                         shingle_k, n_hashes, bands)
+    # reps are all distinct texts — a jaccard-1.0 rep pair here is two
+    # DISTINCT texts with equal shingle sets, a true pair, kept
+    rep_pairs = _verify_pairs(
+        base, _bucket_pairs(_lsh_buckets(base, max_bucket)).distinct(),
+        threshold)
+    repmap = rep.select(F.col("__r.__m").alias("__ri"),
+                        F.col("__h").alias("__hh"))
+    members = keyed.distinct()
+    cross = (
+        rep_pairs
+        .join(repmap.select(F.col("__ri").alias("id_a"),
+                            F.col("__hh").alias("__ha")), "id_a")
+        .join(repmap.select(F.col("__ri").alias("id_b"),
+                            F.col("__hh").alias("__hb")), "id_b")
+        .join(members.select(F.col("__h").alias("__ha"),
+                             F.col("__m").alias("__ma")), "__ha")
+        .join(members.select(F.col("__h").alias("__hb"),
+                             F.col("__m").alias("__mb")), "__hb")
+        .select(F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"), "jaccard")
+    )
+    return cross.unionByName(within)
 
 
 def near_dup_against_index(
@@ -841,10 +999,13 @@ def near_dup_canonical_dedup(
         F.count(F.lit(1)),
         F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
     if n == 0 or (n - n_distinct) / n <= 0.10:
+        # exact_pairs=False: the CC only needs connectivity, and the
+        # skinny member→rep exact8 edges below connect identical texts
+        # with m−1 edges instead of the pairs contract's m²/2
         pairs = near_dup_pairs(
             df, id_col, text_col, threshold=threshold,
             shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
-            max_bucket=max_bucket).select("id_a", "id_b")
+            max_bucket=max_bucket, exact_pairs=False).select("id_a", "id_b")
         # exact-dup edges ride along UNCONDITIONALLY (8-byte-hash
         # groupBy + 16-byte-row join — text never shuffles): an
         # exact-dup cluster larger than max_bucket would otherwise be
@@ -884,7 +1045,7 @@ def near_dup_canonical_dedup(
     near_edges = near_dup_pairs(
         reps_df, id_col, text_col, threshold=threshold,
         shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
-        max_bucket=max_bucket).select("id_a", "id_b")
+        max_bucket=max_bucket, exact_pairs=False).select("id_a", "id_b")
     # both edge sets are unique undirected pairs, and they are disjoint
     # (near edges connect distinct texts, exact edges identical ones),
     # so assume_unique still holds for the union

@@ -138,8 +138,13 @@ _GREEN_ROUND = {
 _STALE = frozenset({
     # round 10: near_dup_pairs rework (hash-first shingle distinct +
     # fused band pin — value-identical by the hash-equivalence already
-    # relied on, but the covering plan changed) → every consumer
-    "near_dup_minhash", "near_dup_cluster_dedup",
+    # relied on, but the covering plan changed) → every consumer.
+    # round 10b: near_dup_pairs gained the adaptive exact-dup
+    # collapse→mine→expand route + cap-independent within-pairs
+    # (value-identical on these all-distinct-text planted corpora —
+    # branch-parity pytest + both-SF oracle mirror), and _minhash_base
+    # carries the text hash in the pin → consumers re-stamp
+    "near_dup_minhash", "near_dup_cluster_dedup", "dup_cluster_sizes",
     # round 10: dup_cluster_downsample base bounded to even ids < 2000
     # (query text + oracle changed together)
     "dup_cluster_downsample",

@@ -47,6 +47,68 @@ def test_near_dup_pairs_finds_planted_dups(spark):
     assert (out["jaccard"] >= 0.6).all()
 
 
+def _mixed_dup_corpus():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(12)]
+    rows = [{"id": i, "txt": t} for i, t in enumerate(texts)]
+    # exact-dup clusters: texts 0..2 copied 6x each (ids 100+)
+    rows += [{"id": 100 + 10 * j + c, "txt": texts[j]}
+             for j in range(3) for c in range(6)]
+    # near dups: perturbed copies of texts 3..5 (ids 200+)
+    rows += [{"id": 200 + j, "txt": texts[3 + j] + " extra tail"}
+             for j in range(3)]
+    return rows
+
+
+def test_near_dup_pairs_collapse_branches_agree(spark):
+    df = spark.createDataFrame(pd.DataFrame(_mixed_dup_corpus()))
+    out = {}
+    for mode in (True, False):
+        got = D.near_dup_pairs(df, "id", "txt", threshold=0.6,
+                               collapse=mode).toPandas()
+        out[mode] = sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"]))
+    assert out[True] == out[False]
+    # exact clusters of 7 members (original + 6 copies): C(7,2)=21
+    # within-pairs each at jaccard exactly 1.0
+    ones = [p for p in out[True] if p[2] == 1.0]
+    assert len(ones) == 3 * 21
+    # the near-dup perturbed pairs survive with jaccard < 1
+    near = {(a, b) for a, b, j in out[True] if j < 1.0}
+    assert {(3, 200), (4, 201), (5, 202)} <= near
+
+
+def test_near_dup_pairs_exact_clusters_are_cap_independent(spark):
+    # a 40-copy identical cluster with max_bucket=10: every LSH bucket
+    # is over cap, yet the full C(40,2) pair set must still come out of
+    # BOTH branches (the exact tier is cap-independent by contract)
+    rows = [{"id": i, "txt": "the same exact document text forty times"}
+            for i in range(40)]
+    rows += [{"id": 100 + i,
+              "txt": f"totally different filler document number {i} xyz"}
+             for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for mode in (True, False):
+        got = D.near_dup_pairs(df, "id", "txt", threshold=0.6,
+                               max_bucket=10, collapse=mode).toPandas()
+        in_cluster = got[(got["id_a"] < 40) & (got["id_b"] < 40)]
+        assert len(in_cluster) == 40 * 39 // 2
+        assert (in_cluster["jaccard"] == 1.0).all()
+
+
+def test_near_dup_pairs_tolerates_duplicate_input_ids(spark):
+    rows = [{"id": 1, "txt": "alpha beta gamma delta epsilon zeta eta"},
+            {"id": 1, "txt": "alpha beta gamma delta epsilon zeta eta"},
+            {"id": 2, "txt": "alpha beta gamma delta epsilon zeta eta"}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for mode in (True, False):
+        got = D.near_dup_pairs(df, "id", "txt", collapse=mode).toPandas()
+        assert not (got["id_a"] == got["id_b"]).any()
+        assert sorted(zip(got["id_a"], got["id_b"])) == [(1, 2)]
+
+
 def test_near_dup_against_index_flags_only_new_dups(spark):
     rng = np.random.default_rng(11)
     vocab = [f"w{i:03d}" for i in range(400)]
