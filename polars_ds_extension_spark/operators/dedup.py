@@ -647,14 +647,40 @@ def near_dup_against_index(
     """
     nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
     ib = _minhash_base(index, id_col, text_col, shingle_k, n_hashes, bands)
+    # materialize both pins EAGERLY: the two-frame plan reads each pin
+    # from two subtrees of one action (bucket path + verify path), and
+    # a lazily-persisted pin computes its Arrow banding UDF once per
+    # unmaterialized read in that first job (measured 10.6 → 6.2 s at
+    # the 10× probe). One count per pin is two cheap scans by contrast.
+    # (near_dup_pairs deliberately stays lazy — its single-frame action
+    # shares the pin fine, and the extra pass measured net-negative.)
+    nb.count()
+    ib.count()
 
     new_ex = nb.select(
         F.col("__id").alias("__nid"),
         F.posexplode("__bands").alias("band", "bh"))
+    # bucket members dedupe BY TEXT-HASH keeping the min id, in the same
+    # aggregation (the __th column rides the pin — zero extra shuffle):
+    # identical index texts share every band bucket and score the same
+    # Jaccard against any new doc, so the best-match tie-break (min
+    # index_id) would pick the cluster minimum anyway — dropping the
+    # other members changes nothing in the output while removing the
+    # m-duplicated-text candidate blowup, and the max_bucket cap now
+    # binds on DISTINCT texts (strictly later than on raw members).
     idx_buckets = (
-        ib.select("__id", F.posexplode("__bands").alias("band", "bh"))
+        ib.select("__id", "__th", F.posexplode("__bands").alias("band", "bh"))
         .groupBy("band", "bh")
-        .agg(F.collect_list("__id").alias("ids"))
+        .agg(F.collect_list(F.struct("__th", "__id")).alias("mem"))
+        .select("band", "bh", _let(
+            F.array_sort("mem"),
+            # when(), not |: element_at(srt, 0) must never evaluate
+            # (ANSI INVALID_INDEX_OF_ZERO; SQL OR does not short-circuit)
+            lambda srt: F.transform(
+                F.filter(srt, lambda x, i: F.when(
+                    i == F.lit(0), F.lit(True)).otherwise(
+                    x["__th"] != F.element_at(srt, i)["__th"])),
+                lambda x: x["__id"])).alias("ids"))
         .where(F.size("ids") <= max_bucket)
         .select("band", "bh", F.array_distinct("ids").alias("ids"))
     )

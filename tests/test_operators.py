@@ -130,6 +130,24 @@ def test_near_dup_against_index_flags_only_new_dups(spark):
     assert out["new_id"].is_unique
 
 
+def test_near_dup_against_index_dense_index_cluster_still_matches(spark):
+    # the index holds 300 verbatim copies of one text: bucket members
+    # dedupe by text-hash, so even max_bucket=5 cannot drop the bucket
+    # and the best match is the cluster's min id (the tie-break winner
+    # an undeduped bucket would have picked anyway)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    idx = [{"id": 1000 + i, "txt": base} for i in range(300)]
+    idx += [{"id": i, "txt": f"unrelated filler text number {i} here okay"}
+            for i in range(3)]
+    index = spark.createDataFrame(pd.DataFrame(idx))
+    new = spark.createDataFrame(pd.DataFrame(
+        [{"id": 5, "txt": base + " tail"}]))
+    out = D.near_dup_against_index(new, index, "id", "txt",
+                                   threshold=0.6, max_bucket=5).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["new_id"] == 5 and out.iloc[0]["index_id"] == 1000
+
+
 def test_near_dup_against_index_empty_sides(spark):
     df = spark.createDataFrame(
         pd.DataFrame([{"id": 1, "txt": "some document text here ok"}]))
