@@ -129,6 +129,9 @@ DEFAULT_QUERIES = [
     # scans — must stay linear), and the global shard shuffle (one
     # sort-shuffle of the corpus)
     "incremental_dedup", "quality_classifier", "shuffle_shards",
+    # round 10b: the cross-source n-gram overlap matrix (corpus-wide
+    # distinct + gram self-join bounded by |sources|²)
+    "source_overlap",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
