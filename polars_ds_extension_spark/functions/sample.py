@@ -282,7 +282,8 @@ def sample_exact_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
     return ranked.where(F.col("__rnk") <= n).drop("__bk", "__br", "__rnk")
 
 
-_SHUFFLE_P = 2_147_483_647  # Mersenne prime 2^31-1: products stay < 2^47
+_SHUFFLE_P = 2_147_483_647  # Mersenne prime 2^31-1: products stay < 2^48
+# ((p-1)·69621 ≈ 1.5e14 < 2^48 ≈ 2.8e14) — exact in int64 and in doubles
 
 
 def _shuffle_consts(seed: int) -> tuple[int, int, int]:

@@ -355,6 +355,34 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     ).select("p.id_a", "p.id_b")
 
 
+def _dup_rate_gate(df: DataFrame, text_col: str) -> "tuple[bool, int]":
+    """The shared adaptive-collapse gate: ONE count + approx-distinct
+    (HLL) aggregation measures the exact-dup rate; collapse when > 10%.
+    Approx, not exact — a 5% rsd cannot flip a decision that only
+    matters when the true rate is far from the 10% line. Returns
+    (collapse, n_rows). Every caller that claims to mirror the gate
+    (`lsh_candidate_stats`, `near_dup_pairs`,
+    `near_dup_canonical_dedup`) MUST route through this helper so the
+    diagnostic can never desynchronize from the plans it measures."""
+    n, nd = df.agg(
+        F.count(F.lit(1)),
+        F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
+    return bool(n) and (n - nd) / n > 0.10, int(n)
+
+
+def _rep_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) row per distinct text via a single
+    (hash, id, text) struct-min shuffle — the shared collapse
+    construction (no corpus-vs-reps semi-join pass)."""
+    keyed_t = df.select(F.col(id_col).alias("__m"),
+                        F.col(text_col).alias("__t"),
+                        F.xxhash64(F.col(text_col)).alias("__h"))
+    return (keyed_t.groupBy("__h")
+            .agg(F.min(F.struct("__m", "__t")).alias("__r"))
+            .select(F.col("__r.__m").alias(id_col),
+                    F.col("__r.__t").alias(text_col)))
+
+
 def lsh_candidate_stats(
     df: DataFrame,
     id_col: str,
@@ -388,20 +416,10 @@ def lsh_candidate_stats(
     the banding really happens."""
     from .._utils import unpin
 
+    n_rows = None
     if collapse == "auto":
-        n, nd = df.agg(
-            F.count(F.lit(1)),
-            F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
-        collapse = bool(n) and (n - nd) / n > 0.10
-    mined = df
-    if collapse:
-        keyed_t = df.select(F.col(id_col).alias("__m"),
-                            F.col(text_col).alias("__t"),
-                            F.xxhash64(F.col(text_col)).alias("__h"))
-        mined = (keyed_t.groupBy("__h")
-                 .agg(F.min(F.struct("__m", "__t")).alias("__r"))
-                 .select(F.col("__r.__m").alias(id_col),
-                         F.col("__r.__t").alias(text_col)))
+        collapse, n_rows = _dup_rate_gate(df, text_col)
+    mined = _rep_corpus(df, id_col, text_col) if collapse else df
     base = _minhash_base(mined, id_col, text_col,
                          shingle_k, n_hashes, bands)
     sizes = (base.select("__id", F.posexplode("__bands").alias("band", "bh"))
@@ -422,8 +440,12 @@ def lsh_candidate_stats(
     unpin(base)  # only OUR pin — a global release_pins() here would
     # evict every other live pin in the session (diagnostics must not
     # have side effects on unrelated plans)
+    if not collapse:
+        n_rows = int(n_mined)  # mined the full corpus — no extra count
+    elif n_rows is None:
+        n_rows = int(df.count())  # collapse forced by the caller
     return {
-        "n_docs": int(n_mined) if not collapse else int(df.count()),
+        "n_docs": n_rows,
         "n_buckets": int(agg["n_buckets"] or 0),
         "max_bucket_size": int(agg["max_bucket_size"] or 0),
         "dropped_buckets": int(agg["dropped_buckets"] or 0),
@@ -535,12 +557,7 @@ def near_dup_pairs(
             threshold)
 
     if collapse == "auto":
-        # approx, not exact: the gate only needs a rate estimate (same
-        # rationale and threshold as near_dup_canonical_dedup)
-        n, nd = df.agg(
-            F.count(F.lit(1)),
-            F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
-        collapse = bool(n) and (n - nd) / n > 0.10
+        collapse, _ = _dup_rate_gate(df, text_col)
 
     if not collapse:
         base = _minhash_base(df, id_col, text_col,
@@ -564,13 +581,13 @@ def near_dup_pairs(
         )
         return _verify_pairs(base, cand, threshold).unionByName(within)
 
-    keyed = df.select(F.col(id_col).alias("__m"),
-                      F.xxhash64(F.col(text_col)).alias("__h"))
-    within = _exact_within_pairs(keyed)
-
     # collapse→mine→expand: one (hash, id, text) struct-min shuffle
     # builds the representative corpus (same construction as
-    # near_dup_canonical_dedup), mining runs on distinct texts only
+    # near_dup_canonical_dedup), mining runs on distinct texts only.
+    # members is ONE distinct (id, hash) frame shared by the
+    # within-pairs and the expansion joins (one corpus scan, not two;
+    # _exact_within_pairs array_distincts per group anyway, so feeding
+    # it pre-distincted rows is value-identical).
     from .._utils import pin
 
     keyed_t = df.select(F.col(id_col).alias("__m"),
@@ -580,6 +597,10 @@ def near_dup_pairs(
         F.min(F.struct("__m", "__t")).alias("__r")))
     reps_df = rep.select(F.col("__r.__m").alias(id_col),
                          F.col("__r.__t").alias(text_col))
+    members = pin(df.select(F.col(id_col).alias("__m"),
+                            F.xxhash64(F.col(text_col)).alias("__h"))
+                  .distinct())
+    within = _exact_within_pairs(members)
     base = _minhash_base(reps_df, id_col, text_col,
                          shingle_k, n_hashes, bands)
     # reps are all distinct texts — a jaccard-1.0 rep pair here is two
@@ -589,7 +610,6 @@ def near_dup_pairs(
         threshold)
     repmap = rep.select(F.col("__r.__m").alias("__ri"),
                         F.col("__h").alias("__hh"))
-    members = keyed.distinct()
     cross = (
         rep_pairs
         .join(repmap.select(F.col("__ri").alias("id_a"),
@@ -1017,14 +1037,8 @@ def near_dup_canonical_dedup(
     const-density probe 10 → 15.6 s with the collapse forced, vs
     unchanged with the gate; dense 25.6 → ~10 s either way). The same
     decide-from-measured-stats shape AQE uses, driven by one scalar."""
-    # approx, not exact: the gate only needs a rate estimate —
-    # approx_count_distinct's mergeable HLL sketch skips the Expand an
-    # exact distinct pays, and a 5% rsd cannot flip a decision that
-    # only matters when the true rate is far from the 10% line
-    n, n_distinct = df.agg(
-        F.count(F.lit(1)),
-        F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
-    if n == 0 or (n - n_distinct) / n <= 0.10:
+    do_collapse, _ = _dup_rate_gate(df, text_col)
+    if not do_collapse:
         # exact_pairs=False: the CC only needs connectivity, and the
         # skinny member→rep exact8 edges below connect identical texts
         # with m−1 edges instead of the pairs contract's m²/2
