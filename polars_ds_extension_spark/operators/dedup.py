@@ -1209,6 +1209,99 @@ def line_dedup(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def boilerplate_lines(docs: DataFrame, id_col: str, text_col: str,
+                      group_col: str | None = None, min_docs: int = 3,
+                      min_frac: float = 0.5, sep: str = "\n") -> DataFrame:
+    """Boilerplate-line census (the diagnostic half of
+    `strip_boilerplate`): every (group, trimmed line) whose document
+    frequency within the group reaches BOTH floors — ``min_docs``
+    distinct documents AND ``min_frac`` of the group's documents. With
+    ``group_col=None`` the corpus is one group (CCNet-style global
+    paragraph frequency); with a source/domain column it is the
+    RefinedWeb per-domain rule (nav bars, cookie banners, footers
+    repeat within a site, not across the web).
+
+    Scale shape: lines explode scan-side, ONE map-side-combinable
+    distinct+count shuffle on (group, line); the per-group doc totals
+    are a |groups|-row broadcast. Output is bounded above by
+    |lines| / min_docs rows — the frequency floor is also a size bound.
+
+    Output: group cols + (line, doc_freq, group_docs).
+    """
+    gcols = [group_col] if group_col else []
+    lines = docs.select(
+        *gcols, F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("__raw"),
+    ).select(*gcols, "__id", F.trim(F.col("__raw")).alias("line"))
+    freq = (
+        lines.where(F.col("line") != "")
+        .select(*gcols, "line", "__id").distinct()
+        .groupBy(*gcols, "line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    if group_col:
+        totals = docs.groupBy(group_col).agg(
+            F.countDistinct(id_col).alias("group_docs"))
+        freq = freq.join(F.broadcast(totals), group_col)
+    else:
+        totals = docs.select(
+            F.countDistinct(id_col).alias("group_docs")).limit(1)
+        freq = freq.crossJoin(F.broadcast(totals))
+    return freq.where(
+        (F.col("doc_freq") >= int(min_docs))
+        & (F.col("doc_freq") >= float(min_frac) * F.col("group_docs")))
+
+
+def strip_boilerplate(docs: DataFrame, id_col: str, text_col: str,
+                      group_col: str | None = None, min_docs: int = 3,
+                      min_frac: float = 0.5, sep: str = "\n") -> DataFrame:
+    """Remove boilerplate lines (headers, nav bars, cookie banners,
+    footers) from every document: a line is boilerplate when its
+    within-group document frequency reaches both `boilerplate_lines`
+    floors, and then ALL its occurrences are stripped — unlike
+    `line_dedup`, which keeps the first occurrence of every line.
+    Documents reassemble from their surviving lines in order; a
+    document that was pure boilerplate survives with empty text (rows
+    are never lost, so corpus accounting stays join-stable).
+
+    Line identity is the TRIMMED line; whitespace-only lines are never
+    boilerplate and are preserved as structure.
+
+    Scale shape: lines explode scan-side twice (census + mark pass);
+    the census is ONE (group, line) distinct+count shuffle, the mark
+    pass is one left join of the line set against the census output
+    (bounded by |lines| / min_docs rows — AQE broadcasts it for any
+    sane floor), then ONE groupBy(doc) reassembly. No window over the
+    corpus, no per-group single partition.
+
+    Output: (id_col, text_col stripped, n_removed).
+    """
+    bp = boilerplate_lines(docs, id_col, text_col, group_col=group_col,
+                           min_docs=min_docs, min_frac=min_frac, sep=sep)
+    gcols = [group_col] if group_col else []
+    lines = docs.select(
+        *gcols, F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__ln"),
+    ).withColumn("line", F.trim(F.col("__ln")))
+    marked = lines.join(
+        bp.select(*gcols, "line", F.lit(True).alias("__bp")),
+        on=gcols + ["line"], how="left")
+    parts = F.array_sort(F.collect_list(F.struct(
+        F.col("__i"), F.col("__ln"),
+        F.coalesce(F.col("__bp"), F.lit(False)).alias("__bp"))))
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.concat_ws(sep, F.transform(
+                F.filter(parts, lambda s: ~s["__bp"]),
+                lambda s: s["__ln"])).alias(text_col),
+            F.sum(F.coalesce(F.col("__bp"), F.lit(False)).cast("int"))
+            .cast("long").alias("n_removed"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     id_col: str,

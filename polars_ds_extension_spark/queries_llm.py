@@ -1178,6 +1178,60 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup(corpus, "doc_id", "text")
 
 
+@query("strip_boilerplate", r"""
+WITH corpus AS (
+  SELECT doc_id, source,
+    'site header for ' || source || chr(10) || text
+    || chr(10) || 'promo variant ' || (doc_id % 3)::VARCHAR
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'rare sweepstakes line' ELSE '' END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, source, u.i AS i, trim(u.ln) AS line, u.ln AS ln FROM (
+    SELECT doc_id, source, unnest(list_transform(
+      range(1, len(string_split(text, chr(10))) + 1),
+      i -> {'i': i, 'ln': string_split(text, chr(10))[i]})) AS u
+    FROM corpus)
+), freq AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM l WHERE line != '' GROUP BY 1, 2
+), tot AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS group_docs FROM corpus GROUP BY 1
+), bp AS (
+  SELECT f.source, f.line FROM freq f JOIN tot t USING (source)
+  WHERE doc_freq >= 3 AND doc_freq >= 0.5 * group_docs
+), m AS (
+  SELECT l.doc_id, l.i, l.ln, (bp.line IS NOT NULL) AS is_bp
+  FROM l LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+)
+SELECT doc_id,
+  coalesce(string_agg(ln, chr(10) ORDER BY i) FILTER (WHERE NOT is_bp),
+           '') AS text,
+  SUM(is_bp::INT)::BIGINT AS n_removed
+FROM m GROUP BY doc_id
+""")
+def strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line removal (dedup.strip_boilerplate,
+    the RefinedWeb/CCNet frequency rule): a planted per-source header
+    (frequency 1.0 — stripped), a promo line on a third of each
+    source's docs (doc_freq ≥ 3 but below the 0.5 fraction floor —
+    kept), and a rare line on doc_id % 13 (below the 3-doc floor —
+    kept). Oracle replays the census, both floors, and the ordered
+    reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("site header for "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\npromo variant "), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("\nrare sweepstakes line")).otherwise(F.lit("")),
+        ).alias("text"))
+    return D.strip_boilerplate(corpus, "doc_id", "text",
+                               group_col="source", min_docs=3, min_frac=0.5)
+
+
 @query("pack_sequences", r"""
 WITH t AS (
   SELECT doc_id,

@@ -34,6 +34,49 @@ def test_char_shingles_and_jaccard(spark):
     assert row["j"] == pytest.approx(3 / 5)
 
 
+def test_strip_boilerplate_floors(spark):
+    # Group g1: 4 docs sharing a header (freq 1.0 -> stripped); a promo
+    # line on 2 of 4 docs (doc_freq 2 < min_docs=3 -> kept); unique
+    # bodies kept. Group g2: 2 docs sharing a header — doc_freq 2 fails
+    # the min_docs floor even at frac 1.0 -> kept.
+    rows = [
+        {"id": i, "g": "g1",
+         "txt": "HEAD\nbody %d%s" % (i, "\npromo" if i < 2 else "")}
+        for i in range(4)
+    ] + [{"id": 10 + i, "g": "g2", "txt": "H2\nbody2 %d" % i}
+         for i in range(2)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = D.strip_boilerplate(sdf, "id", "txt", group_col="g",
+                              min_docs=3, min_frac=0.5)
+    got = {r["id"]: (r["txt"], r["n_removed"]) for r in out.collect()}
+    assert got[0] == ("body 0\npromo", 1)
+    assert got[2] == ("body 2", 1)
+    assert got[10] == ("H2\nbody2 0", 0)
+    assert len(got) == 6
+
+
+def test_strip_boilerplate_all_removed_and_global(spark):
+    # A pure-boilerplate doc survives with empty text; repeated
+    # occurrences inside ONE doc all strip and all count; the trimmed
+    # line is the identity; whitespace-only lines are preserved.
+    rows = [
+        {"id": 0, "txt": "FOOT\nunique a\n  FOOT  \n \nFOOT"},
+        {"id": 1, "txt": "FOOT\nunique b"},
+        {"id": 2, "txt": "FOOT"},
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = D.strip_boilerplate(sdf, "id", "txt", group_col=None,
+                              min_docs=3, min_frac=1.0)
+    got = {r["id"]: (r["txt"], r["n_removed"]) for r in out.collect()}
+    assert got[0] == ("unique a\n ", 3)
+    assert got[1] == ("unique b", 1)
+    assert got[2] == ("", 1)
+    census = D.boilerplate_lines(sdf, "id", "txt", min_docs=3,
+                                 min_frac=1.0).collect()
+    assert [(r["line"], r["doc_freq"], r["group_docs"])
+            for r in census] == [("FOOT", 3, 3)]
+
+
 def test_near_dup_pairs_finds_planted_dups(spark):
     rng = np.random.default_rng(5)
     vocab = [f"w{i:03d}" for i in range(400)]
