@@ -676,19 +676,24 @@ def near_dup_against_index(
     # shares the pin fine, and the extra pass measured net-negative.)
     nb.count()
     ib.count()
+    idx_buckets = _index_buckets(ib, max_bucket)
+    ish = ib.select(F.col("__id").alias("index_id"),
+                    F.col("__sh").alias("shingles"))
+    return _probe_index(nb, idx_buckets, ish, threshold)
 
-    new_ex = nb.select(
-        F.col("__id").alias("__nid"),
-        F.posexplode("__bands").alias("band", "bh"))
-    # bucket members dedupe BY TEXT-HASH keeping the min id, in the same
-    # aggregation (the __th column rides the pin — zero extra shuffle):
-    # identical index texts share every band bucket and score the same
-    # Jaccard against any new doc, so the best-match tie-break (min
-    # index_id) would pick the cluster minimum anyway — dropping the
-    # other members changes nothing in the output while removing the
-    # m-duplicated-text candidate blowup, and the max_bucket cap now
-    # binds on DISTINCT texts (strictly later than on raw members).
-    idx_buckets = (
+
+def _index_buckets(ib: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, bh, ids) buckets of a minhash-base index frame — the
+    persistable half of the incremental-dedup plan. Bucket members
+    dedupe BY TEXT-HASH keeping the min id, in the same aggregation
+    (the __th column rides the pin — zero extra shuffle): identical
+    index texts share every band bucket and score the same Jaccard
+    against any new doc, so the best-match tie-break (min index_id)
+    would pick the cluster minimum anyway — dropping the other members
+    changes nothing in the output while removing the m-duplicated-text
+    candidate blowup, and the max_bucket cap binds on DISTINCT texts
+    (strictly later than on raw members)."""
+    return (
         ib.select("__id", "__th", F.posexplode("__bands").alias("band", "bh"))
         .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("__th", "__id")).alias("mem"))
@@ -704,13 +709,26 @@ def near_dup_against_index(
         .where(F.size("ids") <= max_bucket)
         .select("band", "bh", F.array_distinct("ids").alias("ids"))
     )
+
+
+def _probe_index(nb: DataFrame, buckets: DataFrame, shingles: DataFrame,
+                 threshold: float) -> DataFrame:
+    """Probe a new-batch minhash base against (buckets, shingles) index
+    frames: band join → candidate ids → exact-Jaccard verify →
+    per-new-doc best match. Shared by `near_dup_against_index` (frames
+    derived from the live pin) and `near_dup_against_prebuilt` (frames
+    loaded from a persisted artifact) so the two paths cannot diverge."""
+    new_ex = nb.select(
+        F.col("__id").alias("__nid"),
+        F.posexplode("__bands").alias("band", "bh"))
     cand = (
-        new_ex.join(idx_buckets, ["band", "bh"])
+        new_ex.join(buckets, ["band", "bh"])
         .select("__nid", F.explode("ids").alias("__iid"))
         .distinct()
     )
     nsh = nb.select(F.col("__id").alias("__nid"), F.col("__sh").alias("__sh_n"))
-    ish = ib.select(F.col("__id").alias("__iid"), F.col("__sh").alias("__sh_i"))
+    ish = shingles.select(F.col("index_id").alias("__iid"),
+                          F.col("shingles").alias("__sh_i"))
     scored = (
         cand.join(nsh, "__nid").join(ish, "__iid")
         .select(
@@ -724,6 +742,71 @@ def near_dup_against_index(
         F.col("jaccard").desc(), F.col("index_id").asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def build_near_dup_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE near-dup index once — the one pass over
+    the 100 TB corpus that `near_dup_against_index` would otherwise
+    redo on every daily batch. Returns two frames to write as parquet
+    (e.g. via sources.sinks.write_parquet):
+
+      * ``buckets`` — (band, bh, ids): the capped, text-hash-deduped
+        LSH band buckets (8-byte keys + id arrays; tiny next to text);
+      * ``shingles`` — (index_id, shingles): each index doc's distinct
+        shingle-HASH set (array<long>, ~8 bytes per k-gram — the exact
+        verify side, 3× smaller than raw k-gram strings).
+
+    The LSH geometry (shingle_k, n_hashes, bands) is part of the
+    artifact: probes MUST pass the same values to
+    `near_dup_against_prebuilt` or band hashes will never collide.
+    Probing equals `near_dup_against_index(new, docs, ...)` exactly —
+    pinned by the shared `_probe_index` tail and a parity test.
+    """
+    ib = _minhash_base(docs, id_col, text_col, shingle_k, n_hashes, bands)
+    # both outputs read the pin (bucket agg + shingle projection);
+    # eager materialization keeps the Arrow banding pass at one run
+    ib.count()
+    buckets = _index_buckets(ib, max_bucket)
+    shingles = ib.select(F.col("__id").alias("index_id"),
+                         F.col("__sh").alias("shingles"))
+    return buckets, shingles
+
+
+def near_dup_against_prebuilt(
+    new: DataFrame,
+    buckets: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+) -> DataFrame:
+    """Incremental near-dup detection against a PREBUILT index (the
+    `build_near_dup_index` artifact read back from parquet): the index
+    corpus is never rescanned — the daily batch shingles+bands
+    scan-side, joins the persisted band buckets (AQE-broadcastable for
+    a small batch), and exact-verifies against only the candidate ids'
+    persisted shingle rows (filter pushdown on the join key prunes the
+    shingle scan to candidates). Same output contract as
+    `near_dup_against_index`: (new_id, index_id, jaccard) best match
+    per flagged new doc.
+
+    ``shingle_k``/``n_hashes``/``bands`` must match the build call —
+    the LSH geometry is part of the artifact.
+    """
+    nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
+    nb.count()
+    return _probe_index(nb, buckets, shingles, threshold)
 
 
 # -------------------------------------------------------------------- simhash

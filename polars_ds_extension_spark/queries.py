@@ -145,6 +145,13 @@ _STALE = frozenset({
     # branch-parity pytest + both-SF oracle mirror), and _minhash_base
     # carries the text hash in the pin → consumers re-stamp
     "near_dup_minhash", "near_dup_cluster_dedup", "dup_cluster_sizes",
+    # round 10c: near_dup_against_index's bucket agg + verify tail
+    # factored into _index_buckets/_probe_index (pure extraction, plan
+    # unchanged — both-SF oracle mirror green) so the new persisted-
+    # index path (build_near_dup_index/near_dup_against_prebuilt,
+    # covered by the new prebuilt_index_dedup oracle + parquet
+    # round-trip parity pytest) shares one implementation
+    "incremental_dedup",
     # round 10: dup_cluster_downsample base bounded to even ids < 2000
     # (query text + oracle changed together)
     "dup_cluster_downsample",

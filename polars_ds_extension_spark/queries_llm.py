@@ -168,6 +168,72 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
 
 
+@query("prebuilt_index_dedup", """
+WITH idx AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+), nw AS (
+  SELECT doc_id + 400000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 4 = 0
+), shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM nw
+), shi AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM idx
+), nn AS (
+  SELECT doc_id, len(s) AS n FROM shn
+), ni AS (
+  SELECT doc_id, len(s) AS n FROM shi
+), ns AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), ig AS (
+  SELECT doc_id, unnest(s) AS g FROM shi
+), shared AS (
+  SELECT n.doc_id AS nid, i.doc_id AS iid, COUNT(*) AS c
+  FROM ns n JOIN ig i ON n.g = i.g GROUP BY 1, 2
+), j AS (
+  SELECT nid, iid, c::DOUBLE / (a.n + b.n - c) AS jac
+  FROM shared JOIN nn a ON a.doc_id = nid JOIN ni b ON b.doc_id = iid
+  WHERE c::DOUBLE / (a.n + b.n - c) >= 0.6
+), best AS (
+  SELECT nid, iid, jac,
+    ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jac DESC, iid ASC) AS rn
+  FROM j
+)
+SELECT nid AS new_id, iid AS index_id, ROUND(jac, 6) AS jaccard
+FROM best WHERE rn = 1
+""")
+def prebuilt_index_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through the PERSISTED-index path
+    (dedup.build_near_dup_index → near_dup_against_prebuilt): index =
+    odd docs, new batch = perturbed copies of odd docs (must flag, best
+    match = source) ∪ reversed even docs (fresh — must not). The
+    build/probe split shares `_probe_index` with the one-shot
+    `near_dup_against_index`, and the parquet write→read round trip is
+    pinned by a parity pytest; this oracle pins the split path's
+    exact-Jaccard output end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    buckets, shingles = D.build_near_dup_index(index, "doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 4 == 1)
+        .select((F.col("doc_id") + 400000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz dup marker")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 4 == 0)
+            .select((F.col("doc_id") + 500000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text")))
+    )
+    out = D.near_dup_against_prebuilt(
+        new, buckets, shingles, "doc_id", "text", threshold=0.6)
+    return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
+
+
 @query("blocked_jaccard", r"""
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS sp

@@ -191,6 +191,33 @@ def test_near_dup_against_index_dense_index_cluster_still_matches(spark):
     assert out.iloc[0]["new_id"] == 5 and out.iloc[0]["index_id"] == 1000
 
 
+def test_prebuilt_index_roundtrip_matches_direct(spark, tmp_path):
+    # build → write parquet → read back → probe must equal the direct
+    # two-frame path exactly (shared _probe_index tail + artifact IO)
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(25)]
+    index = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": t} for i, t in enumerate(texts)]))
+    fresh = [" ".join(rng.choice(vocab, 40)) for _ in range(4)]
+    new = spark.createDataFrame(pd.DataFrame(
+        [{"id": 100 + i, "txt": texts[i] + " extra"} for i in range(4)]
+        + [{"id": 200 + i, "txt": t} for i, t in enumerate(fresh)]))
+    buckets, shingles = D.build_near_dup_index(index, "id", "txt")
+    bp, sp = str(tmp_path / "buckets"), str(tmp_path / "shingles")
+    buckets.write.parquet(bp)
+    shingles.write.parquet(sp)
+    got = D.near_dup_against_prebuilt(
+        new, spark.read.parquet(bp), spark.read.parquet(sp),
+        "id", "txt", threshold=0.6).toPandas()
+    want = D.near_dup_against_index(new, index, "id", "txt",
+                                    threshold=0.6).toPandas()
+    key = lambda d: sorted(map(tuple, d[["new_id", "index_id",
+                                         "jaccard"]].values.tolist()))
+    assert key(got) == key(want)
+    assert len(got) == 4
+
+
 def test_near_dup_against_index_empty_sides(spark):
     df = spark.createDataFrame(
         pd.DataFrame([{"id": 1, "txt": "some document text here ok"}]))
