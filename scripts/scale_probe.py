@@ -132,6 +132,10 @@ DEFAULT_QUERIES = [
     # round 10b: the cross-source n-gram overlap matrix (corpus-wide
     # distinct + gram self-join bounded by |sources|²)
     "source_overlap",
+    # round 10c: boilerplate-line census+strip (two line-set shuffles +
+    # reassembly — must stay linear in exploded lines) and the
+    # persisted-index probe path (build + band join + pruned verify)
+    "strip_boilerplate", "prebuilt_index_dedup",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so

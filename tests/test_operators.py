@@ -77,6 +77,23 @@ def test_strip_boilerplate_all_removed_and_global(spark):
             for r in census] == [("FOOT", 3, 3)]
 
 
+def test_strip_boilerplate_identity_when_nothing_qualifies(spark):
+    # with an unreachable frequency floor the explode+reassemble round
+    # trip must return every text verbatim (incl. repeated, leading,
+    # and trailing separators) with n_removed == 0
+    rng = np.random.default_rng(31)
+    texts = ["\n".join(
+        " ".join(f"w{rng.integers(50)}" for _ in range(4))
+        for _ in range(rng.integers(1, 5)))
+        for _ in range(10)]
+    texts += ["", "\n", "a\n\nb\n", "\n\nx"]
+    sdf = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": t} for i, t in enumerate(texts)]))
+    out = D.strip_boilerplate(sdf, "id", "txt", min_docs=10 ** 9)
+    got = {r["id"]: (r["txt"], r["n_removed"]) for r in out.collect()}
+    assert got == {i: (t, 0) for i, t in enumerate(texts)}
+
+
 def test_near_dup_pairs_finds_planted_dups(spark):
     rng = np.random.default_rng(5)
     vocab = [f"w{i:03d}" for i in range(400)]
