@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from .._utils import to_col
 
-__all__ = ["latest_by_key", "scd2"]
+__all__ = ["latest_by_key", "scd2", "snapshot_diff"]
 
 
 def _desc_cols(order_by: Sequence[str]) -> list:
@@ -102,3 +102,49 @@ def scd2(
              .withColumn("valid_to", F.lead(to_col(ts_col)).over(w)) \
              .withColumn("is_current", F.col("valid_to").isNull())
     return out
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str,
+    classify_reformat: bool = True,
+) -> DataFrame:
+    """Crawl-to-crawl corpus delta: classify every document id across
+    two snapshots as ``added`` (new only), ``removed`` (old only),
+    ``unchanged`` (byte-identical text), ``reformatted`` (differs only
+    by the C4 canonicalization — casing / combining form / whitespace;
+    `dedup.normalize_for_dedup`), or ``modified`` (real content
+    change). The triage step of an incremental pipeline: only
+    added+modified docs need re-scoring, re-embedding, and
+    `near_dup_against_prebuilt`; reformatted docs keep their derived
+    artifacts.
+
+    Scale shape: each side reduces scan-side to (id, 8-byte raw hash,
+    8-byte normalized hash) — text never shuffles — then ONE full outer
+    hash join on the id. With both snapshots stored bucketed on the id
+    (sources.sinks.write_bucketed) even that shuffle disappears.
+
+    Output: (id_col, status). With ``classify_reformat=False`` the NFC
+    Arrow pass is skipped and reformatted collapses into modified.
+    """
+    from .dedup import normalize_for_dedup
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(id_col).alias("__id"),
+                F.xxhash64(text_col).alias(f"__h_{tag}")]
+        if classify_reformat:
+            cols.append(F.xxhash64(normalize_for_dedup(text_col))
+                        .alias(f"__n_{tag}"))
+        else:
+            cols.append(F.lit(None).cast("long").alias(f"__n_{tag}"))
+        return df.select(*cols)
+
+    j = side(old, "o").join(side(new, "n"), "__id", "full_outer")
+    status = (
+        F.when(F.col("__h_o").isNull(), F.lit("added"))
+        .when(F.col("__h_n").isNull(), F.lit("removed"))
+        .when(F.col("__h_o") == F.col("__h_n"), F.lit("unchanged"))
+        .when(F.col("__n_o").eqNullSafe(F.col("__n_n"))
+              & F.col("__n_o").isNotNull(), F.lit("reformatted"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

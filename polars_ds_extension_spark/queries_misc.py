@@ -1639,6 +1639,62 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("current_state"))
 
 
+@query("snapshot_diff", r"""
+WITH nw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' appended content drift'
+              WHEN doc_id % 10 = 2 THEN upper(replace(text, ' ', '  '))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 10 = 3
+), o AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+), n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nrm
+  FROM nw
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.text = n.text THEN 'unchanged'
+       WHEN o.nrm = n.nrm THEN 'reformatted'
+       ELSE 'modified' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""")
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl corpus delta (operators/cdc.snapshot_diff): the
+    new snapshot drops every 10th doc (removed), appends real content
+    to %10==1 (modified), re-cases + re-spaces %10==2 (reformatted —
+    only the C4 canonicalization differs), adds reversed copies under
+    fresh ids (added), and leaves the rest unchanged. Text never
+    shuffles — each side reduces to (id, raw hash, normalized hash)
+    scan-side, one full outer join on the id. Oracle replays the
+    casing/whitespace canonicalization with nfc_normalize."""
+    from .operators import cdc as CDC
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    new = (
+        base.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.col("text"), F.lit(" appended content drift")))
+            .when(F.col("doc_id") % 10 == 2,
+                  F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+            .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            base.where(F.col("doc_id") % 10 == 3)
+            .select((F.col("doc_id") + 700000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text")))
+    )
+    return CDC.snapshot_diff(base, new, "doc_id", "text")
+
+
 @query("pagerank", """
 WITH pairs AS (
   SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

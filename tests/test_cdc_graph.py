@@ -81,6 +81,27 @@ def _pagerank_numpy(edges, n_iter, d=0.85):
     return {v: r[idx[v]] for v in nodes}
 
 
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "gone"), (3, "body changes here"),
+         (4, "Caf\u00e9  au  lait"),  # composed e-acute, double spaces
+         (5, "exact")],
+        "id long, txt string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (3, "body changed now"),
+         (4, "cafe\u0301 au lait"),  # decomposed form, lower, 1-space
+         (5, "exact"), (6, "brand new")],
+        "id long, txt string")
+    got = {r["id"]: r["status"]
+           for r in CDC.snapshot_diff(old, new, "id", "txt").collect()}
+    assert got == {1: "unchanged", 2: "removed", 3: "modified",
+                   4: "reformatted", 5: "unchanged", 6: "added"}
+    # without the NFC pass, reformatted collapses into modified
+    got2 = {r["id"]: r["status"] for r in CDC.snapshot_diff(
+        old, new, "id", "txt", classify_reformat=False).collect()}
+    assert got2[4] == "modified" and got2[1] == "unchanged"
+
+
 def test_pagerank_matches_power_iteration_with_dangling(spark):
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
              ("d", "c")]  # e is reachable-only? add dangling sink:
