@@ -766,7 +766,8 @@ def build_near_dup_index(
 
     The LSH geometry (shingle_k, n_hashes, bands) is part of the
     artifact: probes MUST pass the same values to
-    `near_dup_against_prebuilt` or band hashes will never collide.
+    `near_dup_against_prebuilt` or band hashes will never collide —
+    stamped on the bucket rows (``_lsh``) and verified at probe time.
     Probing equals `near_dup_against_index(new, docs, ...)` exactly —
     pinned by the shared `_probe_index` tail and a parity test.
     """
@@ -774,7 +775,12 @@ def build_near_dup_index(
     # both outputs read the pin (bucket agg + shingle projection);
     # eager materialization keeps the Arrow banding pass at one run
     ib.count()
-    buckets = _index_buckets(ib, max_bucket)
+    # the LSH geometry rides the bucket rows as one dictionary-encoded
+    # literal so a probe with mismatched parameters FAILS instead of
+    # silently returning zero matches (recall-0 would be
+    # indistinguishable from a clean batch)
+    buckets = _index_buckets(ib, max_bucket).withColumn(
+        "_lsh", F.lit(f"{shingle_k}/{n_hashes}/{bands}"))
     shingles = ib.select(F.col("__id").alias("index_id"),
                          F.col("__sh").alias("shingles"))
     return buckets, shingles
@@ -802,8 +808,19 @@ def near_dup_against_prebuilt(
     per flagged new doc.
 
     ``shingle_k``/``n_hashes``/``bands`` must match the build call —
-    the LSH geometry is part of the artifact.
+    the LSH geometry is part of the artifact, stamped on the bucket
+    rows (``_lsh``) and verified here: a mismatch raises instead of
+    silently returning zero matches.
     """
+    if "_lsh" in buckets.columns:
+        stamp = buckets.select("_lsh").first()
+        want = f"{shingle_k}/{n_hashes}/{bands}"
+        if stamp is not None and stamp[0] != want:
+            raise ValueError(
+                f"index was built with LSH geometry {stamp[0]} "
+                f"(shingle_k/n_hashes/bands) but the probe asked for "
+                f"{want}; band hashes would never collide")
+        buckets = buckets.drop("_lsh")
     nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
     nb.count()
     return _probe_index(nb, buckets, shingles, threshold)
@@ -1276,7 +1293,7 @@ def line_dedup(docs: DataFrame, id_col: str, text_col: str,
 
     lines = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__ln"),
+        F.posexplode(_split_lines(text_col, sep)).alias("__i", "__ln"),
     ).where(F.trim(F.col("__ln")) != "")
     w = Window.partitionBy(F.xxhash64("__ln"), F.col("__ln"))
     first = F.min(F.struct("__id", "__i")).over(w)
@@ -1290,6 +1307,19 @@ def line_dedup(docs: DataFrame, id_col: str, text_col: str,
             lambda s: s["__ln"])).alias(text_col))
         .withColumnRenamed("__id", id_col)
     )
+
+
+def _split_lines(text_col, sep: str) -> Column:
+    """Split on the LITERAL separator (F.split treats its pattern as a
+    Java regex — a bare '|' or '.' sep would shred every document while
+    concat_ws reassembles with the literal, breaking the round trip).
+    \\Q..\\E quoting matches any sep not containing the two-char '\\E'
+    terminator. NULL text coalesces to '' so a NULL-text doc flows
+    through explode+reassembly as an empty doc instead of vanishing."""
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain the '\E' quote terminator")
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.coalesce(t, F.lit("")), "\\Q" + sep + "\\E")
 
 
 def boilerplate_lines(docs: DataFrame, id_col: str, text_col: str,
@@ -1314,7 +1344,7 @@ def boilerplate_lines(docs: DataFrame, id_col: str, text_col: str,
     gcols = [group_col] if group_col else []
     lines = docs.select(
         *gcols, F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("__raw"),
+        F.explode(_split_lines(text_col, sep)).alias("__raw"),
     ).select(*gcols, "__id", F.trim(F.col("__raw")).alias("line"))
     freq = (
         lines.where(F.col("line") != "")
@@ -1325,10 +1355,14 @@ def boilerplate_lines(docs: DataFrame, id_col: str, text_col: str,
     if group_col:
         totals = docs.groupBy(group_col).agg(
             F.countDistinct(id_col).alias("group_docs"))
-        freq = freq.join(F.broadcast(totals), group_col)
+        # null-safe: a NULL group (failed domain extraction) is a
+        # legitimate bucket, not an exemption from the frequency rule
+        freq = freq.join(
+            F.broadcast(totals.withColumnRenamed(group_col, "__bg")),
+            F.col(group_col).eqNullSafe(F.col("__bg"))).drop("__bg")
     else:
         totals = docs.select(
-            F.countDistinct(id_col).alias("group_docs")).limit(1)
+            F.countDistinct(id_col).alias("group_docs"))
         freq = freq.crossJoin(F.broadcast(totals))
     return freq.where(
         (F.col("doc_freq") >= int(min_docs))
@@ -1348,7 +1382,9 @@ def strip_boilerplate(docs: DataFrame, id_col: str, text_col: str,
     are never lost, so corpus accounting stays join-stable).
 
     Line identity is the TRIMMED line; whitespace-only lines are never
-    boilerplate and are preserved as structure.
+    boilerplate and are preserved as structure. ``sep`` is a LITERAL
+    separator (not a regex); NULL text flows through as an empty doc;
+    a NULL group value is its own bucket, stripped like any other.
 
     Scale shape: lines explode scan-side twice (census + mark pass);
     the census is ONE (group, line) distinct+count shuffle, the mark
@@ -1364,11 +1400,16 @@ def strip_boilerplate(docs: DataFrame, id_col: str, text_col: str,
     gcols = [group_col] if group_col else []
     lines = docs.select(
         *gcols, F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__ln"),
+        F.posexplode(_split_lines(text_col, sep)).alias("__i", "__ln"),
     ).withColumn("line", F.trim(F.col("__ln")))
-    marked = lines.join(
-        bp.select(*gcols, "line", F.lit(True).alias("__bp")),
-        on=gcols + ["line"], how="left")
+    bp_marks = bp.select(
+        *[F.col(g).alias("__bg") for g in gcols],
+        F.col("line").alias("__bl"), F.lit(True).alias("__bp"))
+    cond = F.col("line") == F.col("__bl")
+    if group_col:
+        # null-safe on the group so NULL-group docs strip like any other
+        cond = cond & F.col(group_col).eqNullSafe(F.col("__bg"))
+    marked = lines.join(bp_marks, on=cond, how="left")
     parts = F.array_sort(F.collect_list(F.struct(
         F.col("__i"), F.col("__ln"),
         F.coalesce(F.col("__bp"), F.lit(False)).alias("__bp"))))

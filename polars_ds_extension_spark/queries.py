@@ -152,6 +152,11 @@ _STALE = frozenset({
     # covered by the new prebuilt_index_dedup oracle + parquet
     # round-trip parity pytest) shares one implementation
     "incremental_dedup",
+    # round 10c review fix: line_dedup now splits on the LITERAL sep
+    # via the shared _split_lines helper (identical values for the
+    # default newline sep — oracle mirror green — but the split
+    # pattern in the covering plan changed)
+    "line_dedup",
     # round 10: dup_cluster_downsample base bounded to even ids < 2000
     # (query text + oracle changed together)
     "dup_cluster_downsample",

@@ -92,6 +92,44 @@ def test_strip_boilerplate_identity_when_nothing_qualifies(spark):
     out = D.strip_boilerplate(sdf, "id", "txt", min_docs=10 ** 9)
     got = {r["id"]: (r["txt"], r["n_removed"]) for r in out.collect()}
     assert got == {i: (t, 0) for i, t in enumerate(texts)}
+    # regex-metacharacter separator round-trips literally too
+    sdf2 = spark.createDataFrame(pd.DataFrame(
+        [{"id": 0, "txt": "a b|c d|e"}, {"id": 1, "txt": "||x.y"}]))
+    out2 = D.strip_boilerplate(sdf2, "id", "txt", min_docs=10 ** 9,
+                               sep="|")
+    got2 = {r["id"]: r["txt"] for r in out2.collect()}
+    assert got2 == {0: "a b|c d|e", 1: "||x.y"}
+
+
+def test_strip_boilerplate_null_text_and_null_group(spark):
+    # NULL text survives as an empty doc (never dropped); NULL group is
+    # its own bucket and strips like any other
+    rows = [{"id": i, "g": None, "txt": "GDPR NOTICE\nbody %d" % i}
+            for i in range(3)]
+    rows += [{"id": 10, "g": "a", "txt": None},
+             {"id": 11, "g": "a", "txt": "keep me"}]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = D.strip_boilerplate(sdf, "id", "txt", group_col="g",
+                              min_docs=3, min_frac=1.0)
+    got = {r["id"]: (r["txt"], r["n_removed"]) for r in out.collect()}
+    assert len(got) == 5
+    assert got[0] == ("body 0", 1)         # NULL group still stripped
+    assert got[10] == ("", 0)              # NULL text kept as empty doc
+    assert got[11] == ("keep me", 0)
+
+
+def test_prebuilt_index_geometry_mismatch_raises(spark):
+    idx = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": f"some indexable text number {i} right here"}
+         for i in range(5)]))
+    buckets, shingles = D.build_near_dup_index(idx, "id", "txt", bands=16)
+    new = idx.limit(1)
+    with pytest.raises(ValueError, match="geometry"):
+        D.near_dup_against_prebuilt(new, buckets, shingles, "id", "txt",
+                                    bands=32)
+    # matching geometry passes (and the _lsh stamp is dropped)
+    D.near_dup_against_prebuilt(new, buckets, shingles, "id", "txt",
+                                bands=16).count()
 
 
 def test_near_dup_pairs_finds_planted_dups(spark):
