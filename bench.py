@@ -274,6 +274,23 @@ def main() -> None:
                     spark.catalog.clearCache()
                     print(f"probe100 {name}: {probe_100x[name]}s",
                           file=sys.stderr)
+                # pair stats at 100x too: a spot wall above the linear
+                # fit is only attributable with the work counts beside
+                # it (r10: 147s vs ~79s linear-from-10x read as an
+                # asymptote until slots measured exactly 10.0x/decade)
+                from polars_ds_extension_spark.operators.dedup import (
+                    lsh_candidate_stats)
+                from polars_ds_extension_spark.queries_llm import (
+                    _docs_with_near_dups)
+                st = lsh_candidate_stats(
+                    _docs_with_near_dups(spark, sdir), "doc_id", "text")
+                spark.catalog.clearCache()
+                probe_pairs["100x"] = [st["cand_slots"],
+                                       st["cand_distinct"],
+                                       st["max_bucket_size"],
+                                       st["dropped_buckets"],
+                                       st["collapsed"], st["n_mined"]]
+                print(f"lsh pair stats 100x: {st}", file=sys.stderr)
             except Exception as ex:  # pragma: no cover
                 print(f"100x spot probe skipped: {ex}", file=sys.stderr)
 

@@ -682,20 +682,26 @@ def near_dup_against_index(
     return _probe_index(nb, idx_buckets, ish, threshold)
 
 
-def _index_buckets(ib: DataFrame, max_bucket: int) -> DataFrame:
-    """(band, bh, ids) buckets of a minhash-base index frame — the
-    persistable half of the incremental-dedup plan. Bucket members
-    dedupe BY TEXT-HASH keeping the min id, in the same aggregation
-    (the __th column rides the pin — zero extra shuffle): identical
-    index texts share every band bucket and score the same Jaccard
-    against any new doc, so the best-match tie-break (min index_id)
-    would pick the cluster minimum anyway — dropping the other members
-    changes nothing in the output while removing the m-duplicated-text
-    candidate blowup, and the max_bucket cap binds on DISTINCT texts
-    (strictly later than on raw members)."""
-    return (
-        ib.select("__id", "__th", F.posexplode("__bands").alias("band", "bh"))
-        .groupBy("band", "bh")
+def _member_buckets(mem: DataFrame, max_bucket: int,
+                    tombstones: bool = False) -> DataFrame:
+    """(band, bh, ids) buckets from member-level (band, bh, __th, __id)
+    rows — the shared aggregation of the build and update paths. Bucket
+    members dedupe BY TEXT-HASH keeping the min id, in the same
+    aggregation: identical texts share every band bucket and score the
+    same Jaccard against any new doc, so the best-match tie-break (min
+    index_id) would pick the cluster minimum anyway — dropping the
+    other members changes nothing in the output while removing the
+    m-duplicated-text candidate blowup, and the max_bucket cap binds on
+    DISTINCT texts (strictly later than on raw members).
+
+    ``tombstones=True`` keeps over-cap buckets as ids=NULL rows instead
+    of dropping them — the PERSISTED artifact needs the key: an absent
+    bucket would silently come back when an update re-creates it from
+    new members alone, while a rebuild over the union keeps it dropped
+    (it can only grow). NULL arrays explode to zero candidate rows, so
+    probes read tombstoned frames unchanged."""
+    deduped = (
+        mem.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("__th", "__id")).alias("mem"))
         .select("band", "bh", _let(
             F.array_sort("mem"),
@@ -706,9 +712,25 @@ def _index_buckets(ib: DataFrame, max_bucket: int) -> DataFrame:
                     i == F.lit(0), F.lit(True)).otherwise(
                     x["__th"] != F.element_at(srt, i)["__th"])),
                 lambda x: x["__id"])).alias("ids"))
-        .where(F.size("ids") <= max_bucket)
-        .select("band", "bh", F.array_distinct("ids").alias("ids"))
     )
+    if tombstones:
+        return deduped.select(
+            "band", "bh",
+            F.when(F.size("ids") <= max_bucket,
+                   F.array_distinct("ids")).alias("ids"))
+    return (deduped.where(F.size("ids") <= max_bucket)
+            .select("band", "bh", F.array_distinct("ids").alias("ids")))
+
+
+def _index_buckets(ib: DataFrame, max_bucket: int,
+                   tombstones: bool = False) -> DataFrame:
+    """(band, bh, ids) buckets of a minhash-base index frame (the __th
+    column rides the pin — zero extra shuffle; see _member_buckets for
+    the dedup/cap/tombstone contract)."""
+    return _member_buckets(
+        ib.select("__id", "__th",
+                  F.posexplode("__bands").alias("band", "bh")),
+        max_bucket, tombstones)
 
 
 def _probe_index(nb: DataFrame, buckets: DataFrame, shingles: DataFrame,
@@ -760,14 +782,20 @@ def build_near_dup_index(
 
       * ``buckets`` — (band, bh, ids): the capped, text-hash-deduped
         LSH band buckets (8-byte keys + id arrays; tiny next to text);
-      * ``shingles`` — (index_id, shingles): each index doc's distinct
-        shingle-HASH set (array<long>, ~8 bytes per k-gram — the exact
-        verify side, 3× smaller than raw k-gram strings).
+        over-cap buckets persist as ids=NULL tombstones so
+        `update_near_dup_index` can keep them dropped (probes explode
+        them to zero candidates — output-identical to absence);
+      * ``shingles`` — (index_id, th, shingles): each index doc's
+        8-byte text hash and distinct shingle-HASH set (array<long>,
+        ~8 bytes per k-gram — the exact verify side, 3× smaller than
+        raw k-gram strings; ``th`` is what lets an update re-dedupe
+        bucket members against new docs without rescanning text).
 
     The LSH geometry (shingle_k, n_hashes, bands) is part of the
     artifact: probes MUST pass the same values to
     `near_dup_against_prebuilt` or band hashes will never collide —
-    stamped on the bucket rows (``_lsh``) and verified at probe time.
+    stamped on the bucket rows (``_lsh``, with max_bucket, which
+    updates must also match) and verified at probe/update time.
     Probing equals `near_dup_against_index(new, docs, ...)` exactly —
     pinned by the shared `_probe_index` tail and a parity test.
     """
@@ -775,13 +803,14 @@ def build_near_dup_index(
     # both outputs read the pin (bucket agg + shingle projection);
     # eager materialization keeps the Arrow banding pass at one run
     ib.count()
-    # the LSH geometry rides the bucket rows as one dictionary-encoded
-    # literal so a probe with mismatched parameters FAILS instead of
-    # silently returning zero matches (recall-0 would be
+    # the LSH parameters ride the bucket rows as one dictionary-encoded
+    # literal so a probe/update with mismatched parameters FAILS
+    # instead of silently returning zero matches (recall-0 would be
     # indistinguishable from a clean batch)
-    buckets = _index_buckets(ib, max_bucket).withColumn(
-        "_lsh", F.lit(f"{shingle_k}/{n_hashes}/{bands}"))
+    buckets = _index_buckets(ib, max_bucket, tombstones=True).withColumn(
+        "_lsh", F.lit(f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}"))
     shingles = ib.select(F.col("__id").alias("index_id"),
+                         F.col("__th").alias("th"),
                          F.col("__sh").alias("shingles"))
     return buckets, shingles
 
@@ -812,18 +841,122 @@ def near_dup_against_prebuilt(
     rows (``_lsh``) and verified here: a mismatch raises instead of
     silently returning zero matches.
     """
-    if "_lsh" in buckets.columns:
-        stamp = buckets.select("_lsh").first()
-        want = f"{shingle_k}/{n_hashes}/{bands}"
-        if stamp is not None and stamp[0] != want:
-            raise ValueError(
-                f"index was built with LSH geometry {stamp[0]} "
-                f"(shingle_k/n_hashes/bands) but the probe asked for "
-                f"{want}; band hashes would never collide")
-        buckets = buckets.drop("_lsh")
+    buckets = _check_lsh_stamp(buckets, shingle_k, n_hashes, bands)
     nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
     nb.count()
     return _probe_index(nb, buckets, shingles, threshold)
+
+
+def _check_lsh_stamp(buckets: DataFrame, shingle_k: int, n_hashes: int,
+                     bands: int, max_bucket: int | None = None) -> DataFrame:
+    """Verify the caller's LSH parameters against the ``_lsh`` stamp a
+    build wrote on the bucket rows, then drop the stamp. Probes check
+    the geometry triple only (the cap changes which buckets exist, not
+    how hashes collide); updates pass ``max_bucket`` too, since the
+    update ≡ rebuild contract needs the same cap."""
+    if "_lsh" not in buckets.columns:
+        return buckets
+    stamp = buckets.select("_lsh").first()
+    if stamp is not None:
+        got = str(stamp[0]).split("/")
+        want = [str(shingle_k), str(n_hashes), str(bands)]
+        if max_bucket is not None and len(got) >= 4:
+            got, want = got[:4], want + [str(max_bucket)]
+        else:
+            got = got[:3]
+        if got != want:
+            raise ValueError(
+                f"index was built with LSH geometry {stamp[0]} "
+                f"(shingle_k/n_hashes/bands[/max_bucket]) but the "
+                f"caller asked for {'/'.join(want)}; band hashes "
+                f"would never collide (or the bucket cap would "
+                f"diverge from the build)")
+    return buckets.drop("_lsh")
+
+
+def update_near_dup_index(
+    new: DataFrame,
+    buckets: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a new batch INTO the persisted near-dup index — the write
+    half of the daily-crawl loop (probe the batch with
+    `near_dup_against_prebuilt`, keep the survivors, then index them so
+    tomorrow's batch dedupes against today's too). Returns the updated
+    (buckets, shingles) frames, EXACTLY equivalent to a rebuild over
+    the union::
+
+        update_near_dup_index(new, *build_near_dup_index(old, ...))
+            == build_near_dup_index(old UNION ALL new, ...)
+
+    (pinned frame-for-frame by a parity pytest, over-cap buckets
+    included) — WITHOUT rescanning the old corpus. The old side
+    contributes only its kept bucket members: skinny (band, bh, id)
+    rows re-joined to their 8-byte text hashes from the shingle frame
+    (column pruning keeps the shingle arrays out of that join); the new
+    batch is one minhash pass; one (band, bh) aggregation merges them.
+
+    The equivalence leans on two artifact properties `build` maintains:
+    bucket members carry the build-time text-hash dedup keeping the MIN
+    id per distinct text (min over old ∪ new = min(old kept id, new
+    ids), so re-deduping kept members against new ones reproduces the
+    rebuild's choice), and over-cap buckets persist as ids=NULL
+    tombstones (they only grow under union, so they stay dropped — and
+    a bucket newly pushed over the cap by the batch tombstones here the
+    same way). New-batch ids are assumed distinct from indexed ids (a
+    re-indexed id contributes a duplicate shingle row, exactly as the
+    rebuild-over-union would).
+
+    All four parameters must match the build call — verified against
+    the ``_lsh`` stamp (the cap changes which buckets exist, so it is
+    part of the contract here, unlike at probe time).
+
+    Scale shape: the 100 TB corpus text never moves — the old side is
+    one explode of the kept id arrays (≤ bands × |kept docs| 16-byte
+    rows), one id-keyed join moving 8-byte hashes, and the shared
+    bucket aggregation; the shingle frame grows by append only.
+    """
+    buckets = _check_lsh_stamp(buckets, shingle_k, n_hashes, bands,
+                               max_bucket)
+    if "th" not in shingles.columns:
+        raise ValueError(
+            "shingle frame has no 'th' column — the index predates the "
+            "updatable artifact format; rebuild it with "
+            "build_near_dup_index before updating")
+    nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
+    # eager pin: the plan reads it from the bucket-merge and shingle-
+    # append subtrees (same rationale as near_dup_against_index)
+    nb.count()
+    kept = buckets.where(F.col("ids").isNotNull()).select(
+        "band", "bh", F.explode("ids").alias("__id"))
+    old_mem = kept.join(
+        shingles.select(F.col("index_id").alias("__id"),
+                        F.col("th").alias("__th")), "__id")
+    new_mem = nb.select(
+        "__id", "__th", F.posexplode("__bands").alias("band", "bh"))
+    merged = _member_buckets(
+        old_mem.select("band", "bh", "__th", "__id")
+        .unionByName(new_mem.select("band", "bh", "__th", "__id")),
+        max_bucket, tombstones=True)
+    dropped = buckets.where(F.col("ids").isNull()).select("band", "bh")
+    ids_t = merged.schema["ids"].dataType
+    out_buckets = (
+        merged.join(dropped, ["band", "bh"], "left_anti")
+        .unionByName(dropped.select(
+            "band", "bh", F.lit(None).cast(ids_t).alias("ids")))
+        .withColumn("_lsh",
+                    F.lit(f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}")))
+    out_shingles = shingles.unionByName(
+        nb.select(F.col("__id").alias("index_id"),
+                  F.col("__th").alias("th"),
+                  F.col("__sh").alias("shingles")))
+    return out_buckets, out_shingles
 
 
 # -------------------------------------------------------------------- simhash

@@ -234,6 +234,89 @@ def prebuilt_index_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
 
 
+@query("index_update", """
+WITH idx AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text
+  FROM documents WHERE doc_id % 8 = 2
+), nw AS (
+  SELECT doc_id + 700000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents WHERE doc_id % 8 = 3
+  UNION ALL
+  SELECT doc_id + 800000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents WHERE doc_id % 8 = 2
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 8 = 1
+), shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM nw
+), shi AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM idx
+), nn AS (
+  SELECT doc_id, len(s) AS n FROM shn
+), ni AS (
+  SELECT doc_id, len(s) AS n FROM shi
+), ns AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), ig AS (
+  SELECT doc_id, unnest(s) AS g FROM shi
+), shared AS (
+  SELECT n.doc_id AS nid, i.doc_id AS iid, COUNT(*) AS c
+  FROM ns n JOIN ig i ON n.g = i.g GROUP BY 1, 2
+), j AS (
+  SELECT nid, iid, c::DOUBLE / (a.n + b.n - c) AS jac
+  FROM shared JOIN nn a ON a.doc_id = nid JOIN ni b ON b.doc_id = iid
+  WHERE c::DOUBLE / (a.n + b.n - c) >= 0.6
+), best AS (
+  SELECT nid, iid, jac,
+    ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jac DESC, iid ASC) AS rn
+  FROM j
+)
+SELECT nid AS new_id, iid AS index_id, ROUND(jac, 6) AS jaccard
+FROM best WHERE rn = 1
+""")
+def index_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full daily-crawl index lifecycle (dedup.build_near_dup_index
+    → update_near_dup_index → near_dup_against_prebuilt): build the
+    index on the %4==3 docs, FOLD IN a second-day batch (%8==2 docs
+    under shifted ids — the old corpus is never rescanned), then probe
+    perturbed copies of docs from BOTH generations (must flag, best
+    match = their own generation's source — matches against the folded
+    batch prove the update is live) plus reversed %8==1 texts (fresh —
+    must not flag). The oracle replays exact shingle Jaccard + best
+    match over the UNION index, which is exactly what update ≡ rebuild
+    (also pinned frame-for-frame by a parity pytest) promises."""
+    docs = load_table(spark, sf_dir, "documents")
+    day1 = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    day2 = (docs.where(F.col("doc_id") % 8 == 2)
+            .select((F.col("doc_id") + 600000).alias("doc_id"), "text"))
+    buckets, shingles = D.build_near_dup_index(day1, "doc_id", "text")
+    buckets, shingles = D.update_near_dup_index(
+        day2, buckets, shingles, "doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 8 == 3)
+        .select((F.col("doc_id") + 700000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz dup marker")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 8 == 2)
+            .select((F.col("doc_id") + 800000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" zz dup marker")).alias("text")))
+        .unionByName(
+            docs.where(F.col("doc_id") % 8 == 1)
+            .select((F.col("doc_id") + 900000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text")))
+    )
+    out = D.near_dup_against_prebuilt(
+        new, buckets, shingles, "doc_id", "text", threshold=0.6)
+    return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
+
+
 @query("blocked_jaccard", r"""
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS sp

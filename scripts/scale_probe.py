@@ -136,6 +136,10 @@ DEFAULT_QUERIES = [
     # reassembly — must stay linear in exploded lines) and the
     # persisted-index probe path (build + band join + pruned verify)
     "strip_boilerplate", "prebuilt_index_dedup",
+    # round 10d: the persisted-index UPDATE (build day1 → fold day2 →
+    # probe both generations — the merge aggregation and the skinny
+    # member/th join must stay linear in |kept members| + |batch|)
+    "index_update",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so

@@ -118,6 +118,73 @@ def test_strip_boilerplate_null_text_and_null_group(spark):
     assert got[11] == ("keep me", 0)
 
 
+def _index_frames_as_sets(buckets, shingles):
+    b = {(r["band"], r["bh"],
+          tuple(sorted(r["ids"])) if r["ids"] is not None else None)
+         for r in buckets.collect()}
+    s = {(r["index_id"], r["th"], tuple(r["shingles"]))
+         for r in shingles.collect()}
+    return b, s
+
+
+def test_update_index_equals_rebuild(spark):
+    # update(build(old), new) must equal build(old UNION new) frame for
+    # frame — including over-cap tombstones: old has FOUR near-identical
+    # texts (distinct, so the text-hash dedup keeps all four and a tiny
+    # cap of 3 tombstones their shared buckets); new adds a fifth
+    # near-dup (the tombstone must stay dropped, not resurrect with the
+    # new member alone) plus unique docs that form fresh buckets.
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on %s")
+    old_rows = [{"id": i, "txt": base % f"variant {i}"} for i in range(4)]
+    old_rows += [{"id": 10 + i,
+                  "txt": f"completely unrelated unique document {i} "
+                         f"with its own distinct wording here"}
+                 for i in range(3)]
+    new_rows = [{"id": 20, "txt": base % "variant 20"},
+                {"id": 21, "txt": "another fresh singleton document "
+                                  "that matches nothing else at all"},
+                {"id": 22, "txt": old_rows[5]["txt"]}]  # exact dup of id 11
+    old = spark.createDataFrame(pd.DataFrame(old_rows))
+    new = spark.createDataFrame(pd.DataFrame(new_rows))
+    kw = dict(shingle_k=8, n_hashes=32, bands=16, max_bucket=3)
+
+    ub, us = D.update_near_dup_index(
+        new, *D.build_near_dup_index(old, "id", "txt", **kw),
+        id_col="id", text_col="txt", **kw)
+    rb, rs = D.build_near_dup_index(
+        old.unionByName(new), "id", "txt", **kw)
+    assert _index_frames_as_sets(ub, us) == _index_frames_as_sets(rb, rs)
+    # the stress is real: at least one tombstone exists on both sides
+    assert any(r["ids"] is None for r in rb.collect())
+
+    # and probing the updated index equals probing the rebuilt one
+    probe = spark.createDataFrame(pd.DataFrame(
+        [{"id": 100, "txt": base % "variant 100"}]))
+    got_u = sorted(D.near_dup_against_prebuilt(
+        probe, ub, us, "id", "txt", shingle_k=8, n_hashes=32,
+        bands=16).collect())
+    got_r = sorted(D.near_dup_against_prebuilt(
+        probe, rb, rs, "id", "txt", shingle_k=8, n_hashes=32,
+        bands=16).collect())
+    assert got_u == got_r
+
+
+def test_update_index_cap_mismatch_raises(spark):
+    idx = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": f"some indexable text number {i} right here"}
+         for i in range(4)]))
+    buckets, shingles = D.build_near_dup_index(idx, "id", "txt",
+                                               max_bucket=100)
+    with pytest.raises(ValueError, match="max_bucket"):
+        D.update_near_dup_index(idx.limit(1), buckets, shingles,
+                                "id", "txt", max_bucket=50)
+    with pytest.raises(ValueError, match="'th'"):
+        D.update_near_dup_index(idx.limit(1), buckets,
+                                shingles.drop("th"), "id", "txt",
+                                max_bucket=100)
+
+
 def test_prebuilt_index_geometry_mismatch_raises(spark):
     idx = spark.createDataFrame(pd.DataFrame(
         [{"id": i, "txt": f"some indexable text number {i} right here"}
