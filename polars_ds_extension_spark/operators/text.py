@@ -574,6 +574,48 @@ def pii_counts(text) -> Column:
     ])
 
 
+def chunk_documents(docs, id_col: str, text_col: str,
+                    chunk_chars: int = 2048,
+                    overlap: int = 256) -> "DataFrame":
+    """Split documents into fixed-size overlapping character windows —
+    the embedding/RAG prep step (a retriever embeds chunks, not 100 KB
+    documents). Chunk i covers characters [i·stride, i·stride +
+    chunk_chars) with stride = chunk_chars − overlap, so consecutive
+    chunks share exactly ``overlap`` characters and
+    ``chunk0 + chunk1[overlap:] + chunk2[overlap:] + …`` reconstructs
+    the document verbatim (pinned by a round-trip pytest). Every doc
+    emits ≥1 chunk (empty/NULL text → one '' chunk) so per-doc
+    accounting stays join-stable through the explode.
+
+    Output: (id_col, chunk_id, chunk, n_chunks) — one row per chunk,
+    0-based chunk_id.
+
+    Scale shape: pure scan-side JVM expressions (sequence → transform →
+    posexplode); no shuffle at all — the 100 TB corpus chunks at read
+    throughput, and the output inherits the input partitioning. Char
+    (not byte) windows: substr is codepoint-based in Spark and DuckDB
+    alike, so multilingual text never splits inside a codepoint.
+    """
+    from pyspark.sql import functions as F
+
+    stride = int(chunk_chars) - int(overlap)
+    if stride <= 0 or overlap < 0:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    t = F.coalesce(_t(text_col), F.lit(""))
+    n = F.greatest(F.lit(1), F.ceil(
+        (F.length(t) - F.lit(int(overlap))) / F.lit(stride))).cast("int")
+    return (docs
+            .select(F.col(id_col), t.alias("__t"), n.alias("n_chunks"))
+            .select(
+                id_col, "n_chunks",
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.col("__t").substr(
+                        i * stride + 1, F.lit(int(chunk_chars)))))
+                .alias("chunk_id", "chunk"))
+            .select(id_col, "chunk_id", "chunk", "n_chunks"))
+
+
 def pack_sequences(docs, id_col: str, text_col: str,
                    seq_tokens: int = 2048) -> "DataFrame":
     """Assign documents to fixed-token-budget training bins: order by

@@ -1408,6 +1408,33 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("long").alias("bin_tokens"))
 
 
+@query("chunk_documents", """
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS txt FROM documents
+), n AS (
+  SELECT doc_id, txt,
+         CAST(GREATEST(1, CEIL((LENGTH(txt) - 16)::DOUBLE / 80)) AS INT)
+           AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, txt, n_chunks, UNNEST(range(0, n_chunks)) AS cid FROM n
+)
+SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+       substr(txt, CAST(cid * 80 + 1 AS INT), 96) AS chunk, n_chunks
+FROM e
+""")
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (text.py:chunk_documents — the
+    embedding/RAG prep step): 96-char windows with 16-char overlap
+    (stride 80), 0-based chunk ids, every doc ≥1 chunk. Pure scan-side
+    sequence→transform→posexplode (zero shuffles); the oracle replays
+    count + every window substring, so boundaries are hash-pinned
+    character for character."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text",
+                             chunk_chars=96, overlap=16)
+
+
 # --------------------------------------------------------- retrieval / lexical
 
 @query("tfidf_topk", r"""

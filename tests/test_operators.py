@@ -118,6 +118,41 @@ def test_strip_boilerplate_null_text_and_null_group(spark):
     assert got[11] == ("keep me", 0)
 
 
+def test_chunk_documents_reconstructs_exactly(spark):
+    # chunk0 + chunk1[overlap:] + ... must rebuild each doc verbatim;
+    # empty/NULL text yields one '' chunk; multi-codepoint text never
+    # splits inside a character (substr is codepoint-based)
+    rows = [
+        {"id": 0, "txt": "abcdefghijklmnopqrstuvwxyz" * 7},   # 182 chars
+        {"id": 1, "txt": "short"},
+        {"id": 2, "txt": ""},
+        {"id": 3, "txt": None},
+        {"id": 4, "txt": "héllo wörld ünïcode £€¥ " * 9},
+        {"id": 5, "txt": "x" * 96},                           # exact fit
+        {"id": 6, "txt": "y" * 97},                           # one over
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = T.chunk_documents(sdf, "id", "txt", chunk_chars=96, overlap=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_id"], r["chunk"], r["n_chunks"]))
+    for row in rows:
+        chunks = sorted(got[row["id"]])
+        want = row["txt"] or ""
+        assert len(chunks) == chunks[0][2]          # n_chunks correct
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rebuilt = chunks[0][1] + "".join(c[1][16:] for c in chunks[1:])
+        assert rebuilt == want, row["id"]
+        # consecutive chunks share exactly the overlap
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[1][-16:] == b[1][:16] or len(a[1]) < 96
+    # exact-fit doc stays one chunk; one-over spills to two
+    assert len(got[5]) == 1 and len(got[6]) == 2
+    with pytest.raises(ValueError):
+        T.chunk_documents(sdf, "id", "txt", chunk_chars=16, overlap=16)
+
+
 def _index_frames_as_sets(buckets, shingles):
     b = {(r["band"], r["bh"],
           tuple(sorted(r["ids"])) if r["ids"] is not None else None)
