@@ -852,15 +852,29 @@ def _check_lsh_stamp(buckets: DataFrame, shingle_k: int, n_hashes: int,
     """Verify the caller's LSH parameters against the ``_lsh`` stamp a
     build wrote on the bucket rows, then drop the stamp. Probes check
     the geometry triple only (the cap changes which buckets exist, not
-    how hashes collide); updates pass ``max_bucket`` too, since the
-    update ≡ rebuild contract needs the same cap."""
+    how hashes collide) and tolerate a stripped stamp; updates pass
+    ``max_bucket`` and REQUIRE a cap-bearing stamp — the update ≡
+    rebuild contract is void under a mismatched cap, so "can't verify"
+    must fail loudly there, not proceed."""
     if "_lsh" not in buckets.columns:
+        if max_bucket is not None:
+            raise ValueError(
+                "bucket frame has no '_lsh' stamp column — updating "
+                "needs the build parameters verified (a wrong "
+                "max_bucket silently voids update == rebuild); keep "
+                "the stamp when persisting, or rebuild the index")
         return buckets
     stamp = buckets.select("_lsh").first()
     if stamp is not None:
         got = str(stamp[0]).split("/")
         want = [str(shingle_k), str(n_hashes), str(bands)]
-        if max_bucket is not None and len(got) >= 4:
+        if max_bucket is not None:
+            if len(got) < 4:
+                raise ValueError(
+                    f"index stamp {stamp[0]} predates the cap-bearing "
+                    "format — updating needs max_bucket verified "
+                    "(a wrong cap silently voids update == rebuild); "
+                    "rebuild the index with this version")
             got, want = got[:4], want + [str(max_bucket)]
         else:
             got = got[:3]

@@ -218,6 +218,19 @@ def test_update_index_cap_mismatch_raises(spark):
         D.update_near_dup_index(idx.limit(1), buckets,
                                 shingles.drop("th"), "id", "txt",
                                 max_bucket=100)
+    # a STRIPPED stamp must fail the update loudly (can't verify the
+    # cap -> can't promise update == rebuild); probes still tolerate it
+    with pytest.raises(ValueError, match="_lsh"):
+        D.update_near_dup_index(idx.limit(1), buckets.drop("_lsh"),
+                                shingles, "id", "txt", max_bucket=100)
+    D.near_dup_against_prebuilt(idx.limit(1), buckets.drop("_lsh"),
+                                shingles, "id", "txt").count()
+    # a pre-cap-format 3-field stamp must fail the update too
+    import pyspark.sql.functions as F
+    old_fmt = buckets.withColumn("_lsh", F.lit("12/96/32"))
+    with pytest.raises(ValueError, match="cap-bearing"):
+        D.update_near_dup_index(idx.limit(1), old_fmt, shingles,
+                                "id", "txt", max_bucket=100)
 
 
 def test_prebuilt_index_geometry_mismatch_raises(spark):
