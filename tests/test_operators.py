@@ -204,6 +204,28 @@ def test_update_index_equals_rebuild(spark):
         bands=16).collect())
     assert got_u == got_r
 
+    # the daily loop ITERATES: update(update(build(A), B), C) must
+    # equal build(A ∪ B ∪ C) — day-2 output is a valid day-3 input
+    # (tombstones re-persist, stamp re-written, th frame appended);
+    # day3 also carries an IN-BATCH duplicate pair (ids 30/31 share
+    # text — rebuild dedups them, the update agg must too)
+    day3_rows = [{"id": 30, "txt": base % "variant 30"},
+                 {"id": 31, "txt": base % "variant 30"},
+                 {"id": 32, "txt": "yet another standalone document "
+                                   "with nothing shared anywhere"}]
+    day3 = spark.createDataFrame(pd.DataFrame(day3_rows))
+    ub2, us2 = D.update_near_dup_index(day3, ub, us,
+                                       id_col="id", text_col="txt", **kw)
+    rb2, rs2 = D.build_near_dup_index(
+        old.unionByName(new).unionByName(day3), "id", "txt", **kw)
+    assert _index_frames_as_sets(ub2, us2) == _index_frames_as_sets(rb2, rs2)
+
+    # empty batch: update is the identity on bucket/shingle CONTENT
+    empty = spark.createDataFrame([], schema="id long, txt string")
+    eb, es = D.update_near_dup_index(empty, ub, us,
+                                     id_col="id", text_col="txt", **kw)
+    assert _index_frames_as_sets(eb, es) == _index_frames_as_sets(ub, us)
+
 
 def test_update_index_cap_mismatch_raises(spark):
     idx = spark.createDataFrame(pd.DataFrame(
