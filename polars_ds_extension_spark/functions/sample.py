@@ -111,6 +111,56 @@ def split_by_ratio(df: DataFrame, id_col: str, ratios: Sequence[float],
     return {n: df.where(lab == n) for n in names}
 
 
+def leakage_safe_split(docs: DataFrame, id_col: str, text_col: str,
+                       eval_frac: float = 0.05, seed: int = 42,
+                       threshold: float = 0.6, shingle_k: int = 12,
+                       n_hashes: int = 96, bands: int = 32,
+                       max_bucket: int = 200) -> DataFrame:
+    """Deterministic eval-holdout carve-out with a near-dup LEAKAGE
+    guard — the reverse of benchmark decontamination: after the
+    engine-reproducible `shuffle_key` cut assigns each doc to eval
+    (key < eval_frac·P) or train, any TRAIN doc whose exact char-
+    shingle Jaccard against some eval doc reaches ``threshold`` is
+    marked ``dropped`` (keeping it would leak the held-out set into
+    training; re-splitting can't fix what near-dups straddle).
+
+    Output: input columns + ``split`` ∈ {'eval','train','dropped'} +
+    ``leaked_to`` (the best-matching eval doc id for dropped rows,
+    NULL otherwise — the audit trail). Membership is exact-Jaccard
+    defined (MinHash banding only generates candidates), so the whole
+    split is engine-reproducible and SQL-oracle-checkable.
+
+    Scale shape: the split itself is a scan-side key filter (no
+    shuffle); the leakage scan is the asymmetric batch-vs-index probe
+    (`near_dup_against_index`) with the SMALL eval side as the index —
+    its band table broadcasts, the 95% train side streams past it, and
+    the verify join touches candidate ids only. One broadcastable join
+    marks the dropped rows back onto the corpus.
+    """
+    from ..operators.dedup import near_dup_against_index
+
+    if not 0.0 < eval_frac < 1.0:
+        raise ValueError("eval_frac must be in (0, 1)")
+    cut = int(eval_frac * _SHUFFLE_P)
+    base = docs.withColumn("__k", shuffle_key(id_col, seed))
+    ev = base.where(F.col("__k") < cut)
+    tr = base.where(F.col("__k") >= cut)
+    leaked = near_dup_against_index(
+        tr.select(id_col, text_col), ev.select(id_col, text_col),
+        id_col, text_col, threshold=threshold, shingle_k=shingle_k,
+        n_hashes=n_hashes, bands=bands, max_bucket=max_bucket)
+    marks = leaked.select(F.col("new_id").alias("__lid"),
+                          F.col("index_id").alias("leaked_to"))
+    # no forced broadcast: the dropped set is usually tiny (near-dups
+    # straddling the cut) and AQE broadcasts it; a pathological corpus
+    # where it ISN'T tiny must not OOM the driver
+    out = base.join(marks, to_col(id_col) == F.col("__lid"), "left")
+    split = (F.when(F.col("__k") < cut, F.lit("eval"))
+             .when(F.col("leaked_to").isNotNull(), F.lit("dropped"))
+             .otherwise(F.lit("train")))
+    return out.withColumn("split", split).drop("__k", "__lid")
+
+
 def stratified_sample(df: DataFrame, strata: Sequence[str], id_col: str,
                       fraction: float) -> DataFrame:
     """Deterministic per-stratum sampling: the bucket hash mixes the

@@ -1990,6 +1990,76 @@ def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", "pos").alias("last_doc"))
 
 
+@query("leakage_safe_split", f"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 250000 AS doc_id, text || ' zz dup marker' AS text
+  FROM documents WHERE doc_id % 5 = 0
+), k AS (
+  SELECT doc_id, text,
+    (69621 * ((48271 * ((doc_id + {_SHUF7[0]}) % 2147483647)
+               + {_SHUF7[1]}) % 2147483647)
+     + {_SHUF7[2]}) % 2147483647 AS key
+  FROM c
+), ev AS (
+  SELECT doc_id, text FROM k WHERE key < 107374182
+), tr AS (
+  SELECT doc_id, text FROM k WHERE key >= 107374182
+), shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM tr
+), shi AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(text) - 11, 1) + 1), i -> substr(text, i, 12))) AS s
+  FROM ev
+), nn AS (SELECT doc_id, len(s) AS n FROM shn),
+ni AS (SELECT doc_id, len(s) AS n FROM shi),
+ns AS (SELECT doc_id, unnest(s) AS g FROM shn),
+ig AS (SELECT doc_id, unnest(s) AS g FROM shi),
+shared AS (
+  SELECT n.doc_id AS nid, i.doc_id AS iid, COUNT(*) AS cnt
+  FROM ns n JOIN ig i ON n.g = i.g GROUP BY 1, 2
+), j AS (
+  SELECT nid, iid, cnt::DOUBLE / (a.n + b.n - cnt) AS jac
+  FROM shared JOIN nn a ON a.doc_id = nid JOIN ni b ON b.doc_id = iid
+  WHERE cnt::DOUBLE / (a.n + b.n - cnt) >= 0.6
+), leak AS (
+  SELECT nid, iid FROM (
+    SELECT nid, iid,
+      ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jac DESC, iid ASC) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT k.doc_id,
+  CASE WHEN k.key < 107374182 THEN 'eval'
+       WHEN leak.iid IS NOT NULL THEN 'dropped'
+       ELSE 'train' END AS split,
+  leak.iid AS leaked_to
+FROM k LEFT JOIN leak ON k.doc_id = leak.nid
+""")
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval holdout (functions/sample.
+    leakage_safe_split — reverse decontamination): corpus = documents ∪
+    perturbed copies of every 5th doc, split 5%/95% by the
+    engine-reproducible shuffle_key(seed=7) cut, then every train doc
+    near-dupping an eval doc at ≥0.6 exact shingle Jaccard is
+    'dropped' with its best-matching eval id as the audit column.
+    Planted pairs straddle the cut deterministically (copy-in-train/
+    source-in-eval and vice versa both occur), so the oracle replays
+    the key, the cut, the all-pairs Jaccard, and the best-match
+    tie-break — the whole split is hash-pinned per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 250000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz dup marker"))
+                .alias("text")))
+    out = SMP.leakage_safe_split(corpus, "doc_id", "text",
+                                 eval_frac=0.05, seed=7)
+    return out.select("doc_id", "split", "leaked_to")
+
+
 @query("token_mixture", r"""
 WITH d AS (
   SELECT doc_id, source,

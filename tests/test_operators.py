@@ -118,6 +118,37 @@ def test_strip_boilerplate_null_text_and_null_group(spark):
     assert got[11] == ("keep me", 0)
 
 
+def test_leakage_safe_split_invariants(spark):
+    from polars_ds_extension_spark.functions import sample as SMP
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    uniq = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    dup = [" ".join(rng.choice(vocab, 40)) for _ in range(6)]
+    rows = [{"id": i, "txt": t} for i, t in enumerate(uniq)]
+    # 6 exact-dup pairs (jaccard 1 -> banding recall certain)
+    rows += [{"id": 100 + j, "txt": t} for j, t in enumerate(dup)]
+    rows += [{"id": 200 + j, "txt": t} for j, t in enumerate(dup)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = SMP.leakage_safe_split(sdf, "id", "txt", eval_frac=0.5)
+    got = {r["id"]: (r["split"], r["leaked_to"]) for r in out.collect()}
+    assert len(got) == len(rows)                      # every doc labeled
+    for i, (sp, lk) in got.items():
+        assert sp in ("eval", "train", "dropped")
+        assert (lk is not None) == (sp == "dropped")  # audit iff dropped
+        if sp == "dropped":
+            assert got[lk][0] == "eval"               # leaked TO eval
+    # an exact-dup pair split across the cut: the train side is dropped
+    for j in range(6):
+        a, b = got[100 + j], got[200 + j]
+        sides = {a[0], b[0]}
+        if sides == {"eval"} or "eval" not in sides:
+            assert "dropped" not in sides             # no leak, no drop
+        else:                                         # pair straddles
+            assert "dropped" in sides
+    with pytest.raises(ValueError, match="eval_frac"):
+        SMP.leakage_safe_split(sdf, "id", "txt", eval_frac=0.0)
+
+
 def test_chunk_documents_reconstructs_exactly(spark):
     # chunk0 + chunk1[overlap:] + ... must rebuild each doc verbatim;
     # empty/NULL text yields one '' chunk; multi-codepoint text never
