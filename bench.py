@@ -265,6 +265,17 @@ def main() -> None:
                 from scripts.scale_probe import (SPOT_QUERIES,
                                                  build_spot_data)
                 sdir = build_spot_data(spark)
+                # fresh JVM for the spot phase too (r10d): the single-
+                # shot absolutes inherited end-of-session heap/JIT
+                # drift — three same-code runs measured ann_ivf_search
+                # 10-24 s and cluster_dedup 130-207 s at 100×, while a
+                # fresh JVM reproduced the minhash number within 6%.
+                # Same rationale as the r9 symmetric-fresh-session fix.
+                spark.stop()
+                spark = get_spark(app="pds-spark-bench-spot")
+                spark.sparkContext.setLogLevel("ERROR")
+                spark.range(0, 32 * 256, 1, 32).select(
+                    _wu(F.col("id").cast("double"))).count()
                 qs = catalog.queries()
                 for name in SPOT_QUERIES:
                     t0 = time.perf_counter()
@@ -361,10 +372,16 @@ def main() -> None:
         fastest = min(compact, key=lambda k: compact[k])
         dropped.append((fastest, compact.pop(fastest)))
     if len(_line(compact)) > budget:
-        # last resort before truncation: spreads to 1dp, total to 1dp
+        # fallback tiers before risking the parse window: spreads to
+        # 1dp, total to 1dp, then absolutes to 1dp (r10d: the probe
+        # evidence alone reached 1904 with queries already empty)
         for n, v in probe.items():
             v[1] = round(v[1], 1) if v[1] is not None else None
         total = round(total, 1)
+    if len(_line(compact)) > budget:
+        for n, v in probe.items():
+            v[2] = round(v[2], 1)
+            v[3] = round(v[3], 1)
     if dropped:  # no silent caps: record what the stdout line lost
         print("bench stdout-budget dropped: "
               + ", ".join(f"{k}={v}" for k, v in dropped), file=sys.stderr)
