@@ -183,6 +183,28 @@ def test_chunk_documents_reconstructs_exactly(spark):
     with pytest.raises(ValueError):
         T.chunk_documents(sdf, "id", "txt", chunk_chars=16, overlap=16)
 
+    # boundary-length sweep in ONE job: every length around the
+    # overlap, stride, chunk, and 2-chunk cuts reconstructs exactly
+    # with the model count n = max(1, ceil((L-overlap)/stride))
+    import math
+    lengths = [0, 1, 15, 16, 17, 79, 80, 81, 95, 96, 97,
+               160, 161, 175, 176, 177, 256, 257]
+    sweep = spark.createDataFrame(pd.DataFrame(
+        [{"id": L, "txt": ("x" * (L % 7) + "abcdefg" * (L // 7 + 1))[:L]}
+         for L in lengths]))
+    out2 = T.chunk_documents(sweep, "id", "txt", chunk_chars=96,
+                             overlap=16)
+    by_id = {}
+    for r in out2.collect():
+        by_id.setdefault(r["id"], []).append((r["chunk_id"], r["chunk"]))
+    for L in lengths:
+        want_txt = ("x" * (L % 7) + "abcdefg" * (L // 7 + 1))[:L]
+        cs = sorted(by_id[L])
+        want_n = max(1, math.ceil((L - 16) / 80))
+        assert len(cs) == want_n, L
+        rebuilt = cs[0][1] + "".join(c[1][16:] for c in cs[1:])
+        assert rebuilt == want_txt, L
+
 
 def _index_frames_as_sets(buckets, shingles):
     b = {(r["band"], r["bh"],
