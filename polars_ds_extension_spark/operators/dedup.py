@@ -355,19 +355,58 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     ).select("p.id_a", "p.id_b")
 
 
+_GATE_CACHE: "weakref.WeakKeyDictionary[DataFrame, tuple]" = None
+
+
+def _collapse_rule(n: int, nd: int) -> bool:
+    """THE gate rule, shared by every path that measures the exact-dup
+    rate (the scan-fused one in near_dup_canonical_dedup included):
+    collapse when duplicated rows exceed 10% of the corpus. One place,
+    so the diagnostic twin can never desynchronize from the plans."""
+    return bool(n) and (n - nd) / n > 0.10
+
+
+def _gate_memo(df: DataFrame, result: "tuple[bool, int] | None" = None):
+    """Weak per-frame memo for the adaptive-collapse gate: composed
+    pipelines that run several gated operators over the SAME DataFrame
+    object pay the count+HLL corpus scan once (the knn_join route-memo
+    pattern). Object-keyed with no invalidation — same staleness caveat
+    as knn._INDEX_COUNT_CACHE: a long-lived frame over files that grow
+    underneath it keeps its first measured rate. Both gate branches are
+    value-identical by contract, so a stale HIT can only cost time,
+    never correctness."""
+    import weakref
+
+    global _GATE_CACHE
+    if _GATE_CACHE is None:
+        _GATE_CACHE = weakref.WeakKeyDictionary()
+    if result is None:
+        return _GATE_CACHE.get(df)
+    try:
+        _GATE_CACHE[df] = result
+    except TypeError:  # unhashable/weakref-less frame — just skip
+        pass
+    return result
+
+
 def _dup_rate_gate(df: DataFrame, text_col: str) -> "tuple[bool, int]":
     """The shared adaptive-collapse gate: ONE count + approx-distinct
-    (HLL) aggregation measures the exact-dup rate; collapse when > 10%.
-    Approx, not exact — a 5% rsd cannot flip a decision that only
-    matters when the true rate is far from the 10% line. Returns
-    (collapse, n_rows). Every caller that claims to mirror the gate
+    (HLL) aggregation measures the exact-dup rate; collapse when > 10%
+    (`_collapse_rule`). Approx, not exact — a 5% rsd cannot flip a
+    decision that only matters when the true rate is far from the 10%
+    line. Returns (collapse, n_rows), memoized per frame object via
+    `_gate_memo`. Every caller that claims to mirror the gate
     (`lsh_candidate_stats`, `near_dup_pairs`,
-    `near_dup_canonical_dedup`) MUST route through this helper so the
-    diagnostic can never desynchronize from the plans it measures."""
+    `near_dup_canonical_dedup`) MUST route through this helper or
+    `_collapse_rule` so the diagnostic can never desynchronize from
+    the plans it measures."""
+    hit = _gate_memo(df)
+    if hit is not None:
+        return hit
     n, nd = df.agg(
         F.count(F.lit(1)),
         F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
-    return bool(n) and (n - nd) / n > 0.10, int(n)
+    return _gate_memo(df, (_collapse_rule(n, nd), int(n)))
 
 
 def _rep_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -413,7 +452,16 @@ def lsh_candidate_stats(
     the plan the query actually runs: on a heavily-duplicated corpus
     the stats measure mining over one representative per distinct text
     (``collapsed`` = 1, ``n_mined`` = number of reps), which is where
-    the banding really happens."""
+    the banding really happens.
+
+    Scope note: ``cand_slots``/``cand_distinct`` mirror the pure
+    banded plan (`near_dup_pairs(exact_pairs=False)` — what the corpus
+    dedup family runs). The default `exact_pairs=True` pairs plan
+    additionally filters identical-text candidates OUT of its verify
+    join (they route through the exact within-pairs aggregation), so
+    on an UNcollapsed corpus with exact-dup rate in (0, 10%] its
+    verify-join volume is slightly below the cand_distinct reported
+    here."""
     from .._utils import unpin
 
     n_rows = None
@@ -1150,6 +1198,18 @@ def connected_components(
     anything row-level. For adversarial long-chain graphs swap in
     large-star/small-star (Kiveris+ '14); the pair graphs dedup emits
     don't need it.
+
+    Adaptive small-graph path (r11): the edge count is measured once
+    off the persisted edges (a cached-scan job — the persist
+    materializes either way), and a graph under ~1M edges runs its
+    rounds with the label frame BROADCAST into the edge join and both
+    frames coalesced to edge-proportional partition counts — dup-pair
+    graphs are tiny next to the corpora that produce them, and the
+    default path paid ~200 shuffle/cache-read tasks per round of pure
+    task-launch overhead for label frames of a few thousand rows
+    (measured at sf0.1: pairs→CC 4.2 → 2.3 s). Above the gate the
+    shuffle-join path runs unchanged — a 100 TB pair graph never
+    broadcasts, and the per-round partitioning stays cluster-sized.
     """
     from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
@@ -1177,6 +1237,21 @@ def connected_components(
         edges = edges.distinct()
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # adaptive small-graph gate (see docstring): ≤1M edges → ≤2M
+        # label rows ≈ tens of MB — safely broadcastable, and the
+        # coalesce caps each round at a handful of tasks
+        n_edges = edges.count()
+        small = n_edges <= 1_000_000
+        p = int(n_edges // 500_000 + 1)
+        if small:
+            edges = edges.coalesce(p)
+
+        def _shape(lab):
+            return lab.coalesce(p) if small else lab
+
+        def _probe(lab):
+            return F.broadcast(lab) if small else lab
+
         # round-0 shortcut: start from min(id, min neighbor) — the same
         # single groupBy a comp=id init would cost, but it bakes the
         # first propagation in, saving one full join round (diameter-2
@@ -1185,19 +1260,21 @@ def connected_components(
         # change — and the sum rides each round's CHECKPOINT job as an
         # observe() metric, so the fixpoint check costs zero extra jobs.
         obs0 = Observation()
-        lab = (edges.groupBy(F.col("s").alias("id"))
-               .agg(F.least(F.first("s"), F.min("d")).alias("comp"))
-               .observe(obs0, F.sum("comp").alias("s"))
-               .localCheckpoint(eager=True))
+        lab = _shape(
+            edges.groupBy(F.col("s").alias("id"))
+            .agg(F.least(F.first("s"), F.min("d")).alias("comp"))
+            .observe(obs0, F.sum("comp").alias("s"))
+        ).localCheckpoint(eager=True)
         prev_sum = obs0.get["s"]
         for _ in range(max_iters):
             nb = (
-                edges.join(lab.withColumnRenamed("id", "d")
-                              .withColumnRenamed("comp", "__nc"), "d")
+                edges.join(_probe(lab.withColumnRenamed("id", "d")
+                                     .withColumnRenamed("comp", "__nc")),
+                           "d")
                 .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
             )
             obs = Observation()
-            new = (
+            new = _shape(
                 lab.unionByName(nb)
                 .groupBy("id").agg(F.min("comp").alias("comp"))
                 .observe(obs, F.sum("comp").alias("s"))
@@ -1283,8 +1360,85 @@ def near_dup_canonical_dedup(
     on an all-distinct corpus that shuffle bought nothing (measured:
     const-density probe 10 → 15.6 s with the collapse forced, vs
     unchanged with the gate; dense 25.6 → ~10 s either way). The same
-    decide-from-measured-stats shape AQE uses, driven by one scalar."""
-    do_collapse, _ = _dup_rate_gate(df, text_col)
+    decide-from-measured-stats shape AQE uses, driven by one scalar.
+
+    r11: the gate is FUSED into the exact-edge scan — the (id, hash)
+    frame the no-collapse branch needs anyway is pinned first and the
+    count+HLL runs over IT, so the gate no longer costs a separate
+    full-text pass (r10 regression: 4.1 → 5.4 s at sf0.1 was mostly
+    this query paying three extra text scans — the gate's plus the
+    unpinned keyed8 frame's two join sides)."""
+    return canonical_dedup(
+        df, id_col,
+        _near_dup_edge_set(df, id_col, text_col, threshold, shingle_k,
+                           n_hashes, bands, max_bucket))
+
+
+def near_dup_downsample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    keep_per_cluster: int = 2,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """End-to-end keep-k soft dedup with the production ordering — the
+    keep-``keep_per_cluster`` sibling of `near_dup_canonical_dedup`:
+    the SAME adaptive-gated edge set (banded LSH pairs between distinct
+    texts ∪ skinny exact-hash member→rep edges), then the keep-k
+    window of `cluster_downsample` instead of the keep-one cut.
+
+    Clusters are identical to near_dup_pairs → cluster_downsample
+    (same argument as near_dup_canonical_dedup's contract — the edge
+    set spans the same components), but a text duplicated m times
+    costs m−1 hash edges instead of m²/2 candidate pairs, and the
+    within-pairs verify work of the pairs CONTRACT (exact jaccard per
+    emitted pair) is skipped entirely — the window only needs
+    connectivity. Survivors are the ``keep_per_cluster`` smallest ids
+    per cluster; rows in no cluster pass through untouched."""
+    return cluster_downsample(
+        df, id_col,
+        _near_dup_edge_set(df, id_col, text_col, threshold, shingle_k,
+                           n_hashes, bands, max_bucket),
+        keep_per_cluster=keep_per_cluster)
+
+
+def _near_dup_edge_set(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int,
+    n_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """The shared adaptive-gated near-dup EDGE set (id_a, id_b):
+    unique undirected edges spanning exactly the near-dup clusters —
+    banded LSH pairs between distinct texts ∪ skinny exact-hash
+    member→rep edges. Both `near_dup_canonical_dedup` and
+    `near_dup_downsample` feed this straight to connected components
+    (assume_unique holds: the two edge families are disjoint — near
+    edges connect distinct texts, exact edges identical ones)."""
+    from .._utils import pin, unpin
+
+    hit = _gate_memo(df)
+    keyed8 = None
+    if hit is not None:
+        do_collapse = hit[0]
+    else:
+        # one pruned (id, xxhash64(text)) scan, pinned: the gate agg
+        # materializes it and the exact8 edges below read the 16-byte
+        # cache twice instead of re-scanning text for each join side
+        keyed8 = pin(df.select(F.col(id_col).alias("__m"),
+                               F.xxhash64(F.col(text_col)).alias("__h")))
+        n, nd = keyed8.agg(F.count(F.lit(1)),
+                           F.approx_count_distinct("__h")).first()
+        do_collapse = _collapse_rule(n, nd)
+        _gate_memo(df, (do_collapse, int(n)))
     if not do_collapse:
         # exact_pairs=False: the CC only needs connectivity, and the
         # skinny member→rep exact8 edges below connect identical texts
@@ -1302,13 +1456,16 @@ def near_dup_canonical_dedup(
         # identical cluster gets deduped at all. Duplicate edges vs the
         # LSH pairs (identical texts ≤ cap pair both ways) only repeat
         # min() work in the CC — see connected_components.
-        keyed8 = df.select(F.col(id_col).alias("__m"),
-                           F.xxhash64(F.col(text_col)).alias("__h"))
+        if keyed8 is None:  # memoized gate skipped the fused scan
+            keyed8 = pin(df.select(F.col(id_col).alias("__m"),
+                                   F.xxhash64(F.col(text_col)).alias("__h")))
         rep8 = keyed8.groupBy("__h").agg(F.min("__m").alias("id_a"))
         exact8 = (keyed8.join(rep8, "__h")
                   .where(F.col("id_a") != F.col("__m"))
                   .select("id_a", F.col("__m").alias("id_b")))
-        return canonical_dedup(df, id_col, pairs.unionByName(exact8))
+        return pairs.unionByName(exact8)
+    if keyed8 is not None:  # collapse branch re-keys with text riding
+        unpin(keyed8)
     # heavy exact duplication: collapse to representatives. The rep
     # corpus comes from ONE (hash, id, text) shuffle with a struct-min
     # by id per hash group (no corpus-vs-reps semi-join pass); the
@@ -1336,8 +1493,7 @@ def near_dup_canonical_dedup(
     # both edge sets are unique undirected pairs, and they are disjoint
     # (near edges connect distinct texts, exact edges identical ones),
     # so assume_unique still holds for the union
-    return canonical_dedup(df, id_col,
-                           near_edges.unionByName(exact_edges))
+    return near_edges.unionByName(exact_edges)
 
 
 def dup_cluster_sizes(

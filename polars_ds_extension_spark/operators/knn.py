@@ -186,7 +186,13 @@ def knn_join(
     caller already knows it (catalog stats, a prior action) to skip the
     counting job entirely; otherwise one `count()` runs per DISTINCT
     index frame — memoized weakly per DataFrame object, so repeated
-    auto-routed calls against the same index pay it once.
+    auto-routed calls against the same index pay it once. The memo is
+    never invalidated: a long-lived DataFrame over a table whose
+    underlying files GROW (appended parquet) keeps routing on the
+    cardinality measured first — pass ``index_count`` explicitly (or
+    re-create the frame) when reuse across appends is expected, or a
+    grown index may stay on the brute broadcast path past
+    ``route_threshold``.
     """
     from pyspark.sql.types import StructType
 
@@ -604,7 +610,11 @@ def ann_lsh_join(
     ≥ small_bucket² pairs. The cross-table dedup (a pair can share
     several tables) and the per-query top-k stay as one combinable
     groupBy + one partitioned window.
-    Output: (id, neighbor_id, cosine, rank).
+    Output: (id, neighbor_id, cosine, rank). Zero-norm vectors are
+    EXCLUDED from both the query and neighbor sides (cosine is
+    undefined for them, and the two size routes would rank the same
+    degenerate pair differently — NULL sorts last, NaN first); such
+    rows emit no output rows at all.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -212,26 +212,36 @@ def fingerprint_set(text, window: int = 4, mod: int = 1_000_003,
 
 # ------------------------------------------------------------------ chunking
 
-def chunk_documents(docs, id_col: str, text_col: str,
-                    chunk_tokens: int = 128, overlap: int = 32) -> "DataFrame":
-    """Split documents into fixed-size token chunks with overlap — the
-    context-window preprocessing step of embedding/RAG pipelines.
+def chunk_documents_by_tokens(docs, id_col: str, text_col: str,
+                              chunk_tokens: int = 128,
+                              overlap: int = 32) -> "DataFrame":
+    """Split documents into fixed-size whitespace-TOKEN chunks with
+    overlap — the context-window preprocessing step of embedding/RAG
+    pipelines when the budget is a token count, not characters (the
+    char-window sibling is `chunk_documents` below; this one guarantees
+    every chunk fits a fixed token budget regardless of word length).
 
     Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
     stride = chunk_tokens − overlap; the last chunk may be short; every
-    document yields ≥ 1 chunk. Pure JVM array expressions scan-side
-    (sequence + slice + array_join) — a flatMap-shaped projection with
-    NO shuffle: at 100 TB chunking streams through the scan and pipes
-    straight into the next operator.
+    document yields ≥ 1 chunk (NULL text coalesces to ''). Pure JVM
+    array expressions scan-side (sequence + slice + array_join) — a
+    flatMap-shaped projection with NO shuffle: at 100 TB chunking
+    streams through the scan and pipes straight into the next operator.
 
-    Output: original id + (chunk_id, chunk_text, chunk_n_tokens).
+    Rejoining chunk 0's tokens with each later chunk's tokens[overlap:]
+    reconstructs the whitespace-NORMALIZED token sequence exactly
+    (pinned by pytest); original inter-token whitespace is not
+    preserved — use `chunk_documents` for byte-exact reconstruction.
+
+    Output: (id_col, chunk_id, chunk_text, chunk_n_tokens) — one row
+    per chunk, 0-based chunk_id.
     """
     from pyspark.sql import functions as F  # local: mirrors module import
 
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if overlap >= chunk_tokens or overlap < 0:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = whitespace_tokens(text_col)
+    toks = whitespace_tokens(F.coalesce(_t(text_col), F.lit("")))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),

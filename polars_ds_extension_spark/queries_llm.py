@@ -1023,7 +1023,13 @@ def dup_cluster_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-independent, and full-corpus minhash pair mining already has its
     own probed rows (near_dup_minhash / near_dup_cluster_dedup) — this
     query grades the keep-k cut, not pair mining, and was the heaviest
-    catalog row (7.9 s) when it tripled the half corpus."""
+    catalog row (7.9 s) when it tripled the half corpus.
+
+    r11: routes through near_dup_downsample — the production-ordered
+    composite (shared adaptive edge set with near_dup_canonical_dedup:
+    banded pairs + exact-hash edges, no per-pair jaccard materialized)
+    — cluster-identical to near_dup_pairs → cluster_downsample, which
+    the unchanged all-pairs oracle still replays."""
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2000))
     u = docs.select("doc_id", "text").unionByName(
@@ -1034,8 +1040,8 @@ def dup_cluster_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 200000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" qq dup marker two"))
                     .alias("text")))
-    pairs = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
-    out = D.cluster_downsample(u, "doc_id", pairs, keep_per_cluster=2)
+    out = D.near_dup_downsample(u, "doc_id", "text", threshold=0.6,
+                                keep_per_cluster=2)
     return out.select("doc_id")
 
 
@@ -1433,6 +1439,36 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.chunk_documents(docs, "doc_id", "text",
                              chunk_chars=96, overlap=16)
+
+
+@query("chunk_by_tokens", r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\s+') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w, len(w) AS n,
+         GREATEST(CAST(CEIL((len(w) - 16)::DOUBLE / 48) AS INT), 1) AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, w, n, UNNEST(range(0, nc)) AS cid FROM n
+)
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, CAST(cid * 48 + 1 AS INT),
+                                   CAST(cid * 48 + 64 AS INT)), ' ')
+         AS chunk_text,
+       CAST(LEAST(n - cid * 48, 64) AS BIGINT) AS chunk_n_tokens
+FROM e
+""")
+def chunk_by_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (text.py:chunk_documents_by_tokens — the
+    char-window sibling of chunk_documents): 64-token windows with
+    16-token overlap (stride 48), 0-based chunk ids, every doc ≥1
+    chunk, last chunk short. Same zero-shuffle scan-side plan; the
+    oracle replays tokenization, chunk count, every window's token
+    slice, and the per-chunk token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents_by_tokens(docs, "doc_id", "text",
+                                       chunk_tokens=64, overlap=16)
 
 
 # --------------------------------------------------------- retrieval / lexical

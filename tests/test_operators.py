@@ -206,6 +206,45 @@ def test_chunk_documents_reconstructs_exactly(spark):
         assert rebuilt == want_txt, L
 
 
+def test_chunk_documents_by_tokens(spark):
+    # joining chunk0's tokens + each later chunk's tokens[overlap:]
+    # must rebuild the whitespace-NORMALIZED token sequence; every doc
+    # emits >= 1 chunk (empty/NULL included); token counts and 0-based
+    # chunk ids hold per chunk
+    import math
+    rows = [
+        {"id": 0, "txt": " ".join(f"w{i}" for i in range(50))},
+        {"id": 1, "txt": "one two   three\nfour\t five "},  # messy ws
+        {"id": 2, "txt": ""},
+        {"id": 3, "txt": None},
+        {"id": 4, "txt": " ".join(f"t{i}" for i in range(16))},  # fit
+        {"id": 5, "txt": " ".join(f"t{i}" for i in range(17))},  # over
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = T.chunk_documents_by_tokens(sdf, "id", "txt",
+                                      chunk_tokens=16, overlap=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"]))
+    for row in rows:
+        toks = (row["txt"] or "").split()
+        n = max(1, len(toks))  # split('') -> [''] counts one token
+        cs = sorted(got[row["id"]])
+        assert [c[0] for c in cs] == list(range(len(cs)))
+        assert len(cs) == max(1, math.ceil((n - 4) / 12))
+        rebuilt = (cs[0][1].split(" ")
+                   + [t for c in cs[1:] for t in c[1].split(" ")[4:]])
+        want = toks if toks else [""]
+        assert rebuilt == want, row["id"]
+        for c in cs:
+            assert c[2] == len(c[1].split(" ")), row["id"]
+    assert len(got[4]) == 1 and len(got[5]) == 2
+    with pytest.raises(ValueError):
+        T.chunk_documents_by_tokens(sdf, "id", "txt",
+                                    chunk_tokens=8, overlap=8)
+
+
 def _index_frames_as_sets(buckets, shingles):
     b = {(r["band"], r["bh"],
           tuple(sorted(r["ids"])) if r["ids"] is not None else None)

@@ -213,6 +213,39 @@ def test_near_dup_canonical_dedup_both_branches(spark):
         assert got == ref
 
 
+def test_near_dup_downsample_matches_pairs_composition(spark):
+    """near_dup_downsample (the shared-edge-set keep-k composite) must
+    keep exactly the rows near_dup_pairs → cluster_downsample keeps —
+    on BOTH gate branches and for k=1 (≡ canonical) and k=2."""
+    from pyspark.sql import functions as F
+
+    from polars_ds_extension_spark.operators import dedup as D
+    from polars_ds_extension_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(60)
+    near = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                       F.concat("text", F.lit(" zz tail")).alias("text"))
+    far = docs.select((F.col("doc_id") + 3000).alias("doc_id"),
+                      F.concat("text", F.lit(" qq mark")).alias("text"))
+    distinct_u = docs.unionByName(near).unionByName(far)  # 3-clusters
+    dup_u = distinct_u.unionByName(                        # collapse gate
+        docs.select((F.col("doc_id") + 2000).alias("doc_id"), "text"))
+    for u in (distinct_u, dup_u):
+        for k in (1, 2):
+            ref = set(r[0] for r in D.cluster_downsample(
+                u, "doc_id", D.near_dup_pairs(u, "doc_id", "text", 0.6),
+                keep_per_cluster=k).select("doc_id").collect())
+            got = set(r[0] for r in D.near_dup_downsample(
+                u, "doc_id", "text", 0.6, keep_per_cluster=k)
+                .select("doc_id").collect())
+            assert got == ref, k
+            if k == 1:  # keep-one must equal the canonical composite
+                canon = set(r[0] for r in D.near_dup_canonical_dedup(
+                    u, "doc_id", "text", 0.6).select("doc_id").collect())
+                assert got == canon
+
+
 def test_near_dup_canonical_dedup_degenerate_corpora(spark):
     """Boundary cases of the adaptive collapse: an ALL-IDENTICAL corpus
     (dup rate (n-1)/n — one representative, n-1 hash edges, exactly one
