@@ -1064,6 +1064,18 @@ def ivf_search(
                   "__qid"))
     q_type = queries.schema[q_id].dataType.simpleString()
     i_type = index.schema[i_id].dataType.simpleString()
+    return _ivf_cell_topk(qtag, itag, q_id, k, q_type, i_type)
+
+
+def _ivf_cell_topk(qtag: DataFrame, itag: DataFrame, q_id: str, k: int,
+                   q_type: str, i_type: str) -> DataFrame:
+    """The shared IVF scoring tail (`ivf_search` /
+    `search_vector_index`): ONE cogroup shuffle on centroid_id brings
+    each cell's queries (__qid, __qvec) and index members (__iid,
+    __ivec) together, a slab-chunked numpy GEMM + exact (score, id)
+    tie-break takes the per-cell top-k, and a final per-query window
+    merges the probed cells. Self-matches (same id) are excluded."""
+
     schema = (f"{q_id} {q_type}, neighbor_id {i_type}, "
               "cosine double, rank int")
 
@@ -1104,6 +1116,190 @@ def ivf_search(
             .where(F.col("__r") <= k)
             .select(q_id, "neighbor_id", "cosine",
                     F.col("__r").cast("int").alias("rank")))
+
+
+# ----------------------------------------- persisted / updatable IVF index
+
+def _ivf_stamp_of(crows) -> str:
+    """Geometry + content fingerprint of a centroid set:
+    "n_centroids/dim/sha1[:12] of the id-ordered, 9dp-rounded centroid
+    matrix". Rides both artifact frames so a probe/update can verify
+    the cells were assigned against EXACTLY these centroids — mixed
+    artifact generations would otherwise return silently wrong
+    neighbors (recall loss indistinguishable from hard queries)."""
+    import hashlib
+
+    cids = np.array([r[0] for r in crows])
+    C = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    order = np.argsort(cids, kind="stable")
+    C = np.round(C[order], 9)
+    fp = hashlib.sha1(C.tobytes()).hexdigest()[:12]
+    return f"{len(crows)}/{C.shape[1]}/{fp}"
+
+
+def _check_ivf_stamp(centroids: DataFrame, cells: DataFrame,
+                     require: bool = False) -> "tuple[DataFrame, DataFrame]":
+    """Verify the ``_ivf`` stamps of a persisted vector index agree,
+    then drop them. Probes tolerate stripped stamps (``require=False``
+    — a consistent unstamped artifact still searches correctly);
+    updates REQUIRE both stamps (``require=True``): update ≡ rebuild
+    is void when the cells weren't assigned against these exact
+    centroids, so "can't verify" must raise there, not proceed."""
+    s_c = (centroids.select("_ivf").first()
+           if "_ivf" in centroids.columns else None)
+    s_x = cells.select("_ivf").first() if "_ivf" in cells.columns else None
+    s_c = s_c[0] if s_c is not None else None
+    s_x = s_x[0] if s_x is not None else None
+    if require and (s_c is None or s_x is None):
+        raise ValueError(
+            "vector index frame(s) missing the '_ivf' stamp column — "
+            "updating needs the centroid fingerprint verified (cells "
+            "assigned against different centroids silently void "
+            "update == rebuild); keep the stamp when persisting, or "
+            "rebuild with build_vector_index")
+    if s_c is not None and s_x is not None and s_c != s_x:
+        raise ValueError(
+            f"vector index stamp mismatch: centroids carry {s_c!r} but "
+            f"cells carry {s_x!r} — these frames are from different "
+            "builds; probing/updating across generations returns "
+            "silently wrong neighbors")
+    return (centroids.drop("_ivf") if "_ivf" in centroids.columns
+            else centroids,
+            cells.drop("_ivf") if "_ivf" in cells.columns else cells)
+
+
+def build_vector_index(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16,
+    centroids: str | DataFrame = "kmeans",
+    seed: int = 42,
+) -> "tuple[DataFrame, DataFrame]":
+    """Build the PERSISTABLE IVF vector index once — the one
+    assignment pass over the embedding lake that `ivf_search` (and the
+    `knn_join(route='auto')` delegate) would otherwise redo per call:
+    the documented Θ(N·√N) index-assignment term, amortized across
+    query batches the same way `build_near_dup_index` amortizes the
+    text side of the daily-crawl loop. Returns two frames to write as
+    parquet:
+
+      * ``centroids`` — (centroid_id, centroid: array<double>): the
+        FROZEN coarse quantizer (√N-sized by the ivf_search scaling —
+        a few MB at 10⁹ vectors);
+      * ``cells`` — (centroid_id, vec_id, vec): the inverted file, one
+        row per indexed vector in its nearest cell; partition/bucket by
+        centroid_id when persisting so probes prune cells at the scan.
+
+    Both frames carry an ``_ivf`` stamp
+    (n_centroids/dim/centroid-fingerprint) verified at probe/update
+    time — see `_check_ivf_stamp`. ``centroids``: "kmeans"/"sample"
+    (production), "first" (id < n_centroids — the SQL-replayable
+    mode), or a prebuilt (centroid_id, centroid) frame.
+
+    Freezing the quantizer is the published IVF contract (FAISS
+    retrains only on drift): `update_vector_index` assigns new batches
+    against THESE centroids, so update ≡ rebuild holds frame-for-frame
+    against `build_vector_index(old ∪ new, centroids=<same frame>)`.
+    """
+    if isinstance(centroids, DataFrame):
+        cents, c_id, c_vec = centroids, "centroid_id", "centroid"
+    elif centroids == "first":
+        cents, c_id, c_vec = (df.where(F.col(id_col) < n_centroids),
+                              id_col, vec_col)
+    else:
+        cents = ivf_centroids(df, id_col, vec_col, n_centroids,
+                              method=centroids, seed=seed)
+        c_id, c_vec = "centroid_id", "centroid"
+    crows = cents.select(c_id, c_vec).collect()
+    if not crows:
+        raise ValueError(
+            "build_vector_index: centroid frame is empty — see "
+            "ivf_assign; 'first' centroids require dense 0-based ids")
+    stamp = _ivf_stamp_of(crows)
+    spark = df.sparkSession
+    cents_out = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in crows],
+        schema=f"centroid_id {df.schema[id_col].dataType.simpleString()}, "
+               "centroid array<double>").withColumn("_ivf", F.lit(stamp))
+    asg = ivf_assign(df, id_col, vec_col, cents_out.drop("_ivf"),
+                     "centroid_id", "centroid")
+    cells = (df.select(F.col(id_col).alias("vec_id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("vec"))
+             .join(asg.select(F.col(id_col).alias("vec_id"),
+                              "centroid_id"), "vec_id")
+             .select("centroid_id", "vec_id", "vec")
+             .withColumn("_ivf", F.lit(stamp)))
+    return cents_out, cells
+
+
+def search_vector_index(
+    queries: DataFrame, q_id: str, q_vec: str,
+    centroids: DataFrame, cells: DataFrame,
+    k: int = 5, nprobe: int = 2,
+) -> DataFrame:
+    """IVF cosine search against a PREBUILT index (the
+    `build_vector_index` artifact read back from parquet): the indexed
+    corpus is never re-assigned — queries bucket scan-side to their
+    ``nprobe`` nearest frozen centroids (broadcast, no shuffle) and the
+    shared cogroup GEMM tail (`_ivf_cell_topk`) scores each probed
+    cell; with cells persisted partitioned by centroid_id, the scan
+    prunes to probed cells. Same output contract as `ivf_search`:
+    (q_id, neighbor_id, cosine, rank), self-matches excluded —
+    `ivf_search(q, ..., index, ...)` with the same centroid frame is
+    result-identical (pinned by pytest). Stamps verified when present;
+    see `_check_ivf_stamp`."""
+    centroids, cells = _check_ivf_stamp(centroids, cells)
+    qasg = ivf_assign_probe(queries, q_id, q_vec, centroids,
+                            "centroid_id", "centroid", nprobe=nprobe)
+    qtag = (queries.select(F.col(q_id).alias("__qid"),
+                           F.col(q_vec).alias("__qvec"))
+            .join(qasg.select(F.col(q_id).alias("__qid"), "centroid_id"),
+                  "__qid"))
+    itag = cells.select(F.col("vec_id").alias("__iid"),
+                        F.col("vec").alias("__ivec"), "centroid_id")
+    q_type = queries.schema[q_id].dataType.simpleString()
+    i_type = cells.schema["vec_id"].dataType.simpleString()
+    return _ivf_cell_topk(qtag, itag, q_id, k, q_type, i_type)
+
+
+def update_vector_index(
+    new: DataFrame, id_col: str, vec_col: str,
+    centroids: DataFrame, cells: DataFrame,
+) -> "tuple[DataFrame, DataFrame]":
+    """Fold a new embedding batch INTO the persisted vector index —
+    the write half of the daily loop (search the batch with
+    `search_vector_index`, keep what survives curation, then index it
+    so tomorrow's batch searches against today's too). Returns the
+    updated (centroids, cells), EXACTLY equivalent to a rebuild over
+    the union against the same frozen quantizer::
+
+        update_vector_index(new, ..., *build_vector_index(old, ...))
+            == build_vector_index(old UNION ALL new,
+                                  centroids=<the old build's frame>)
+
+    (pinned frame-for-frame by a parity pytest) — WITHOUT re-assigning
+    the old corpus: assignment is per-row against the frozen centroids,
+    so the old cells are append-only and only the batch pays the
+    assignment GEMM. New-batch ids are assumed distinct from indexed
+    ids (a re-indexed id contributes a duplicate cell row, exactly as
+    the rebuild-over-union would). Requires stamped frames — see
+    `_check_ivf_stamp`; the batch's vector dim must match the index's
+    (the assignment batch fails loudly on mismatch)."""
+    stamp = centroids.select("_ivf").first() \
+        if "_ivf" in centroids.columns else None
+    c_chk, x_chk = _check_ivf_stamp(centroids, cells, require=True)
+    asg = ivf_assign(new, id_col, vec_col, c_chk,
+                     "centroid_id", "centroid")
+    new_cells = (new.select(F.col(id_col).alias("vec_id"),
+                            F.transform(F.col(vec_col),
+                                        lambda x: x.cast("double"))
+                            .alias("vec"))
+                 .join(asg.select(F.col(id_col).alias("vec_id"),
+                                  "centroid_id"), "vec_id")
+                 .select("centroid_id", "vec_id", "vec")
+                 .withColumn("_ivf", F.lit(stamp[0])))
+    return centroids, cells.unionByName(
+        new_cells.select(*cells.columns))
 
 
 def ivf_cosine_pairs(

@@ -734,6 +734,149 @@ def knn_auto_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("vector_index_build", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT cid AS centroid_id, COUNT(*) AS n_vecs FROM asg GROUP BY cid
+""")
+def vector_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index BUILD census (operators/knn.
+    build_vector_index): the one assignment pass that amortizes
+    ivf_search's per-call Θ(N·√N) index-assignment term across query
+    batches. Output = the inverted file's per-cell occupancy (the
+    index health report that decides nprobe/retrain policy); the
+    oracle replays the full 'first'-centroid assignment — distance
+    expression, lowest-cid tie-break — and the groupBy. The cells
+    frame itself (centroid_id, vec_id, vec) is what persists; the
+    census hash-pins every vector's cell."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(16, math.ceil(math.sqrt(emb.count())))
+    _, cells = K.build_vector_index(emb, "vec_id", "embedding",
+                                    n_centroids=n_cent,
+                                    centroids="first")
+    return cells.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query("vector_index_search", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 7 = 0),
+qasg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT q.vec_id, q.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)::INT AS rank
+  FROM qasg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+) WHERE rank <= 4
+""")
+def vector_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a PREBUILT vector index (operators/knn.
+    search_vector_index — the read half of the embedding daily loop):
+    every seventh vector queries the persisted cells frame with
+    nprobe=2, k=4; the indexed corpus is never re-assigned. Result-
+    identical to ivf_search with the same centroid frame (pinned by
+    pytest); the oracle replays assignment, multi-probe, cosine
+    re-rank, and both tie-breaks in SQL."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(16, math.ceil(math.sqrt(emb.count())))
+    cents, cells = K.build_vector_index(emb, "vec_id", "embedding",
+                                        n_centroids=n_cent,
+                                        centroids="first")
+    out = K.search_vector_index(
+        emb.where(F.col("vec_id") % 7 == 0), "vec_id", "embedding",
+        cents, cells, k=4, nprobe=2)
+    return out.select("vec_id", "neighbor_id",
+                      _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+@query("vector_index_update", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d1 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 != 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM d1
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM d1))))),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+qasg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT q.vec_id, q.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)::INT AS rank
+  FROM qasg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+) WHERE rank <= 3
+""")
+def vector_index_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector daily loop END TO END (operators/knn.
+    update_vector_index): build the index on day 1 (vec_id % 3 != 0),
+    fold in the day-2 batch (% 3 == 0) against the FROZEN quantizer —
+    update ≡ rebuild frame-for-frame, only the batch pays assignment —
+    then probe the first 50 vectors against the UPDATED index. The
+    oracle replays day-1 'first' centroids, assignment of the FULL
+    union, multi-probe, and the re-rank: day-2 vectors surfacing as
+    neighbors proves the fold actually landed in the cells."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.where(F.col("vec_id") % 3 != 0)
+    day2 = emb.where(F.col("vec_id") % 3 == 0)
+    n_cent = max(16, math.ceil(math.sqrt(day1.count())))
+    cents, cells = K.build_vector_index(day1, "vec_id", "embedding",
+                                        n_centroids=n_cent,
+                                        centroids="first")
+    cents, cells = K.update_vector_index(day2, "vec_id", "embedding",
+                                         cents, cells)
+    out = K.search_vector_index(
+        emb.where(F.col("vec_id") < 50), "vec_id", "embedding",
+        cents, cells, k=3, nprobe=2)
+    return out.select("vec_id", "neighbor_id",
+                      _r(F.col("cosine")).alias("cosine"), "rank")
+
+
 @query("lsh_recall", """
 SELECT (2 * LEAST(500, COUNT(*)))::BIGINT AS n_queries,
        (2 * LEAST(500, COUNT(*)))::BIGINT AS n_perfect,

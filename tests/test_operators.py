@@ -732,6 +732,146 @@ def test_knn_freq_cnt_small(spark):
     assert got == {1: 2, 0: 1}
 
 
+_TEMPLATES = [
+    "the quick brown fox jumps over the lazy dog while the band "
+    "plays on through the night %s",
+    "completely different subject matter about distributed query "
+    "engines and their shuffle strategies %s",
+    "a third unrelated template concerning tokenizer vocabularies "
+    "and byte pair encodings at scale %s",
+    "numbers and measurements calibration report for instrument "
+    "cluster twenty seven revision %s",
+]
+
+
+def test_near_dup_index_algebra_property(spark):
+    """Hypothesis over the r10d index algebra (the load-bearing
+    artifact contract): for RANDOM corpora with planted exact/near
+    duplicate structure, random batch splits (1-4 batches, any order),
+    and caps that do/don't bind, EVERY update chain equals the one-shot
+    rebuild frame-for-frame — tombstones included — and probing the
+    folded index equals probing the rebuilt one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    kw = dict(shingle_k=6, n_hashes=16, bands=8)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 2),
+                      st.integers(0, 3)),
+            min_size=4, max_size=28),
+        cap=st.sampled_from([2, 8, 200]),
+    )
+    def run(docs, cap):
+        rows = [{"id": i, "txt": _TEMPLATES[t] % f"variant {v}",
+                 "b": b} for i, (t, v, b) in enumerate(docs)]
+        batches = [
+            [{"id": r["id"], "txt": r["txt"]} for r in rows if r["b"] == b]
+            for b in range(max(r["b"] for r in rows) + 1)
+        ]
+        batches = [b for b in batches if b]  # empty batches fold as []
+        full = spark.createDataFrame(
+            pd.DataFrame([{"id": r["id"], "txt": r["txt"]} for r in rows]))
+        rb, rs = D.build_near_dup_index(full, "id", "txt",
+                                        max_bucket=cap, **kw)
+        head, *tail = batches
+        ub, us = D.build_near_dup_index(
+            spark.createDataFrame(pd.DataFrame(head)), "id", "txt",
+            max_bucket=cap, **kw)
+        for b in tail:
+            ub, us = D.update_near_dup_index(
+                spark.createDataFrame(pd.DataFrame(b)), ub, us,
+                id_col="id", text_col="txt", max_bucket=cap, **kw)
+        assert _index_frames_as_sets(ub, us) == \
+            _index_frames_as_sets(rb, rs), (docs, cap)
+
+    run()
+
+
+def _vec_rows(n, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return [{"vid": i, "v": [float(x) for x in rng.normal(size=dim)]}
+            for i in range(n)]
+
+
+def _cells_as_set(cells):
+    return {(r["centroid_id"], r["vec_id"],
+             tuple(round(x, 9) for x in r["vec"]), r["_ivf"])
+            for r in cells.collect()}
+
+
+def test_vector_index_update_equals_rebuild(spark):
+    # update(build(old), new) must equal build(old UNION new) against
+    # the same frozen centroid frame, frame for frame — and iterated:
+    # update∘update == one rebuild. Probing updated == probing rebuilt.
+    rows = _vec_rows(60)
+    old = spark.createDataFrame(pd.DataFrame(rows[:40]))
+    new = spark.createDataFrame(pd.DataFrame(rows[40:50]))
+    day3 = spark.createDataFrame(pd.DataFrame(rows[50:]))
+    cents, cells = K.build_vector_index(old, "vid", "v", n_centroids=5,
+                                        centroids="first")
+    c2, x2 = K.update_vector_index(new, "vid", "v", cents, cells)
+    rb_c, rb_x = K.build_vector_index(old.unionByName(new), "vid", "v",
+                                      centroids=cents.drop("_ivf"))
+    assert _cells_as_set(x2) == _cells_as_set(rb_x)
+    c3, x3 = K.update_vector_index(day3, "vid", "v", c2, x2)
+    rb3_c, rb3_x = K.build_vector_index(
+        old.unionByName(new).unionByName(day3), "vid", "v",
+        centroids=cents.drop("_ivf"))
+    assert _cells_as_set(x3) == _cells_as_set(rb3_x)
+    # empty batch: identity on cell content
+    empty = spark.createDataFrame([], schema="vid long, v array<double>")
+    ce, xe = K.update_vector_index(empty, "vid", "v", c3, x3)
+    assert _cells_as_set(xe) == _cells_as_set(x3)
+    # probe parity (updated vs rebuilt vs direct ivf_search)
+    q = spark.createDataFrame(pd.DataFrame(_vec_rows(5, seed=9)))
+    got_u = {tuple(r) for r in K.search_vector_index(
+        q, "vid", "v", c3, x3, k=3, nprobe=2).collect()}
+    got_r = {tuple(r) for r in K.search_vector_index(
+        q, "vid", "v", rb3_c, rb3_x, k=3, nprobe=2).collect()}
+    assert got_u == got_r
+    direct = {tuple(r) for r in K.ivf_search(
+        q, "vid", "v",
+        spark.createDataFrame(pd.DataFrame(rows)), "vid", "v",
+        k=3, nprobe=2, centroids=cents.drop("_ivf")).collect()}
+    assert got_u == direct
+
+
+def test_vector_index_stamp_contract(spark, tmp_path):
+    rows = _vec_rows(30)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cents, cells = K.build_vector_index(df, "vid", "v", n_centroids=4,
+                                        centroids="first")
+    other_c, other_x = K.build_vector_index(
+        df.where(F.col("vid") % 2 == 0), "vid", "v", n_centroids=3,
+        centroids="first")
+    batch = spark.createDataFrame(pd.DataFrame(_vec_rows(3, seed=11)))
+    # mixed generations raise at probe AND update time
+    with pytest.raises(ValueError, match="mismatch"):
+        K.search_vector_index(batch, "vid", "v", other_c, cells)
+    with pytest.raises(ValueError, match="mismatch"):
+        K.update_vector_index(batch, "vid", "v", cents, other_x)
+    # a stripped stamp is tolerated at probe time, fatal at update time
+    assert K.search_vector_index(batch, "vid", "v", cents.drop("_ivf"),
+                                 cells.drop("_ivf"), k=2).count() > 0
+    with pytest.raises(ValueError, match="_ivf"):
+        K.update_vector_index(batch, "vid", "v", cents.drop("_ivf"),
+                              cells)
+    # parquet round-trip preserves the artifact contract end to end
+    cents.write.parquet(str(tmp_path / "cents"))
+    cells.write.parquet(str(tmp_path / "cells"))
+    rc = spark.read.parquet(str(tmp_path / "cents"))
+    rx = spark.read.parquet(str(tmp_path / "cells"))
+    got = {tuple(r) for r in K.search_vector_index(
+        batch, "vid", "v", rc, rx, k=2).collect()}
+    ref = {tuple(r) for r in K.search_vector_index(
+        batch, "vid", "v", cents, cells, k=2).collect()}
+    assert got == ref and got
+
+
 def test_collect_index_cap(spark):
     import pytest as _pt
     from polars_ds_extension_spark.operators import knn as K
