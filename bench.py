@@ -136,7 +136,9 @@ def main() -> None:
     probe_abs: dict[str, list] = {}
     probe_small: dict[str, float] = {}
     probe_pairs: dict[str, list] = {}
-    probe_100x: dict[str, float] = {}
+    # {query: wall_sec} or (r11) {query: [wall_sec, shuffle_read_MB,
+    # shuffle_write_MB, completed_tasks]}
+    probe_100x: dict = {}
 
     def _probe_time(qs, name, d):
         samples = []
@@ -260,6 +262,34 @@ def main() -> None:
         # above its 10x absolute). Single-shot by design: the absolute
         # magnitude is the signal, min-of-3 wall time is not worth
         # 3x the suite cost here.
+        #
+        # r11: each spot also records its SHUFFLE READ/WRITE BYTES and
+        # completed-task count (AppStatusStore stage deltas — the same
+        # always-on listener statusTracker reads; works with the UI
+        # off). A wall over the two-point linear fit is only
+        # attributable with these beside it: linear bytes + linear
+        # tasks says the excess is per-wave constants at fixed core
+        # count (32 threads here — terms a real cluster scales out),
+        # super-linear bytes names a shuffle that actually grew.
+        def _stage_snapshot():
+            """(max_stage_id, {id: (read, write, tasks)}) — summing
+            deltas by NEW stage ids keeps eviction of old stages
+            (spark.ui.retainedStages) from corrupting the delta."""
+            sc = spark.sparkContext
+            jvm = sc._jvm
+            store = sc._jsc.sc().statusStore()
+            lst = store.stageList(jvm.java.util.ArrayList(), False,
+                                  False, sc._gateway.new_array(
+                                      jvm.double, 0),
+                                  jvm.java.util.ArrayList())
+            out = {}
+            for i in range(lst.size()):
+                sd = lst.apply(i)
+                out[sd.stageId()] = (sd.shuffleReadBytes(),
+                                     sd.shuffleWriteBytes(),
+                                     sd.numCompleteTasks())
+            return max(out, default=-1), out
+
         if os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0":
             try:
                 from scripts.scale_probe import (SPOT_QUERIES,
@@ -278,13 +308,34 @@ def main() -> None:
                     _wu(F.col("id").cast("double"))).count()
                 qs = catalog.queries()
                 for name in SPOT_QUERIES:
+                    try:
+                        hi0, _snap = _stage_snapshot()
+                    except Exception:  # internal API moved — wall only
+                        hi0 = None
                     t0 = time.perf_counter()
                     qs[name](spark, sdir).count()
-                    probe_100x[name] = round(time.perf_counter() - t0, 1)
+                    wall = round(time.perf_counter() - t0, 1)
+                    probe_100x[name] = wall
+                    if hi0 is not None:
+                        try:
+                            _hi, snap = _stage_snapshot()
+                            rd = sum(v[0] for s, v in snap.items()
+                                     if s > hi0)
+                            wr = sum(v[1] for s, v in snap.items()
+                                     if s > hi0)
+                            tk = sum(v[2] for s, v in snap.items()
+                                     if s > hi0)
+                            probe_100x[name] = [
+                                wall, round(rd / (1 << 20), 1),
+                                round(wr / (1 << 20), 1), int(tk)]
+                        except Exception as ex:
+                            print(f"probe100 metrics skipped for "
+                                  f"{name}: {ex}", file=sys.stderr)
                     release_pins()
                     spark.catalog.clearCache()
-                    print(f"probe100 {name}: {probe_100x[name]}s",
-                          file=sys.stderr)
+                    print(f"probe100 {name}: {probe_100x[name]} "
+                          "(s[, shuffle-read MB, shuffle-write MB, "
+                          "tasks])", file=sys.stderr)
                 # pair stats at 100x too: a spot wall above the linear
                 # fit is only attributable with the work counts beside
                 # it (r10: 147s vs ~79s linear-from-10x read as an
@@ -307,7 +358,7 @@ def main() -> None:
 
     # Full-precision record for anyone reading the whole log (stderr so the
     # driver's stdout tail stays a single parseable line).
-    print(json.dumps({
+    full = {
         "metric": "catalog_total_runtime",
         "value": round(total, 4),
         "unit": "sec",
@@ -319,7 +370,8 @@ def main() -> None:
         "probe_pairs": probe_pairs,
         "probe_100x": probe_100x,
         "sf": sf,
-    }), file=sys.stderr)
+    }
+    print(json.dumps(full), file=sys.stderr)
 
     # The driver parses only the LAST ~2000 chars of stdout, so stdout is
     # exactly ONE JSON line that must fit that window in full. The probe
@@ -382,10 +434,19 @@ def main() -> None:
         for n, v in probe.items():
             v[2] = round(v[2], 1)
             v[3] = round(v[3], 1)
+    if len(_line(compact)) > budget:
+        # final tier: collapse the r11 probe_100x evidence lists to
+        # wall-only — the shuffle-byte attribution stays in the full
+        # stderr record and the BENCH_LOCAL artifact gen_survey6 reads
+        for n, v in list(probe_100x.items()):
+            if isinstance(v, list):
+                probe_100x[n] = v[0]
     if dropped:  # no silent caps: record what the stdout line lost
         print("bench stdout-budget dropped: "
               + ", ".join(f"{k}={v}" for k, v in dropped), file=sys.stderr)
-    print(_line(compact))
+    line = _line(compact)
+    print(f"bench stdout line: {len(line)} chars", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

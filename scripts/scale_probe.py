@@ -71,7 +71,14 @@ PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v2-perm")
 SPOT_FACTOR = 100
 SPOT_TABLES = ("documents", "embeddings")
 SPOT_QUERIES = ["near_dup_minhash", "near_dup_cluster_dedup",
-                "ann_ivf_search", "top_ngrams"]
+                "ann_ivf_search", "top_ngrams",
+                # r11: the DAILY-LOOP family — the recurring production
+                # cost at 100 TB is the incremental path (fold a batch
+                # into a persisted index / dedup a batch against the
+                # corpus / cut a leakage-safe eval split), not the
+                # one-shot mine the first four cover
+                "index_update", "prebuilt_index_dedup",
+                "incremental_dedup", "leakage_safe_split"]
 FACTOR = 10
 
 # (table, columns shifted by k * (max+1) per copy k) — FK pairs shift by
@@ -140,6 +147,11 @@ DEFAULT_QUERIES = [
     # probe both generations — the merge aggregation and the skinny
     # member/th join must stay linear in |kept members| + |batch|)
     "index_update",
+    # round 11: the leakage-safe split (deterministic cut + asymmetric
+    # near-dup scan with the tiny eval side as the index) and the
+    # persisted-vector-index daily loop (frozen-quantizer assignment
+    # must stay linear in |corpus|; probe work in |queries|·cells)
+    "leakage_safe_split", "vector_index_update",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
