@@ -139,6 +139,10 @@ def main() -> None:
     # {query: wall_sec} or (r11) {query: [wall_sec, shuffle_read_MB,
     # shuffle_write_MB, completed_tasks]}
     probe_100x: dict = {}
+    # {query: {"1x"/"10x": [shuffle_read_MB, tasks]}} — byte decades
+    # for the spot family (full stderr record only, never the parsed
+    # stdout line)
+    probe_bytes: dict = {}
 
     def _probe_time(qs, name, d):
         samples = []
@@ -353,6 +357,40 @@ def main() -> None:
                                        st["dropped_buckets"],
                                        st["collapsed"], st["n_mined"]]
                 print(f"lsh pair stats 100x: {st}", file=sys.stderr)
+                # Byte decades (r11): shuffle volume + task counts for
+                # the spot family at 1x and 10x too — bytes are
+                # deterministic (unlike walls), so these run AFTER the
+                # single-shot spots in the same JVM without touching
+                # the wall protocol. With probe_100x's bytes they give
+                # three decades: linear bytes = any wall excess is
+                # waves/constants at fixed cores; a byte JUMP names a
+                # plan-regime transition (measured r11:
+                # near_dup_minhash 8.2 MB -> 72 MB -> 10.3 GB — the
+                # exact-verify join tips from broadcast to sort-merge
+                # at the 100x decade, moving each doc's shingle-hash
+                # array twice ≈ 10 KB/doc, bounded per doc — the plan
+                # a 100 TB corpus runs from the start).
+                from scripts.scale_probe import build_probe_data
+                pdir_b = build_probe_data(spark)  # cached if probes ran
+                for name in SPOT_QUERIES:
+                    try:
+                        for tag, d in (("1x", sf_dir), ("10x", pdir_b)):
+                            hi0, _snap = _stage_snapshot()
+                            qs[name](spark, d).count()
+                            _hi, snap = _stage_snapshot()
+                            rd = sum(v[0] for s, v in snap.items()
+                                     if s > hi0)
+                            tk = sum(v[2] for s, v in snap.items()
+                                     if s > hi0)
+                            probe_bytes.setdefault(name, {})[tag] = [
+                                round(rd / (1 << 20), 1), int(tk)]
+                            release_pins()
+                            spark.catalog.clearCache()
+                        print(f"probe bytes {name}: "
+                              f"{probe_bytes[name]}", file=sys.stderr)
+                    except Exception as ex:
+                        print(f"byte decade skipped for {name}: {ex}",
+                              file=sys.stderr)
             except Exception as ex:  # pragma: no cover
                 print(f"100x spot probe skipped: {ex}", file=sys.stderr)
 
@@ -369,6 +407,7 @@ def main() -> None:
         "probe_abs": probe_abs,
         "probe_pairs": probe_pairs,
         "probe_100x": probe_100x,
+        "probe_bytes": probe_bytes,
         "sf": sf,
     }
     print(json.dumps(full), file=sys.stderr)
@@ -435,15 +474,30 @@ def main() -> None:
             v[2] = round(v[2], 1)
             v[3] = round(v[3], 1)
     if len(_line(compact)) > budget:
-        # final tier: collapse the r11 probe_100x evidence lists to
-        # wall-only — the shuffle-byte attribution stays in the full
-        # stderr record and the BENCH_LOCAL artifact gen_survey6 reads
+        # collapse the r11 probe_100x evidence lists to wall-only —
+        # the shuffle-byte attribution stays in the full stderr record
+        # and the BENCH_LOCAL artifact gen_survey6 reads
         for n, v in list(probe_100x.items()):
             if isinstance(v, list):
                 probe_100x[n] = v[0]
+    # last-resort tier (r11: the line measured 2006 chars with every
+    # earlier tier exhausted once the probe set grew to 36+dense and
+    # probe_100x to 8 — a >1900 line loses its HEAD in the driver's
+    # last-2000-char window and the whole artifact fails to parse):
+    # drop 10x-probe entries fastest-large-side-first — the sub-second
+    # rows carry the least scale evidence; probe_pairs and probe_100x
+    # (the 100 TB story) are never dropped
+    probe_dropped = []
+    while len(_line(compact)) > budget and probe:
+        victim = min(probe, key=lambda n: probe[n][3] or 0)
+        probe_dropped.append((victim, probe.pop(victim)))
     if dropped:  # no silent caps: record what the stdout line lost
         print("bench stdout-budget dropped: "
               + ", ".join(f"{k}={v}" for k, v in dropped), file=sys.stderr)
+    if probe_dropped:
+        print("bench stdout-budget dropped probe rows: "
+              + ", ".join(f"{k}={v}" for k, v in probe_dropped),
+              file=sys.stderr)
     line = _line(compact)
     print(f"bench stdout line: {len(line)} chars", file=sys.stderr)
     print(line)
