@@ -278,9 +278,17 @@ def main() -> None:
         def _stage_snapshot():
             """(max_stage_id, {id: (read, write, tasks)}) — summing
             deltas by NEW stage ids keeps eviction of old stages
-            (spark.ui.retainedStages) from corrupting the delta."""
+            (spark.ui.retainedStages) from corrupting the delta. The
+            status store is fed by an ASYNC listener bus: drain it
+            first or the just-finished query's last stage-end events
+            can be missing from this snapshot and silently credited to
+            the NEXT query's delta (r11 review finding)."""
             sc = spark.sparkContext
             jvm = sc._jvm
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty(10000)
+            except Exception:
+                pass  # signature moved — snapshot may lag by a beat
             store = sc._jsc.sc().statusStore()
             lst = store.stageList(jvm.java.util.ArrayList(), False,
                                   False, sc._gateway.new_array(

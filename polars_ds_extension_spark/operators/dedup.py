@@ -366,24 +366,29 @@ def _collapse_rule(n: int, nd: int) -> bool:
     return bool(n) and (n - nd) / n > 0.10
 
 
-def _gate_memo(df: DataFrame, result: "tuple[bool, int] | None" = None):
-    """Weak per-frame memo for the adaptive-collapse gate: composed
-    pipelines that run several gated operators over the SAME DataFrame
-    object pay the count+HLL corpus scan once (the knn_join route-memo
-    pattern). Object-keyed with no invalidation — same staleness caveat
-    as knn._INDEX_COUNT_CACHE: a long-lived frame over files that grow
-    underneath it keeps its first measured rate. Both gate branches are
-    value-identical by contract, so a stale HIT can only cost time,
-    never correctness."""
+def _gate_memo(df: DataFrame, text_col: str,
+               result: "tuple[bool, int] | None" = None):
+    """Weak per-(frame, text column) memo for the adaptive-collapse
+    gate: composed pipelines that run several gated operators over the
+    SAME DataFrame object and column pay the count+HLL corpus scan once
+    (the knn_join route-memo pattern). The key includes ``text_col`` —
+    the dup rate is a property of the COLUMN, and two columns of one
+    frame (raw vs normalized text) can sit on opposite sides of the
+    gate (r11 review finding). Object-keyed with no invalidation — same
+    staleness caveat as knn._INDEX_COUNT_CACHE: a long-lived frame over
+    files that grow underneath it keeps its first measured rate. Both
+    gate branches are value-identical by contract, so a stale HIT can
+    only cost time, never correctness."""
     import weakref
 
     global _GATE_CACHE
     if _GATE_CACHE is None:
         _GATE_CACHE = weakref.WeakKeyDictionary()
     if result is None:
-        return _GATE_CACHE.get(df)
+        hit = _GATE_CACHE.get(df)
+        return hit.get(text_col) if hit is not None else None
     try:
-        _GATE_CACHE[df] = result
+        _GATE_CACHE.setdefault(df, {})[text_col] = result
     except TypeError:  # unhashable/weakref-less frame — just skip
         pass
     return result
@@ -400,13 +405,13 @@ def _dup_rate_gate(df: DataFrame, text_col: str) -> "tuple[bool, int]":
     `near_dup_canonical_dedup`) MUST route through this helper or
     `_collapse_rule` so the diagnostic can never desynchronize from
     the plans it measures."""
-    hit = _gate_memo(df)
+    hit = _gate_memo(df, text_col)
     if hit is not None:
         return hit
     n, nd = df.agg(
         F.count(F.lit(1)),
         F.approx_count_distinct(F.xxhash64(F.col(text_col)))).first()
-    return _gate_memo(df, (_collapse_rule(n, nd), int(n)))
+    return _gate_memo(df, text_col, (_collapse_rule(n, nd), int(n)))
 
 
 def _rep_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1235,7 +1240,12 @@ def connected_components(
                                    F.col("s").alias("d")))
     if not assume_unique:
         edges = edges.distinct()
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # keep the handle to the frame that is actually CACHED: the
+    # small-graph coalesce below rebinds `edges`, and unpersisting the
+    # coalesced (never-cached) plan would silently leak the cache —
+    # uncache matches the exact cached plan only (r11 review finding)
+    edges_cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges_cached
     try:
         # adaptive small-graph gate (see docstring): ≤1M edges → ≤2M
         # label rows ≈ tens of MB — safely broadcastable, and the
@@ -1290,7 +1300,7 @@ def connected_components(
             prev_sum = new_sum
         return lab
     finally:
-        edges.unpersist(blocking=False)
+        edges_cached.unpersist(blocking=False)
 
 
 def canonical_dedup(
@@ -1425,7 +1435,7 @@ def _near_dup_edge_set(
     edges connect distinct texts, exact edges identical ones)."""
     from .._utils import pin, unpin
 
-    hit = _gate_memo(df)
+    hit = _gate_memo(df, text_col)
     keyed8 = None
     if hit is not None:
         do_collapse = hit[0]
@@ -1438,7 +1448,7 @@ def _near_dup_edge_set(
         n, nd = keyed8.agg(F.count(F.lit(1)),
                            F.approx_count_distinct("__h")).first()
         do_collapse = _collapse_rule(n, nd)
-        _gate_memo(df, (do_collapse, int(n)))
+        _gate_memo(df, text_col, (do_collapse, int(n)))
     if not do_collapse:
         # exact_pairs=False: the CC only needs connectivity, and the
         # skinny member→rep exact8 edges below connect identical texts

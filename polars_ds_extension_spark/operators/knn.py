@@ -1137,19 +1137,37 @@ def _ivf_stamp_of(crows) -> str:
     return f"{len(crows)}/{C.shape[1]}/{fp}"
 
 
-def _check_ivf_stamp(centroids: DataFrame, cells: DataFrame,
-                     require: bool = False) -> "tuple[DataFrame, DataFrame]":
+def _check_ivf_stamp(
+    centroids: DataFrame, cells: DataFrame, require: bool = False,
+) -> "tuple[DataFrame, DataFrame, str | None]":
     """Verify the ``_ivf`` stamps of a persisted vector index agree,
-    then drop them. Probes tolerate stripped stamps (``require=False``
-    — a consistent unstamped artifact still searches correctly);
-    updates REQUIRE both stamps (``require=True``): update ≡ rebuild
-    is void when the cells weren't assigned against these exact
-    centroids, so "can't verify" must raise there, not proceed."""
-    s_c = (centroids.select("_ivf").first()
-           if "_ivf" in centroids.columns else None)
-    s_x = cells.select("_ivf").first() if "_ivf" in cells.columns else None
-    s_c = s_c[0] if s_c is not None else None
-    s_x = s_x[0] if s_x is not None else None
+    then drop them; returns (centroids, cells, verified_stamp). Each
+    frame's stamp is checked for UNIQUENESS (distinct-limit-2 — a cells
+    frame unioned from two index generations is exactly the mixed
+    artifact the stamp exists to catch, and a first()-sample would pass
+    it whenever the sampled row happened to match; the distinct scan
+    reads one dictionary-encoded literal column, noise next to the
+    search/update that follows). Probes tolerate stripped stamps
+    (``require=False`` — a consistent unstamped artifact still searches
+    correctly); updates REQUIRE both stamps (``require=True``): update
+    ≡ rebuild is void when the cells weren't assigned against these
+    exact centroids, so "can't verify" must raise there, not proceed."""
+
+    def _uniq(frame: DataFrame, label: str):
+        if "_ivf" not in frame.columns:
+            return None
+        got = frame.select("_ivf").distinct().limit(2).collect()
+        if len(got) > 1:
+            raise ValueError(
+                f"vector index {label} frame carries MULTIPLE '_ivf' "
+                f"stamps ({got[0][0]!r}, {got[1][0]!r}, …) — it mixes "
+                "rows from different builds; probing/updating a mixed "
+                "artifact returns silently wrong neighbors. Rebuild, "
+                "or update one generation at a time.")
+        return got[0][0] if got else None
+
+    s_c = _uniq(centroids, "centroid")
+    s_x = _uniq(cells, "cells")
     if require and (s_c is None or s_x is None):
         raise ValueError(
             "vector index frame(s) missing the '_ivf' stamp column — "
@@ -1165,7 +1183,8 @@ def _check_ivf_stamp(centroids: DataFrame, cells: DataFrame,
             "silently wrong neighbors")
     return (centroids.drop("_ivf") if "_ivf" in centroids.columns
             else centroids,
-            cells.drop("_ivf") if "_ivf" in cells.columns else cells)
+            cells.drop("_ivf") if "_ivf" in cells.columns else cells,
+            s_c if s_c is not None else s_x)
 
 
 def build_vector_index(
@@ -1216,9 +1235,15 @@ def build_vector_index(
             "ivf_assign; 'first' centroids require dense 0-based ids")
     stamp = _ivf_stamp_of(crows)
     spark = df.sparkSession
+    # centroid_id keeps the RESOLVED centroid frame's id type: 'first'
+    # centroids carry the corpus id type, but kmeans/sample/prebuilt
+    # frames carry their own (bigint 0..C-1) — forcing the corpus type
+    # onto those crashes createDataFrame for string/decimal id spaces
+    # (r11 review finding)
+    cid_type = cents.schema[c_id].dataType.simpleString()
     cents_out = spark.createDataFrame(
         [(r[0], [float(x) for x in r[1]]) for r in crows],
-        schema=f"centroid_id {df.schema[id_col].dataType.simpleString()}, "
+        schema=f"centroid_id {cid_type}, "
                "centroid array<double>").withColumn("_ivf", F.lit(stamp))
     asg = ivf_assign(df, id_col, vec_col, cents_out.drop("_ivf"),
                      "centroid_id", "centroid")
@@ -1248,7 +1273,7 @@ def search_vector_index(
     `ivf_search(q, ..., index, ...)` with the same centroid frame is
     result-identical (pinned by pytest). Stamps verified when present;
     see `_check_ivf_stamp`."""
-    centroids, cells = _check_ivf_stamp(centroids, cells)
+    centroids, cells, _ = _check_ivf_stamp(centroids, cells)
     qasg = ivf_assign_probe(queries, q_id, q_vec, centroids,
                             "centroid_id", "centroid", nprobe=nprobe)
     qtag = (queries.select(F.col(q_id).alias("__qid"),
@@ -1285,9 +1310,8 @@ def update_vector_index(
     the rebuild-over-union would). Requires stamped frames — see
     `_check_ivf_stamp`; the batch's vector dim must match the index's
     (the assignment batch fails loudly on mismatch)."""
-    stamp = centroids.select("_ivf").first() \
-        if "_ivf" in centroids.columns else None
-    c_chk, x_chk = _check_ivf_stamp(centroids, cells, require=True)
+    c_chk, x_chk, stamp = _check_ivf_stamp(centroids, cells,
+                                           require=True)
     asg = ivf_assign(new, id_col, vec_col, c_chk,
                      "centroid_id", "centroid")
     new_cells = (new.select(F.col(id_col).alias("vec_id"),
@@ -1297,7 +1321,7 @@ def update_vector_index(
                  .join(asg.select(F.col(id_col).alias("vec_id"),
                                   "centroid_id"), "vec_id")
                  .select("centroid_id", "vec_id", "vec")
-                 .withColumn("_ivf", F.lit(stamp[0])))
+                 .withColumn("_ivf", F.lit(stamp)))
     return centroids, cells.unionByName(
         new_cells.select(*cells.columns))
 

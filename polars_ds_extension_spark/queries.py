@@ -156,6 +156,11 @@ _STALE = frozenset({
     # edge-set argument, parity pytest + both-SF oracle mirror green)
     "near_dup_cluster_dedup", "dup_cluster_downsample",
     "dup_cluster_sizes", "semantic_dedup",
+    # round 11: _dup_rate_gate gained (frame, column)-keyed memoization
+    # — cold-path plan identical, but the gate body every near_dup_pairs
+    # call executes changed, so its stamped consumer re-verifies (the
+    # r11 review's ledger-standard catch)
+    "near_dup_minhash",
     # round 11: ivf_search's cogroup+window tail extracted into the
     # shared _ivf_cell_topk (pure code motion — plan unchanged, both-SF
     # mirror green — but the covering code moved) -> its two consumers

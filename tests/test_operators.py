@@ -854,6 +854,18 @@ def test_vector_index_stamp_contract(spark, tmp_path):
         K.search_vector_index(batch, "vid", "v", other_c, cells)
     with pytest.raises(ValueError, match="mismatch"):
         K.update_vector_index(batch, "vid", "v", cents, other_x)
+    # a cells frame UNIONED from two generations raises even when the
+    # first-sampled row matches (the distinct-stamp check)
+    mixed = cells.unionByName(other_x.select(*cells.columns))
+    with pytest.raises(ValueError, match="MULTIPLE"):
+        K.search_vector_index(batch, "vid", "v", cents, mixed)
+    with pytest.raises(ValueError, match="MULTIPLE"):
+        K.update_vector_index(batch, "vid", "v", cents, mixed)
+    # kmeans centroids carry their own bigint cell ids — building over
+    # any id space must not force the corpus id type onto them
+    kc, kx = K.build_vector_index(df, "vid", "v", n_centroids=4,
+                                  centroids="kmeans")
+    assert kx.count() == 30 and kc.count() == 4
     # a stripped stamp is tolerated at probe time, fatal at update time
     assert K.search_vector_index(batch, "vid", "v", cents.drop("_ivf"),
                                  cells.drop("_ivf"), k=2).count() > 0
