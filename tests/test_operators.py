@@ -826,17 +826,23 @@ def test_vector_index_update_equals_rebuild(spark):
     empty = spark.createDataFrame([], schema="vid long, v array<double>")
     ce, xe = K.update_vector_index(empty, "vid", "v", c3, x3)
     assert _cells_as_set(xe) == _cells_as_set(x3)
-    # probe parity (updated vs rebuilt vs direct ivf_search)
+    # probe parity (updated vs rebuilt vs direct ivf_search); cosines
+    # at 9dp — each side recomputes and BLAS reductions are not
+    # bit-stable across session states (see the stamp-contract test)
     q = spark.createDataFrame(pd.DataFrame(_vec_rows(5, seed=9)))
-    got_u = {tuple(r) for r in K.search_vector_index(
-        q, "vid", "v", c3, x3, k=3, nprobe=2).collect()}
-    got_r = {tuple(r) for r in K.search_vector_index(
-        q, "vid", "v", rb3_c, rb3_x, k=3, nprobe=2).collect()}
+
+    def _res(out):
+        return {(r[0], r[1], round(r[2], 9), r[3]) for r in out.collect()}
+
+    got_u = _res(K.search_vector_index(q, "vid", "v", c3, x3, k=3,
+                                       nprobe=2))
+    got_r = _res(K.search_vector_index(q, "vid", "v", rb3_c, rb3_x, k=3,
+                                       nprobe=2))
     assert got_u == got_r
-    direct = {tuple(r) for r in K.ivf_search(
+    direct = _res(K.ivf_search(
         q, "vid", "v",
         spark.createDataFrame(pd.DataFrame(rows)), "vid", "v",
-        k=3, nprobe=2, centroids=cents.drop("_ivf")).collect()}
+        k=3, nprobe=2, centroids=cents.drop("_ivf")))
     assert got_u == direct
 
 
@@ -873,14 +879,22 @@ def test_vector_index_stamp_contract(spark, tmp_path):
         K.update_vector_index(batch, "vid", "v", cents.drop("_ivf"),
                               cells)
     # parquet round-trip preserves the artifact contract end to end
+    # (cosines compared at 9dp: parquet stores the doubles exactly,
+    # but the in-memory reference side RECOMPUTES its assignment on
+    # every action and BLAS reductions are not bit-stable across
+    # session states — observed once in ~5 full-suite runs; the
+    # catalog oracle protocol rounds for the same reason)
     cents.write.parquet(str(tmp_path / "cents"))
     cells.write.parquet(str(tmp_path / "cells"))
     rc = spark.read.parquet(str(tmp_path / "cents"))
     rx = spark.read.parquet(str(tmp_path / "cells"))
-    got = {tuple(r) for r in K.search_vector_index(
-        batch, "vid", "v", rc, rx, k=2).collect()}
-    ref = {tuple(r) for r in K.search_vector_index(
-        batch, "vid", "v", cents, cells, k=2).collect()}
+
+    def _res(out):
+        return {(r[0], r[1], round(r[2], 9), r[3]) for r in out.collect()}
+
+    got = _res(K.search_vector_index(batch, "vid", "v", rc, rx, k=2))
+    ref = _res(K.search_vector_index(batch, "vid", "v", cents, cells,
+                                     k=2))
     assert got == ref and got
 
 
