@@ -318,6 +318,20 @@ def main() -> None:
                 spark.sparkContext.setLogLevel("ERROR")
                 spark.range(0, 32 * 256, 1, 32).select(
                     _wu(F.col("id").cast("double"))).count()
+                # page-cache warmup (r11): the spot tables are ~7.5 GB
+                # of parquet read exactly once per single-shot — two
+                # same-code runs measured top_ngrams 11.2 vs 31.8 s at
+                # byte-identical work purely on OS cache state. One
+                # untimed OS-level read per file pins the cache state
+                # so spot walls compare across rounds (cold-scan cost
+                # is the cluster's variable; the probe grades plan
+                # shape). A Spark count() would NOT do this — parquet
+                # counts are metadata-only.
+                import glob as _glob
+                for _fp in _glob.glob(f"{sdir}/*.parquet/*.parquet"):
+                    with open(_fp, "rb") as _fh:
+                        while _fh.read(1 << 24):
+                            pass
                 qs = catalog.queries()
                 for name in SPOT_QUERIES:
                     try:

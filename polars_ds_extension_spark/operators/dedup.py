@@ -917,7 +917,20 @@ def _check_lsh_stamp(buckets: DataFrame, shingle_k: int, n_hashes: int,
                 "max_bucket silently voids update == rebuild); keep "
                 "the stamp when persisting, or rebuild the index")
         return buckets
-    stamp = buckets.select("_lsh").first()
+    # stamp UNIQUENESS, not a first() sample (r11, the vector-index
+    # review lesson applied here too): a bucket frame unioned from two
+    # index generations is exactly the mixed artifact the stamp exists
+    # to catch, and a sampled row passes whenever it happens to match;
+    # the distinct reads one dictionary-encoded literal column
+    stamps = buckets.select("_lsh").distinct().limit(2).collect()
+    if len(stamps) > 1:
+        raise ValueError(
+            f"bucket frame carries MULTIPLE '_lsh' stamps "
+            f"({stamps[0][0]!r}, {stamps[1][0]!r}, …) — it mixes rows "
+            "from different builds; probing returns silently wrong "
+            "recall and update == rebuild is void. Rebuild, or probe "
+            "one generation at a time.")
+    stamp = stamps[0] if stamps else None
     if stamp is not None:
         got = str(stamp[0]).split("/")
         want = [str(shingle_k), str(n_hashes), str(bands)]
@@ -1414,6 +1427,29 @@ def near_dup_downsample(
         _near_dup_edge_set(df, id_col, text_col, threshold, shingle_k,
                            n_hashes, bands, max_bucket),
         keep_per_cluster=keep_per_cluster)
+
+
+def near_dup_cluster_sizes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 12,
+    n_hashes: int = 96,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Cluster-size histogram with the production ordering — the
+    report sibling of `near_dup_canonical_dedup` / `near_dup_downsample`
+    sharing `_near_dup_edge_set`: components (and therefore the
+    histogram) are identical to `near_dup_pairs` → `dup_cluster_sizes`
+    (the edge set spans the same components and every cluster member is
+    incident to an edge), but a text duplicated m times costs m−1 hash
+    edges instead of m²/2 verified pairs. Output: (cluster_size,
+    n_clusters), size ≥ 2, sorted."""
+    return dup_cluster_sizes(
+        _near_dup_edge_set(df, id_col, text_col, threshold, shingle_k,
+                           n_hashes, bands, max_bucket))
 
 
 def _near_dup_edge_set(

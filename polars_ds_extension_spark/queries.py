@@ -161,6 +161,11 @@ _STALE = frozenset({
     # call executes changed, so its stamped consumer re-verifies (the
     # r11 review's ledger-standard catch)
     "near_dup_minhash",
+    # round 11: _check_lsh_stamp now verifies stamp UNIQUENESS
+    # (distinct-limit-2) instead of sampling first() — same values on
+    # single-generation artifacts (both-SF mirror green), covering code
+    # changed for the prebuilt probe + update paths
+    "prebuilt_index_dedup", "index_update",
     # round 11: ivf_search's cogroup+window tail extracted into the
     # shared _ivf_cell_topk (pure code motion — plan unchanged, both-SF
     # mirror green — but the covering code moved) -> its two consumers

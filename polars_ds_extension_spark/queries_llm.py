@@ -1236,7 +1236,13 @@ def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants a MIXED size distribution (ids ≡ 0 mod 4 → 3-member
     clusters, other even ids → 2-member), so the histogram has two
     distinguishable rows and the oracle replays pair mining, the
-    recursive-CTE closure, and both groupBys."""
+    recursive-CTE closure, and both groupBys.
+
+    r11: routes through near_dup_cluster_sizes — the report sibling of
+    the shared adaptive edge set (component-identical to
+    near_dup_pairs → dup_cluster_sizes, which the unchanged all-pairs
+    oracle still replays; the pairs-contract's per-pair jaccard verify
+    is skipped — the histogram needs connectivity only)."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 2000)
     u = docs.select("doc_id", "text").unionByName(
@@ -1249,8 +1255,7 @@ def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 200000).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" qq dup marker two"))
                 .alias("text")))
-    pairs = D.near_dup_pairs(u, "doc_id", "text", threshold=0.6)
-    return D.dup_cluster_sizes(pairs)
+    return D.near_dup_cluster_sizes(u, "doc_id", "text", threshold=0.6)
 
 
 @query("decontaminate", r"""

@@ -319,6 +319,22 @@ def test_update_index_equals_rebuild(spark):
     assert _index_frames_as_sets(eb, es) == _index_frames_as_sets(ub, us)
 
 
+def test_index_mixed_generation_stamp_raises(spark):
+    # a bucket frame UNIONED from two builds (different geometry) must
+    # raise even when the first-sampled row matches the caller's params
+    idx = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": f"some indexable text number {i} right here"}
+         for i in range(6)]))
+    b1, s1 = D.build_near_dup_index(idx, "id", "txt")
+    b2, s2 = D.build_near_dup_index(idx, "id", "txt", shingle_k=8)
+    mixed = b1.unionByName(b2)
+    probe = idx.limit(2)
+    with pytest.raises(ValueError, match="MULTIPLE"):
+        D.near_dup_against_prebuilt(probe, mixed, s1, "id", "txt")
+    with pytest.raises(ValueError, match="MULTIPLE"):
+        D.update_near_dup_index(probe, mixed, s1, "id", "txt")
+
+
 def test_update_index_cap_mismatch_raises(spark):
     idx = spark.createDataFrame(pd.DataFrame(
         [{"id": i, "txt": f"some indexable text number {i} right here"}

@@ -244,6 +244,12 @@ def test_near_dup_downsample_matches_pairs_composition(spark):
                 canon = set(r[0] for r in D.near_dup_canonical_dedup(
                     u, "doc_id", "text", 0.6).select("doc_id").collect())
                 assert got == canon
+        # the histogram sibling shares the components too
+        ref_h = sorted(tuple(r) for r in D.dup_cluster_sizes(
+            D.near_dup_pairs(u, "doc_id", "text", 0.6)).collect())
+        got_h = sorted(tuple(r) for r in D.near_dup_cluster_sizes(
+            u, "doc_id", "text", 0.6).collect())
+        assert got_h == ref_h
 
 
 def test_near_dup_canonical_dedup_degenerate_corpora(spark):
