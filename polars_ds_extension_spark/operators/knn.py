@@ -1287,6 +1287,36 @@ def search_vector_index(
     return _ivf_cell_topk(qtag, itag, q_id, k, q_type, i_type)
 
 
+def vector_index_stats(centroids: DataFrame, cells: DataFrame) -> DataFrame:
+    """Index-health report over a persisted vector index — the
+    when-to-retrain statistic of the IVF lifecycle (FAISS retrains the
+    frozen quantizer on drift, and drift shows up here first): per
+    occupied cell, occupancy + within-cell squared-distance mass +
+    worst assignment. Skewed occupancy says the query cogroup will
+    straggle; growing sse/max_d2 after updates says the frozen
+    centroids no longer fit the data and the coarse quantizer should
+    retrain (rebuild with centroids='kmeans').
+
+    Plan: centroids broadcast into one join against the cells frame,
+    d² as a pure JVM zip_with/aggregate fold per row, one combinable
+    groupBy — a single pass over the inverted file, no UDF. Cells with
+    zero members are absent from the output (occupancy 0 is visible as
+    a missing centroid_id). Stamps verified when present.
+
+    Output: (centroid_id, n_vecs, sse, max_d2)."""
+    centroids, cells, _ = _check_ivf_stamp(centroids, cells)
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    return (cells.join(F.broadcast(centroids), "centroid_id")
+            .select("centroid_id", d2.alias("__d2"))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("__d2").alias("sse"),
+                 F.max("__d2").alias("max_d2")))
+
+
 def update_vector_index(
     new: DataFrame, id_col: str, vec_col: str,
     centroids: DataFrame, cells: DataFrame,

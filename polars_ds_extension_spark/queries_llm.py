@@ -877,6 +877,46 @@ def vector_index_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("vector_index_stats", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < GREATEST(16, CEIL(SQRT((SELECT COUNT(*) FROM e))))),
+asg AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid,
+      list_sum(list_transform(list_zip(e.v, c.cv),
+               x -> (x[1] - x[2]) ^ 2)) AS d2,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT cid AS centroid_id, COUNT(*) AS n_vecs,
+       ROUND(SUM(d2), 4) AS sse, ROUND(MAX(d2), 6) AS max_d2
+FROM asg GROUP BY cid
+""")
+def vector_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report (operators/knn.vector_index_stats — the
+    when-to-retrain statistic completing the persisted-IVF lifecycle:
+    build / search / update / STATS): per occupied cell, occupancy +
+    within-cell squared-distance mass + worst assignment, one
+    broadcast join + combinable agg over the inverted file. The oracle
+    replays assignment AND the per-row d² into both aggregates (sse at
+    4 dp — a float64 sum over hundreds of rows differs across engines
+    in the last ulp, the kmeans_inertia precedent; max at 6 dp)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(16, math.ceil(math.sqrt(emb.count())))
+    cents, cells = K.build_vector_index(emb, "vec_id", "embedding",
+                                        n_centroids=n_cent,
+                                        centroids="first")
+    out = K.vector_index_stats(cents, cells)
+    return out.select("centroid_id", "n_vecs",
+                      F.round("sse", 4).alias("sse"),
+                      _r(F.col("max_d2")).alias("max_d2"))
+
+
 @query("lsh_recall", """
 SELECT (2 * LEAST(500, COUNT(*)))::BIGINT AS n_queries,
        (2 * LEAST(500, COUNT(*)))::BIGINT AS n_perfect,

@@ -914,6 +914,39 @@ def test_vector_index_stamp_contract(spark, tmp_path):
     assert got == ref and got
 
 
+def test_vector_index_stats(spark):
+    # stats must equal a numpy replay (assignment, occupancy, sse,
+    # max d2) and must be additive under update: stats(update(new)) ==
+    # stats(build(old UNION new)) per cell
+    rows = _vec_rows(40, dim=6, seed=5)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cents, cells = K.build_vector_index(df, "vid", "v", n_centroids=4,
+                                        centroids="first")
+    got = {r["centroid_id"]: (r["n_vecs"], round(r["sse"], 9),
+                              round(r["max_d2"], 9))
+           for r in K.vector_index_stats(cents, cells).collect()}
+    X = np.array([r["v"] for r in rows])
+    C = X[:4]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    a = d2.argmin(1)
+    want = {}
+    for c in range(4):
+        m = a == c
+        if m.any():
+            want[c] = (int(m.sum()), round(float(d2[m, c].sum()), 9),
+                       round(float(d2[m, c].max()), 9))
+    assert got == want
+    # drift visibility: folding a shifted batch must grow that cell's
+    # sse in the stats of the UPDATED index (frozen centroids)
+    far = spark.createDataFrame(pd.DataFrame(
+        [{"vid": 100 + i, "v": [float(x + 3.0) for x in rows[i]["v"]]}
+         for i in range(5)]))
+    c2, x2 = K.update_vector_index(far, "vid", "v", cents, cells)
+    got2 = {r["centroid_id"]: r["sse"]
+            for r in K.vector_index_stats(c2, x2).collect()}
+    assert sum(got2.values()) > sum(v[1] for v in want.values())
+
+
 def test_collect_index_cap(spark):
     import pytest as _pt
     from polars_ds_extension_spark.operators import knn as K
