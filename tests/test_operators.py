@@ -914,6 +914,53 @@ def test_vector_index_stamp_contract(spark, tmp_path):
     assert got == ref and got
 
 
+def test_vector_index_boundaries(spark):
+    # nprobe beyond the centroid count clamps (every cell probed);
+    # k beyond the corpus returns all non-self neighbors; a 1-cell
+    # index degenerates to exact search
+    rows = _vec_rows(12, dim=4, seed=7)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cents, cells = K.build_vector_index(df, "vid", "v", n_centroids=3,
+                                        centroids="first")
+    q = df.where(F.col("vid") < 2)
+    out = K.search_vector_index(q, "vid", "v", cents, cells,
+                                k=50, nprobe=99)
+    got = {r["vid"]: r["neighbor_id"]
+           for r in out.collect() if r["rank"] == 1}
+    assert len(got) == 2
+    for vid, nb in got.items():
+        assert nb != vid  # self excluded even at full probe
+    one_c, one_x = K.build_vector_index(df, "vid", "v", n_centroids=1,
+                                        centroids="first")
+    exact = K.search_vector_index(q, "vid", "v", one_c, one_x, k=11,
+                                  nprobe=1)
+    assert exact.where(F.col("rank") == 1).count() == 2
+    assert exact.count() == 22  # 11 non-self neighbors per query
+
+
+def test_near_dup_downsample_boundaries(spark):
+    # no-near-dup corpus passes through untouched at any k; k<1 raises
+    # (texts must be GENUINELY dissimilar — template docs differing in
+    # one digit share nearly all char-12 shingles and rightly cluster)
+    topics = ["astronomy telescopes observing distant quasars nightly",
+              "sourdough fermentation hydration ratios and crumb",
+              "marathon training intervals tempo runs and recovery",
+              "quantum error correction surface codes explained",
+              "medieval trade routes spice merchants and ledgers",
+              "coral reef symbiosis bleaching and restoration work",
+              "jazz harmony tritone substitutions in bebop heads",
+              "glacier mass balance measured by ablation stakes"]
+    docs = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "txt": t * 2} for i, t in enumerate(topics)]))
+    out = D.near_dup_downsample(docs, "id", "txt", 0.6,
+                                keep_per_cluster=1)
+    assert out.count() == 8
+    with pytest.raises(ValueError, match="keep_per_cluster"):
+        D.cluster_downsample(docs, "id",
+                             docs.selectExpr("id as id_a", "id as id_b"),
+                             keep_per_cluster=0)
+
+
 def test_vector_index_stats(spark):
     # stats must equal a numpy replay (assignment, occupancy, sse,
     # max d2) and must be additive under update: stats(update(new)) ==
