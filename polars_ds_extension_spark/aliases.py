@@ -82,3 +82,14 @@ def query_ndcg_score(df, actual, pred, k=None, log_base: float = 2.0,
 
     return query_dcg_score(df, actual, pred, k=k, log_base=log_base,
                            by=by, normalize=True)
+
+
+def frame(spark, size: int = 2_000, index_name: str = "row_num"):
+    """Reference ``pds.frame`` (__init__.py:13): an index-only frame to
+    chain with the random generators in simulations and tests. Spark
+    twin takes the session first (no ambient context in Spark) and
+    partitions the range like any other source frame."""
+    from pyspark.sql import functions as _F
+
+    return spark.range(0, size).select(
+        _F.col("id").cast("long").alias(index_name))

@@ -55,30 +55,16 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 6
-    "ar_coeffs": 6, "array_math": 6, "bpe_tokenize_oracle": 6,
-    "corr_matrix": 6, "dia_col_validation": 6, "dia_row_validation":
-    6, "downsample": 6, "eda_flags": 6, "float_neighbors": 6,
-    "glm_poisson": 6, "hypertable_rollup": 6, "isotonic": 6,
-    "jaccard_arrays": 6, "lin_reg_rcond_oracle": 6, "pca": 6,
-    "permute_entropy": 6, "range_join": 6, "rfft": 6, "salted_join":
-    6, "sample_exact_n": 6, "select_by_std_cols": 6,
-    "series_entropy_oracle": 6, "similar_count": 6,
-    "singular_values": 6, "smooth_spline_oracle": 6,
-    "stream_curation_gate": 6, "stream_interval_join": 6,
-    "string_kernels_oracle": 6, "volume_neutral": 6,
     # last stamped in round 7
-    "batch_sessionize": 7, "corr_family": 7, "feature_screen": 7,
-    "graph_degrees": 7, "group_sample_exact": 7, "group_split": 7,
-    "kendall": 7, "kfold_split": 7, "ks_2samp": 7, "mann_whitney":
-    7, "mase_full": 7, "normalized_dedup": 7, "pack_sequences": 7,
-    "pagerank": 7, "pmi_collocations": 7, "pq_search": 7,
-    "recursive_lin_reg": 7, "regional_volume": 7, "roc_auc": 7,
-    "rolling_anomaly": 7, "scd2_history": 7, "script_profile": 7,
-    "stream_topk": 7, "stream_upsert": 7, "time_gapfill": 7,
-    "token_budget_sample": 7, "triangle_count": 7, "unicode_clean":
-    7, "upsert_latest": 7, "vocab_nearest_metrics": 7,
-    "weighted_sample": 7, "xi_corr": 7,
+    "batch_sessionize": 7, "feature_screen": 7, "graph_degrees": 7,
+    "group_sample_exact": 7, "group_split": 7, "kfold_split": 7,
+    "normalized_dedup": 7, "pack_sequences": 7, "pagerank": 7,
+    "pmi_collocations": 7, "pq_search": 7, "recursive_lin_reg": 7,
+    "regional_volume": 7, "rolling_anomaly": 7, "scd2_history": 7,
+    "script_profile": 7, "stream_topk": 7, "stream_upsert": 7,
+    "time_gapfill": 7, "token_budget_sample": 7, "triangle_count": 7,
+    "unicode_clean": 7, "upsert_latest": 7, "vocab_nearest_metrics": 7,
+    "weighted_sample": 7,
     # last stamped in round 8
     "add_at": 8, "asof_join": 8, "asof_join_forward": 8, "bicor": 8,
     "blocked_jaccard": 8, "cat_cross_entropy": 8,
@@ -92,47 +78,64 @@ _GREEN_ROUND = {
     "near_dup_simhash": 8, "pipeline_poly_impute": 8,
     "pipeline_qbin": 8, "pipeline_transform": 8, "psi": 8,
     "quality_quantile_filter": 8, "series_entropy": 8,
-    "smooth_spline": 8, "stream_decontaminate": 8, "text_quality":
-    8, "token_mixture": 8, "tpr_fpr": 8, "transfer_entropy": 8,
+    "smooth_spline": 8, "stream_decontaminate": 8, "text_quality": 8,
+    "token_mixture": 8, "tpr_fpr": 8, "transfer_entropy": 8,
     "winsorize": 8,
     # last stamped in round 9
     "benford": 9, "bigram_lm": 9, "blueprint_dyn_agg": 9,
-    "blueprint_lin_impute": 9, "chi2": 9, "classification_metrics":
-    9, "cond_entropy": 9, "cond_indep": 9, "count_uniques": 9,
+    "blueprint_lin_impute": 9, "chi2": 9, "classification_metrics": 9,
+    "cond_entropy": 9, "cond_indep": 9, "count_uniques": 9,
     "curation_pipeline_v3": 9, "dcg": 9, "dedup_stats": 9,
     "dist_kth_nb": 9, "elementwise_math": 9, "entropy": 9,
     "exact_dedup": 9, "f_test": 9, "gcd_lcm": 9,
     "integrate_detrend": 9, "is_monotonic": 9, "ivf_ann": 9,
     "ivf_recall": 9, "knn_avg_label": 9, "knn_cosine": 9,
-    "knn_freq": 9, "language_id": 9, "mean_family": 9, "normality":
-    9, "perplexity_gate": 9, "pipeline_blueprint": 9,
-    "pricing_summary": 9, "regression_metrics": 9, "semantic_dedup":
-    9, "softmax_znorm": 9, "string_cleaning": 9,
-    "string_similarity": 9, "target_encode": 9, "token_stats": 9,
-    "top_ngrams": 9, "ts_autocorr": 9, "ts_moments": 9,
-    "ts_ordered": 9, "ts_streaks": 9, "ttest": 9, "vocab_nearest":
-    9, "weighted_stats": 9, "woe_iv": 9,
+    "knn_freq": 9, "language_id": 9, "mean_family": 9, "normality": 9,
+    "perplexity_gate": 9, "pipeline_blueprint": 9,
+    "pricing_summary": 9, "regression_metrics": 9, "softmax_znorm": 9,
+    "string_cleaning": 9, "string_similarity": 9, "target_encode": 9,
+    "token_stats": 9, "top_ngrams": 9, "ts_autocorr": 9,
+    "ts_moments": 9, "ts_ordered": 9, "ts_streaks": 9, "ttest": 9,
+    "vocab_nearest": 9, "weighted_stats": 9, "woe_iv": 9,
     # last stamped in round 10
-    "ann_ivf_search": 10, "bm25_score": 10, "chunk_documents": 10,
-    "combinations": 10, "dup_cluster_downsample": 10,
-    "dup_cluster_sizes": 10, "eda_describe": 10, "elastic_net": 10,
-    "embedding_ops": 10, "fingerprints": 10, "incremental_dedup":
-    10, "index_update": 10, "ivfpq_search": 10, "knn_auto_route":
-    10, "knn_from_target": 10, "leakage_safe_split": 10,
+    "bm25_score": 10, "chunk_documents": 10, "combinations": 10,
+    "eda_describe": 10, "elastic_net": 10, "embedding_ops": 10,
+    "fingerprints": 10, "incremental_dedup": 10, "ivfpq_search": 10,
+    "knn_from_target": 10, "leakage_safe_split": 10,
     "lin_reg_multi": 10, "lin_reg_report": 10, "line_dedup": 10,
     "logistic_reg": 10, "lsh_recall": 10, "multimodal_blobs": 10,
-    "multimodal_decode": 10, "multimodal_resize": 10,
-    "near_dup_cluster_dedup": 10, "near_dup_minhash": 10,
-    "pii_scrub": 10, "pipeline_encode": 10, "pipeline_iv_rankhot":
-    10, "pq_encode": 10, "prebuilt_index_dedup": 10, "product": 10,
-    "quality_classifier": 10, "radius_nb_cnt": 10,
-    "repetition_signals": 10, "rolling_lin_reg": 10, "sample_split":
-    10, "semantic_decontaminate": 10, "shuffle_shards": 10,
-    "simple_lin_reg": 10, "smooth_spline_natural": 10,
-    "snapshot_diff": 10, "source_overlap": 10, "stream_dedup": 10,
+    "multimodal_decode": 10, "multimodal_resize": 10, "pii_scrub": 10,
+    "pipeline_encode": 10, "pipeline_iv_rankhot": 10, "pq_encode": 10,
+    "product": 10, "quality_classifier": 10, "radius_nb_cnt": 10,
+    "repetition_signals": 10, "rolling_lin_reg": 10,
+    "sample_split": 10, "semantic_decontaminate": 10,
+    "shuffle_shards": 10, "simple_lin_reg": 10,
+    "smooth_spline_natural": 10, "snapshot_diff": 10,
+    "source_overlap": 10, "stream_dedup": 10,
     "stream_running_stats": 10, "stream_sessionize": 10,
     "stream_windowed_agg": 10, "strip_boilerplate": 10,
     "tfidf_topk": 10, "within_radius_target": 10,
+    # last stamped in round 11
+    "ann_ivf_search": 11, "ar_coeffs": 11, "array_math": 11,
+    "bpe_tokenize_oracle": 11, "chunk_by_tokens": 11,
+    "corr_family": 11, "corr_matrix": 11, "dia_col_validation": 11,
+    "dia_row_validation": 11, "downsample": 11,
+    "dup_cluster_downsample": 11, "dup_cluster_sizes": 11,
+    "eda_flags": 11, "float_neighbors": 11, "glm_poisson": 11,
+    "hypertable_rollup": 11, "index_update": 11, "isotonic": 11,
+    "jaccard_arrays": 11, "kendall": 11, "knn_auto_route": 11,
+    "ks_2samp": 11, "lin_reg_rcond_oracle": 11, "mann_whitney": 11,
+    "mase_full": 11, "near_dup_cluster_dedup": 11,
+    "near_dup_minhash": 11, "pca": 11, "permute_entropy": 11,
+    "prebuilt_index_dedup": 11, "range_join": 11, "rfft": 11,
+    "roc_auc": 11, "salted_join": 11, "sample_exact_n": 11,
+    "select_by_std_cols": 11, "semantic_dedup": 11,
+    "series_entropy_oracle": 11, "similar_count": 11,
+    "singular_values": 11, "smooth_spline_oracle": 11,
+    "stream_curation_gate": 11, "stream_interval_join": 11,
+    "string_kernels_oracle": 11, "vector_index_build": 11,
+    "vector_index_search": 11, "vector_index_stats": 11,
+    "vector_index_update": 11, "volume_neutral": 11, "xi_corr": 11,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -146,30 +149,9 @@ _GREEN_ROUND = {
 # prefix — the change was verified by a full independent mirror run:
 # 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
-    # round 11: connected_components gained the adaptive small-graph
-    # path (broadcast label joins + edge-proportional coalesce below
-    # 1M edges — same labels, the covering plan changed) -> every CC
-    # consumer re-stamps; near_dup_canonical_dedup additionally fused
-    # the dup-rate gate into a pinned (id, hash) scan, and
-    # dup_cluster_downsample now routes through the new
-    # near_dup_downsample composite (cluster-identical by the shared
-    # edge-set argument, parity pytest + both-SF oracle mirror green)
-    "near_dup_cluster_dedup", "dup_cluster_downsample",
-    "dup_cluster_sizes", "semantic_dedup",
-    # round 11: _dup_rate_gate gained (frame, column)-keyed memoization
-    # — cold-path plan identical, but the gate body every near_dup_pairs
-    # call executes changed, so its stamped consumer re-verifies (the
-    # r11 review's ledger-standard catch)
-    "near_dup_minhash",
-    # round 11: _check_lsh_stamp now verifies stamp UNIQUENESS
-    # (distinct-limit-2) instead of sampling first() — same values on
-    # single-generation artifacts (both-SF mirror green), covering code
-    # changed for the prebuilt probe + update paths
-    "prebuilt_index_dedup", "index_update",
-    # round 11: ivf_search's cogroup+window tail extracted into the
-    # shared _ivf_cell_topk (pure code motion — plan unchanged, both-SF
-    # mirror green — but the covering code moved) -> its two consumers
-    "ann_ivf_search", "knn_auto_route",
+    # (r11's stale set fully re-stamped by CORRECTNESS_r11 — all 50
+    # prefix rows hash-green. Round-12 entries accumulate below as
+    # covering code changes.)
 })
 
 

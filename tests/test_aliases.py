@@ -148,3 +148,11 @@ def test_psi_w_breakpoints_oracle(spark):
         bp, ap = exp["bp"][i], exp["ap"][i]
         assert out["psi_bin"][i] == pytest.approx(
             (bp - ap) * math.log(bp / ap))
+
+
+def test_frame_fixture(spark):
+    """pds.frame twin (reference __init__.py:13): index-only frame."""
+    out = A.frame(spark, size=5, index_name="row_num").toPandas()
+    assert list(out.columns) == ["row_num"]
+    assert out["row_num"].tolist() == [0, 1, 2, 3, 4]
+    assert A.frame(spark).count() == 2_000
