@@ -413,6 +413,38 @@ def main() -> None:
                     except Exception as ex:
                         print(f"byte decade skipped for {name}: {ex}",
                               file=sys.stderr)
+                # forced-shuffle connected-components probe (r11
+                # verdict #3): a 1.25M-edge star graph (shallow
+                # components, the dup-graph shape) run with
+                # small_graph=False — the 100 TB branch that the ≤1M
+                # auto gate otherwise never exercises. Parity with the
+                # broadcast branch is pinned by pytest; this records
+                # the branch's wall + shuffle bytes each round.
+                try:
+                    from polars_ds_extension_spark.operators.dedup \
+                        import connected_components as _cc
+                    g = spark.range(0, 1_250_000).selectExpr(
+                        "(id div 4) * 5 as id_a",
+                        "(id div 4) * 5 + 1 + id % 4 as id_b")
+                    hi0, _snap = _stage_snapshot()
+                    t0 = time.perf_counter()
+                    n_lab = _cc(g, assume_unique=True,
+                                small_graph=False).count()
+                    wall = round(time.perf_counter() - t0, 1)
+                    _hi, snap = _stage_snapshot()
+                    rd = sum(v[0] for s, v in snap.items() if s > hi0)
+                    wr = sum(v[1] for s, v in snap.items() if s > hi0)
+                    tk = sum(v[2] for s, v in snap.items() if s > hi0)
+                    probe_100x["cc_shuffle_1m"] = [
+                        wall, round(rd / (1 << 20), 1),
+                        round(wr / (1 << 20), 1), int(tk)]
+                    spark.catalog.clearCache()
+                    print(f"probe cc_shuffle_1m: "
+                          f"{probe_100x['cc_shuffle_1m']} labels={n_lab}",
+                          file=sys.stderr)
+                except Exception as ex:
+                    print(f"cc shuffle probe skipped: {ex}",
+                          file=sys.stderr)
             except Exception as ex:  # pragma: no cover
                 print(f"100x spot probe skipped: {ex}", file=sys.stderr)
 

@@ -1203,6 +1203,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 25,
     assume_unique: bool = False,
+    small_graph: "bool | str" = "auto",
 ) -> DataFrame:
     """Connected components of the (near-)duplicate pair graph:
     (id, component) where component = the smallest id reachable.
@@ -1262,9 +1263,17 @@ def connected_components(
     try:
         # adaptive small-graph gate (see docstring): ≤1M edges → ≤2M
         # label rows ≈ tens of MB — safely broadcastable, and the
-        # coalesce caps each round at a handful of tasks
+        # coalesce caps each round at a handful of tasks.
+        # ``small_graph`` overrides the measured gate (r11 verdict #3:
+        # an adaptive branch nothing can force is an untestable branch
+        # — the parity pytest and the forced-shuffle probe both pin the
+        # 100 TB path against the broadcast path on one graph). Both
+        # branches share the identical round recurrence; they differ
+        # only in broadcast hint + partition shaping, so the override
+        # is value-neutral by construction AND by test.
         n_edges = edges.count()
-        small = n_edges <= 1_000_000
+        small = (n_edges <= 1_000_000 if small_graph == "auto"
+                 else bool(small_graph))
         p = int(n_edges // 500_000 + 1)
         if small:
             edges = edges.coalesce(p)

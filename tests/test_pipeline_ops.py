@@ -35,6 +35,36 @@ def test_connected_components_long_chain(spark):
     assert len(cc) == n + 1
 
 
+def test_connected_components_branch_parity(spark):
+    """The adaptive small-graph gate's two branches (broadcast+coalesce
+    vs shuffle — the 100 TB path) must label IDENTICALLY on one graph
+    (r10 adaptive-gate lesson: test branches against each other at the
+    boundary; r11 verdict #3: the shuffle branch was unforceable)."""
+    from polars_ds_extension_spark.operators.dedup import (
+        connected_components)
+
+    import random
+
+    rng = random.Random(7)
+    # mixed shapes: chains, stars, triangles, isolated pairs
+    edges = [(i, i + 1) for i in range(0, 40, 1)]          # long chain
+    edges += [(100, 100 + i) for i in range(1, 9)]          # star
+    edges += [(200, 201), (201, 202), (202, 200)]           # triangle
+    edges += [(rng.randrange(300, 400), rng.randrange(300, 400))
+              for _ in range(60)]                           # random blob
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long")
+    small = {(r["id"], r["comp"])
+             for r in connected_components(pairs,
+                                           small_graph=True).collect()}
+    big = {(r["id"], r["comp"])
+           for r in connected_components(pairs,
+                                         small_graph=False).collect()}
+    auto = {(r["id"], r["comp"])
+            for r in connected_components(pairs).collect()}
+    assert small == big == auto
+
+
 def test_decontaminate(spark):
     from polars_ds_extension_spark.operators.text import decontaminate
 
