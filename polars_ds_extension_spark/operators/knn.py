@@ -721,6 +721,7 @@ def ann_lsh_join(
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str,
     centroids: DataFrame, c_id: str, c_vec: str,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (l2, deterministic
     tie-break toward the LOWEST centroid id).
@@ -736,6 +737,13 @@ def ivf_assign(
     (per-pair higher-order folds + an N·C-row argmin shuffle, the r7
     scale-probe's super-linear term); this shape is flop-bound and
     shuffle-free. Output: (id_col, centroid_id).
+
+    ``carry_vec=True`` additionally passes the vector column through
+    the batch (same name/type) — for consumers that need (id, vec,
+    centroid_id) rows it replaces a corpus-wide join-back-by-id (a full
+    shuffle of the embedding lake at scale, and 2-3 stages of pure
+    overhead at small scale — the r11 knn_auto_route probe was ~90%
+    task scheduling on 10 MB of data) with zero extra plan nodes.
     """
     import numpy as np
     import pandas as pd
@@ -764,6 +772,8 @@ def ivf_assign(
     id_type = df.schema[id_col].dataType.simpleString()
     cid_type = centroids.schema[c_id].dataType.simpleString()
     schema = f"{id_col} {id_type}, centroid_id {cid_type}"
+    if carry_vec:
+        schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
 
     def _batches(it):
         ids_c, Cm = bc.value
@@ -772,8 +782,10 @@ def ivf_assign(
                 continue
             X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             a, _ = _assign_np(X, Cm)
-            yield pd.DataFrame({id_col: pdf[id_col].values,
-                                "centroid_id": ids_c[a]})
+            out = {id_col: pdf[id_col].values, "centroid_id": ids_c[a]}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(_batches, schema)
 
@@ -895,9 +907,12 @@ def ivf_knn_join(
         cents = ivf_centroids(df, id_col, vec_col, n_centroids,
                               method=centroids, seed=seed)
         c_id, c_vec = "centroid_id", "centroid"
-    asg = ivf_assign(df, id_col, vec_col, cents, c_id, c_vec)
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
+    # carry_vec: (id, vec, cell) straight off the assignment batch —
+    # no corpus-wide join-back-by-id (see ivf_assign)
+    tagged = (ivf_assign(df, id_col, vec_col, cents, c_id, c_vec,
+                         carry_vec=True)
+              .select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__vec"), "centroid_id"))
     if max_cell is not None:
         # salt oversized cells into ceil(n/max_cell) sub-cells; the count
         # frame is ≤ n_centroids rows → broadcast join, no extra shuffle
@@ -955,11 +970,14 @@ def ivf_assign_probe(
     df: DataFrame, id_col: str, vec_col: str,
     centroids: DataFrame, c_id: str, c_vec: str,
     nprobe: int = 2,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (l2,
     ties toward the LOWEST centroid id — the multi-probe generalization
     of ivf_assign, same broadcast + vectorized-batch shape, no
     shuffle). Output: (id_col, centroid_id, probe) with probe 1..nprobe.
+    ``carry_vec=True`` passes the vector through (repeated per probe) —
+    see ivf_assign; replaces the join-back-by-id in the search paths.
     """
     crows = centroids.select(c_id, c_vec).collect()
     if not crows:
@@ -976,6 +994,8 @@ def ivf_assign_probe(
     id_type = df.schema[id_col].dataType.simpleString()
     cid_type = centroids.schema[c_id].dataType.simpleString()
     schema = f"{id_col} {id_type}, centroid_id {cid_type}, probe int"
+    if carry_vec:
+        schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
 
     def _batches(it):
         ids_c, Cm = bc.value
@@ -1000,12 +1020,15 @@ def ivf_assign_probe(
                 _, sel = _topk_rows(d, pos, npb)
                 sels.append(sel)
             sel = np.concatenate(sels) if len(sels) > 1 else sels[0]
-            yield pd.DataFrame({
+            out = {
                 id_col: np.repeat(pdf[id_col].values, npb),
                 "centroid_id": ids_c[sel].ravel(),
                 "probe": np.tile(np.arange(1, npb + 1, dtype=np.int32),
                                  len(X)),
-            })
+            }
+            if carry_vec:
+                out[vec_col] = np.repeat(pdf[vec_col].values, npb)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(_batches, schema)
 
@@ -1051,17 +1074,18 @@ def ivf_search(
         cents = ivf_centroids(index, i_id, i_vec, n_centroids,
                               method=centroids, seed=seed)
         c_id, c_vec = "centroid_id", "centroid"
-    iasg = ivf_assign(index, i_id, i_vec, cents, c_id, c_vec)
-    itag = (index.select(F.col(i_id).alias("__iid"),
-                         F.col(i_vec).alias("__ivec"))
-            .join(iasg.select(F.col(i_id).alias("__iid"), "centroid_id"),
-                  "__iid"))
-    qasg = ivf_assign_probe(queries, q_id, q_vec, cents, c_id, c_vec,
-                            nprobe=nprobe)
-    qtag = (queries.select(F.col(q_id).alias("__qid"),
-                           F.col(q_vec).alias("__qvec"))
-            .join(qasg.select(F.col(q_id).alias("__qid"), "centroid_id"),
-                  "__qid"))
+    # carry_vec: the (id, vec, centroid_id) rows come straight out of
+    # the scan-side assignment batch — no corpus-wide join-back-by-id
+    # (a full embedding-lake shuffle at 100 TB; 2-3 stages of pure task
+    # overhead at probe scale — the r11 knn_auto_route driver probe)
+    itag = (ivf_assign(index, i_id, i_vec, cents, c_id, c_vec,
+                       carry_vec=True)
+            .select(F.col(i_id).alias("__iid"),
+                    F.col(i_vec).alias("__ivec"), "centroid_id"))
+    qtag = (ivf_assign_probe(queries, q_id, q_vec, cents, c_id, c_vec,
+                             nprobe=nprobe, carry_vec=True)
+            .select(F.col(q_id).alias("__qid"),
+                    F.col(q_vec).alias("__qvec"), "centroid_id"))
     q_type = queries.schema[q_id].dataType.simpleString()
     i_type = index.schema[i_id].dataType.simpleString()
     return _ivf_cell_topk(qtag, itag, q_id, k, q_type, i_type)
@@ -1245,14 +1269,11 @@ def build_vector_index(
         [(r[0], [float(x) for x in r[1]]) for r in crows],
         schema=f"centroid_id {cid_type}, "
                "centroid array<double>").withColumn("_ivf", F.lit(stamp))
-    asg = ivf_assign(df, id_col, vec_col, cents_out.drop("_ivf"),
-                     "centroid_id", "centroid")
-    cells = (df.select(F.col(id_col).alias("vec_id"),
-                       F.transform(F.col(vec_col),
-                                   lambda x: x.cast("double")).alias("vec"))
-             .join(asg.select(F.col(id_col).alias("vec_id"),
-                              "centroid_id"), "vec_id")
-             .select("centroid_id", "vec_id", "vec")
+    cells = (ivf_assign(df, id_col, vec_col, cents_out.drop("_ivf"),
+                        "centroid_id", "centroid", carry_vec=True)
+             .select("centroid_id", F.col(id_col).alias("vec_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("vec"))
              .withColumn("_ivf", F.lit(stamp)))
     return cents_out, cells
 
@@ -1274,12 +1295,11 @@ def search_vector_index(
     result-identical (pinned by pytest). Stamps verified when present;
     see `_check_ivf_stamp`."""
     centroids, cells, _ = _check_ivf_stamp(centroids, cells)
-    qasg = ivf_assign_probe(queries, q_id, q_vec, centroids,
-                            "centroid_id", "centroid", nprobe=nprobe)
-    qtag = (queries.select(F.col(q_id).alias("__qid"),
-                           F.col(q_vec).alias("__qvec"))
-            .join(qasg.select(F.col(q_id).alias("__qid"), "centroid_id"),
-                  "__qid"))
+    qtag = (ivf_assign_probe(queries, q_id, q_vec, centroids,
+                             "centroid_id", "centroid", nprobe=nprobe,
+                             carry_vec=True)
+            .select(F.col(q_id).alias("__qid"),
+                    F.col(q_vec).alias("__qvec"), "centroid_id"))
     itag = cells.select(F.col("vec_id").alias("__iid"),
                         F.col("vec").alias("__ivec"), "centroid_id")
     q_type = queries.schema[q_id].dataType.simpleString()
@@ -1342,15 +1362,12 @@ def update_vector_index(
     (the assignment batch fails loudly on mismatch)."""
     c_chk, x_chk, stamp = _check_ivf_stamp(centroids, cells,
                                            require=True)
-    asg = ivf_assign(new, id_col, vec_col, c_chk,
-                     "centroid_id", "centroid")
-    new_cells = (new.select(F.col(id_col).alias("vec_id"),
-                            F.transform(F.col(vec_col),
-                                        lambda x: x.cast("double"))
-                            .alias("vec"))
-                 .join(asg.select(F.col(id_col).alias("vec_id"),
-                                  "centroid_id"), "vec_id")
-                 .select("centroid_id", "vec_id", "vec")
+    new_cells = (ivf_assign(new, id_col, vec_col, c_chk,
+                            "centroid_id", "centroid", carry_vec=True)
+                 .select("centroid_id", F.col(id_col).alias("vec_id"),
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double"))
+                         .alias("vec"))
                  .withColumn("_ivf", F.lit(stamp)))
     return centroids, cells.unionByName(
         new_cells.select(*cells.columns))
@@ -1384,9 +1401,12 @@ def ivf_cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    asg = ivf_assign(df, id_col, vec_col, cents, c_id, c_vec)
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    tagged = base.join(asg.withColumnRenamed(id_col, "__id"), "__id")
+    # carry_vec: (id, vec, cell) straight off the assignment batch —
+    # no corpus-wide join-back-by-id (see ivf_assign)
+    tagged = (ivf_assign(df, id_col, vec_col, cents, c_id, c_vec,
+                         carry_vec=True)
+              .select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__vec"), "centroid_id"))
     if max_cell is not None:
         cell_n = F.broadcast(
             tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
