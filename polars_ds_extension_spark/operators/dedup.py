@@ -509,12 +509,82 @@ def lsh_candidate_stats(
     }
 
 
-def _verify_pairs(base: DataFrame, cand: DataFrame,
-                  threshold: float) -> DataFrame:
+#: candidate-pair ceiling under which the verify join prunes the
+#: shingle frame to candidate-INCIDENT docs via a broadcast semi-join
+#: (ids ≤ 2·pairs → ≤ ~64 MB broadcast at the cap). Above it the plan
+#: runs unpruned exactly as before: at true 100 TB scale the incident
+#: id set is itself billions of rows — too big to broadcast, and a
+#: shuffle-side semi would cost the very shingle shuffle it saves.
+_VERIFY_PRUNE_CAP = 4_000_000
+
+#: estimated corpus-projection bytes (Catalyst plan statistics — a
+#: free driver-side file-size estimate, no job) above which the verify
+#: kernel switches from the lazy single-action plan to the eager
+#: pin-materialize + prune regime. Calibrated against the probe
+#: decades: sf0.1 ≈ 0.45 MB, 10× ≈ 4.5 MB (both comfortably
+#: broadcast-regime — the lazy plan is faster there: AQE's redundant
+#: concurrent leaf computes are free on idle cores, while an eager
+#: count serializes the pipeline), 100× ≈ 45 MB (sort-merge regime —
+#: the redundant computes cost 6 × 28.5 s and the eager pass wins).
+_VERIFY_EAGER_MIN_MB = 20.0
+
+
+def _plan_size_mb(df: DataFrame) -> float:
+    """Catalyst's sizeInBytes estimate for a frame, in MB — driver-side
+    only (file-size propagation through the optimized plan), no job."""
+    try:
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return float(str(sz)) / 1e6
+    except Exception:  # estimate unavailable — treat as small
+        return 0.0
+
+
+def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
+                  prune: "bool | str" = "auto") -> DataFrame:
     """Exact-Jaccard verification of candidate id pairs against the
     pinned shingle sets — the kernel both `near_dup_pairs` branches
-    share. Output: (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    share. Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Scale regime (``prune="auto"``: engaged when the corpus
+    projection's Catalyst size estimate exceeds `_VERIFY_EAGER_MIN_MB`
+    — the sort-merge decades; overridable for tests): the candidate
+    frame is pinned and counted EAGERLY before the verify plan runs,
+    for two measured reasons (r12, 1M-doc spot):
+
+    * the count materializes the lazily-pinned minhash ``base`` as a
+      side effect (the banding pipeline is cand's prefix) — without
+      it, AQE launches the plan's ~6 independent leaf query-stages
+      concurrently and EACH recomputes the full shingle+banding pass
+      before the cache exists (6 × 28.5 s of redundant scan at 100×,
+      the bulk of the wall excess over the linear fit);
+    * the count is the adaptive-prune gate: when pairs ≤
+      `_VERIFY_PRUNE_CAP`, the shingle frame is semi-joined down to
+      candidate-incident ids (60% of docs at the 100× spot, far fewer
+      on a production corpus) before the two sort-merge verify joins,
+      with the id set broadcast — the corpus-sized shingle shuffle
+      shrinks to the incident subset. Value-identical (an inner join
+      already drops non-candidate rows — the semi just drops them
+      BEFORE the shuffle), pinned by a parity pytest.
+
+    Below the size threshold the r11 lazy single-action plan runs
+    unchanged — at broadcast scale the eager count measured as a pure
+    serialization cost (sf0.1: cluster_dedup 5.2 → 7.7 s) while the
+    concurrent redundant leaf computes it prevents are free on idle
+    cores.
+    """
     sh = base.select(F.col("__id"), F.col("__sh"))
+    engage = (_plan_size_mb(base) > _VERIFY_EAGER_MIN_MB
+              if prune == "auto" else bool(prune))
+    if engage:
+        from .._utils import pin
+
+        cand = pin(cand)
+        n_pairs = cand.count()
+        if n_pairs <= _VERIFY_PRUNE_CAP:
+            ids = (cand.select(
+                F.explode(F.array("id_a", "id_b")).alias("__id"))
+                .distinct())
+            sh = sh.join(F.broadcast(ids), "__id", "left_semi")
     joined = (
         cand.join(sh.withColumnRenamed("__id", "id_a")
                     .withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -1477,7 +1547,14 @@ def _near_dup_edge_set(
     member→rep edges. Both `near_dup_canonical_dedup` and
     `near_dup_downsample` feed this straight to connected components
     (assume_unique holds: the two edge families are disjoint — near
-    edges connect distinct texts, exact edges identical ones)."""
+    edges connect distinct texts, exact edges identical ones).
+
+    (r12 note: pinning the (id, text) projection here to de-duplicate
+    the DAG's ~6 corpus-reading leaf stages was A/B-measured NET-
+    NEGATIVE at sf0.1 — min 4.7 s pinned vs 4.1 s lazy, interleaved
+    min-of-3 — the cache fill serializes what idle cores absorb; the
+    scale decades get their eager materialization from the verify
+    kernel's candidate count instead.)"""
     from .._utils import pin, unpin
 
     hit = _gate_memo(df, text_col)

@@ -53,9 +53,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _PROBE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".probe_data")
-# v2: cipher transform (dir name versions the transform so a cached
-# build from the old suffix transform can never be silently reused)
-PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0v2")
+# v3: text cipher + per-copy ORTHOGONAL embedding rotation (dir name
+# versions the transform so a cached build from an older transform can
+# never be silently reused). v2 inflated embeddings VERBATIM — every
+# vector-side probe measured a 10x-fused hot cluster instead of a
+# 10x-bigger vector population (r11 verdict #5); the rotation is the
+# vector analogue of the text cipher: within-copy cosines and norms
+# are preserved exactly (orthogonality), cross-copy similarity
+# collapses to chance.
+PROBE_DIR = os.path.join(_PROBE_ROOT, "sf1.0v3")
 PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 # 100x spot set (documents+embeddings only — the tables the
 # scale-critical dedup/ANN/ngram family reads): one datapoint per round
@@ -64,10 +70,9 @@ PROBE_DIR_DENSE = os.path.join(_PROBE_ROOT, "sf1.0-dense")
 # collide mod 26, so copies 0/26/52/78 of a 100x build would carry
 # IDENTICAL text and fuse dup clusters across copies — the exact
 # artifact class the v2 cipher fixed at 10x).
-# v2: permutation cipher for EVERY copy k >= 1 (v1 reused the
-# 10x rotation for k < 26 — collision surface documented in
-# _cipher_maps; dir name versions the transform)
-PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v2-perm")
+# v3: permutation cipher for EVERY copy k >= 1 (v2) + the orthogonal
+# embedding rotation (see PROBE_DIR; same per-copy seeds)
+PROBE_DIR_SPOT = os.path.join(_PROBE_ROOT, "sf10v3-perm")
 SPOT_FACTOR = 100
 SPOT_TABLES = ("documents", "embeddings")
 SPOT_QUERIES = ["near_dup_minhash", "near_dup_cluster_dedup",
@@ -209,6 +214,34 @@ def _cipher_maps(k: int, rotate_below_26: bool = True) -> "tuple[str, str]":
     return src, dst
 
 
+def _rotated_embeddings(cp, k: int, d: int):
+    """Apply copy-k's seeded random ORTHOGONAL rotation to the
+    ``embedding`` column — the vector analogue of the text cipher
+    (r11 verdict #5): Q_k is orthogonal, so every WITHIN-copy cosine
+    and norm is preserved exactly (up to float32 re-rounding) while
+    cross-copy similarity collapses to chance in 64 dims. Q_k comes
+    from the QR of a seeded Gaussian with the R-diagonal sign fix, so
+    the build is deterministic. k = 0 is the identity (the base copy,
+    like the text cipher)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(0x0077A7E + k)
+    A = rng.standard_normal((d, d))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))
+
+    @pandas_udf("array<float>")
+    def _rot(v: "pd.Series") -> "pd.Series":
+        X = np.array([list(x) for x in v], dtype=np.float64)
+        out = (X @ Q.T).astype(np.float32)
+        return pd.Series(list(out))
+
+    return cp.withColumn("embedding", _rot(F.col("embedding")))
+
+
 def build_probe_data(spark, rebuild: bool = False,
                      dense: bool = False) -> str:
     from pyspark.sql import functions as F
@@ -233,6 +266,8 @@ def build_probe_data(spark, rebuild: bool = False,
             strides[c] = int(row[c]) + 1
     for t, cols in _SHIFTS.items():
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        emb_d = (len(df.select("embedding").first()[0])
+                 if t == "embeddings" else 0)
         parts = []
         for k in range(FACTOR):
             cp = df
@@ -247,6 +282,11 @@ def build_probe_data(spark, rebuild: bool = False,
                 # token-suffix transform was wrong)
                 src, dst = _cipher_maps(k)
                 cp = cp.withColumn("text", F.translate("text", src, dst))
+            if t == "embeddings" and not dense and k > 0:
+                # constant-density vectors: per-copy orthogonal
+                # rotation (the dense build keeps verbatim copies —
+                # fused clusters ARE its adversarial point)
+                cp = _rotated_embeddings(cp, k, emb_d)
             parts.append(cp)
         out = parts[0]
         for p in parts[1:]:
@@ -281,6 +321,8 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
     for t in SPOT_TABLES:
         cols = _SHIFTS[t]
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        emb_d = (len(df.select("embedding").first()[0])
+                 if t == "embeddings" else 0)
         strides = {}
         for c in cols:
             key = _FK.get(c, c)
@@ -297,6 +339,8 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
             if t == "documents" and k > 0:
                 src, dst = _cipher_maps(k, rotate_below_26=False)
                 cp = cp.withColumn("text", F.translate("text", src, dst))
+            if t == "embeddings" and k > 0:
+                cp = _rotated_embeddings(cp, k, emb_d)
             parts.append(cp)
         out = parts[0]
         for p in parts[1:]:

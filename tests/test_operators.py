@@ -423,6 +423,29 @@ def test_near_dup_pairs_collapse_branches_agree(spark):
     assert {(3, 200), (4, 201), (5, 202)} <= near
 
 
+def test_verify_prune_branches_agree(spark):
+    """_verify_pairs' adaptive incident-id prune (r12): the pruned
+    (broadcast-semi) and unpruned verify joins must emit identical
+    (id_a, id_b, jaccard) rows — an inner join drops non-candidate
+    rows anyway; the semi only drops them before the shuffle. Tested
+    against each other at both override settings (the adaptive-gate
+    lesson: both branches of a measured gate share one contract)."""
+    from polars_ds_extension_spark.operators.dedup import (
+        _bucket_pairs, _lsh_buckets, _minhash_base, _verify_pairs)
+
+    df = spark.createDataFrame(pd.DataFrame(_mixed_dup_corpus()))
+    out = {}
+    for mode in (True, False):
+        base = _minhash_base(df, "id", "txt", 12, 96, 32)
+        cand = _bucket_pairs(_lsh_buckets(base, 200)).distinct()
+        got = _verify_pairs(base, cand, 0.6, prune=mode).toPandas()
+        out[mode] = sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"]))
+    assert out[True] == out[False]
+    assert len(out[True]) > 0
+
+
 def test_near_dup_pairs_exact_clusters_are_cap_independent(spark):
     # a 40-copy identical cluster with max_bucket=10: every LSH bucket
     # is over cap, yet the full C(40,2) pair set must still come out of
