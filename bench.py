@@ -333,35 +333,52 @@ def main() -> None:
                         while _fh.read(1 << 24):
                             pass
                 qs = catalog.queries()
+                # the two heaviest spots carried ±25% single-shot
+                # ranges across r11's four same-code runs (minhash
+                # 1.85-2.27× of fit, cluster 1.34-2.76×) — min-of-3
+                # with the spread recorded turns the range into a
+                # number the ≤2× target can be judged on (r11 verdict
+                # #6). The rest stay single-shot (suite-cost bound).
+                _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup"}
                 for name in SPOT_QUERIES:
-                    try:
-                        hi0, _snap = _stage_snapshot()
-                    except Exception:  # internal API moved — wall only
-                        hi0 = None
-                    t0 = time.perf_counter()
-                    qs[name](spark, sdir).count()
-                    wall = round(time.perf_counter() - t0, 1)
-                    probe_100x[name] = wall
-                    if hi0 is not None:
+                    walls = []
+                    rd = wr = tk = None
+                    for _rep in range(3 if name in _MULTI else 1):
                         try:
-                            _hi, snap = _stage_snapshot()
-                            rd = sum(v[0] for s, v in snap.items()
-                                     if s > hi0)
-                            wr = sum(v[1] for s, v in snap.items()
-                                     if s > hi0)
-                            tk = sum(v[2] for s, v in snap.items()
-                                     if s > hi0)
-                            probe_100x[name] = [
-                                wall, round(rd / (1 << 20), 1),
-                                round(wr / (1 << 20), 1), int(tk)]
-                        except Exception as ex:
-                            print(f"probe100 metrics skipped for "
-                                  f"{name}: {ex}", file=sys.stderr)
-                    release_pins()
-                    spark.catalog.clearCache()
+                            hi0, _snap = _stage_snapshot()
+                        except Exception:  # API moved — wall only
+                            hi0 = None
+                        t0 = time.perf_counter()
+                        qs[name](spark, sdir).count()
+                        walls.append(
+                            round(time.perf_counter() - t0, 1))
+                        if hi0 is not None and rd is None:
+                            try:  # bytes are deterministic — 1st run
+                                _hi, snap = _stage_snapshot()
+                                rd = sum(v[0] for s, v in snap.items()
+                                         if s > hi0)
+                                wr = sum(v[1] for s, v in snap.items()
+                                         if s > hi0)
+                                tk = sum(v[2] for s, v in snap.items()
+                                         if s > hi0)
+                            except Exception as ex:
+                                print(f"probe100 metrics skipped for "
+                                      f"{name}: {ex}", file=sys.stderr)
+                        release_pins()
+                        spark.catalog.clearCache()
+                    wall = min(walls)
+                    probe_100x[name] = wall
+                    if rd is not None:
+                        probe_100x[name] = [
+                            wall, round(rd / (1 << 20), 1),
+                            round(wr / (1 << 20), 1), int(tk)]
+                        if len(walls) > 1:
+                            probe_100x[name].append(
+                                round(max(walls) / max(wall, 1e-9), 2))
                     print(f"probe100 {name}: {probe_100x[name]} "
                           "(s[, shuffle-read MB, shuffle-write MB, "
-                          "tasks])", file=sys.stderr)
+                          "tasks[, spread]]) runs="
+                          f"{walls}", file=sys.stderr)
                 # pair stats at 100x too: a spot wall above the linear
                 # fit is only attributable with the work counts beside
                 # it (r10: 147s vs ~79s linear-from-10x read as an
@@ -444,6 +461,62 @@ def main() -> None:
                           file=sys.stderr)
                 except Exception as ex:
                     print(f"cc shuffle probe skipped: {ex}",
+                          file=sys.stderr)
+                # vector-index amortization spot (r11 verdict #2): the
+                # r11 persisted-IVF surface exists to amortize
+                # ann_ivf_search's documented Θ(N·√N) per-call index
+                # assignment — demonstrate it AT 100×. The index over
+                # the 2M-vector spot embeddings is built ONCE into a
+                # persisted fixture (dir versioned WITH the spot data);
+                # the probe then times the SAME query batch the
+                # ann_ivf_search spot uses (vec_id < 100) against the
+                # prebuilt artifact — paying only Θ(q·nprobe·N/C·d).
+                try:
+                    import math
+                    from polars_ds_extension_spark.operators.knn import (
+                        build_vector_index, search_vector_index)
+                    vdir = f"{sdir}-vecindex"
+                    emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
+                    if not os.path.isdir(vdir):
+                        n_cent = max(16, math.ceil(
+                            math.sqrt(emb.count())))
+                        t0 = time.perf_counter()
+                        cents, cells = build_vector_index(
+                            emb, "vec_id", "embedding",
+                            n_centroids=n_cent, centroids="first")
+                        cents.write.mode("overwrite").parquet(
+                            f"{vdir}/centroids.parquet")
+                        cells.write.mode("overwrite").parquet(
+                            f"{vdir}/cells.parquet")
+                        print(f"probe vecindex built in "
+                              f"{time.perf_counter() - t0:.1f}s "
+                              f"(one-time fixture, {n_cent} cells)",
+                              file=sys.stderr)
+                    cents = spark.read.parquet(
+                        f"{vdir}/centroids.parquet")
+                    cells = spark.read.parquet(f"{vdir}/cells.parquet")
+                    qbatch = emb.where(F.col("vec_id") < 100)
+                    hi0, _snap = _stage_snapshot()
+                    t0 = time.perf_counter()
+                    search_vector_index(qbatch, "vec_id", "embedding",
+                                        cents, cells, k=3,
+                                        nprobe=2).count()
+                    wall = round(time.perf_counter() - t0, 1)
+                    _hi, snap = _stage_snapshot()
+                    rd = sum(v[0] for s, v in snap.items() if s > hi0)
+                    wr = sum(v[1] for s, v in snap.items() if s > hi0)
+                    tk = sum(v[2] for s, v in snap.items() if s > hi0)
+                    probe_100x["vector_index_search"] = [
+                        wall, round(rd / (1 << 20), 1),
+                        round(wr / (1 << 20), 1), int(tk)]
+                    release_pins()
+                    spark.catalog.clearCache()
+                    print(f"probe vector_index_search@100x: "
+                          f"{probe_100x['vector_index_search']} "
+                          "(vs ann_ivf_search one-shot spot above)",
+                          file=sys.stderr)
+                except Exception as ex:
+                    print(f"vector index spot skipped: {ex}",
                           file=sys.stderr)
             except Exception as ex:  # pragma: no cover
                 print(f"100x spot probe skipped: {ex}", file=sys.stderr)

@@ -578,6 +578,13 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
     if engage:
         from .._utils import pin
 
+        # materialize the base pin FIRST: cand's own plan reads it
+        # from up to 3 leaf legs (band explode + both sides of the
+        # identical-text filter), and against a cold cache AQE runs
+        # them concurrently — each recomputing the full shingle+band
+        # pass (3 × 28.5 s at the 1M-doc spot). One pass, then the
+        # candidate pipeline reads the cache.
+        base.count()
         cand = pin(cand)
         n_pairs = cand.count()
         if n_pairs <= _VERIFY_PRUNE_CAP:
@@ -1305,6 +1312,21 @@ def connected_components(
 
     e = pairs.select(F.col(id_a).cast("long").alias("s"),
                      F.col(id_b).cast("long").alias("d"))
+    # cache the DIRECTED edge list and materialize it BEFORE the
+    # symmetrizing union references it twice: the union's two legs
+    # otherwise EACH recompute the entire upstream pair pipeline when
+    # the edges cache first materializes (AQE launches both leg stages
+    # concurrently against a cold cache, and exchange reuse does not
+    # dedupe them) — at the 1M-doc spot that doubled the whole
+    # minhash verify: 4 shingle-frame exchanges and 2 pair-carry
+    # joins, ~8 GB of the 16.8 GB total (r12). The e cache is 16-byte
+    # rows — |pairs|-bounded, trivial next to what it saves — and is
+    # dropped as soon as the symmetrized cache is materialized.
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    e_cached = e.persist(_SL.MEMORY_AND_DISK)
+    e_cached.count()
+    e = e_cached
     # persistence is managed LOCALLY (not the shared LRU pin registry —
     # the loop's own caches would evict the edges cache mid-iteration and
     # replay the whole upstream pair pipeline). Each round's label frame
@@ -1342,6 +1364,9 @@ def connected_components(
         # only in broadcast hint + partition shaping, so the override
         # is value-neutral by construction AND by test.
         n_edges = edges.count()
+        # the symmetrized cache is materialized now — the directed
+        # staging cache has served its purpose
+        e_cached.unpersist(blocking=False)
         small = (n_edges <= 1_000_000 if small_graph == "auto"
                  else bool(small_graph))
         p = int(n_edges // 500_000 + 1)

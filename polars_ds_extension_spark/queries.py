@@ -159,6 +159,14 @@ _STALE = frozenset({
     "ivf_ann", "ivf_recall", "ann_ivf_search", "knn_auto_route",
     "vector_index_build", "vector_index_search", "vector_index_update",
     "vector_index_stats", "semantic_dedup",
+    # round 12: _verify_pairs gained the size-gated eager/prune regime
+    # (plan-only below the gate; parity pytest above it) and
+    # connected_components stages its directed edge list in a cache so
+    # the symmetrizing union can't double-run the upstream pair
+    # pipeline (plan-only, + small_graph override) -> the near-dup
+    # family and every CC consumer re-verifies
+    "near_dup_minhash", "near_dup_cluster_dedup",
+    "dup_cluster_downsample", "dup_cluster_sizes",
 })
 
 
