@@ -559,12 +559,16 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
       the bulk of the wall excess over the linear fit);
     * the count is the adaptive-prune gate: when pairs ≤
       `_VERIFY_PRUNE_CAP`, the shingle frame is semi-joined down to
-      candidate-incident ids (60% of docs at the 100× spot, far fewer
-      on a production corpus) before the two sort-merge verify joins,
+      candidate-incident ids before the two sort-merge verify joins,
       with the id set broadcast — the corpus-sized shingle shuffle
       shrinks to the incident subset. Value-identical (an inner join
       already drops non-candidate rows — the semi just drops them
-      BEFORE the shuffle), pinned by a parity pytest.
+      BEFORE the shuffle), pinned by a parity pytest. NB the spot
+      corpus cannot demonstrate the byte saving: every doc there has
+      a planted near-dup twin, so incidence is 100% by construction
+      and the semi passes everything (measured — bytes unchanged); a
+      production crawl corpus at threshold 0.6 has incidence well
+      under 1 and this is where the term pays.
 
     Below the size threshold the r11 lazy single-action plan runs
     unchanged — at broadcast scale the eager count measured as a pure
