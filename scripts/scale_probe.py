@@ -48,6 +48,9 @@ import shutil
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -223,8 +226,6 @@ def _rotated_embeddings(cp, k: int, d: int):
     from the QR of a seeded Gaussian with the R-diagonal sign fix, so
     the build is deterministic. k = 0 is the identity (the base copy,
     like the text cipher)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -234,7 +235,7 @@ def _rotated_embeddings(cp, k: int, d: int):
     Q = Q * np.sign(np.diag(R))
 
     @pandas_udf("array<float>")
-    def _rot(v: "pd.Series") -> "pd.Series":
+    def _rot(v: pd.Series) -> pd.Series:
         X = np.array([list(x) for x in v], dtype=np.float64)
         out = (X @ Q.T).astype(np.float32)
         return pd.Series(list(out))
