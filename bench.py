@@ -477,7 +477,12 @@ def main() -> None:
                         build_vector_index, search_vector_index)
                     vdir = f"{sdir}-vecindex"
                     emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
-                    if not os.path.isdir(vdir):
+                    # gate on the LAST write's _SUCCESS marker, not dir
+                    # existence — a crash between the two writes would
+                    # otherwise poison the fixture forever (the r12
+                    # partial-probe-dir lesson)
+                    if not os.path.exists(
+                            f"{vdir}/cells.parquet/_SUCCESS"):
                         n_cent = max(16, math.ceil(
                             math.sqrt(emb.count())))
                         t0 = time.perf_counter()

@@ -1294,10 +1294,30 @@ def connected_components(
     per round, converging in O(component diameter) rounds (near-dup
     clusters are shallow: pairs chain through shared shingles, so
     diameters of 2-4 are typical; a driver-side count check stops at the
-    fixpoint). All shuffles are keyed on node id — no collect of
-    anything row-level. For adversarial long-chain graphs swap in
-    large-star/small-star (Kiveris+ '14); the pair graphs dedup emits
-    don't need it.
+    fixpoint). All shuffles are keyed on node id — nothing row-level is
+    collected (except in the tiny-graph driver tier below, which only
+    engages when the whole edge list is megabytes). Each round ALSO
+    pointer-jumps (every node probes its label's label — path doubling,
+    the hash-to-min idea of Rastogi+ '12), so convergence is
+    O(log diameter) rounds, not O(diameter): a 1M-node chain labels in
+    ~20 rounds instead of 1M (r12 — the driver-tier parity test caught
+    the min-label-only loop silently returning NON-CONVERGED labels on
+    a 41-node chain at max_iters=25; exceeding max_iters now raises
+    instead of returning wrong labels).
+
+    Tiers (``small_graph``: "auto" measures the edge count and picks;
+    "driver"/True/False force a tier — every tier is forceable and
+    parity-pinned by pytest, the r10/r11 adaptive-gate lesson):
+
+    * ≤100k directed edges → DRIVER union-find: collect the ≤1.6 MB
+      edge list and label in one pass — the distributed loop's
+      join+agg+checkpoint jobs are pure task-launch overhead at this
+      size (measured on the real sf0.1 dup graph, 6k edges: 0.15 s
+      driver-side vs 0.74-0.85 s in the broadcast loop). A 100 TB
+      corpus's pair graph never fits this gate; nothing about the
+      scale path changes.
+    * ≤1M edges → the broadcast-loop branch below (small_graph=True).
+    * above → the shuffle-loop branch (small_graph=False).
 
     Adaptive small-graph path (r11): the edge count is measured once
     off the persisted edges (a cached-scan job — the persist
@@ -1329,8 +1349,33 @@ def connected_components(
     from pyspark.storagelevel import StorageLevel as _SL
 
     e_cached = e.persist(_SL.MEMORY_AND_DISK)
-    e_cached.count()
+    n_directed = e_cached.count()
     e = e_cached
+    if (small_graph == "driver"
+            or (small_graph == "auto" and n_directed <= 100_000)):
+        # driver tier (see docstring): one union-find pass over the
+        # collected edge list, deterministic (sorted by id; comp = min
+        # reachable id — the loop's exact contract)
+        rows = e_cached.collect()
+        e_cached.unpersist(blocking=False)
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = _find(row[0]), _find(row[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        nodes = {r[0] for r in rows} | {r[1] for r in rows}
+        labels = sorted((int(n), int(_find(n))) for n in nodes)
+        return pairs.sparkSession.createDataFrame(
+            labels, "id long, comp long")
     # persistence is managed LOCALLY (not the shared LRU pin registry —
     # the loop's own caches would evict the edges cache mid-iteration and
     # replay the whole upstream pair pipeline). Each round's label frame
@@ -1397,6 +1442,7 @@ def connected_components(
             .observe(obs0, F.sum("comp").alias("s"))
         ).localCheckpoint(eager=True)
         prev_sum = obs0.get["s"]
+        converged = False
         for _ in range(max_iters):
             nb = (
                 edges.join(_probe(lab.withColumnRenamed("id", "d")
@@ -1404,9 +1450,21 @@ def connected_components(
                            "d")
                 .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
             )
+            # pointer jump: every node probes its LABEL's label (labels
+            # are node ids and every node id is in lab, so the inner
+            # join is total) — path doubling makes deep components
+            # converge in O(log diameter) rounds; the |V|-row self-join
+            # is cheap next to the edge join it saves rounds of
+            jump = (
+                lab.select("id", F.col("comp").alias("__via"))
+                .join(_probe(lab.select(F.col("id").alias("__via"),
+                                        F.col("comp").alias("comp"))),
+                      "__via")
+                .select("id", "comp")
+            )
             obs = Observation()
             new = _shape(
-                lab.unionByName(nb)
+                lab.unionByName(nb).unionByName(jump)
                 .groupBy("id").agg(F.min("comp").alias("comp"))
                 .observe(obs, F.sum("comp").alias("s"))
             ).localCheckpoint(eager=True)
@@ -1417,8 +1475,19 @@ def connected_components(
             lab.unpersist(blocking=False)
             lab = new
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        if not converged:
+            # wrong labels must never come back quietly (r12: the
+            # pre-jump loop did exactly that on a >max_iters-diameter
+            # chain — every consumer would have deduped against
+            # half-propagated components)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds — with pointer jumping this needs a component "
+                f"diameter over ~2^{max_iters}; raise max_iters or "
+                "inspect the edge input")
         return lab
     finally:
         edges_cached.unpersist(blocking=False)

@@ -249,7 +249,12 @@ def build_probe_data(spark, rebuild: bool = False,
 
     probe_dir = PROBE_DIR_DENSE if dense else PROBE_DIR
     if os.path.isdir(probe_dir):
-        if not rebuild:
+        # dir existence is NOT build completeness: a crash mid-build
+        # (r12: the rotation UDF raised during the embeddings table)
+        # leaves a partial dir that, reused, fails every downstream
+        # probe with path-not-found. The sentinel is written LAST.
+        if not rebuild and os.path.exists(
+                os.path.join(probe_dir, "_COMPLETE")):
             return probe_dir
         shutil.rmtree(probe_dir)
     os.makedirs(probe_dir, exist_ok=True)
@@ -297,6 +302,8 @@ def build_probe_data(spark, rebuild: bool = False,
     for t in _COPY:
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
         df.write.mode("overwrite").parquet(f"{probe_dir}/{t}.parquet")
+    with open(os.path.join(probe_dir, "_COMPLETE"), "w"):
+        pass
     return probe_dir
 
 
@@ -309,7 +316,9 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
     from pyspark.sql import functions as F
 
     if os.path.isdir(PROBE_DIR_SPOT):
-        if not rebuild:
+        # sentinel guard, same rationale as build_probe_data
+        if not rebuild and os.path.exists(
+                os.path.join(PROBE_DIR_SPOT, "_COMPLETE")):
             return PROBE_DIR_SPOT
         shutil.rmtree(PROBE_DIR_SPOT)
     os.makedirs(PROBE_DIR_SPOT, exist_ok=True)
@@ -348,6 +357,8 @@ def build_spot_data(spark, rebuild: bool = False) -> str:
             out = out.unionByName(p)
         out.repartition(64).write.mode("overwrite").parquet(
             f"{PROBE_DIR_SPOT}/{t}.parquet")
+    with open(os.path.join(PROBE_DIR_SPOT, "_COMPLETE"), "w"):
+        pass
     return PROBE_DIR_SPOT
 
 

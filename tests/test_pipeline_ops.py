@@ -35,6 +35,24 @@ def test_connected_components_long_chain(spark):
     assert len(cc) == n + 1
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A chain DEEPER than max_iters must still label fully in BOTH
+    loop branches — pointer jumping gives O(log diameter) rounds (r12:
+    min-label alone silently returned non-converged labels here; the
+    driver tier would mask the loop in auto, so both are forced)."""
+    from polars_ds_extension_spark.operators.dedup import (
+        connected_components)
+
+    n = 200  # diameter 200 >> max_iters=25; log2(200) ≈ 8 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    for branch in (True, False):
+        cc = connected_components(
+            pairs, small_graph=branch).collect()
+        assert {r["comp"] for r in cc} == {0}, f"branch={branch}"
+        assert len(cc) == n + 1
+
+
 def test_connected_components_branch_parity(spark):
     """The adaptive small-graph gate's two branches (broadcast+coalesce
     vs shuffle — the 100 TB path) must label IDENTICALLY on one graph
@@ -60,9 +78,12 @@ def test_connected_components_branch_parity(spark):
     big = {(r["id"], r["comp"])
            for r in connected_components(pairs,
                                          small_graph=False).collect()}
+    driver = {(r["id"], r["comp"])
+              for r in connected_components(
+                  pairs, small_graph="driver").collect()}
     auto = {(r["id"], r["comp"])
             for r in connected_components(pairs).collect()}
-    assert small == big == auto
+    assert small == big == driver == auto
 
 
 def test_decontaminate(spark):
