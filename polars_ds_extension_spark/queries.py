@@ -160,11 +160,13 @@ _STALE = frozenset({
     "vector_index_build", "vector_index_search", "vector_index_update",
     "vector_index_stats", "semantic_dedup",
     # round 12: _verify_pairs gained the size-gated eager/prune regime
-    # (plan-only below the gate; parity pytest above it) and
+    # (plan-only below the gate; parity pytest above it);
     # connected_components stages its directed edge list in a cache so
     # the symmetrizing union can't double-run the upstream pair
-    # pipeline (plan-only, + small_graph override) -> the near-dup
-    # family and every CC consumer re-verifies
+    # pipeline, gained a driver union-find tier (<=100k directed
+    # edges; parity-pinned) and per-round pointer jumping (fixes
+    # silent non-convergence past max_iters) -> the near-dup family
+    # and every CC consumer re-verifies
     "near_dup_minhash", "near_dup_cluster_dedup",
     "dup_cluster_downsample", "dup_cluster_sizes",
 })
