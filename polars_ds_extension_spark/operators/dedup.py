@@ -1278,6 +1278,22 @@ def blocked_jaccard_pairs(
 
 # ----------------------------------------------- components / canonical dedup
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint's materialized storage NOW.
+
+    ``DataFrame.unpersist()`` is a silent no-op on a checkpointed frame
+    — it only consults the CacheManager, while localCheckpoint storage
+    lives on the underlying RDD (measured r12: the CC loop's superseded
+    per-round checkpoints survived df.unpersist and accumulated until a
+    JVM GC let the ContextCleaner reap them). The frame is UNUSABLE
+    afterwards (lineage is truncated, storage gone) — call only on
+    frames that are provably never referenced again."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape moved — leave it to the ContextCleaner
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1334,8 +1350,15 @@ def connected_components(
     from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
-    e = pairs.select(F.col(id_a).cast("long").alias("s"),
-                     F.col(id_b).cast("long").alias("d"))
+    e = (pairs.select(F.col(id_a).cast("long").alias("s"),
+                      F.col(id_b).cast("long").alias("d"))
+         # a null endpoint (genuinely null, or a non-numeric id the
+         # cast nulled) is not a node: drop the edge in EVERY tier.
+         # The loop branches silently shed nulls anyway (null join
+         # keys never match; least/min ignore them) while the driver
+         # tier's union-find would crash comparing None — one filter
+         # makes the tiers trivially consistent (r12 review)
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()))
     # cache the DIRECTED edge list and materialize it BEFORE the
     # symmetrizing union references it twice: the union's two legs
     # otherwise EACH recompute the entire upstream pair pipeline when
@@ -1349,148 +1372,163 @@ def connected_components(
     from pyspark.storagelevel import StorageLevel as _SL
 
     e_cached = e.persist(_SL.MEMORY_AND_DISK)
-    n_directed = e_cached.count()
-    e = e_cached
-    if (small_graph == "driver"
-            or (small_graph == "auto" and n_directed <= 100_000)):
-        # driver tier (see docstring): one union-find pass over the
-        # collected edge list, deterministic (sorted by id; comp = min
-        # reachable id — the loop's exact contract)
-        rows = e_cached.collect()
-        e_cached.unpersist(blocking=False)
-        parent: dict = {}
-
-        def _find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in rows:
-            a, b = _find(row[0]), _find(row[1])
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-        nodes = {r[0] for r in rows} | {r[1] for r in rows}
-        labels = sorted((int(n), int(_find(n))) for n in nodes)
-        return pairs.sparkSession.createDataFrame(
-            labels, "id long, comp long")
-    # persistence is managed LOCALLY (not the shared LRU pin registry —
-    # the loop's own caches would evict the edges cache mid-iteration and
-    # replay the whole upstream pair pipeline). Each round's label frame
-    # is localCheckpoint(eager)ed: iterative self-joins otherwise DOUBLE
-    # the logical plan every round (plan(lab_n) ⊃ 2·plan(lab_{n-1})) —
-    # exponential analysis cost and a stack overflow by ~10 rounds. The
-    # checkpoint truncates lineage to the materialized partitions, the
-    # same pattern GraphX/MLlib iterative jobs use.
-    #
-    # ``assume_unique``: the dedup pair producers emit each undirected
-    # pair exactly once with id_a < id_b, so the symmetrized union is
-    # duplicate-free BY CONSTRUCTION and the distinct() — a full extra
-    # shuffle of the edge set — is skipped. Duplicate edges would only
-    # repeat min() work, never change the answer, but the default keeps
-    # the shuffle for arbitrary caller input.
-    edges = e.unionByName(e.select(F.col("d").alias("s"),
-                                   F.col("s").alias("d")))
-    if not assume_unique:
-        edges = edges.distinct()
-    # keep the handle to the frame that is actually CACHED: the
-    # small-graph coalesce below rebinds `edges`, and unpersisting the
-    # coalesced (never-cached) plan would silently leak the cache —
-    # uncache matches the exact cached plan only (r11 review finding)
-    edges_cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges = edges_cached
     try:
-        # adaptive small-graph gate (see docstring): ≤1M edges → ≤2M
-        # label rows ≈ tens of MB — safely broadcastable, and the
-        # coalesce caps each round at a handful of tasks.
-        # ``small_graph`` overrides the measured gate (r11 verdict #3:
-        # an adaptive branch nothing can force is an untestable branch
-        # — the parity pytest and the forced-shuffle probe both pin the
-        # 100 TB path against the broadcast path on one graph). Both
-        # branches share the identical round recurrence; they differ
-        # only in broadcast hint + partition shaping, so the override
-        # is value-neutral by construction AND by test.
-        n_edges = edges.count()
-        # the symmetrized cache is materialized now — the directed
-        # staging cache has served its purpose
-        e_cached.unpersist(blocking=False)
-        small = (n_edges <= 1_000_000 if small_graph == "auto"
-                 else bool(small_graph))
-        p = int(n_edges // 500_000 + 1)
-        if small:
-            edges = edges.coalesce(p)
+        n_directed = e_cached.count()
+        e = e_cached
+        if (small_graph == "driver"
+                or (small_graph == "auto" and n_directed <= 100_000)):
+            # driver tier (see docstring): one union-find pass over the
+            # collected edge list, deterministic (sorted by id; comp = min
+            # reachable id — the loop's exact contract)
+            rows = e_cached.collect()
+            e_cached.unpersist(blocking=False)
+            parent: dict = {}
 
-        def _shape(lab):
-            return lab.coalesce(p) if small else lab
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
 
-        def _probe(lab):
-            return F.broadcast(lab) if small else lab
+            for row in rows:
+                a, b = _find(row[0]), _find(row[1])
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            nodes = {r[0] for r in rows} | {r[1] for r in rows}
+            labels = sorted((int(n), int(_find(n))) for n in nodes)
+            return pairs.sparkSession.createDataFrame(
+                labels, "id long, comp long")
+        # persistence is managed LOCALLY (not the shared LRU pin registry —
+        # the loop's own caches would evict the edges cache mid-iteration and
+        # replay the whole upstream pair pipeline). Each round's label frame
+        # is localCheckpoint(eager)ed: iterative self-joins otherwise DOUBLE
+        # the logical plan every round (plan(lab_n) ⊃ 2·plan(lab_{n-1})) —
+        # exponential analysis cost and a stack overflow by ~10 rounds. The
+        # checkpoint truncates lineage to the materialized partitions, the
+        # same pattern GraphX/MLlib iterative jobs use.
+        #
+        # ``assume_unique``: the dedup pair producers emit each undirected
+        # pair exactly once with id_a < id_b, so the symmetrized union is
+        # duplicate-free BY CONSTRUCTION and the distinct() — a full extra
+        # shuffle of the edge set — is skipped. Duplicate edges would only
+        # repeat min() work, never change the answer, but the default keeps
+        # the shuffle for arbitrary caller input.
+        edges = e.unionByName(e.select(F.col("d").alias("s"),
+                                       F.col("s").alias("d")))
+        if not assume_unique:
+            edges = edges.distinct()
+        # keep the handle to the frame that is actually CACHED: the
+        # small-graph coalesce below rebinds `edges`, and unpersisting the
+        # coalesced (never-cached) plan would silently leak the cache —
+        # uncache matches the exact cached plan only (r11 review finding)
+        edges_cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges_cached
+        try:
+            # adaptive small-graph gate (see docstring): ≤1M edges → ≤2M
+            # label rows ≈ tens of MB — safely broadcastable, and the
+            # coalesce caps each round at a handful of tasks.
+            # ``small_graph`` overrides the measured gate (r11 verdict #3:
+            # an adaptive branch nothing can force is an untestable branch
+            # — the parity pytest and the forced-shuffle probe both pin the
+            # 100 TB path against the broadcast path on one graph). Both
+            # branches share the identical round recurrence; they differ
+            # only in broadcast hint + partition shaping, so the override
+            # is value-neutral by construction AND by test.
+            n_edges = edges.count()
+            # the symmetrized cache is materialized now — the directed
+            # staging cache has served its purpose
+            e_cached.unpersist(blocking=False)
+            small = (n_edges <= 1_000_000 if small_graph == "auto"
+                     else bool(small_graph))
+            p = int(n_edges // 500_000 + 1)
+            if small:
+                edges = edges.coalesce(p)
 
-        # round-0 shortcut: start from min(id, min neighbor) — the same
-        # single groupBy a comp=id init would cost, but it bakes the
-        # first propagation in, saving one full join round (diameter-2
-        # dup clusters then converge in a single propagation).
-        # Labels only DECREASE, so sum(comp) strictly drops on any
-        # change — and the sum rides each round's CHECKPOINT job as an
-        # observe() metric, so the fixpoint check costs zero extra jobs.
-        obs0 = Observation()
-        lab = _shape(
-            edges.groupBy(F.col("s").alias("id"))
-            .agg(F.least(F.first("s"), F.min("d")).alias("comp"))
-            .observe(obs0, F.sum("comp").alias("s"))
-        ).localCheckpoint(eager=True)
-        prev_sum = obs0.get["s"]
-        converged = False
-        for _ in range(max_iters):
-            nb = (
-                edges.join(_probe(lab.withColumnRenamed("id", "d")
-                                     .withColumnRenamed("comp", "__nc")),
-                           "d")
-                .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
-            )
-            # pointer jump: every node probes its LABEL's label (labels
-            # are node ids and every node id is in lab, so the inner
-            # join is total) — path doubling makes deep components
-            # converge in O(log diameter) rounds; the |V|-row self-join
-            # is cheap next to the edge join it saves rounds of
-            jump = (
-                lab.select("id", F.col("comp").alias("__via"))
-                .join(_probe(lab.select(F.col("id").alias("__via"),
-                                        F.col("comp").alias("comp"))),
-                      "__via")
-                .select("id", "comp")
-            )
-            obs = Observation()
-            new = _shape(
-                lab.unionByName(nb).unionByName(jump)
-                .groupBy("id").agg(F.min("comp").alias("comp"))
-                .observe(obs, F.sum("comp").alias("s"))
+            def _shape(lab):
+                return lab.coalesce(p) if small else lab
+
+            def _probe(lab):
+                return F.broadcast(lab) if small else lab
+
+            # round-0 shortcut: start from min(id, min neighbor) — the same
+            # single groupBy a comp=id init would cost, but it bakes the
+            # first propagation in, saving one full join round (diameter-2
+            # dup clusters then converge in a single propagation).
+            # Labels only DECREASE, so sum(comp) strictly drops on any
+            # change — and the sum rides each round's CHECKPOINT job as an
+            # observe() metric, so the fixpoint check costs zero extra jobs.
+            obs0 = Observation()
+            lab = _shape(
+                edges.groupBy(F.col("s").alias("id"))
+                .agg(F.least(F.first("s"), F.min("d")).alias("comp"))
+                .observe(obs0, F.sum("comp").alias("s"))
             ).localCheckpoint(eager=True)
-            new_sum = obs.get["s"]
-            # the superseded round's checkpointed partitions would stay
-            # materialized for the whole session otherwise — O(rounds)
-            # executor storage held by a loop that only needs 2 frames
-            lab.unpersist(blocking=False)
-            lab = new
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
-        if not converged:
-            # wrong labels must never come back quietly (r12: the
-            # pre-jump loop did exactly that on a >max_iters-diameter
-            # chain — every consumer would have deduped against
-            # half-propagated components)
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} "
-                "rounds — with pointer jumping this needs a component "
-                f"diameter over ~2^{max_iters}; raise max_iters or "
-                "inspect the edge input")
-        return lab
+            prev_sum = obs0.get["s"]
+            converged = False
+            for _ in range(max_iters):
+                nb = (
+                    edges.join(_probe(lab.withColumnRenamed("id", "d")
+                                         .withColumnRenamed("comp", "__nc")),
+                               "d")
+                    .select(F.col("s").alias("id"), F.col("__nc").alias("comp"))
+                )
+                # pointer jump: every node probes its LABEL's label (labels
+                # are node ids and every node id is in lab, so the inner
+                # join is total) — path doubling makes deep components
+                # converge in O(log diameter) rounds; the |V|-row self-join
+                # is cheap next to the edge join it saves rounds of
+                jump = (
+                    lab.select("id", F.col("comp").alias("__via"))
+                    .join(_probe(lab.select(F.col("id").alias("__via"),
+                                            F.col("comp").alias("comp"))),
+                          "__via")
+                    .select("id", "comp")
+                )
+                obs = Observation()
+                new = _shape(
+                    lab.unionByName(nb).unionByName(jump)
+                    .groupBy("id").agg(F.min("comp").alias("comp"))
+                    .observe(obs, F.sum("comp").alias("s"))
+                ).localCheckpoint(eager=True)
+                new_sum = obs.get["s"]
+                # the superseded round's checkpointed partitions would stay
+                # materialized until a JVM GC otherwise — O(rounds)
+                # executor storage held by a loop that only needs 2 frames.
+                # NB DataFrame.unpersist() is a NO-OP here (it consults
+                # only the CacheManager; localCheckpoint storage lives on
+                # the RDD) — release the checkpointed RDD itself. Safe
+                # ONLY because `new` is already eagerly materialized and
+                # `lab` is never referenced again (a released checkpoint
+                # cannot be recomputed — lineage is truncated).
+                _release_checkpoint(lab)
+                lab = new
+                if new_sum == prev_sum:
+                    converged = True
+                    break
+                prev_sum = new_sum
+            if not converged:
+                # wrong labels must never come back quietly (r12: the
+                # pre-jump loop did exactly that on a >max_iters-diameter
+                # chain — every consumer would have deduped against
+                # half-propagated components)
+                _release_checkpoint(lab)  # never returned — don't strand it
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iters} "
+                    "rounds — with pointer jumping this needs a component "
+                    f"diameter over ~2^{max_iters}; raise max_iters or "
+                    "inspect the edge input")
+            return lab
+        finally:
+            edges_cached.unpersist(blocking=False)
     finally:
-        edges_cached.unpersist(blocking=False)
+        # covers EVERY exit (the r12 review: a raise between the
+        # persist and the loop — driver-tier collect OOM, edge
+        # materialization failure — leaked the |pairs|-sized cache
+        # for the session). Re-unpersisting an already-released
+        # frame is a no-op, so the early success-path releases stay.
+        e_cached.unpersist(blocking=False)
 
 
 def canonical_dedup(

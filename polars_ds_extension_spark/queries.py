@@ -152,13 +152,16 @@ _STALE = frozenset({
     # (r11's stale set fully re-stamped by CORRECTNESS_r11 — all 50
     # prefix rows hash-green. Round-12 entries accumulate below as
     # covering code changes.)
-    # round 12: ivf_assign/ivf_assign_probe gained carry_vec and every
-    # IVF consumer drops its corpus-wide join-back-by-id (plan-only —
-    # same rows off the same assignment batch; sf0.01 mirror green on
-    # the whole family) -> each stamped consumer re-verifies
+    # round 12: ivf_assign/ivf_assign_probe gained carry_vec (body
+    # restructured for ALL callers) and the ivf_search/ivf_knn_join
+    # family drops its corpus-wide join-back-by-id (plan-only — same
+    # rows off the same assignment batch; sf0.01 mirror green on the
+    # whole family) -> each stamped consumer re-verifies, including
+    # ivfpq_search (embedding.ivfpq_knn_join keeps its id-join to the
+    # code frame but rides the restructured carry_vec=False path)
     "ivf_ann", "ivf_recall", "ann_ivf_search", "knn_auto_route",
     "vector_index_build", "vector_index_search", "vector_index_update",
-    "vector_index_stats", "semantic_dedup",
+    "vector_index_stats", "semantic_dedup", "ivfpq_search",
     # round 12: _verify_pairs gained the size-gated eager/prune regime
     # (plan-only below the gate; parity pytest above it);
     # connected_components stages its directed edge list in a cache so

@@ -70,8 +70,11 @@ def test_connected_components_branch_parity(spark):
     edges += [(200, 201), (201, 202), (202, 200)]           # triangle
     edges += [(rng.randrange(300, 400), rng.randrange(300, 400))
               for _ in range(60)]                           # random blob
-    pairs = spark.createDataFrame(
-        [(a, b) for a, b in edges if a != b], "id_a long, id_b long")
+    rows = [(a, b) for a, b in edges if a != b]
+    # null endpoints are not nodes — dropped identically in every tier
+    # (the driver tier's union-find would otherwise crash on None)
+    rows += [(500, None), (None, 501), (None, None)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
     small = {(r["id"], r["comp"])
              for r in connected_components(pairs,
                                            small_graph=True).collect()}
@@ -84,6 +87,7 @@ def test_connected_components_branch_parity(spark):
     auto = {(r["id"], r["comp"])
             for r in connected_components(pairs).collect()}
     assert small == big == driver == auto
+    assert not {n for n, _ in auto} & {500, 501}  # null-edge endpoints
 
 
 def test_decontaminate(spark):
