@@ -132,3 +132,19 @@ def unpin(df) -> None:
         _PINNED.remove(df)
     except ValueError:
         pass
+
+
+def release_checkpoint(df) -> None:
+    """Drop a localCheckpoint's materialized storage NOW.
+
+    ``DataFrame.unpersist()`` is a silent no-op on a checkpointed frame
+    — it only consults the CacheManager, while localCheckpoint storage
+    lives on the underlying RDD (measured r12: an iterative loop's
+    superseded per-round checkpoints survived df.unpersist and
+    accumulated until a JVM GC let the ContextCleaner reap them). The
+    frame is UNUSABLE afterwards (lineage is truncated, storage gone)
+    — call only on frames that are provably never referenced again."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape moved — leave it to the ContextCleaner

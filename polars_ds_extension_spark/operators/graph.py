@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._utils import release_checkpoint
+
 __all__ = ["pagerank", "degree_stats", "triangle_count"]
 
 
@@ -78,6 +80,7 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     pr = nodes.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    prev_ckpt = None
     for it in range(n_iter):
         # dangling mass as a broadcast 1-row scalar (the house
         # with_global_totals shape) — NOT a .first() per iteration,
@@ -103,6 +106,14 @@ def pagerank(
                        * F.coalesce("in_rank", F.lit(0.0))).alias("rank")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             pr = pr.localCheckpoint(eager=True)
+            # the chain's PREVIOUS checkpoint is superseded once the
+            # new one is eagerly materialized — release its storage
+            # (df.unpersist is a no-op on checkpoints; see
+            # _utils.release_checkpoint). The last checkpoint is never
+            # released: the returned frame derives from it.
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = pr
     return pr.select("node", "rank")
 
 

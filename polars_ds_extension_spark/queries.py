@@ -172,6 +172,9 @@ _STALE = frozenset({
     # and every CC consumer re-verifies
     "near_dup_minhash", "near_dup_cluster_dedup",
     "dup_cluster_downsample", "dup_cluster_sizes",
+    # round 12: pagerank's loop releases superseded checkpoint storage
+    # (runtime-only — df.unpersist was a silent no-op on checkpoints)
+    "pagerank",
 })
 
 
