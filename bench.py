@@ -339,7 +339,12 @@ def main() -> None:
                 # with the spread recorded turns the range into a
                 # number the ≤2× target can be judged on (r11 verdict
                 # #6). The rest stay single-shot (suite-cost bound).
-                _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup"}
+                # ann_ivf_search joined r12: its single-shot wall swung
+                # 15.7/18.9/60.7 s across three same-plan runs at
+                # byte-identical work (52.6 MB / 194 tasks every time)
+                # — the widest relative range in the suite
+                _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup",
+                          "ann_ivf_search"}
                 for name in SPOT_QUERIES:
                     walls = []
                     rd = wr = tk = None
