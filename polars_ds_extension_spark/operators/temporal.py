@@ -345,3 +345,126 @@ def sessionize(
     return df.withColumn("__n", new_s) \
         .withColumn(out_col, (F.sum("__n").over(run) - 1).cast("long")) \
         .drop("__n")
+
+
+def funnel(
+    df: DataFrame, user_col: str, type_col: str, ts_col: str,
+    stages: Sequence[str], max_span: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion over an event stream: a user reaches
+    stage ``i`` at the earliest ``stages[i]`` event at-or-after their
+    stage ``i-1`` time (classic product-analytics funnel — the ordered
+    semantics a naive per-stage min-timestamp pivot gets wrong when a
+    later stage fires before an earlier one). ``max_span`` additionally
+    requires every stage to land within that many seconds of the user's
+    stage-0 time.
+
+    Plan shape: the event table is scanned ONCE with
+    `type IN stages` pushed to the source, then k-1 per-user hash joins
+    chain the stage times — every join keyed on the user id, so at
+    100 TB the stream shuffles by user once per stage with filters
+    already applied (each stage's frame only carries users still in the
+    funnel, so the frames shrink monotonically down the funnel).
+
+    Returns one row per stage: (stage_idx, stage, n_users,
+    frac_of_first, frac_of_prev).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    u, ty, t = to_col(user_col), to_col(type_col), to_col(ts_col)
+    ev = df.where(ty.isin(list(stages))).select(
+        u.alias("__u"), ty.alias("__ty"), t.alias("__t"))
+    # span gate stays in the ts column's native domain (an interval add
+    # for timestamps, a numeric add otherwise) — no epoch casts, so
+    # sub-second timestamps keep exact boundary semantics
+    ts_type = dict(ev.dtypes)["__t"]
+    if max_span is not None:
+        if ts_type.startswith("timestamp"):
+            span_hi = F.col("__t0") + F.expr(
+                f"INTERVAL '{int(max_span)}' SECOND")
+        else:
+            span_hi = F.col("__t0") + F.lit(float(max_span))
+
+    reached = (ev.where(F.col("__ty") == stages[0])
+                 .groupBy("__u").agg(F.min("__t").alias("__t0"))
+                 .withColumn("__tprev", F.col("__t0")))
+    frames = [reached]
+    for st in stages[1:]:
+        nxt = (
+            ev.where(F.col("__ty") == st)
+            .join(frames[-1].select("__u", "__t0", "__tprev"), "__u")
+            .where(F.col("__t") >= F.col("__tprev"))
+        )
+        if max_span is not None:
+            nxt = nxt.where(F.col("__t") <= span_hi)
+        frames.append(
+            nxt.groupBy("__u")
+            .agg(F.first("__t0").alias("__t0"),
+                 F.min("__t").alias("__tprev")))
+
+    counts = None
+    for i, fr in enumerate(frames):
+        c = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"), "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    w_first = Window.orderBy("stage_idx") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = Window.orderBy("stage_idx")
+    # k rows total — the single-partition windows here run on the
+    # k-row result, never on event data.
+    return counts.select(
+        "stage_idx", "stage", "n_users",
+        (F.col("n_users") / F.first("n_users").over(w_first))
+        .alias("frac_of_first"),
+        (F.col("n_users") /
+         F.coalesce(F.lag("n_users").over(w_prev), F.col("n_users")))
+        .alias("frac_of_prev"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str,
+    period_days: int = 7, max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period (epoch
+    days // period_days) of their FIRST event; retention at offset k is
+    the fraction of the cohort active in cohort_period + k — the
+    standard growth-analytics rollup.
+
+    Plan shape: one per-user min-ts aggregation (hash shuffle on user),
+    one join of (user, period) activity back to the user's cohort
+    (keyed on user — co-partitioned with the first shuffle), and one
+    (cohort, offset) count-distinct. No windows over event data, no
+    driver loops; every stage is a keyed hash aggregate, so the 100 TB
+    stream moves at most three times and always pre-aggregated.
+
+    Returns (cohort_period, cohort_start, week_offset, n_active,
+    cohort_size, retention).
+    """
+    if period_days <= 0:
+        raise ValueError("period_days must be positive")
+    u, t = to_col(user_col), to_col(ts_col)
+    per = (F.datediff(F.to_date(t), F.lit("1970-01-01"))
+           / period_days).cast("long")  # floor: datediff >= 0 here
+    act = df.select(u.alias("__u"), per.alias("__p")).distinct()
+    first = act.groupBy("__u").agg(F.min("__p").alias("__c"))
+    sizes = first.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    joined = act.join(first, "__u").select(
+        "__c", (F.col("__p") - F.col("__c")).alias("week_offset"))
+    if max_offset is not None:
+        joined = joined.where(F.col("week_offset") <= int(max_offset))
+    ret = joined.groupBy("__c", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    return (
+        ret.join(sizes, "__c")
+        .select(
+            F.col("__c").alias("cohort_period"),
+            F.date_add(F.lit("1970-01-01"),
+                       (F.col("__c") * period_days).cast("int"))
+            .alias("cohort_start"),
+            "week_offset", "n_active", "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )

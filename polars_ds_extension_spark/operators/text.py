@@ -912,3 +912,230 @@ def script_profile(text) -> Column:
     dom = F.when(best > 0, dom).otherwise(F.lit("und"))
     return F.struct(*[c.alias(k) for k, c in counts.items()],
                     dom.alias("dominant"))
+
+
+# ------------------------------------------- bloom-prefiltered decontamination
+
+def _bloom_words(positions, num_bits: int) -> list[int]:
+    """Pack set bit positions into signed-int64 words (Java long layout)."""
+    words = [0] * (num_bits // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_hit(g, words_lit, masks_lit, num_bits: int, num_hashes: int):
+    """All-k-bits-set membership test, pure JVM: xxhash64(gram, seed) %
+    m → word index + per-bit mask lookup (variable shifts aren't a
+    Column op, so a 64-entry mask array replaces shiftright(col, col))."""
+    cond = None
+    for seed in range(num_hashes):
+        h = F.pmod(F.xxhash64(g, F.lit(seed)), F.lit(num_bits))
+        w = F.element_at(words_lit, F.floor(h / 64).cast("int") + 1)
+        mask = F.element_at(masks_lit, F.pmod(h, F.lit(64)).cast("int") + 1)
+        c = w.bitwiseAND(mask) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_decontaminate(
+    docs,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str,
+    n_gram: int = 3,
+    min_overlap: int = 1,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 2,
+):
+    """`decontaminate` with a Bloom-filter pre-filter: the benchmark's
+    distinct n-grams are folded into an m-bit Bloom bitset (k seeded
+    xxhash64 probes) that ships to every task as ONE array<long> literal
+    (m/8 bytes — 16 KB at the default 2^17), and each corpus n-gram is
+    tested scan-side; only Bloom-POSITIVE grams enter the exact
+    broadcast semi-join. Blooms have no false negatives, and the exact
+    join removes the false positives, so the output is row-for-row
+    identical to `decontaminate` — what changes is the scale shape: at
+    100 TB the per-doc (id, gram) stream that survives to the join/agg
+    is only the contaminated sliver (fpr ≈ (1-e^{-kn/m})^k of the rest),
+    instead of every gram of every document.
+
+    The driver collects only the ≤ min(k·|bench grams|, m) distinct bit
+    positions — the benchmark side (eval suites) is small by definition.
+    """
+    from .dedup import word_shingles
+
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n_gram)).alias("__g"))
+        .distinct()
+    )
+    pos_rows = (
+        bench_grams.select(
+            F.explode(F.array(*[
+                F.pmod(F.xxhash64(F.col("__g"), F.lit(s)), F.lit(num_bits))
+                for s in range(num_hashes)
+            ])).alias("__p"))
+        .distinct()
+        .collect()
+    )
+    words_lit = F.lit(_bloom_words([r["__p"] for r in pos_rows], num_bits))
+    masks_lit = F.lit([(1 << b) - (1 << 64 if b == 63 else 0)
+                       for b in range(64)])
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, n_gram)).alias("__g"),
+    ).where(_bloom_hit(F.col("__g"), words_lit, masks_lit,
+                       num_bits, num_hashes))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .withColumnRenamed("__did", id_col)
+    )
+    out = docs.join(hits, id_col, "left")
+    n = F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+    return (out.withColumn("n_contaminated_grams", n)
+               .withColumn("contaminated", n >= min_overlap))
+
+
+# ------------------------------------------------ DSIR importance resampling
+
+def dsir_log_weights(
+    corpus,
+    id_col: str,
+    text_col: str,
+    target,
+    target_text_col: str,
+    smoothing: float = 1.0,
+):
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): score every raw-corpus document by
+    log p_target(doc) − log p_raw(doc) under add-`smoothing` smoothed
+    bag-of-words unigram LMs, where p_target is fit on a small
+    in-domain sample and p_raw on the corpus itself. High weight ⇒ the
+    document looks like the target domain; resampling by these weights
+    is the DSIR selection step. (The paper hashes n-grams into a fixed
+    bucket space; on word-sized vocabularies the exact table below is
+    the same estimator without the hash collisions — swap the word for
+    `pmod(xxhash64(word), B)` to get the hashed variant at 100 TB.)
+
+    Scale shape: two token-count aggregations (map-side partial) build
+    the vocab × {target, raw} log-ratio table — vocabulary-sized, so it
+    BROADCASTS; the corpus then explodes tokens scan-side, hash-joins
+    the broadcast ratio table, and one groupBy(id) shuffle of (id,
+    ratio) pairs sums each document's weight. The corpus never shuffles
+    by token.
+
+    Returns (id_col, n_tokens, log_weight) — one row per corpus doc.
+    """
+    toks_c = F.explode(
+        F.transform(whitespace_tokens(text_col), lambda t: F.lower(t)))
+    toks_t = F.explode(
+        F.transform(whitespace_tokens(target_text_col), lambda t: F.lower(t)))
+
+    raw_cnt = (corpus.select(toks_c.alias("__w"))
+               .groupBy("__w").agg(F.count(F.lit(1)).alias("__cr")))
+    tgt_cnt = (target.select(toks_t.alias("__w"))
+               .groupBy("__w").agg(F.count(F.lit(1)).alias("__ct")))
+
+    vocab = raw_cnt.join(tgt_cnt, "__w", "full_outer").select(
+        "__w",
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+    )
+    totals = vocab.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    a = F.lit(float(smoothing))
+    ratios = vocab.crossJoin(F.broadcast(totals)).select(
+        "__w",
+        (F.log((F.col("__ct") + a) / (F.col("__nt") + a * F.col("__v")))
+         - F.log((F.col("__cr") + a) / (F.col("__nr") + a * F.col("__v"))))
+        .alias("__lr"),
+    )
+    doc_toks = corpus.select(F.col(id_col).alias("__did"),
+                             toks_c.alias("__w"))
+    return (
+        doc_toks.join(F.broadcast(ratios), "__w")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("__lr").alias("log_weight"))
+        .withColumnRenamed("__did", id_col)
+    )
+
+
+def dsir_sample(
+    corpus,
+    id_col: str,
+    text_col: str,
+    target,
+    target_text_col: str,
+    n: int,
+    smoothing: float = 1.0,
+):
+    """DSIR selection step: keep the `n` corpus documents with the
+    highest importance log-weights (deterministic top-n — ties break on
+    id — standing in for the paper's Gumbel-top-k draw, which is the
+    same order statistic with seeded noise added). orderBy+limit plans
+    as TakeOrdered — per-partition top-n, no global sort of the corpus.
+    """
+    w = dsir_log_weights(corpus, id_col, text_col, target,
+                         target_text_col, smoothing)
+    return (w.orderBy(F.col("log_weight").desc(), F.col(id_col))
+             .limit(int(n)))
+
+
+# ------------------------------------------------------ corpus-level diversity
+
+def corpus_ngram_diversity(docs, group_col: str, text_col: str, n: int = 3):
+    """Per-group corpus diversity profile: distinct-vs-total n-gram and
+    token ratios — the corpus-level cousin of the per-doc Gopher
+    repetition signals. Template-generated/spammy/synthetic sources
+    show low gram_diversity (few distinct n-grams re-used many times)
+    long before per-doc signals fire, so this is the standard
+    source-triage scan before mixing a crawl.
+
+    One explode + one groupBy(group) pass per unit; distinct counts are
+    exact (count_distinct shuffles (group, gram) — the honest global
+    statistic; swap in approx_count_distinct for a sketch at 100 TB).
+    Returns (group, n_docs, total_tokens, distinct_tokens, token_ttr,
+    total_ngrams, distinct_ngrams, ngram_diversity).
+    """
+    g = F.col(group_col)
+    toks = docs.select(
+        g.alias("__grp"),
+        F.explode(F.transform(whitespace_tokens(text_col),
+                              lambda t: F.lower(t))).alias("__tok"),
+    ).groupBy("__grp").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct(F.col("__tok")).alias("distinct_tokens"),
+    )
+    grams = docs.select(
+        g.alias("__grp"),
+        F.explode(word_ngrams_of(text_col, n)).alias("__g"),
+    ).groupBy("__grp").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.count_distinct(F.col("__g")).alias("distinct_ngrams"),
+    )
+    ndocs = docs.groupBy(g.alias("__grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ndocs.join(toks, "__grp").join(grams, "__grp")
+        .select(
+            F.col("__grp").alias(group_col), "n_docs",
+            "total_tokens", "distinct_tokens",
+            (F.col("distinct_tokens") / F.col("total_tokens"))
+            .alias("token_ttr"),
+            "total_ngrams", "distinct_ngrams",
+            (F.col("distinct_ngrams") / F.col("total_ngrams"))
+            .alias("ngram_diversity"),
+        )
+    )

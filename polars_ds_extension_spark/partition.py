@@ -17,7 +17,40 @@ from typing import Any, Callable, Dict, List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PartitionHelper"]
+__all__ = ["PartitionHelper", "key_skew_profile"]
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the per-key row-count
+    distribution reduced to one summary row — the scan you run BEFORE
+    keying a 100 TB shuffle on a column, to decide between a plain hash
+    join, a broadcast, salting, or AQE skew-join handling.
+
+    Two hash aggregations (per-key count → one-row summary), both with
+    map-side partials; nothing else moves. `p50/p90/p99_cnt` are exact
+    linear-interpolated percentiles of the count distribution,
+    `top1_share` is the heaviest key's share of all rows (the number
+    that predicts a straggler task), and `skew_ratio` = max/mean (1.0 ⇒
+    perfectly uniform).
+
+    Returns (n_keys, n_rows, max_cnt, mean_cnt, p50_cnt, p90_cnt,
+    p99_cnt, top1_share, skew_ratio).
+    """
+    c = F.col(key_col)
+    counts = df.groupBy(c.alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    n = F.col("__n")
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(n).alias("n_rows"),
+        F.max(n).alias("max_cnt"),
+        F.avg(n).alias("mean_cnt"),
+        F.percentile(n, F.lit(0.5)).alias("p50_cnt"),
+        F.percentile(n, F.lit(0.9)).alias("p90_cnt"),
+        F.percentile(n, F.lit(0.99)).alias("p99_cnt"),
+        (F.max(n) / F.sum(n)).alias("top1_share"),
+        (F.max(n) / F.avg(n)).alias("skew_ratio"),
+    )
 
 _ALLOWED = ("string", "boolean")
 

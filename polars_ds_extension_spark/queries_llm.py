@@ -3378,3 +3378,129 @@ def kmeans_inertia_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = CL.kmeans_inertia(CL.kmeans_assign(emb, "vec_id", "v", C))
     return stats.select("cluster", "n",
                         F.round("inertia", 4).alias("inertia"))
+
+
+@query("bloom_decontaminate", r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS g FROM bench
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS g FROM corpus
+), hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n FROM dg JOIN bg USING (g) GROUP BY 1
+)
+SELECT c.doc_id,
+       COALESCE(hits.n, 0) AS n_contaminated_grams,
+       COALESCE(hits.n, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+""")
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/text.py
+    bloom_decontaminate): the benchmark gram set folds into a 16 KB
+    bitset literal tested scan-side, so only Bloom-positive grams reach
+    the exact semi-join — no false negatives + exact confirm means the
+    output is row-identical to plain `decontaminate`, hence the same
+    exact-overlap oracle (on a % 7 split so the two queries don't alias
+    each other's result)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    out = T.bloom_decontaminate(corpus, "doc_id", "text", bench, "text",
+                                n_gram=3, min_overlap=1)
+    return out.select("doc_id", "n_contaminated_grams", "contaminated")
+
+
+@query("dsir_sample", r"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+  FROM documents
+), tgt AS (
+  SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+  FROM documents WHERE lang = 'en'
+), rc AS (
+  SELECT w, COUNT(*) AS cr FROM tok GROUP BY 1
+), tc AS (
+  SELECT w, COUNT(*) AS ct FROM tgt GROUP BY 1
+), vocab AS (
+  SELECT COALESCE(rc.w, tc.w) AS w,
+         COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+  FROM rc FULL OUTER JOIN tc ON rc.w = tc.w
+), tot AS (
+  SELECT SUM(cr)::DOUBLE AS nr, SUM(ct)::DOUBLE AS nt,
+         COUNT(*)::DOUBLE AS v
+  FROM vocab
+), lr AS (
+  SELECT w, LN((ct + 1.0) / (nt + v)) - LN((cr + 1.0) / (nr + v)) AS lr
+  FROM vocab CROSS JOIN tot
+), dw AS (
+  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+         ROUND(SUM(lr.lr), 6) AS log_weight
+  FROM tok JOIN lr USING (w) GROUP BY 1
+)
+SELECT doc_id, n_tokens, log_weight
+FROM dw ORDER BY log_weight DESC, doc_id LIMIT 50
+""")
+def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/text.py dsir_log_weights;
+    Xie et al. 2023): raw corpus = all documents, target domain = the
+    English slice; keep the 50 docs whose smoothed unigram-LM
+    log-ratio is highest. The vocab log-ratio table broadcasts; the
+    oracle replays the same estimator relationally. Both engines rank
+    on the ROUNDED weight (the rank-on-computed-double rule — a
+    last-ulp difference at the rank-50 cut must not flip membership);
+    the raw-weight `dsir_sample` top-n wrapper is pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    w = T.dsir_log_weights(docs, "doc_id", "text", target, "text")
+    return (w.select("doc_id", "n_tokens",
+                     _r(F.col("log_weight")).alias("log_weight"))
+             .orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+             .limit(50))
+
+
+@query("ngram_diversity", r"""
+WITH toks AS (
+  SELECT source, lower(unnest(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+), t AS (
+  SELECT source, COUNT(*) AS total_tokens,
+         COUNT(DISTINCT tok) AS distinct_tokens
+  FROM toks GROUP BY 1
+), gr AS (
+  SELECT source, unnest(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  )) AS g FROM documents
+), g2 AS (
+  SELECT source, COUNT(*) AS total_ngrams, COUNT(DISTINCT g) AS distinct_ngrams
+  FROM gr GROUP BY 1
+), d AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT d.source, n_docs, total_tokens, distinct_tokens,
+       ROUND(distinct_tokens::DOUBLE / total_tokens, 6) AS token_ttr,
+       total_ngrams, distinct_ngrams,
+       ROUND(distinct_ngrams::DOUBLE / total_ngrams, 6) AS ngram_diversity
+FROM d JOIN t USING (source) JOIN g2 USING (source)
+""")
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity profile (operators/text.py
+    corpus_ngram_diversity): distinct-vs-total token and 3-gram ratios
+    — the source-triage scan that flags template/synthetic sources
+    before mixing."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.corpus_ngram_diversity(docs, "source", "text", n=3)
+    return out.select(
+        "source", "n_docs", "total_tokens", "distinct_tokens",
+        _r(F.col("token_ttr")).alias("token_ttr"),
+        "total_ngrams", "distinct_ngrams",
+        _r(F.col("ngram_diversity")).alias("ngram_diversity"))

@@ -2249,3 +2249,148 @@ def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("s").alias("src"),
                                F.col("c").alias("dst")))
     return G.degree_stats(edges, "src", "dst")
+
+
+@query("event_funnel", """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, ANY_VALUE(s0.t0) AS t0, MIN(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s0.t0
+    AND e.ts <= s0.t0 + INTERVAL 1209600 SECOND
+  GROUP BY 1
+), s2 AS (
+  SELECT e.user_id
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+    AND e.ts <= s1.t0 + INTERVAL 1209600 SECOND
+  GROUP BY 1
+), c AS (
+  SELECT 0 AS stage_idx, 'view' AS stage,
+         (SELECT COUNT(*) FROM s0) AS n_users
+  UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+)
+SELECT stage_idx, stage, n_users,
+  ROUND(n_users::DOUBLE / FIRST_VALUE(n_users) OVER (ORDER BY stage_idx), 6)
+    AS frac_of_first,
+  ROUND(n_users::DOUBLE
+        / COALESCE(LAG(n_users) OVER (ORDER BY stage_idx), n_users), 6)
+    AS frac_of_prev
+FROM c
+""")
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (operators/temporal.py funnel):
+    view → click → purchase, each stage at-or-after the previous
+    stage's time and within 14 days of the user's first view. The
+    oracle chains the same per-stage min-timestamp CTEs."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TJ.funnel(ev, "user_id", "event_type", "ts",
+                    ["view", "click", "purchase"], max_span=14 * 86400)
+    return out.select(
+        "stage_idx", "stage", "n_users",
+        _r(F.col("frac_of_first")).alias("frac_of_first"),
+        _r(F.col("frac_of_prev")).alias("frac_of_prev"))
+
+
+@query("cohort_retention", """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         (DATEDIFF('day', DATE '1970-01-01', ts::DATE) // 7) AS p
+  FROM events
+), f AS (
+  SELECT user_id, MIN(p) AS c FROM act GROUP BY 1
+), s AS (
+  SELECT c, COUNT(*) AS cohort_size FROM f GROUP BY 1
+), r AS (
+  SELECT f.c, act.p - f.c AS week_offset, COUNT(*) AS n_active
+  FROM act JOIN f USING (user_id) GROUP BY 1, 2
+)
+SELECT r.c AS cohort_period,
+       (DATE '1970-01-01' + ((r.c * 7)::INT))::VARCHAR AS cohort_start,
+       r.week_offset, r.n_active, s.cohort_size,
+       ROUND(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM r JOIN s USING (c)
+""")
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/temporal.py
+    cohort_retention): users cohorted by the week of their first
+    event; retention = fraction active k weeks later."""
+    from .operators import temporal as TJ
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TJ.cohort_retention(ev, "user_id", "ts", period_days=7)
+    return out.select("cohort_period",
+                      F.col("cohort_start").cast("string").alias("cohort_start"),
+                      "week_offset",
+                      "n_active", "cohort_size",
+                      _r(F.col("retention")).alias("retention"))
+
+
+@query("fuzzy_match", """
+WITH q AS (
+  SELECT c_custkey + 500000 AS q_id,
+         substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 8) AS q_name
+  FROM customer WHERE c_custkey % 7 = 3
+), cand AS (
+  SELECT q.q_id, c.c_custkey,
+         jaro_winkler_similarity(q.q_name, c.c_name) AS sim
+  FROM q JOIN customer c
+    ON substr(q.q_name, 16, 3) = substr(c.c_name, 16, 3)
+)
+SELECT q_id, c_custkey, ROUND(sim, 6) AS sim
+FROM cand WHERE sim >= 0.9
+""")
+def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.py
+    blocked_fuzzy_join): customer names with one corrupted character
+    re-linked to the master list — block on the last-3-char key the
+    corruption can't touch (an ordinary hash join), Jaro-Winkler
+    verify only inside blocks (Arrow-batch numpy kernel)."""
+    from .operators import linkage as LK
+
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.where(F.col("c_custkey") % 7 == 3).select(
+        (F.col("c_custkey") + 500000).alias("q_id"),
+        F.concat(F.substring("c_name", 1, 9), F.lit("X"),
+                 F.substring("c_name", 11, 8)).alias("q_name"))
+    out = LK.blocked_fuzzy_join(
+        q, cust, "q_id", "c_custkey", "q_name", "c_name",
+        block=lambda c: F.substring(c, 16, 3), threshold=0.9)
+    return out.select("q_id", "c_custkey", _r(F.col("sim")).alias("sim"))
+
+
+@query("key_skew", """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS n_keys, SUM(n)::BIGINT AS n_rows, MAX(n) AS max_cnt,
+  ROUND(AVG(n), 6) AS mean_cnt,
+  ROUND(quantile_cont(n, 0.5), 6) AS p50_cnt,
+  ROUND(quantile_cont(n, 0.9), 6) AS p90_cnt,
+  ROUND(quantile_cont(n, 0.99), 6) AS p99_cnt,
+  ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top1_share,
+  ROUND(MAX(n)::DOUBLE / AVG(n), 6) AS skew_ratio
+FROM c
+""")
+def key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (partition.py key_skew_profile): the
+    per-key count distribution of lineitem.l_suppkey reduced to one
+    row — the pre-join scan that decides broadcast vs salt vs AQE
+    skew handling."""
+    from .partition import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = key_skew_profile(li, "l_suppkey")
+    return out.select(
+        "n_keys", "n_rows", "max_cnt",
+        _r(F.col("mean_cnt")).alias("mean_cnt"),
+        _r(F.col("p50_cnt")).alias("p50_cnt"),
+        _r(F.col("p90_cnt")).alias("p90_cnt"),
+        _r(F.col("p99_cnt")).alias("p99_cnt"),
+        _r(F.col("top1_share")).alias("top1_share"),
+        _r(F.col("skew_ratio")).alias("skew_ratio"))

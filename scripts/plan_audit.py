@@ -26,7 +26,13 @@ ONLY = set(sys.argv[2:])
 # the frame tiny first: kaplan_meier pins its post-aggregation per-time
 # frame, counts it, and takes the single-window branch only under
 # small_threshold rows (the two-pass range-bucket plan handles the rest).
-ALLOW_SINGLE_WINDOW: set[str] = {"kaplan_meier"}
+ALLOW_SINGLE_WINDOW: set[str] = {
+    "kaplan_meier",
+    # funnel's window runs over the unioned per-stage COUNT rows — the
+    # frame is structurally <= len(stages) rows (each branch is a global
+    # aggregate), never event data (operators/temporal.py funnel)
+    "event_funnel",
+}
 
 
 def window_over_single(plan: str) -> bool:

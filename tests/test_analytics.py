@@ -1,0 +1,249 @@
+"""Tests for the round-12b additions: bloom decontamination, DSIR
+importance resampling, corpus diversity, funnel / cohort analytics,
+blocked fuzzy linkage, and the key-skew diagnostic."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from polars_ds_extension_spark.operators import linkage as L
+from polars_ds_extension_spark.operators import temporal as TP
+from polars_ds_extension_spark.operators import text as T
+from polars_ds_extension_spark.partition import key_skew_profile
+
+
+# ------------------------------------------------- bloom decontamination
+
+def _mini_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five six"),
+        (3, "alpha beta gamma zeta eta"),       # shares 'alpha beta gamma'
+        (4, "totally unrelated words here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta nothing")], ["bid", "btext"])
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    corpus, bench = _mini_corpus(spark), _bench(spark)
+    exact = T.decontaminate(corpus, "doc_id", "text", bench, "btext") \
+        .select("doc_id", "n_contaminated_grams", "contaminated")
+    bloom = T.bloom_decontaminate(corpus, "doc_id", "text", bench, "btext") \
+        .select("doc_id", "n_contaminated_grams", "contaminated")
+    assert sorted(map(tuple, exact.collect())) == \
+        sorted(map(tuple, bloom.collect()))
+
+
+def test_bloom_decontaminate_tiny_filter_still_exact(spark):
+    # 64 bits with 2 hashes over ~6 grams -> heavy false-positive rate;
+    # the exact confirm join must still produce the exact answer.
+    corpus, bench = _mini_corpus(spark), _bench(spark)
+    exact = T.decontaminate(corpus, "doc_id", "text", bench, "btext") \
+        .select("doc_id", "n_contaminated_grams").collect()
+    bloom = T.bloom_decontaminate(
+        corpus, "doc_id", "text", bench, "btext", num_bits=64) \
+        .select("doc_id", "n_contaminated_grams").collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
+
+
+def test_bloom_decontaminate_rejects_unaligned_bits(spark):
+    with pytest.raises(ValueError, match="multiple of 64"):
+        T.bloom_decontaminate(_mini_corpus(spark), "doc_id", "text",
+                              _bench(spark), "btext", num_bits=100)
+
+
+def test_bloom_words_bit_layout():
+    words = T._bloom_words([0, 63, 64, 127], 128)
+    # both words carry bit 0 and bit 63; bit 63 flips the Java long sign
+    expected = (1 | (1 << 63)) - (1 << 64)
+    assert words == [expected, expected]
+
+
+# --------------------------------------------------------------------- DSIR
+
+def test_dsir_log_weights_hand_computed(spark):
+    corpus = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "fish fish fish")], ["doc_id", "text"])
+    target = spark.createDataFrame([(9, "cat cat cat dog")], ["tid", "ttext"])
+    out = {r["doc_id"]: r for r in
+           T.dsir_log_weights(corpus, "doc_id", "text",
+                              target, "ttext").collect()}
+    # vocab = {cat, dog, fish}; raw counts 2/1/3 (N=6); target 3/1/0 (N=4)
+    v, nr, nt = 3.0, 6.0, 4.0
+    lr = {w: math.log((ct + 1) / (nt + v)) - math.log((cr + 1) / (nr + v))
+          for w, cr, ct in [("cat", 2, 3), ("dog", 1, 1), ("fish", 3, 0)]}
+    exp1 = 2 * lr["cat"] + lr["dog"]
+    exp2 = 3 * lr["fish"]
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 3
+    assert abs(out[1]["log_weight"] - exp1) < 1e-9
+    assert abs(out[2]["log_weight"] - exp2) < 1e-9
+    # doc 1 looks like the target; doc 2 does not
+    assert out[1]["log_weight"] > 0 > out[2]["log_weight"]
+
+
+def test_dsir_sample_top_n_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(i, "cat dog" if i % 2 else "fish fish") for i in range(10)],
+        ["doc_id", "text"])
+    target = spark.createDataFrame([(0, "cat dog cat")], ["tid", "ttext"])
+    picked = [r["doc_id"] for r in
+              T.dsir_sample(corpus, "doc_id", "text", target, "ttext",
+                            n=3).collect()]
+    assert picked == [1, 3, 5]  # equal weights tie-break on id
+
+
+# --------------------------------------------------------- corpus diversity
+
+def test_corpus_ngram_diversity_counts(spark):
+    docs = spark.createDataFrame(
+        [("a", "x y z x y z"), ("a", "x y z w p q"), ("b", "u v w t s r")],
+        ["source", "text"])
+    out = {r["source"]: r for r in
+           T.corpus_ngram_diversity(docs, "source", "text", n=3).collect()}
+    # source a: 12 tokens, 6 distinct; grams: doc1 has 4 (x y z, y z x,
+    # z x y, x y z) -> 3 distinct; doc2 has 4 distinct; 'x y z' shared
+    a = out["a"]
+    assert (a["n_docs"], a["total_tokens"], a["distinct_tokens"]) == (2, 12, 6)
+    assert (a["total_ngrams"], a["distinct_ngrams"]) == (8, 6)
+    assert abs(a["ngram_diversity"] - 6 / 8) < 1e-12
+    b = out["b"]
+    assert (b["total_ngrams"], b["distinct_ngrams"]) == (4, 4)
+    assert abs(b["token_ttr"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------- funnel
+
+def _ts(day, sec=0):
+    return datetime.datetime(2024, 1, day, 0, 0, sec)
+
+
+def test_funnel_ordered_semantics(spark):
+    rows = [
+        # u1 completes in order
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "buy", _ts(3)),
+        # u2: buy BEFORE click -> reaches click only
+        (2, "view", _ts(1)), (2, "buy", _ts(2)), (2, "click", _ts(3)),
+        # u3: click only after view, no buy
+        (3, "view", _ts(1)), (3, "click", _ts(5)),
+        # u4: click with no prior view -> not even stage 0
+        (4, "click", _ts(1)),
+    ]
+    ev = spark.createDataFrame(rows, ["u", "t", "ts"])
+    out = {r["stage"]: r for r in
+           TP.funnel(ev, "u", "t", "ts", ["view", "click", "buy"]).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 3
+    assert out["buy"]["n_users"] == 1
+    assert abs(out["buy"]["frac_of_first"] - 1 / 3) < 1e-12
+    assert abs(out["buy"]["frac_of_prev"] - 1 / 3) < 1e-12
+    assert out["view"]["frac_of_first"] == 1.0
+
+
+def test_funnel_same_timestamp_counts(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(1)), (1, "b", _ts(1))], ["u", "t", "ts"])
+    out = {r["stage"]: r["n_users"]
+           for r in TP.funnel(ev, "u", "t", "ts", ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 1}  # >= allows equal-ts progression
+
+
+def test_funnel_max_span_gates_late_stages(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(1)), (1, "b", _ts(10)),
+         (2, "a", _ts(1)), (2, "b", _ts(2))], ["u", "t", "ts"])
+    out = {r["stage"]: r["n_users"]
+           for r in TP.funnel(ev, "u", "t", "ts", ["a", "b"],
+                              max_span=2 * 86400).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_funnel_numeric_ts_and_validation(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 11.0), (2, "a", 10.0), (2, "b", 40.0)],
+        ["u", "t", "ts"])
+    out = {r["stage"]: r["n_users"]
+           for r in TP.funnel(ev, "u", "t", "ts", ["a", "b"],
+                              max_span=5).collect()}
+    assert out == {"a": 2, "b": 1}
+    with pytest.raises(ValueError, match="at least 2"):
+        TP.funnel(ev, "u", "t", "ts", ["a"])
+
+
+# ------------------------------------------------------------------ cohort
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        (1, _ts(1)), (1, _ts(9)),            # cohort w0, active w0+w1
+        (2, _ts(2)),                          # cohort w0, only w0
+        (3, _ts(9)), (3, _ts(10)),            # cohort w1, only w1
+    ]
+    ev = spark.createDataFrame(rows, ["u", "ts"])
+    out = {(r["cohort_period"], r["week_offset"]): r
+           for r in TP.cohort_retention(ev, "u", "ts", 7).collect()}
+    periods = sorted({c for c, _ in out})
+    w0, w1 = periods
+    assert out[(w0, 0)]["n_active"] == 2
+    assert out[(w0, 0)]["cohort_size"] == 2
+    assert out[(w0, 1)]["n_active"] == 1
+    assert abs(out[(w0, 1)]["retention"] - 0.5) < 1e-12
+    assert out[(w1, 0)]["n_active"] == 1
+    assert (w1, 1) not in out
+    with pytest.raises(ValueError, match="positive"):
+        TP.cohort_retention(ev, "u", "ts", 0)
+
+
+def test_cohort_retention_max_offset(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(9)), (1, _ts(23))], ["u", "ts"])
+    out = TP.cohort_retention(ev, "u", "ts", 7, max_offset=1).collect()
+    assert sorted(r["week_offset"] for r in out) == [0, 1]
+
+
+# ----------------------------------------------------------------- linkage
+
+def test_blocked_fuzzy_join_top1_and_threshold(spark):
+    right = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "jonathan smyth"), (3, "zz zz")],
+        ["rid", "rname"])
+    left = spark.createDataFrame([(10, "jonathan smith")], ["lid", "lname"])
+    block = lambda c: F.substring(c, 1, 4)  # noqa: E731
+    allm = L.blocked_fuzzy_join(left, right, "lid", "rid", "lname", "rname",
+                                block=block, threshold=0.9)
+    got = {(r["lid"], r["rid"]) for r in allm.collect()}
+    assert got == {(10, 1), (10, 2)}  # rid 3 blocked away
+    top = L.blocked_fuzzy_join(left, right, "lid", "rid", "lname", "rname",
+                               block=block, threshold=0.9, top1=True).collect()
+    assert len(top) == 1 and top[0]["rid"] == 1 and top[0]["sim"] == 1.0
+    with pytest.raises(ValueError, match="metric"):
+        L.blocked_fuzzy_join(left, right, "lid", "rid", "lname", "rname",
+                             block=block, metric="nope")
+
+
+def test_blocked_fuzzy_join_levenshtein_metric(spark):
+    right = spark.createDataFrame([(1, "abcd")], ["rid", "rname"])
+    left = spark.createDataFrame([(10, "abcx")], ["lid", "lname"])
+    out = L.blocked_fuzzy_join(
+        left, right, "lid", "rid", "lname", "rname",
+        block=lambda c: F.substring(c, 1, 2), threshold=0.5,
+        metric="levenshtein").collect()
+    assert len(out) == 1 and abs(out[0]["sim"] - 0.75) < 1e-12
+
+
+# ---------------------------------------------------------------- key skew
+
+def test_key_skew_profile_known_distribution(spark):
+    rows = [(k,) for k, n in [("a", 6), ("b", 2), ("c", 2)] for _ in range(n)]
+    out = key_skew_profile(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert out["n_keys"] == 3 and out["n_rows"] == 10
+    assert out["max_cnt"] == 6
+    assert abs(out["mean_cnt"] - 10 / 3) < 1e-12
+    assert out["p50_cnt"] == 2.0
+    assert abs(out["top1_share"] - 0.6) < 1e-12
+    assert abs(out["skew_ratio"] - 1.8) < 1e-12
