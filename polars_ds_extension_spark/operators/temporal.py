@@ -412,14 +412,17 @@ def funnel(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_prev = Window.orderBy("stage_idx")
     # k rows total — the single-partition windows here run on the
-    # k-row result, never on event data.
+    # k-row result, never on event data. Empty upstream stages make the
+    # ratios 0/0 — an empty funnel converts nobody, so both read 0.0
+    # (ANSI mode would otherwise raise DIVIDE_BY_ZERO).
+    first_n = F.first("n_users").over(w_first)
+    prev_n = F.coalesce(F.lag("n_users").over(w_prev), F.col("n_users"))
     return counts.select(
         "stage_idx", "stage", "n_users",
-        (F.col("n_users") / F.first("n_users").over(w_first))
-        .alias("frac_of_first"),
-        (F.col("n_users") /
-         F.coalesce(F.lag("n_users").over(w_prev), F.col("n_users")))
-        .alias("frac_of_prev"),
+        F.when(first_n > 0, F.col("n_users") / first_n)
+        .otherwise(F.lit(0.0)).alias("frac_of_first"),
+        F.when(prev_n > 0, F.col("n_users") / prev_n)
+        .otherwise(F.lit(0.0)).alias("frac_of_prev"),
     )
 
 

@@ -2274,11 +2274,14 @@ WITH s0 AS (
   UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
 )
 SELECT stage_idx, stage, n_users,
-  ROUND(n_users::DOUBLE / FIRST_VALUE(n_users) OVER (ORDER BY stage_idx), 6)
-    AS frac_of_first,
-  ROUND(n_users::DOUBLE
-        / COALESCE(LAG(n_users) OVER (ORDER BY stage_idx), n_users), 6)
-    AS frac_of_prev
+  ROUND(CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY stage_idx) > 0
+    THEN n_users::DOUBLE / FIRST_VALUE(n_users) OVER (ORDER BY stage_idx)
+    ELSE 0.0 END, 6) AS frac_of_first,
+  ROUND(CASE WHEN COALESCE(LAG(n_users) OVER (ORDER BY stage_idx),
+                           n_users) > 0
+    THEN n_users::DOUBLE
+         / COALESCE(LAG(n_users) OVER (ORDER BY stage_idx), n_users)
+    ELSE 0.0 END, 6) AS frac_of_prev
 FROM c
 """)
 def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:

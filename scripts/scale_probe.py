@@ -160,6 +160,13 @@ DEFAULT_QUERIES = [
     # persisted-vector-index daily loop (frozen-quantizer assignment
     # must stay linear in |corpus|; probe work in |queries|·cells)
     "leakage_safe_split", "vector_index_update",
+    # round 12b: the Bloom-prefiltered decontamination (the scan-side
+    # bitset prune must keep the gram stream linear), the broadcast
+    # DSIR ratio table (vocab-sized — the corpus-side shuffle is only
+    # (id, ratio) pairs), and the two event-stream analytics (chained
+    # user-keyed joins / three keyed aggregates — no windows over data)
+    "bloom_decontaminate", "dsir_sample",
+    "event_funnel", "cohort_retention",
 ]
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so

@@ -247,3 +247,161 @@ def test_key_skew_profile_known_distribution(spark):
     assert out["p50_cnt"] == 2.0
     assert abs(out["top1_share"] - 0.6) < 1e-12
     assert abs(out["skew_ratio"] - 1.8) < 1e-12
+
+
+# ------------------------------------------------------- property tests
+
+def test_bloom_decontaminate_equals_exact_property(spark):
+    """Hypothesis over the Bloom prefilter contract: for RANDOM corpora
+    and benchmark subsets, any filter size (down to a saturated 64-bit
+    one) and hash count, bloom_decontaminate ≡ decontaminate row for
+    row — no false negatives survive the exact confirm join."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=8) \
+        .map(" ".join)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=2, max_size=8),
+           bench=st.lists(doc, min_size=1, max_size=3),
+           bits=st.sampled_from([64, 256, 4096]),
+           hashes=st.integers(min_value=1, max_value=3))
+    def check(docs, bench, bits, hashes):
+        c = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        b = spark.createDataFrame(list(enumerate(bench)), ["bid", "btext"])
+        exact = T.decontaminate(c, "doc_id", "text", b, "btext") \
+            .select("doc_id", "n_contaminated_grams").collect()
+        bloom = T.bloom_decontaminate(
+            c, "doc_id", "text", b, "btext",
+            num_bits=bits, num_hashes=hashes) \
+            .select("doc_id", "n_contaminated_grams").collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
+
+    check()
+
+
+def _funnel_brute(rows, stages, max_span=None):
+    """Pure-python replay of funnel semantics: stage i = earliest
+    stage-i event at-or-after stage i-1's time, within span of t0."""
+    by_user = {}
+    for u, ty, ts in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        t_prev = t0 = None
+        for i, stg in enumerate(stages):
+            cand = [ts for ts, ty in evs if ty == stg
+                    and (t_prev is None or ts >= t_prev)
+                    and (i == 0 or max_span is None or ts <= t0 + max_span)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            if i == 0:
+                t0 = t_prev
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_matches_brute_force_property(spark):
+    """Hypothesis: the chained-join funnel equals a per-user python
+    fold for random event streams (timestamp collisions included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ev = st.tuples(st.integers(min_value=1, max_value=4),
+                   st.sampled_from(["a", "b", "c"]),
+                   st.integers(min_value=0, max_value=12).map(float))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(ev, min_size=1, max_size=24),
+           span=st.sampled_from([None, 3, 6]))
+    def check(rows, span):
+        df = spark.createDataFrame(rows, "u bigint, t string, ts double")
+        got = {r["stage_idx"]: r["n_users"]
+               for r in TP.funnel(df, "u", "t", "ts", ["a", "b", "c"],
+                                  max_span=span).collect()}
+        exp = _funnel_brute(rows, ["a", "b", "c"], span)
+        assert [got[i] for i in range(3)] == exp
+
+    check()
+
+
+def test_cohort_retention_matches_replay_property(spark):
+    """Hypothesis: the three-aggregate cohort matrix equals a python
+    replay for random (user, day) activity."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ev = st.tuples(st.integers(min_value=1, max_value=5),
+                   st.integers(min_value=1, max_value=27))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(ev, min_size=1, max_size=30))
+    def check(rows):
+        data = [(u, datetime.datetime(2024, 1, d)) for u, d in rows]
+        df = spark.createDataFrame(data, "u bigint, ts timestamp")
+        got = {(r["cohort_period"], r["week_offset"]):
+               (r["n_active"], r["cohort_size"])
+               for r in TP.cohort_retention(df, "u", "ts", 7).collect()}
+        # replay
+        epoch = datetime.date(1970, 1, 1)
+        per = {}
+        for u, d in rows:
+            p = (datetime.date(2024, 1, d) - epoch).days // 7
+            per.setdefault(u, set()).add(p)
+        first = {u: min(ps) for u, ps in per.items()}
+        sizes = {}
+        for u, c in first.items():
+            sizes[c] = sizes.get(c, 0) + 1
+        exp = {}
+        for u, ps in per.items():
+            for p in ps:
+                key = (first[u], p - first[u])
+                a, _ = exp.get(key, (0, 0))
+                exp[key] = (a + 1, sizes[first[u]])
+        assert got == exp
+
+    check()
+
+
+def test_dsir_weights_match_numpy_replay_property(spark):
+    """Hypothesis: the broadcast-ratio-table DSIR weights equal a
+    direct python computation of the smoothed unigram log-ratio."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["u", "v", "w", "x"]
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=6) \
+        .map(" ".join)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=1, max_size=6),
+           tgt=st.lists(doc, min_size=1, max_size=3))
+    def check(docs, tgt):
+        c = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        t = spark.createDataFrame(list(enumerate(tgt)), ["tid", "ttext"])
+        got = {r["doc_id"]: r["log_weight"]
+               for r in T.dsir_log_weights(c, "doc_id", "text",
+                                           t, "ttext").collect()}
+        cr, ct = {}, {}
+        for d in docs:
+            for w in d.split():
+                cr[w] = cr.get(w, 0) + 1
+        for d in tgt:
+            for w in d.split():
+                ct[w] = ct.get(w, 0) + 1
+        vocab_all = set(cr) | set(ct)
+        nr, nt, v = sum(cr.values()), sum(ct.values()), len(vocab_all)
+        lr = {w: math.log((ct.get(w, 0) + 1) / (nt + v))
+              - math.log((cr.get(w, 0) + 1) / (nr + v)) for w in vocab_all}
+        for i, d in enumerate(docs):
+            exp = sum(lr[w] for w in d.split())
+            assert abs(got[i] - exp) < 1e-9
+
+    check()
