@@ -320,3 +320,54 @@ def ivfpq_knn_join(queries, q_id: str, q_vec: str,
             .where(F.col("rank") <= k)
             .select(q_id, F.col("__nid").alias("neighbor_id"),
                     "adc_dist", "rank"))
+
+
+def embedding_group_stats(df, group_col: str, vec_col: str):
+    """Per-group embedding health/drift report: group size, the group
+    centroid's norm and its cosine to the GLOBAL centroid, plus the
+    mean per-vector norm and mean per-vector cosine to the global
+    centroid. Groups whose centroid drifts off the global direction (or
+    whose dispersion collapses) flag an encoder change, a bad batch, or
+    a source whose embeddings were produced by a different model — the
+    standard pre-mix check before pooling embedding lakes.
+
+    Plan shape: vector dimension is read once from a single driver row,
+    then BOTH passes are plain hash aggregations of d per-dimension
+    avgs (map-side partial, one (group, d·double) shuffle each — the
+    corpus never explodes by dimension and no UDF runs). The global
+    centroid collects as ONE row and re-enters as a literal array.
+
+    Returns (group, n, centroid_norm, cos_centroid_global,
+    mean_vec_norm, mean_cos_global).
+    """
+    from .knn import norm as _norm
+
+    g = F.col(group_col)
+    v = _v(vec_col)
+    first = df.select(F.size(v).alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_group_stats: empty frame")
+    d = first["d"]
+
+    dims = [F.avg(F.element_at(v, i + 1)).alias(f"__c{i}") for i in range(d)]
+    glob = df.agg(*dims).first()
+    gc = F.lit([float(glob[f"__c{i}"]) for i in range(d)])
+
+    dot = F.zip_with(v, gc, lambda a, b: a * b)
+    cos = F.aggregate(dot, F.lit(0.0), lambda acc, x: acc + x) \
+        / (_norm(v) * _norm(gc))
+    per_group = df.groupBy(g.alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.element_at(v, i + 1)).alias(f"__c{i}") for i in range(d)],
+        F.avg(_norm(v)).alias("mean_vec_norm"),
+        F.avg(cos).alias("mean_cos_global"),
+    )
+    cent = F.array(*[F.col(f"__c{i}") for i in range(d)])
+    cdot = F.aggregate(F.zip_with(cent, gc, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return per_group.select(
+        group_col, "n",
+        _norm(cent).alias("centroid_norm"),
+        (cdot / (_norm(cent) * _norm(gc))).alias("cos_centroid_global"),
+        "mean_vec_norm", "mean_cos_global",
+    )

@@ -2397,3 +2397,77 @@ def key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("p99_cnt")).alias("p99_cnt"),
         _r(F.col("top1_share")).alias("top1_share"),
         _r(F.col("skew_ratio")).alias("skew_ratio"))
+
+
+@query("zorder_key", """
+SELECT l_orderkey, l_linenumber,
+  list_sum(list_transform(range(0, 16),
+    i -> (((l_partkey >> i) & 1) << (2 * i))
+       + (((l_suppkey >> i) & 1) << (2 * i + 1))))::BIGINT AS z
+FROM lineitem
+""")
+def zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (partition.py zorder_key): Morton
+    interleave of (l_partkey, l_suppkey) — the Delta/Iceberg Z-ORDER
+    layout key, computed as flat JVM bit arithmetic; the oracle
+    replays the interleave with DuckDB bit ops."""
+    from .partition import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     zorder_key(["l_partkey", "l_suppkey"]).alias("z"))
+
+
+@query("embedding_drift", """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT label, i, v[i]::DOUBLE AS x
+  FROM e, range(1, 65) t(i)
+), gcent AS (
+  SELECT list(c ORDER BY i) AS g FROM (
+    SELECT i, AVG(x) AS c FROM pos GROUP BY i)
+), pv AS (
+  SELECT label,
+    sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm,
+    list_sum(list_transform(list_zip(v, gcent.g), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+         * sqrt(list_sum(list_transform(gcent.g, x -> x * x)))) AS cosg
+  FROM e CROSS JOIN gcent
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM (
+    SELECT label, i, AVG(x) AS c FROM pos GROUP BY label, i)
+  GROUP BY label
+)
+SELECT cent.label, agg.n,
+  ROUND(sqrt(list_sum(list_transform(cv, x -> x * x))), 6) AS centroid_norm,
+  ROUND(list_sum(list_transform(list_zip(cv, gcent.g), p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+       * sqrt(list_sum(list_transform(gcent.g, x -> x * x)))), 6)
+    AS cos_centroid_global,
+  ROUND(agg.mean_vec_norm, 6) AS mean_vec_norm,
+  ROUND(agg.mean_cos_global, 6) AS mean_cos_global
+FROM cent CROSS JOIN gcent
+JOIN (
+  SELECT label, COUNT(*) AS n, AVG(vnorm) AS mean_vec_norm,
+         AVG(cosg) AS mean_cos_global
+  FROM pv GROUP BY label) agg USING (label)
+""")
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift/health report
+    (operators/embedding.py embedding_group_stats): group centroid
+    norm + cosine to the global centroid, mean vector norm, and mean
+    per-vector cosine to global — the pre-mix check before pooling
+    embedding lakes. Two d-avg hash aggregations, no explode, no
+    UDF."""
+    from .operators import embedding as EMB
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = EMB.embedding_group_stats(emb, "label", "embedding")
+    return out.select(
+        "label", "n",
+        _r(F.col("centroid_norm")).alias("centroid_norm"),
+        _r(F.col("cos_centroid_global")).alias("cos_centroid_global"),
+        _r(F.col("mean_vec_norm")).alias("mean_vec_norm"),
+        _r(F.col("mean_cos_global")).alias("mean_cos_global"))

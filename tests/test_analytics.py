@@ -405,3 +405,93 @@ def test_dsir_weights_match_numpy_replay_property(spark):
             assert abs(got[i] - exp) < 1e-9
 
     check()
+
+
+# ------------------------------------------------------------------ zorder
+
+def _z_ref(xs, bits=16):
+    z = 0
+    k = len(xs)
+    for i in range(bits):
+        for j, x in enumerate(xs):
+            z |= ((x >> i) & 1) << (i * k + j)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    from polars_ds_extension_spark.partition import zorder_key
+    rows = [(0, 0), (3, 1), (7, 7), (65535, 0), (0, 65535),
+            (12345, 54321), (1, 2)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y", zorder_key(["x", "y"]).alias("z")).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _z_ref([x, y])
+    # hand case: x=0b11 (even bits), y=0b01 (odd bits) -> 0b0111
+    assert _z_ref([3, 1]) == 7
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([])
+
+
+def test_zorder_three_columns_and_locality(spark):
+    from polars_ds_extension_spark.partition import zorder_key
+    rows = [(i, j, k) for i in range(4) for j in range(4) for k in range(2)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, w bigint")
+    got = {(r["x"], r["y"], r["w"]): r["z"] for r in df.select(
+        "x", "y", "w", zorder_key(["x", "y", "w"], bits=4).alias("z"))
+        .collect()}
+    assert all(got[t] == _z_ref(list(t), bits=4) for t in got)
+    # locality: all 8 cells of the (x<2, y<2, w<2) octant sort before
+    # any cell with x>=2 and y>=2 (prefix bits dominate)
+    octant = [got[(x, y, w)] for x in range(2) for y in range(2)
+              for w in range(2)]
+    far = [got[(x, y, w)] for x in range(2, 4) for y in range(2, 4)
+           for w in range(2)]
+    assert max(octant) < min(far)
+
+
+def test_cluster_by_zorder_sorts_within_partitions(spark):
+    from polars_ds_extension_spark.partition import (cluster_by_zorder,
+                                                     zorder_key)
+    rows = [(i % 37, (i * 7) % 41) for i in range(500)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    out = cluster_by_zorder(df, ["x", "y"], n_partitions=4)
+    assert out.columns == ["x", "y"]  # helper column dropped
+    assert out.count() == 500
+    # every partition holds a contiguous, internally sorted z-range
+    zs = out.select(zorder_key(["x", "y"]).alias("z")) \
+        .rdd.glom().map(lambda p: [r["z"] for r in p]).collect()
+    parts = [p for p in zs if p]
+    for p in parts:
+        assert p == sorted(p)
+    bounds = sorted((min(p), max(p)) for p in parts)
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+
+
+# ------------------------------------------------------- embedding drift
+
+def test_embedding_group_stats_two_groups(spark):
+    import numpy as np
+    from polars_ds_extension_spark.operators import embedding as EMB
+    rows = [(0, [1.0, 0.0]), (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]), (1, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "label bigint, v array<double>")
+    out = {r["label"]: r for r in
+           EMB.embedding_group_stats(df, "label", "v").collect()}
+    glob = np.array([0.75, 0.5])
+    c0, c1 = np.array([1.0, 0.0]), np.array([0.5, 1.0])
+    gn = np.linalg.norm
+    assert abs(out[0]["centroid_norm"] - 1.0) < 1e-9
+    assert abs(out[1]["centroid_norm"] - gn(c1)) < 1e-9
+    assert abs(out[0]["cos_centroid_global"]
+               - glob[0] / (gn(glob) * 1.0)) < 1e-9
+    assert abs(out[1]["cos_centroid_global"]
+               - c1 @ glob / (gn(c1) * gn(glob))) < 1e-9
+    exp_mcg0 = np.mean([np.array(v) @ glob / (gn(v) * gn(glob))
+                        for v in ([1, 0], [1, 0])])
+    assert abs(out[0]["mean_cos_global"] - exp_mcg0) < 1e-9
+    assert out[0]["n"] == 2 and out[1]["n"] == 2
+    with pytest.raises(ValueError, match="empty"):
+        EMB.embedding_group_stats(df.where(F.col("label") > 9),
+                                  "label", "v")
