@@ -79,3 +79,56 @@ def blocked_fuzzy_join(
                     .where(F.col("__rk") == 1).drop("__rk"))
     return (cand.withColumnRenamed("__lid", left_id)
                 .withColumnRenamed("__rid", right_id))
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Callable[[Column], Column],
+    threshold: float = 0.9,
+    metric: str = "jaro_winkler",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Entity resolution within ONE frame: blocked fuzzy self-join →
+    similarity pair graph → connected components → canonical id (the
+    smallest id reachable). The full dedupe/splink pipeline composed
+    from this module's verify kernel and dedup.connected_components.
+
+    Same scale contract as blocked_fuzzy_join (one block-key shuffle,
+    string kernels only inside blocks, `id_a < id_b` halves the
+    self-join) plus the CC tiers (driver union-find ≤100k edges →
+    broadcast loop → shuffle loop). Blocking keys must separate
+    entities: records of DIFFERENT entities sharing a block AND
+    clearing the threshold will merge — that is the (standard) recall/
+    precision dial of blocked ER, not a bug.
+
+    Returns every input row as (id_col, canonical) — singletons map to
+    themselves.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}")
+    t = to_col(text_col)
+    side = df.select(to_col(id_col).alias("__id"), t.alias("__txt"),
+                     block(t).alias("__b"))
+    l = side.select(F.col("__id").alias("__lid"),
+                    F.col("__txt").alias("__ltxt"), "__b")
+    r = side.select(F.col("__id").alias("__rid"),
+                    F.col("__txt").alias("__rtxt"), "__b")
+    sim = _METRICS[metric](F.col("__ltxt"), F.col("__rtxt"))
+    pairs = (l.join(r, "__b")
+              .where(F.col("__lid") < F.col("__rid"))
+              .select(F.col("__lid").alias("id_a"),
+                      F.col("__rid").alias("id_b"), sim.alias("sim"))
+              .where(F.col("sim") >= float(threshold))
+              .select("id_a", "id_b"))
+
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b",
+                                max_iters=max_iters, assume_unique=True)
+    out = df.select(to_col(id_col).alias(id_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical"))

@@ -2471,3 +2471,61 @@ def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("cos_centroid_global")).alias("cos_centroid_global"),
         _r(F.col("mean_vec_norm")).alias("mean_vec_norm"),
         _r(F.col("mean_cos_global")).alias("mean_cos_global"))
+
+
+@query("fuzzy_entity_dedup", """
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS eid, c_name AS name
+  FROM customer WHERE c_custkey < 1000
+), u AS (
+  SELECT eid, name FROM base
+  UNION ALL
+  SELECT eid + 500000, substr(name, 1, 9) || 'X' || substr(name, 11, 8)
+  FROM base WHERE eid % 3 = 0
+  UNION ALL
+  SELECT eid + 800000, substr(name, 1, 10) || 'Y' || substr(name, 12, 7)
+  FROM base WHERE eid % 6 = 0
+), pairs AS (
+  SELECT a.eid AS id_a, b.eid AS id_b
+  FROM u a JOIN u b
+    ON substr(a.name, 16, 3) = substr(b.name, 16, 3) AND a.eid < b.eid
+  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.95
+), ed AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM ed
+  UNION
+  SELECT r.s, ed.d FROM reach r JOIN ed ON r.d = ed.s
+), comp AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+)
+SELECT u.eid, COALESCE(comp.comp, u.eid) AS canonical
+FROM u LEFT JOIN comp ON u.eid = comp.id
+""")
+def fuzzy_entity_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (operators/linkage.py fuzzy_dedup):
+    customer names plus one- and two-generation corrupted copies are
+    re-canonicalized via block join → Jaro-Winkler pair graph →
+    connected components → smallest-id survivor. Restricted to
+    c_custkey < 1000 so the last-3-char block key separates entities
+    (the standard blocked-ER requirement the operator documents).
+    Oracle replays pairs + a recursive-CTE closure."""
+    from .operators import linkage as LK
+
+    cust = load_table(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey") < 1000)
+    base = cust.select(F.col("c_custkey").alias("eid"),
+                       F.col("c_name").alias("name"))
+    c1 = base.where(F.col("eid") % 3 == 0).select(
+        (F.col("eid") + 500000).alias("eid"),
+        F.concat(F.substring("name", 1, 9), F.lit("X"),
+                 F.substring("name", 11, 8)).alias("name"))
+    c2 = base.where(F.col("eid") % 6 == 0).select(
+        (F.col("eid") + 800000).alias("eid"),
+        F.concat(F.substring("name", 1, 10), F.lit("Y"),
+                 F.substring("name", 12, 7)).alias("name"))
+    u = base.unionByName(c1).unionByName(c2)
+    return LK.fuzzy_dedup(u, "eid", "name",
+                          block=lambda c: F.substring(c, 16, 3),
+                          threshold=0.95)

@@ -495,3 +495,23 @@ def test_embedding_group_stats_two_groups(spark):
     with pytest.raises(ValueError, match="empty"):
         EMB.embedding_group_stats(df.where(F.col("label") > 9),
                                   "label", "v")
+
+
+def test_fuzzy_dedup_clusters_and_singletons(spark):
+    rows = [(1, "acme corp ltd"), (2, "acmi corp ltd"),   # one sub @ pos 4
+            (3, "zz totally other"), (4, "acme corp ltd")]  # 4 = exact dup
+    df = spark.createDataFrame(rows, "eid bigint, name string")
+    # block on the stable suffix (" corp ltd"): 1/2/4 share it, 3 alone
+    out = {r["eid"]: r["canonical"] for r in
+           L.fuzzy_dedup(df, "eid", "name",
+                         block=lambda c: F.substring(c, 5, 9),
+                         threshold=0.9).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 1}
+    # block on the CORRUPTED prefix instead -> 2 lands in its own block
+    # and stays singleton despite clearing the threshold: the documented
+    # recall dial of blocked ER
+    out2 = {r["eid"]: r["canonical"] for r in
+            L.fuzzy_dedup(df, "eid", "name",
+                          block=lambda c: F.substring(c, 1, 4),
+                          threshold=0.9).collect()}
+    assert out2 == {1: 1, 2: 2, 3: 3, 4: 1}
