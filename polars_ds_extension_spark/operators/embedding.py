@@ -331,43 +331,54 @@ def embedding_group_stats(df, group_col: str, vec_col: str):
     a source whose embeddings were produced by a different model — the
     standard pre-mix check before pooling embedding lakes.
 
-    Plan shape: vector dimension is read once from a single driver row,
-    then BOTH passes are plain hash aggregations of d per-dimension
-    avgs (map-side partial, one (group, d·double) shuffle each — the
-    corpus never explodes by dimension and no UDF runs). The global
-    centroid collects as ONE row and re-enters as a literal array.
+    Plan shape: a one-row validation aggregate pins the dimension
+    (NULL vectors or ragged dimensions RAISE — a drift report that
+    silently skipped the malformed rows would understate the very
+    drift it exists to catch), then BOTH passes are plain hash
+    aggregations of d per-dimension avgs (map-side partial, one
+    (group, d·double) shuffle each — the corpus never explodes by
+    dimension and no UDF runs). The global centroid collects as ONE
+    row and re-enters as a literal array.
 
     Returns (group, n, centroid_norm, cos_centroid_global,
     mean_vec_norm, mean_cos_global).
     """
+    from .knn import cosine as _cosine
     from .knn import norm as _norm
 
     g = F.col(group_col)
     v = _v(vec_col)
-    first = df.select(F.size(v).alias("d")).first()
-    if first is None:
-        raise ValueError("embedding_group_stats: empty frame")
-    d = first["d"]
+    shape = df.agg(
+        F.min(F.size(v)).alias("dmin"), F.max(F.size(v)).alias("dmax"),
+        F.sum(v.isNull().cast("int")).alias("nulls"),
+    ).first()
+    if shape is None or shape["dmin"] is None:
+        raise ValueError("embedding_group_stats: empty frame or all-"
+                         "NULL vector column")
+    if shape["nulls"]:
+        raise ValueError(
+            f"embedding_group_stats: {shape['nulls']} NULL vectors — "
+            "filter or repair them first")
+    if shape["dmin"] != shape["dmax"]:
+        raise ValueError(
+            f"embedding_group_stats: ragged vector dimensions "
+            f"({shape['dmin']}..{shape['dmax']}) — mixed encoders?")
+    d = shape["dmax"]
 
     dims = [F.avg(F.element_at(v, i + 1)).alias(f"__c{i}") for i in range(d)]
     glob = df.agg(*dims).first()
     gc = F.lit([float(glob[f"__c{i}"]) for i in range(d)])
 
-    dot = F.zip_with(v, gc, lambda a, b: a * b)
-    cos = F.aggregate(dot, F.lit(0.0), lambda acc, x: acc + x) \
-        / (_norm(v) * _norm(gc))
     per_group = df.groupBy(g.alias(group_col)).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.avg(F.element_at(v, i + 1)).alias(f"__c{i}") for i in range(d)],
+        *dims,
         F.avg(_norm(v)).alias("mean_vec_norm"),
-        F.avg(cos).alias("mean_cos_global"),
+        F.avg(_cosine(v, gc)).alias("mean_cos_global"),
     )
     cent = F.array(*[F.col(f"__c{i}") for i in range(d)])
-    cdot = F.aggregate(F.zip_with(cent, gc, lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, x: acc + x)
     return per_group.select(
         group_col, "n",
         _norm(cent).alias("centroid_norm"),
-        (cdot / (_norm(cent) * _norm(gc))).alias("cos_centroid_global"),
+        _cosine(cent, gc).alias("cos_centroid_global"),
         "mean_vec_norm", "mean_cos_global",
     )

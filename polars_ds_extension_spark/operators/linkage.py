@@ -103,11 +103,24 @@ def fuzzy_dedup(
     clearing the threshold will merge — that is the (standard) recall/
     precision dial of blocked ER, not a bug.
 
+    Requires an INTEGRAL id column: connected_components labels by
+    numeric min-reduction, and under ANSI mode a string id would crash
+    mid-job (with ANSI off it would null out and silently return every
+    record as a singleton) — so non-integral ids raise here instead;
+    hash or factorize string ids first (e.g. xxhash64, or a join
+    against a generated dense id).
+
     Returns every input row as (id_col, canonical) — singletons map to
     themselves.
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {sorted(_METRICS)}")
+    id_type = dict(df.dtypes).get(id_col) if isinstance(id_col, str) \
+        else None
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"fuzzy_dedup needs an integral id column (got {id_col}: "
+            f"{id_type}); hash or factorize string ids first")
     t = to_col(text_col)
     side = df.select(to_col(id_col).alias("__id"), t.alias("__txt"),
                      block(t).alias("__b"))

@@ -448,8 +448,10 @@ def cohort_retention(
     if period_days <= 0:
         raise ValueError("period_days must be positive")
     u, t = to_col(user_col), to_col(ts_col)
-    per = (F.datediff(F.to_date(t), F.lit("1970-01-01"))
-           / period_days).cast("long")  # floor: datediff >= 0 here
+    # floor division (NOT a truncating cast): pre-epoch timestamps have
+    # negative datediff, and -2 // 7 must be -1 to match the oracle
+    per = F.floor(F.datediff(F.to_date(t), F.lit("1970-01-01"))
+                  / period_days).cast("long")
     act = df.select(u.alias("__u"), per.alias("__p")).distinct()
     first = act.groupBy("__u").agg(F.min("__p").alias("__c"))
     sizes = first.groupBy("__c").agg(

@@ -375,13 +375,18 @@ def dup_line_fraction(text) -> Column:
 def word_ngrams_of(text, n: int = 2) -> Column:
     """Whitespace-word n-grams joined with single spaces. Tokens are
     let-bound so the split runs once per row, not once per n-gram
-    position (no CSE inside HOF lambdas)."""
+    position (no CSE inside HOF lambdas). Texts shorter than n words
+    yield an EMPTY array — the old greatest(…, 0) floor made
+    sequence(1, 0) DESCEND to [1, 0] and slice(w, 0, n) then raised
+    INVALID_PARAMETER_VALUE.START on any sub-n-token document."""
     from .dedup import _let
 
-    return _let(whitespace_tokens(text), lambda w: F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    ))
+    return _let(whitespace_tokens(text), lambda w: F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )).otherwise(F.array().cast("array<string>")))
 
 
 def dup_ngram_fraction(text, n: int = 2) -> Column:
@@ -968,6 +973,8 @@ def bloom_decontaminate(
 
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
 
     bench_grams = (
         benchmark.select(
@@ -1063,12 +1070,20 @@ def dsir_log_weights(
     )
     doc_toks = corpus.select(F.col(id_col).alias("__did"),
                              toks_c.alias("__w"))
-    return (
+    weights = (
         doc_toks.join(F.broadcast(ratios), "__w")
         .groupBy("__did")
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.sum("__lr").alias("log_weight"))
         .withColumnRenamed("__did", id_col)
+    )
+    # explode drops docs with NULL/whitespace-only text — left-join back
+    # so the "one row per corpus doc" contract holds (empty doc ⇒ empty
+    # product ⇒ log-weight 0)
+    return corpus.select(id_col).join(weights, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
 
 

@@ -116,7 +116,11 @@ def zorder_key(cols, bits: int = 16):
     Pure JVM bit arithmetic (bits·k shift/mask terms — a flat
     expression, no fold, no UDF); columns must fit in ``bits`` bits
     (values are taken modulo 2^bits via masking semantics of the
-    interleave — callers bucketize wider domains first).
+    interleave — callers bucketize wider domains first), and
+    ``bits·k`` must stay ≤ 63: position 63 is the long's sign bit
+    (negative keys would sort before small positive ones) and JVM
+    shifts wrap mod 64 (shift 79 ≡ 15 — silent key collisions), so
+    wider keys raise instead of corrupting the layout.
     """
     from functools import reduce
 
@@ -124,6 +128,11 @@ def zorder_key(cols, bits: int = 16):
     if not cs:
         raise ValueError("zorder_key needs at least one column")
     k = len(cs)
+    if bits < 1 or bits * k > 63:
+        raise ValueError(
+            f"bits*k must be in [1, 63] (got bits={bits}, k={k}): bit 63 "
+            "is the sign bit and JVM shifts wrap mod 64 — lower bits or "
+            "bucketize to fewer columns")
     terms = [
         F.shiftleft(
             F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),

@@ -175,6 +175,13 @@ _STALE = frozenset({
     # round 12: pagerank's loop releases superseded checkpoint storage
     # (runtime-only — df.unpersist was a silent no-op on checkpoints)
     "pagerank",
+    # round 12b: word_ngrams_of now yields an EMPTY array for texts
+    # shorter than n words (the old greatest(…,0) floor made
+    # sequence(1,0) descend and slice(w,0,n) raise on sub-n-token docs;
+    # value-identical on corpora where every doc has ≥ n tokens — the
+    # oracle's CASE len>=n branch was already empty there) -> the one
+    # stamped consumer re-verifies
+    "repetition_signals",
 })
 
 

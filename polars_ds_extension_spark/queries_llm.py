@@ -3442,9 +3442,11 @@ WITH tok AS (
   SELECT w, LN((ct + 1.0) / (nt + v)) - LN((cr + 1.0) / (nr + v)) AS lr
   FROM vocab CROSS JOIN tot
 ), dw AS (
-  SELECT tok.doc_id, COUNT(*) AS n_tokens,
-         ROUND(SUM(lr.lr), 6) AS log_weight
-  FROM tok JOIN lr USING (w) GROUP BY 1
+  SELECT d.doc_id, COALESCE(w.n_tokens, 0) AS n_tokens,
+         ROUND(COALESCE(w.log_weight, 0.0), 6) AS log_weight
+  FROM documents d LEFT JOIN (
+    SELECT tok.doc_id, COUNT(*) AS n_tokens, SUM(lr.lr) AS log_weight
+    FROM tok JOIN lr USING (w) GROUP BY 1) w USING (doc_id)
 )
 SELECT doc_id, n_tokens, log_weight
 FROM dw ORDER BY log_weight DESC, doc_id LIMIT 50

@@ -515,3 +515,77 @@ def test_fuzzy_dedup_clusters_and_singletons(spark):
                           block=lambda c: F.substring(c, 1, 4),
                           threshold=0.9).collect()}
     assert out2 == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_word_ngrams_short_docs_empty_not_crash(spark):
+    # sub-n-token docs used to make sequence(1,0) descend and
+    # slice(w, 0, n) raise INVALID_PARAMETER_VALUE.START
+    df = spark.createDataFrame(
+        [("s", "one two"), ("s", "a"), ("s", "x y z w")],
+        ["source", "text"])
+    rows = {tuple(r["g"]) for r in
+            df.select(T.word_ngrams_of("text", 3).alias("g")).collect()}
+    assert () in rows and ("x y z", "y z w") in rows
+    out = T.corpus_ngram_diversity(df, "source", "text", n=3).collect()
+    assert out[0]["total_ngrams"] == 2  # only the 4-token doc contributes
+
+
+def test_zorder_key_rejects_sign_bit_and_wraps(spark):
+    from polars_ds_extension_spark.partition import zorder_key
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_key(["a", "b", "c", "d"])          # 16*4 = 64 > 63
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_key(["a", "b"], bits=32)           # 64 > 63
+    zorder_key(["a", "b", "c", "d"], bits=15)     # 60 <= 63: fine
+
+
+def test_fuzzy_dedup_rejects_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a1", "acme corp"), ("a2", "acme corp")], ["eid", "name"])
+    with pytest.raises(ValueError, match="integral id"):
+        L.fuzzy_dedup(df, "eid", "name",
+                      block=lambda c: F.substring(c, 1, 4))
+
+
+def test_bloom_decontaminate_rejects_zero_hashes(spark):
+    with pytest.raises(ValueError, match="num_hashes"):
+        T.bloom_decontaminate(_mini_corpus(spark), "doc_id", "text",
+                              _bench(spark), "btext", num_hashes=0)
+
+
+def test_dsir_keeps_empty_token_docs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "cat dog"), (2, None), (3, "   ")],
+        "doc_id bigint, text string")
+    target = spark.createDataFrame([(0, "cat")], ["tid", "ttext"])
+    out = {r["doc_id"]: r for r in
+           T.dsir_log_weights(corpus, "doc_id", "text",
+                              target, "ttext").collect()}
+    assert set(out) == {1, 2, 3}  # one row per corpus doc, always
+    assert out[2]["n_tokens"] == 0 and out[2]["log_weight"] == 0.0
+
+
+def test_cohort_retention_pre_epoch_floor(spark):
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(1969, 12, 30)),   # datediff -2 -> period -1
+         (2, datetime.datetime(1970, 1, 2))],    # period 0
+        "u bigint, ts timestamp")
+    out = {r["cohort_period"]: r for r in
+           TP.cohort_retention(ev, "u", "ts", 7).collect()}
+    assert set(out) == {-1, 0}
+    assert str(out[-1]["cohort_start"]) == "1969-12-25"
+
+
+def test_embedding_group_stats_rejects_null_and_ragged(spark):
+    from polars_ds_extension_spark.operators import embedding as EMB
+    df_null = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "label bigint, v array<double>")
+    with pytest.raises(ValueError, match="NULL vectors"):
+        EMB.embedding_group_stats(df_null, "label", "v")
+    df_ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "label bigint, v array<double>")
+    with pytest.raises(ValueError, match="ragged"):
+        EMB.embedding_group_stats(df_ragged, "label", "v")
