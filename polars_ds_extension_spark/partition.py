@@ -130,9 +130,9 @@ def zorder_key(cols, bits: int = 16):
     k = len(cs)
     if bits < 1 or bits * k > 63:
         raise ValueError(
-            f"bits*k must be in [1, 63] (got bits={bits}, k={k}): bit 63 "
-            "is the sign bit and JVM shifts wrap mod 64 — lower bits or "
-            "bucketize to fewer columns")
+            f"bits*k = {bits * k} exceeds 63 (bits={bits}, k={k}): bit "
+            "63 is the sign bit and JVM shifts wrap mod 64 — lower bits "
+            "or bucketize to fewer columns")
     terms = [
         F.shiftleft(
             F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
@@ -143,14 +143,18 @@ def zorder_key(cols, bits: int = 16):
 
 
 def cluster_by_zorder(df: DataFrame, cols, n_partitions: int,
-                      bits: int = 16) -> DataFrame:
+                      bits: int = 16, key=None) -> DataFrame:
     """Physically cluster a frame by its Z-order key: range-partition
     on the key (contiguous z-ranges per file → tight min/max stats)
     then sort within partitions. The write-side half of Z-ORDER — pair
     with a parquet sink so every file covers a small z-interval and
     both dimensions prune at read time.
+
+    ``key`` overrides the raw-integer interleave with any precomputed
+    clustering Column (e.g. the min-max-normalized key from
+    sources/sinks.zorder_key, whose writer delegates here).
     """
-    z = zorder_key(cols, bits).alias("__z")
+    z = (key if key is not None else zorder_key(cols, bits)).alias("__z")
     return (df.withColumn("__z", z)
               .repartitionByRange(int(n_partitions), F.col("__z"))
               .sortWithinPartitions("__z")

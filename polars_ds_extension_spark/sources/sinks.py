@@ -155,15 +155,8 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
     curve.
     """
     from .._utils import to_col
+    from ..partition import zorder_key as _interleave
 
-    if bits * len(cols) > 63:
-        # the interleaved key lives in a signed 64-bit long: one more
-        # bit and the Morton code wraps negative, silently reversing
-        # the sort for the high half of the curve
-        raise ValueError(
-            f"bits*len(cols) = {bits * len(cols)} exceeds 63: the "
-            f"Z-order key must fit a signed long; use bits <= "
-            f"{63 // len(cols)} for {len(cols)} columns")
     row = df.agg(*[f(to_col(c)).alias(f"{n}_{c}")
                    for c in cols
                    for n, f in (("mn", F.min), ("mx", F.max))]).first()
@@ -176,12 +169,9 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
         scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
             (to_col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
         ).cast("long"))))
-    key = F.lit(0).cast("long")
-    for b in range(bits - 1, -1, -1):
-        for sc in scaled:
-            bit = F.shiftright(sc, b).bitwiseAND(F.lit(1).cast("long"))
-            key = F.shiftleft(key, 1).bitwiseOR(bit)
-    return key, bounds
+    # the interleave itself (and its bits*k <= 63 sign-bit guard) is
+    # the shared raw-integer primitive in partition.zorder_key
+    return _interleave(scaled, bits), bounds
 
 
 def write_zordered(
@@ -192,9 +182,8 @@ def write_zordered(
     ``cols`` — the Delta/Iceberg OPTIMIZE ZORDER layout with plain
     files: multi-dimensional clustering so min/max row-group stats
     prune predicates on ANY of the named columns."""
+    from ..partition import cluster_by_zorder
+
     key, _ = zorder_key(df, cols, bits)
-    (df.withColumn("__zk", key)
-       .repartitionByRange(n_files, F.col("__zk"))
-       .sortWithinPartitions("__zk")
-       .drop("__zk")
-       .write.mode(mode).parquet(path))
+    cluster_by_zorder(df, cols, n_files, bits, key=key) \
+        .write.mode(mode).parquet(path)
