@@ -48,6 +48,7 @@ def pagerank(
     edges: DataFrame, src: str, dst: str,
     n_iter: int = 10, damping: float = 0.85,
     checkpoint_every: int = 4,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with uniform teleport and uniform dangling-mass
     redistribution (the mass-conserving textbook formulation, so ranks
@@ -58,6 +59,21 @@ def pagerank(
     where D is the total rank sitting on dangling nodes (out-degree 0).
     Multi-edges count once (the edge list is de-duplicated first —
     matching the usual host-graph construction); node set = src ∪ dst.
+
+    ``personalization``: a (node, weight) frame of teleport seeds
+    turns this into PERSONALIZED PageRank — teleport and dangling mass
+    land on the (normalized) seed distribution s instead of 1/N:
+
+        PR'(v) = (1-d)·s(v) + d * ( sum_{u->v} PR(u)/out(u) + D·s(v) )
+
+    i.e. TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    seed a handful of trusted hosts and rank flows outward along
+    links — the standard seed-trust prior for weighting a crawled
+    corpus. Seeds are assumed small (a curated list) and BROADCAST;
+    per-iteration plan shape is unchanged from the uniform case — the
+    seed column rides the checkpointed nodes frame. Weights need not
+    be normalized (done here); seeds absent from the graph are
+    ignored; an all-zero/empty seed set raises.
 
     Output: (node, rank). Deterministic: fixed iteration count, no RNG.
     """
@@ -73,13 +89,45 @@ def pagerank(
              .union(e.select(F.col("dst").alias("node")))
              .distinct()
              .join(out_deg, "node", "left")
-             .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-             .localCheckpoint(eager=False))
+             .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")))
+    if personalization is not None:
+        pcols = personalization.columns
+        seeds = personalization.select(
+            F.col(pcols[0]).alias("node"),
+            F.col(pcols[1]).cast("double").alias("__w"))
+        # normalize over seeds PRESENT in the graph, so s sums to 1 on
+        # the node set and ranks stay a distribution
+        seeded = nodes.join(F.broadcast(seeds), "node", "left") \
+            .select("node", "out_deg",
+                    F.coalesce("__w", F.lit(0.0)).alias("__w"))
+        tot = seeded.agg(F.sum("__w").alias("__tot"))
+        nodes = (seeded.crossJoin(F.broadcast(tot))
+                 .select("node", "out_deg",
+                         F.when(F.col("__tot") > 0,
+                                F.col("__w") / F.col("__tot"))
+                         .alias("__s")))
+        # fail loudly if no seed with positive weight is in the graph
+        if nodes.where(F.col("__s").isNull()).take(1):
+            raise ValueError(
+                "personalized pagerank: no positive-weight seed node "
+                "exists in the graph")
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
-    pr = nodes.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    if personalization is None:
+        # uniform path keeps the exact r7-era constant expressions
+        # (bit-identical to the stamped plan); s = 1/N algebraically
+        nodes = nodes.withColumn("__s", F.lit(1.0 / n))
+        teleport = F.lit((1.0 - damping) / n)
+        dang_term = F.lit(damping) * F.col("__dang") / F.lit(float(n))
+    else:
+        teleport = F.lit(1.0 - damping) * F.col("__s")
+        dang_term = F.lit(damping) * F.col("__dang") * F.col("__s")
+
+    pr = nodes.select("node", "out_deg", "__s",
+                      F.col("__s").alias("rank"))
     prev_ckpt = None
     for it in range(n_iter):
         # dangling mass as a broadcast 1-row scalar (the house
@@ -99,9 +147,8 @@ def pagerank(
             .agg(F.sum("c").alias("in_rank")))
         pr = (nodes.join(contrib, "node", "left")
               .crossJoin(F.broadcast(dang))
-              .select("node", "out_deg",
-                      (F.lit((1.0 - damping) / n)
-                       + F.lit(damping) * F.col("__dang") / F.lit(float(n))
+              .select("node", "out_deg", "__s",
+                      (teleport + dang_term
                        + F.lit(damping)
                        * F.coalesce("in_rank", F.lit(0.0))).alias("rank")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:

@@ -173,7 +173,9 @@ _STALE = frozenset({
     "near_dup_minhash", "near_dup_cluster_dedup",
     "dup_cluster_downsample", "dup_cluster_sizes",
     # round 12: pagerank's loop releases superseded checkpoint storage
-    # (runtime-only — df.unpersist was a silent no-op on checkpoints)
+    # (runtime-only — df.unpersist was a silent no-op on checkpoints);
+    # r12b: the loop gained the personalization seed branch (uniform
+    # path keeps the exact constant expressions; parity pytest)
     "pagerank",
     # round 12b: word_ngrams_of now yields an EMPTY array for texts
     # shorter than n words (the old greatest(…,0) floor made

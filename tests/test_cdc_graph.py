@@ -756,3 +756,61 @@ def test_token_mixture_sample_budget_shares(spark):
     capped = SMP.token_mixture_sample(df, "id", "src", "toks",
                                       {"a": 1.0}, token_budget=50_000)
     assert capped.where(F.col("src") == "a").count() == 100
+
+
+def test_personalized_pagerank_matches_numpy_replay(spark):
+    import numpy as np
+    from polars_ds_extension_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    e = spark.createDataFrame(edges, "s bigint, d bigint")
+    seeds = spark.createDataFrame([(0, 2.0), (3, 1.0), (99, 5.0)],
+                                  "node bigint, w double")  # 99 not in graph
+    got = {r["node"]: r["rank"] for r in
+           pagerank(e, "s", "d", n_iter=12, personalization=seeds).collect()}
+
+    n, d = 6, 0.85
+    s = np.zeros(n); s[0], s[3] = 2 / 3, 1 / 3
+    out = np.zeros(n)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a][b] = 1
+        out[a] += 1
+    pr = s.copy()
+    for _ in range(12):
+        dang = pr[out == 0].sum()
+        new = np.zeros(n)
+        for v in range(n):
+            new[v] = (1 - d) * s[v] + d * dang * s[v] + d * sum(
+                pr[u] / out[u] for u in range(n) if adj[u][v])
+        pr = new
+    for v in range(n):
+        assert abs(got[v] - pr[v]) < 1e-9, (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_personalized_pagerank_uniform_seeds_equal_plain(spark):
+    from polars_ds_extension_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    e = spark.createDataFrame(edges, "s bigint, d bigint")
+    uni = spark.createDataFrame([(i, 1.0) for i in range(4)],
+                                "node bigint, w double")
+    plain = {r["node"]: r["rank"]
+             for r in pagerank(e, "s", "d", n_iter=8).collect()}
+    pers = {r["node"]: r["rank"]
+            for r in pagerank(e, "s", "d", n_iter=8,
+                              personalization=uni).collect()}
+    assert set(plain) == set(pers)
+    for v in plain:
+        assert abs(plain[v] - pers[v]) < 1e-12
+
+
+def test_personalized_pagerank_rejects_unreachable_seeds(spark):
+    import pytest
+    from polars_ds_extension_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1)], "s bigint, d bigint")
+    bad = spark.createDataFrame([(7, 1.0)], "node bigint, w double")
+    with pytest.raises(ValueError, match="no positive-weight seed"):
+        pagerank(e, "s", "d", n_iter=3, personalization=bad)
