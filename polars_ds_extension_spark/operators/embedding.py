@@ -351,6 +351,10 @@ def embedding_group_stats(df, group_col: str, vec_col: str):
     shape = df.agg(
         F.min(F.size(v)).alias("dmin"), F.max(F.size(v)).alias("dmax"),
         F.sum(v.isNull().cast("int")).alias("nulls"),
+        # element-level NULLs too: a dimension that is NULL in every
+        # row would otherwise surface as float(None) crashing below
+        # instead of this function's descriptive raise
+        F.sum(F.size(F.filter(v, lambda x: x.isNull()))).alias("enulls"),
     ).first()
     if shape is None or shape["dmin"] is None:
         raise ValueError("embedding_group_stats: empty frame or all-"
@@ -359,6 +363,10 @@ def embedding_group_stats(df, group_col: str, vec_col: str):
         raise ValueError(
             f"embedding_group_stats: {shape['nulls']} NULL vectors — "
             "filter or repair them first")
+    if shape["enulls"]:
+        raise ValueError(
+            f"embedding_group_stats: {shape['enulls']} NULL elements "
+            "inside vectors — filter or repair them first")
     if shape["dmin"] != shape["dmax"]:
         raise ValueError(
             f"embedding_group_stats: ragged vector dimensions "

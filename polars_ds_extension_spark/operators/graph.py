@@ -92,27 +92,41 @@ def pagerank(
              .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")))
     if personalization is not None:
         pcols = personalization.columns
-        seeds = personalization.select(
-            F.col(pcols[0]).alias("node"),
-            F.col(pcols[1]).cast("double").alias("__w"))
-        # normalize over seeds PRESENT in the graph, so s sums to 1 on
-        # the node set and ranks stay a distribution
-        seeded = nodes.join(F.broadcast(seeds), "node", "left") \
+        # pre-aggregate: duplicate node rows in the seed frame would
+        # otherwise fan out the node set through the left join
+        # (inflated N, duplicated rank rows, wrong mass)
+        seeds = (personalization
+                 .select(F.col(pcols[0]).alias("node"),
+                         F.col(pcols[1]).cast("double").alias("__w"))
+                 .groupBy("node").agg(F.sum("__w").alias("__w")))
+        nodes = nodes.join(F.broadcast(seeds), "node", "left") \
             .select("node", "out_deg",
                     F.coalesce("__w", F.lit(0.0)).alias("__w"))
-        tot = seeded.agg(F.sum("__w").alias("__tot"))
-        nodes = (seeded.crossJoin(F.broadcast(tot))
-                 .select("node", "out_deg",
-                         F.when(F.col("__tot") > 0,
-                                F.col("__w") / F.col("__tot"))
-                         .alias("__s")))
-        # fail loudly if no seed with positive weight is in the graph
-        if nodes.where(F.col("__s").isNull()).take(1):
+    nodes = nodes.localCheckpoint(eager=False)
+    if personalization is not None:
+        # ONE action carries count + the seed-validation aggregates
+        # (sum/min) — no second pass over the seed join
+        row = nodes.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("__w").alias("tot"),
+                        F.min("__w").alias("mn")).first()
+        n = int(row["n"])
+        if n and row["mn"] is not None and row["mn"] < 0:
+            raise ValueError(
+                "personalized pagerank: negative seed weight — teleport "
+                "shares must be non-negative")
+        if n and (row["tot"] is None or row["tot"] <= 0):
             raise ValueError(
                 "personalized pagerank: no positive-weight seed node "
                 "exists in the graph")
-    nodes = nodes.localCheckpoint(eager=False)
-    n = nodes.count()
+        if n:
+            # normalize over seeds PRESENT in the graph, so s sums to 1
+            # on the node set and ranks stay a distribution; tot is a
+            # driver scalar from the action above — no broadcast join
+            nodes = nodes.select(
+                "node", "out_deg",
+                (F.col("__w") / F.lit(float(row["tot"]))).alias("__s"))
+    else:
+        n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
 

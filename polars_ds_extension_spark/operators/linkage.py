@@ -115,12 +115,17 @@ def fuzzy_dedup(
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {sorted(_METRICS)}")
-    id_type = dict(df.dtypes).get(id_col) if isinstance(id_col, str) \
-        else None
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    # resolve the dtype through the analyzed schema so a Column id —
+    # which to_col supports everywhere else — validates by its actual
+    # type instead of always failing the str-only dict(df.dtypes) lookup
+    id_field = df.select(to_col(id_col)).schema[0]
+    if id_field.dataType.simpleString() not in (
+            "tinyint", "smallint", "int", "bigint"):
         raise ValueError(
-            f"fuzzy_dedup needs an integral id column (got {id_col}: "
-            f"{id_type}); hash or factorize string ids first")
+            f"fuzzy_dedup needs an integral id column (got "
+            f"{id_field.name}: {id_field.dataType.simpleString()}); "
+            "hash or factorize string ids first")
+    id_name = id_col if isinstance(id_col, str) else id_field.name
     t = to_col(text_col)
     side = df.select(to_col(id_col).alias("__id"), t.alias("__txt"),
                      block(t).alias("__b"))
@@ -140,8 +145,8 @@ def fuzzy_dedup(
 
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iters=max_iters, assume_unique=True)
-    out = df.select(to_col(id_col).alias(id_col)).join(
-        comp.withColumnRenamed("id", id_col), id_col, "left")
+    out = df.select(to_col(id_col).alias(id_name)).join(
+        comp.withColumnRenamed("id", id_name), id_name, "left")
     return out.select(
-        id_col,
-        F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical"))
+        id_name,
+        F.coalesce(F.col("comp"), F.col(id_name)).alias("canonical"))

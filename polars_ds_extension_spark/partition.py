@@ -27,28 +27,37 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     keying a 100 TB shuffle on a column, to decide between a plain hash
     join, a broadcast, salting, or AQE skew-join handling.
 
-    Two hash aggregations (per-key count → one-row summary), both with
-    map-side partials; nothing else moves. `p50/p90/p99_cnt` are exact
-    linear-interpolated percentiles of the count distribution,
-    `top1_share` is the heaviest key's share of all rows (the number
-    that predicts a straggler task), and `skew_ratio` = max/mean (1.0 ⇒
-    perfectly uniform).
+    One hash aggregation (per-key count, map-side partials) pinned and
+    reduced two ways: the scalar summary is a second map-side-partial
+    agg, and `p50/p90/p99_cnt` — exact linear-interpolated percentiles
+    of the count distribution — come from plans/ranks.exact_quantiles
+    (distributed selection), NOT `F.percentile`, whose aggregation
+    buffer holds the count multiset in ONE final reducer: at the
+    high-key-cardinality scale this diagnostic exists for (deciding how
+    to key a 100 TB shuffle), that reducer is the straggler the
+    diagnostic is meant to predict. `top1_share` is the heaviest key's
+    share of all rows, and `skew_ratio` = max/mean (1.0 ⇒ perfectly
+    uniform).
 
     Returns (n_keys, n_rows, max_cnt, mean_cnt, p50_cnt, p90_cnt,
     p99_cnt, top1_share, skew_ratio).
     """
+    from ._utils import pin
+    from .plans.ranks import exact_quantiles
+
     c = F.col(key_col)
-    counts = df.groupBy(c.alias("__k")).agg(
-        F.count(F.lit(1)).alias("__n"))
+    counts = pin(df.groupBy(c.alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n")))
+    qs = exact_quantiles(counts, {"__n": [0.5, 0.9, 0.99]})["__n"]
     n = F.col("__n")
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(n).alias("n_rows"),
         F.max(n).alias("max_cnt"),
         F.avg(n).alias("mean_cnt"),
-        F.percentile(n, F.lit(0.5)).alias("p50_cnt"),
-        F.percentile(n, F.lit(0.9)).alias("p90_cnt"),
-        F.percentile(n, F.lit(0.99)).alias("p99_cnt"),
+        F.lit(qs[0]).cast("double").alias("p50_cnt"),
+        F.lit(qs[1]).cast("double").alias("p90_cnt"),
+        F.lit(qs[2]).cast("double").alias("p99_cnt"),
         (F.max(n) / F.sum(n)).alias("top1_share"),
         (F.max(n) / F.avg(n)).alias("skew_ratio"),
     )

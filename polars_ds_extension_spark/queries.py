@@ -151,6 +151,26 @@ _STALE = frozenset({
     # (r12's stale set fully re-stamped by CORRECTNESS_r12 — all 50
     # prefix rows hash-green. Round-13 entries accumulate below as
     # covering code changes.)
+    # round 13 (r12 ADVICE applied): pagerank's personalization branch
+    # pre-aggregates duplicate seeds, raises on negative weights, and
+    # folds seed validation + normalization into the single count
+    # action (uniform path value-identical; parity pytest) -> the
+    # stamped uniform-loop consumer re-verifies
+    "pagerank",
+    # round 13: key_skew_profile's p50/p90/p99 move from F.percentile
+    # (count-multiset buffer in ONE reducer — the exact single-node
+    # sort the house exact-quantile plan exists to avoid) to
+    # plans/ranks.exact_quantiles; values identical (same quantile_cont
+    # interpolation), plan changed
+    "key_skew",
+    # round 13: fuzzy_dedup resolves its integral-id validation through
+    # the analyzed schema (Column ids supported); plan unchanged for
+    # string ids, covering code changed
+    "fuzzy_entity_dedup",
+    # round 13: embedding_group_stats' validation aggregate gains an
+    # element-level NULL count (raise-with-diagnosis instead of a bare
+    # TypeError); the stats aggregations are unchanged
+    "embedding_drift",
 })
 
 

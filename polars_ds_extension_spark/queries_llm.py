@@ -3274,7 +3274,7 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("normalized_dedup", """
+@query("normalized_dedup", r"""
 WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL

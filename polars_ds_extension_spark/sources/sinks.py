@@ -170,8 +170,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
             (to_col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
         ).cast("long"))))
     # the interleave itself (and its bits*k <= 63 sign-bit guard) is
-    # the shared raw-integer primitive in partition.zorder_key
-    return _interleave(scaled, bits), bounds
+    # the shared raw-integer primitive in partition.zorder_key — whose
+    # per-group significance is LAST-column-highest, the reverse of
+    # this function's documented-and-shipped layout (cols[0] most
+    # significant). Reversing the operand order preserves the exact
+    # historical key, so files written before the consolidation stay
+    # comparable/mergeable with new ones.
+    return _interleave(list(reversed(scaled)), bits), bounds
 
 
 def write_zordered(

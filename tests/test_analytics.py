@@ -589,3 +589,29 @@ def test_embedding_group_stats_rejects_null_and_ragged(spark):
         "label bigint, v array<double>")
     with pytest.raises(ValueError, match="ragged"):
         EMB.embedding_group_stats(df_ragged, "label", "v")
+
+
+def test_embedding_group_stats_rejects_null_elements(spark):
+    # element-level NULLs (a dimension NULL in some rows) must raise
+    # the descriptive error, not crash on float(None) (r12 advice)
+    from polars_ds_extension_spark.operators import embedding as EMB
+    df = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [0.5, None])],
+        "label bigint, v array<double>")
+    with pytest.raises(ValueError, match="NULL elements"):
+        EMB.embedding_group_stats(df, "label", "v")
+
+
+def test_fuzzy_dedup_accepts_column_id(spark):
+    # a Column id — supported by to_col everywhere else — must pass the
+    # integral-id validation via the analyzed schema (r12 advice: the
+    # str-only dict(df.dtypes) lookup always raised)
+    from polars_ds_extension_spark.operators import linkage as LK
+    df = spark.createDataFrame(
+        [(1, "alpha corp"), (2, "alpha corp."), (3, "zeta llc")],
+        "rid bigint, nm string")
+    out = LK.fuzzy_dedup(df, F.col("rid"), "nm",
+                         block=lambda c: F.substring(c, 1, 2),
+                         threshold=0.9)
+    got = {r["rid"]: r["canonical"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}

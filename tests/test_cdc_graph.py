@@ -814,3 +814,36 @@ def test_personalized_pagerank_rejects_unreachable_seeds(spark):
     bad = spark.createDataFrame([(7, 1.0)], "node bigint, w double")
     with pytest.raises(ValueError, match="no positive-weight seed"):
         pagerank(e, "s", "d", n_iter=3, personalization=bad)
+
+
+def test_personalized_pagerank_duplicate_seeds_preaggregate(spark):
+    # duplicate node rows in the seed frame must SUM, not fan out the
+    # node set through the join (r12 advice: duplicated rank rows /
+    # inflated N / wrong mass)
+    from polars_ds_extension_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    e = spark.createDataFrame(edges, "s bigint, d bigint")
+    dup = spark.createDataFrame([(0, 1.0), (0, 1.0), (3, 1.0)],
+                                "node bigint, w double")
+    agg = spark.createDataFrame([(0, 2.0), (3, 1.0)],
+                                "node bigint, w double")
+    got_dup = pagerank(e, "s", "d", n_iter=6, personalization=dup).collect()
+    got_agg = {r["node"]: r["rank"] for r in
+               pagerank(e, "s", "d", n_iter=6,
+                        personalization=agg).collect()}
+    assert len(got_dup) == 4  # one rank row per node, no fan-out
+    for r in got_dup:
+        assert abs(r["rank"] - got_agg[r["node"]]) < 1e-12
+    assert abs(sum(r["rank"] for r in got_dup) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_rejects_negative_weights(spark):
+    import pytest
+    from polars_ds_extension_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "s bigint, d bigint")
+    neg = spark.createDataFrame([(0, 2.0), (1, -1.0)],
+                                "node bigint, w double")
+    with pytest.raises(ValueError, match="negative seed weight"):
+        pagerank(e, "s", "d", n_iter=3, personalization=neg)

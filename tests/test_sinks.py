@@ -192,3 +192,24 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
     # 15 bits x 4 = 60 fits
     key, _ = zorder_key(sdf, ["a", "b", "c", "d"], bits=15)
     assert key is not None
+
+
+def test_sinks_zorder_key_keeps_pre_consolidation_layout(spark):
+    # the shared partition.zorder_key primitive is LAST-column-most-
+    # significant per group; the sinks wrapper must keep its original
+    # cols[0]-most-significant layout (files written before the
+    # consolidation stay comparable) — r12 advice
+    from pyspark.sql import functions as F
+    from polars_ds_extension_spark.sources.sinks import zorder_key
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    sdf = spark.createDataFrame(rows, "x int, y int")
+    key, bounds = zorder_key(sdf, ["x", "y"], bits=2)
+    got = {(r["x"], r["y"]): r["z"]
+           for r in sdf.select("x", "y", key.alias("z")).collect()}
+    for (x, y), z in got.items():
+        # original loop: b=1: x-bit, y-bit; b=0: x-bit, y-bit
+        want = (((x >> 1) & 1) << 3) | (((y >> 1) & 1) << 2) \
+            | ((x & 1) << 1) | (y & 1)
+        assert z == want, ((x, y), z, want)
+    assert bounds == {"x": (0.0, 3.0), "y": (0.0, 3.0)}
