@@ -1,28 +1,205 @@
-"""Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""Benchmark harness: runs the catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line per completed
+phase — the LAST line printed is always the most complete artifact:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "probe": ..., "probe_pairs": ..., "probe_100x": ...,
+ "truncated": [...], "sf": ...}
 
 Each query is forced with a count() (no driver-side materialization of
 full results — the metric is engine time, not toPandas transfer).
+
+TIMEOUT-PROOF PROTOCOL (r12 verdict #1: BENCH_r12 died at rc=124 with
+`parsed: null` — the single end-of-run JSON line lost EVERY number
+already measured, and post-mortem stderr spam would have displaced it
+from the driver's tail window anyway). Three defenses, layered:
+  1. INCREMENTAL EMISSION — after every phase (and every 100x spot)
+     the current snapshot line is printed to stdout (flushed) and the
+     full-precision record is atomically rewritten to
+     BENCH_PARTIAL.json, so a kill at ANY point leaves both a parseable
+     tail and an on-disk artifact of everything measured so far.
+  2. WALL BUDGET — $SPARK_GRAFT_BENCH_BUDGET_S (default 2400 s) gates
+     every phase: when a tier would not fit, it is SKIPPED with a
+     `"truncated": [...]` marker instead of running into the external
+     timeout. The bench should never be the thing that hits rc=124.
+  3. WATCHDOG + SIGTERM — a daemon thread force-emits the snapshot and
+     exits 0 at budget + grace even if a Spark job hangs; `timeout`'s
+     SIGTERM (sent before SIGKILL) triggers the same final emission.
+
+Probe-set ROTATION (r12 verdict #3) cuts steady-state cost: see
+scripts/scale_probe.probe_rotation — ALWAYS (spot-fit legs + watched
+rows) + NEW (this round's changed ops) + a third of the rest per round.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import signal
 import sys
+import threading
 import time
 
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def _round_no() -> int:
+    """Next round number, derived from the committed driver artifacts
+    (BENCH_r{N}.json) — keeps the probe rotation deterministic with no
+    side-channel state."""
+    rs = [int(m.group(1)) for p in glob.glob(
+          os.path.join(HERE, "BENCH_r[0-9]*.json"))
+          if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))]
+    return max(rs, default=0) + 1
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2400"))
+    t_start = time.monotonic()
+
+    def elapsed() -> float:
+        return time.monotonic() - t_start
+
+    def remaining() -> float:
+        return budget - elapsed()
+
+    round_no = _round_no()
+
+    # ---- shared snapshot state (everything any emission reads) -----
+    st = {
+        "per_query": {}, "total": 0.0,
+        "probe_ratio": {}, "probe_ratio_dense": {}, "probe_spread": {},
+        "probe_abs": {}, "probe_small": {}, "probe_pairs": {},
+        "probe_100x": {}, "probe_bytes": {}, "truncated": [],
+    }
+    emit_lock = threading.Lock()
+
+    def _t(v: float) -> float:
+        return round(v, 2) if v < 10 else round(v, 1)
+
+    def _render_stdout_line() -> str:
+        """ONE JSON line <= 1900 chars (the driver parses only the last
+        ~2000 chars of the combined tail). PURE — trims work on local
+        copies, so repeated per-phase emission never degrades state.
+        Trim tiers, in order: per-query rounding -> per-query drops
+        (full set lives in the stderr/partial-file record; the driver's
+        CORRECTNESS record re-times the prefix anyway) -> spread/total/
+        absolute rounding -> probe_100x collapse to wall-only -> drop
+        10x-probe rows fastest-large-side-first (probe_pairs and
+        probe_100x — the 100 TB story — are never dropped)."""
+        total = round(st["total"], 4)
+        probe = {}
+        for n, ab in st["probe_abs"].items():
+            base = n.split("@")[0]
+            r = (st["probe_ratio_dense"].get(base) if n.endswith("@dense")
+                 else st["probe_ratio"].get(base))
+            probe[n] = [r, st["probe_spread"].get(n),
+                        _t(ab[0]), _t(ab[1])]
+        probe_100x = {n: (list(v) if isinstance(v, list) else v)
+                      for n, v in st["probe_100x"].items()}
+        trunc = list(st["truncated"])
+
+        def _line(q: dict) -> str:
+            d = {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                # {query: [ratio_10x, spread, t_small, t_large]}
+                "probe": probe,
+                # [cand_slots, cand_distinct, max_bucket, dropped,
+                #  collapsed, n_mined] per corpus
+                "probe_pairs": st["probe_pairs"],
+                "probe_100x": probe_100x,
+                "sf": sf,
+                "n_queries": len(st["per_query"]),
+            }
+            if trunc:
+                d["truncated"] = trunc
+            return json.dumps(d, separators=(",", ":"))
+
+        cap = 1900
+        compact = {}
+        for nd in (2, 1):
+            compact = {k: round(v, nd) for k, v in st["per_query"].items()}
+            if len(_line(compact)) <= cap:
+                break
+        while len(_line(compact)) > cap and compact:
+            compact.pop(min(compact, key=lambda k: compact[k]))
+        if len(_line(compact)) > cap:
+            for n, v in probe.items():
+                v[1] = round(v[1], 1) if v[1] is not None else None
+                v[2] = round(v[2], 1)
+                v[3] = round(v[3], 1)
+            total = round(total, 1)
+        if len(_line(compact)) > cap:
+            for n, v in list(probe_100x.items()):
+                if isinstance(v, list):
+                    probe_100x[n] = v[0]
+        while len(_line(compact)) > cap and probe:
+            probe.pop(min(probe, key=lambda n: probe[n][3] or 0))
+        return _line(compact)
+
+    def _full_record() -> dict:
+        return {
+            "metric": "catalog_total_runtime",
+            "value": round(st["total"], 4),
+            "unit": "sec",
+            "queries": st["per_query"],
+            "probe_ratio_10x": st["probe_ratio"],
+            "probe_ratio_10x_dense": st["probe_ratio_dense"],
+            "probe_spread": st["probe_spread"],
+            "probe_abs": st["probe_abs"],
+            "probe_pairs": st["probe_pairs"],
+            "probe_100x": st["probe_100x"],
+            "probe_bytes": st["probe_bytes"],
+            "truncated": st["truncated"],
+            "probe_rotation_round": round_no,
+            "budget_s": budget,
+            "elapsed_s": round(elapsed(), 1),
+            "sf": sf,
+        }
+
+    def emit(tag: str) -> None:
+        """Print the current snapshot line to stdout (flushed — a
+        SIGKILL must not lose a buffered artifact) and atomically
+        rewrite the on-disk partial record."""
+        with emit_lock:
+            line = _render_stdout_line()
+            print(line, flush=True)
+            print(f"bench snapshot [{tag}] at {elapsed():.0f}s: "
+                  f"{len(line)} chars", file=sys.stderr, flush=True)
+            try:
+                tmp = os.path.join(HERE, ".BENCH_PARTIAL.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(_full_record(), f)
+                os.replace(tmp, os.path.join(HERE, "BENCH_PARTIAL.json"))
+            except OSError as ex:  # pragma: no cover
+                print(f"partial-artifact write failed: {ex}",
+                      file=sys.stderr)
+
+    finished = threading.Event()
+
+    def _force_exit(tag: str) -> None:
+        st["truncated"].append(tag)
+        emit(tag)
+        os._exit(0)
+
+    def _watchdog() -> None:  # pragma: no cover - timing path
+        while not finished.wait(5.0):
+            if elapsed() > budget + 60:
+                _force_exit("watchdog_force_exit")
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    signal.signal(signal.SIGTERM,
+                  lambda *_: _force_exit("sigterm"))
 
     from polars_ds_extension_spark.session import get_spark
     from polars_ds_extension_spark import queries as catalog
@@ -72,9 +249,14 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for qi, (name, fn) in enumerate(catalog.queries().items()):
+    cat_items = list(catalog.queries().items())
+    for qi, (name, fn) in enumerate(cat_items):
+        if elapsed() > 0.50 * budget:
+            st["truncated"].append(
+                f"catalog:{len(cat_items) - qi}_skipped")
+            print(f"catalog truncated at {name} "
+                  f"({len(cat_items) - qi} skipped)", file=sys.stderr)
+            break
         runs = [_one_run(name, fn)]
         if runs[0] == runs[0]:  # not NaN
             n_runs = 3 if runs[0] <= 5.0 else 2
@@ -99,8 +281,8 @@ def main() -> None:
             if (len(runs) == 3 and runs[0] <= 5.0
                 and not name.startswith("stream_")) \
             else min(runs)
-        per_query[name] = round(dt, 4)
-        total += dt if dt == dt else 0.0
+        st["per_query"][name] = round(dt, 4)
+        st["total"] += dt if dt == dt else 0.0
         print(f"bench {name}: median {dt:.3f}s over {len(runs)} "
               f"({', '.join(f'{r:.3f}' for r in runs)})", file=sys.stderr)
         # ~300 jobs of accumulated garbage otherwise drifts later queries
@@ -111,9 +293,10 @@ def main() -> None:
         # without the deopt storm.
         if qi % 8 == 7:
             spark.sparkContext._jvm.System.gc()
+    emit("catalog")
 
     # Scale probe: the most expensive queries on the lazily materialized
-    # 10x CONSTANT-DENSITY data (.probe_data/sf1.0v2 — per-copy cipher
+    # 10x CONSTANT-DENSITY data (.probe_data/sf1.0v3 — per-copy cipher
     # keeps dup-cluster sizes fixed, see scripts/scale_probe.py).
     # Converts "the plans are 100x-shaped" from code-reading to
     # measurement — a scan-bound query should land near the inflation
@@ -130,20 +313,6 @@ def main() -> None:
     # spread (max/min of the large runs) is recorded so a noisy ratio
     # is visibly noisy instead of silently authoritative.
     # Skipped (never fatal) if the probe data can't be built.
-    probe_ratio: dict[str, float] = {}
-    probe_ratio_dense: dict[str, float] = {}
-    probe_spread: dict[str, float] = {}
-    probe_abs: dict[str, list] = {}
-    probe_small: dict[str, float] = {}
-    probe_pairs: dict[str, list] = {}
-    # {query: wall_sec} or (r11) {query: [wall_sec, shuffle_read_MB,
-    # shuffle_write_MB, completed_tasks]}
-    probe_100x: dict = {}
-    # {query: {"1x"/"10x": [shuffle_read_MB, tasks]}} — byte decades
-    # for the spot family (full stderr record only, never the parsed
-    # stdout line)
-    probe_bytes: dict = {}
-
     def _probe_time(qs, name, d):
         samples = []
         for _ in range(3):
@@ -154,14 +323,20 @@ def main() -> None:
             spark.catalog.clearCache()
         return min(samples), max(samples)
 
-    def _probe_set(names, pdir, out, spread=None, abs_out=None):
+    def _probe_set(names, pdir, out, spread=None, abs_out=None,
+                   gate=0.45, tier="probe10x"):
         qs = catalog.queries()
-        for name in names:
+        for pi, name in enumerate(names):
             if name not in qs:
                 continue
+            if elapsed() > gate * budget:
+                st["truncated"].append(f"{tier}:{len(names) - pi}_skipped")
+                print(f"{tier} truncated at {name}", file=sys.stderr)
+                return
             try:
-                if name not in probe_small:
-                    probe_small[name] = _probe_time(qs, name, sf_dir)[0]
+                if name not in st["probe_small"]:
+                    st["probe_small"][name] = \
+                        _probe_time(qs, name, sf_dir)[0]
                     # contamination tripwire: a fresh-session min-of-3
                     # far above the long-session catalog median means
                     # something else is eating the machine (r10: a
@@ -169,14 +344,15 @@ def main() -> None:
                     # rows ~3x in one run — the rerun was clean). The
                     # warning makes a poisoned artifact self-describing
                     # instead of silently authoritative.
-                    cat_t = per_query.get(name)
+                    cat_t = st["per_query"].get(name)
                     if cat_t and cat_t == cat_t \
-                            and probe_small[name] > 2.5 * cat_t:
+                            and st["probe_small"][name] > 2.5 * cat_t:
                         print(f"PROBE CONTAMINATION WARNING {name}: "
-                              f"fresh small-side {probe_small[name]:.2f}s"
+                              f"fresh small-side "
+                              f"{st['probe_small'][name]:.2f}s"
                               f" vs catalog median {cat_t:.2f}s",
                               file=sys.stderr)
-                base_t = probe_small[name]
+                base_t = st["probe_small"][name]
                 t_large, t_max = _probe_time(qs, name, pdir)
             except Exception as ex:  # pragma: no cover
                 print(f"probe error in {name}: {ex}", file=sys.stderr)
@@ -190,10 +366,15 @@ def main() -> None:
                   f"(x{out[name]}, spread x{t_max / t_large:.2f})",
                   file=sys.stderr)
 
-    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
+            and elapsed() < 0.45 * budget:
         try:
-            from scripts.scale_probe import (DEFAULT_QUERIES, DENSE_QUERIES,
-                                             build_probe_data)
+            from scripts.scale_probe import (DENSE_QUERIES,
+                                             build_probe_data,
+                                             probe_rotation)
+            probes = probe_rotation(round_no)
+            print(f"probe rotation (round {round_no}): {len(probes)} of "
+                  f"the full set — {probes}", file=sys.stderr)
             pdir = build_probe_data(spark)
             pdir_dense = build_probe_data(spark, dense=True)
             # fresh JVM for the probe stage (see protocol note above)
@@ -203,8 +384,10 @@ def main() -> None:
             load_table(spark, sf_dir, "lineitem").count()
             spark.range(0, 32 * 256, 1, 32).select(
                 _wu(F.col("id").cast("double"))).count()
-            _probe_set(DEFAULT_QUERIES, pdir,
-                       probe_ratio, probe_spread, probe_abs)
+            _probe_set(probes, pdir, st["probe_ratio"],
+                       st["probe_spread"], st["probe_abs"],
+                       gate=0.45, tier="probe10x")
+            emit("probe10x")
             # adversarial hot-cluster variant for the dedup family: the
             # bucket/cell caps are the defense; measure them every
             # round. Absolutes recorded under a @dense key — the RATIO
@@ -212,16 +395,22 @@ def main() -> None:
             # small-side speedup inflates it with no large-side change
             # (measured r9: minhash dense abs 17s -> 12s while the
             # ratio ROSE 4.2x -> 8.2x)
-            dense_spread: dict[str, float] = {}
-            dense_abs: dict[str, list] = {}
-            _probe_set(DENSE_QUERIES, pdir_dense, probe_ratio_dense,
-                       dense_spread, dense_abs)
+            dense_spread: dict = {}
+            dense_abs: dict = {}
+            _probe_set(DENSE_QUERIES, pdir_dense, st["probe_ratio_dense"],
+                       dense_spread, dense_abs,
+                       gate=0.55, tier="probe10x_dense")
             for n, v in dense_abs.items():
-                probe_spread[f"{n}@dense"] = dense_spread.get(n)
-                probe_abs[f"{n}@dense"] = v
+                st["probe_spread"][f"{n}@dense"] = dense_spread.get(n)
+                st["probe_abs"][f"{n}@dense"] = v
+            emit("probe10x_dense")
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
+    elif elapsed() >= 0.45 * budget:
+        st["truncated"].append("probe10x:all_skipped")
 
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
+            and elapsed() < 0.60 * budget:
         # Candidate-pair evidence for the minhash plan ("no silent
         # caps", r9 verdict): slots / distinct pairs / max bucket on
         # the SAME near-dup corpus the probed queries run, at 1x, 10x
@@ -230,218 +419,239 @@ def main() -> None:
         # (parallelism floor), not pair explosion; dropped_buckets > 0
         # says the max_bucket cap started binding.
         try:
+            from scripts.scale_probe import build_probe_data
+            pdir = build_probe_data(spark)
+            pdir_dense = build_probe_data(spark, dense=True)
             from polars_ds_extension_spark.operators.dedup import (
                 lsh_candidate_stats)
             from polars_ds_extension_spark.queries_llm import (
                 _docs_with_near_dups)
             for tag, d in (("1x", sf_dir), ("10x", pdir),
                            ("10xd", pdir_dense)):
-                st = lsh_candidate_stats(
+                stt = lsh_candidate_stats(
                     _docs_with_near_dups(spark, d), "doc_id", "text")
                 spark.catalog.clearCache()
-                probe_pairs[tag] = [st["cand_slots"], st["cand_distinct"],
-                                    st["max_bucket_size"],
-                                    st["dropped_buckets"],
-                                    st["collapsed"], st["n_mined"]]
-                print(f"lsh pair stats {tag}: {st}", file=sys.stderr)
+                st["probe_pairs"][tag] = [
+                    stt["cand_slots"], stt["cand_distinct"],
+                    stt["max_bucket_size"], stt["dropped_buckets"],
+                    stt["collapsed"], stt["n_mined"]]
+                print(f"lsh pair stats {tag}: {stt}", file=sys.stderr)
             # SRP twin (stderr record only — the parsed line's budget
             # is spent; dropped_buckets growing round-over-round here
             # means ann_lsh_join's cap started binding)
             from polars_ds_extension_spark.operators.knn import (
                 srp_bucket_stats)
-            from polars_ds_extension_spark.sources import load_table as _lt
             for tag, d in (("1x", sf_dir), ("10x", pdir)):
-                emb = _lt(spark, d, "embeddings")
+                emb = load_table(spark, d, "embeddings")
                 sst = srp_bucket_stats(
                     emb.selectExpr("vec_id",
                                    "cast(embedding as array<double>) v"),
                     "vec_id", "v")
                 print(f"srp bucket stats {tag}: {sst}", file=sys.stderr)
+            emit("pair_stats")
         except Exception as ex:  # pragma: no cover
             print(f"pair stats skipped: {ex}", file=sys.stderr)
+    else:
+        st["truncated"].append("pair_stats:skipped")
 
-        # 100x spot probe (r9 verdict #5): ONE timed run per query on
-        # 100x documents+embeddings — where polynomial growth would
-        # compound visibly (a true n^p, p>1 plan would land ~ratio^2
-        # above its 10x absolute). Single-shot by design: the absolute
-        # magnitude is the signal, min-of-3 wall time is not worth
-        # 3x the suite cost here.
-        #
-        # r11: each spot also records its SHUFFLE READ/WRITE BYTES and
-        # completed-task count (AppStatusStore stage deltas — the same
-        # always-on listener statusTracker reads; works with the UI
-        # off). A wall over the two-point linear fit is only
-        # attributable with these beside it: linear bytes + linear
-        # tasks says the excess is per-wave constants at fixed core
-        # count (32 threads here — terms a real cluster scales out),
-        # super-linear bytes names a shuffle that actually grew.
-        def _stage_snapshot():
-            """(max_stage_id, {id: (read, write, tasks)}) — summing
-            deltas by NEW stage ids keeps eviction of old stages
-            (spark.ui.retainedStages) from corrupting the delta. The
-            status store is fed by an ASYNC listener bus: drain it
-            first or the just-finished query's last stage-end events
-            can be missing from this snapshot and silently credited to
-            the NEXT query's delta (r11 review finding)."""
-            sc = spark.sparkContext
-            jvm = sc._jvm
-            try:
-                sc._jsc.sc().listenerBus().waitUntilEmpty(10000)
-            except Exception:
-                pass  # signature moved — snapshot may lag by a beat
-            store = sc._jsc.sc().statusStore()
-            lst = store.stageList(jvm.java.util.ArrayList(), False,
-                                  False, sc._gateway.new_array(
-                                      jvm.double, 0),
-                                  jvm.java.util.ArrayList())
-            out = {}
-            for i in range(lst.size()):
-                sd = lst.apply(i)
-                out[sd.stageId()] = (sd.shuffleReadBytes(),
-                                     sd.shuffleWriteBytes(),
-                                     sd.numCompleteTasks())
-            return max(out, default=-1), out
+    # 100x spot probe (r9 verdict #5): ONE timed run per query on
+    # 100x documents+embeddings — where polynomial growth would
+    # compound visibly (a true n^p, p>1 plan would land ~ratio^2
+    # above its 10x absolute). Single-shot by design: the absolute
+    # magnitude is the signal, min-of-3 wall time is not worth
+    # 3x the suite cost here.
+    #
+    # r11: each spot also records its SHUFFLE READ/WRITE BYTES and
+    # completed-task count (AppStatusStore stage deltas — the same
+    # always-on listener statusTracker reads; works with the UI
+    # off). A wall over the two-point linear fit is only
+    # attributable with these beside it: linear bytes + linear
+    # tasks says the excess is per-wave constants at fixed core
+    # count (32 threads here — terms a real cluster scales out),
+    # super-linear bytes names a shuffle that actually grew.
+    def _stage_snapshot():
+        """(max_stage_id, {id: (read, write, tasks)}) — summing
+        deltas by NEW stage ids keeps eviction of old stages
+        (spark.ui.retainedStages) from corrupting the delta. The
+        status store is fed by an ASYNC listener bus: drain it
+        first or the just-finished query's last stage-end events
+        can be missing from this snapshot and silently credited to
+        the NEXT query's delta (r11 review finding)."""
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        except Exception:
+            pass  # signature moved — snapshot may lag by a beat
+        store = sc._jsc.sc().statusStore()
+        lst = store.stageList(jvm.java.util.ArrayList(), False,
+                              False, sc._gateway.new_array(
+                                  jvm.double, 0),
+                              jvm.java.util.ArrayList())
+        out = {}
+        for i in range(lst.size()):
+            sd = lst.apply(i)
+            out[sd.stageId()] = (sd.shuffleReadBytes(),
+                                 sd.shuffleWriteBytes(),
+                                 sd.numCompleteTasks())
+        return max(out, default=-1), out
 
-        if os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0":
-            try:
-                from scripts.scale_probe import (SPOT_QUERIES,
-                                                 build_spot_data)
-                sdir = build_spot_data(spark)
-                # fresh JVM for the spot phase too (r10d): the single-
-                # shot absolutes inherited end-of-session heap/JIT
-                # drift — three same-code runs measured ann_ivf_search
-                # 10-24 s and cluster_dedup 130-207 s at 100×, while a
-                # fresh JVM reproduced the minhash number within 6%.
-                # Same rationale as the r9 symmetric-fresh-session fix.
-                spark.stop()
-                spark = get_spark(app="pds-spark-bench-spot")
-                spark.sparkContext.setLogLevel("ERROR")
-                spark.range(0, 32 * 256, 1, 32).select(
-                    _wu(F.col("id").cast("double"))).count()
-                # page-cache warmup (r11): the spot tables are ~7.5 GB
-                # of parquet read exactly once per single-shot — two
-                # same-code runs measured top_ngrams 11.2 vs 31.8 s at
-                # byte-identical work purely on OS cache state. One
-                # untimed OS-level read per file pins the cache state
-                # so spot walls compare across rounds (cold-scan cost
-                # is the cluster's variable; the probe grades plan
-                # shape). A Spark count() would NOT do this — parquet
-                # counts are metadata-only.
-                import glob as _glob
-                for _fp in _glob.glob(f"{sdir}/*.parquet/*.parquet"):
-                    with open(_fp, "rb") as _fh:
-                        while _fh.read(1 << 24):
-                            pass
-                qs = catalog.queries()
-                # the two heaviest spots carried ±25% single-shot
-                # ranges across r11's four same-code runs (minhash
-                # 1.85-2.27× of fit, cluster 1.34-2.76×) — min-of-3
-                # with the spread recorded turns the range into a
-                # number the ≤2× target can be judged on (r11 verdict
-                # #6). The rest stay single-shot (suite-cost bound).
-                # ann_ivf_search joined r12: its single-shot wall swung
-                # 15.7/18.9/60.7 s across three same-plan runs at
-                # byte-identical work (52.6 MB / 194 tasks every time)
-                # — the widest relative range in the suite
-                _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup",
-                          "ann_ivf_search"}
-                for name in SPOT_QUERIES:
-                    walls = []
-                    rd = wr = tk = None
-                    for _rep in range(3 if name in _MULTI else 1):
-                        try:
-                            hi0, _snap = _stage_snapshot()
-                        except Exception:  # API moved — wall only
-                            hi0 = None
-                        t0 = time.perf_counter()
-                        qs[name](spark, sdir).count()
-                        walls.append(
-                            round(time.perf_counter() - t0, 1))
-                        if hi0 is not None and rd is None:
-                            try:  # bytes are deterministic — 1st run
-                                _hi, snap = _stage_snapshot()
-                                rd = sum(v[0] for s, v in snap.items()
-                                         if s > hi0)
-                                wr = sum(v[1] for s, v in snap.items()
-                                         if s > hi0)
-                                tk = sum(v[2] for s, v in snap.items()
-                                         if s > hi0)
-                            except Exception as ex:
-                                print(f"probe100 metrics skipped for "
-                                      f"{name}: {ex}", file=sys.stderr)
-                        release_pins()
-                        spark.catalog.clearCache()
-                    wall = min(walls)
-                    probe_100x[name] = wall
-                    if rd is not None:
-                        probe_100x[name] = [
-                            wall, round(rd / (1 << 20), 1),
-                            round(wr / (1 << 20), 1), int(tk)]
-                        if len(walls) > 1:
-                            probe_100x[name].append(
-                                round(max(walls) / max(wall, 1e-9), 2))
-                    print(f"probe100 {name}: {probe_100x[name]} "
-                          "(s[, shuffle-read MB, shuffle-write MB, "
-                          "tasks[, spread]]) runs="
-                          f"{walls}", file=sys.stderr)
-                # pair stats at 100x too: a spot wall above the linear
-                # fit is only attributable with the work counts beside
-                # it (r10: 147s vs ~79s linear-from-10x read as an
-                # asymptote until slots measured exactly 10.0x/decade)
+    def _delta(hi0, snap):
+        rd = sum(v[0] for s, v in snap.items() if s > hi0)
+        wr = sum(v[1] for s, v in snap.items() if s > hi0)
+        tk = sum(v[2] for s, v in snap.items() if s > hi0)
+        return rd, wr, tk
+
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
+            and os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0" \
+            and remaining() > 240:
+        try:
+            from scripts.scale_probe import SPOT_QUERIES, build_spot_data
+            sdir = build_spot_data(spark)
+            # fresh JVM for the spot phase too (r10d): the single-
+            # shot absolutes inherited end-of-session heap/JIT
+            # drift — three same-code runs measured ann_ivf_search
+            # 10-24 s and cluster_dedup 130-207 s at 100×, while a
+            # fresh JVM reproduced the minhash number within 6%.
+            # Same rationale as the r9 symmetric-fresh-session fix.
+            spark.stop()
+            spark = get_spark(app="pds-spark-bench-spot")
+            spark.sparkContext.setLogLevel("ERROR")
+            spark.range(0, 32 * 256, 1, 32).select(
+                _wu(F.col("id").cast("double"))).count()
+            # page-cache warmup (r11): the spot tables are ~7.5 GB
+            # of parquet read exactly once per single-shot — two
+            # same-code runs measured top_ngrams 11.2 vs 31.8 s at
+            # byte-identical work purely on OS cache state. One
+            # untimed OS-level read per file pins the cache state
+            # so spot walls compare across rounds (cold-scan cost
+            # is the cluster's variable; the probe grades plan
+            # shape). A Spark count() would NOT do this — parquet
+            # counts are metadata-only.
+            for _fp in glob.glob(f"{sdir}/*.parquet/*.parquet"):
+                with open(_fp, "rb") as _fh:
+                    while _fh.read(1 << 24):
+                        pass
+            qs = catalog.queries()
+            # the two heaviest spots carried ±25% single-shot
+            # ranges across r11's four same-code runs (minhash
+            # 1.85-2.27× of fit, cluster 1.34-2.76×) — min-of-3
+            # with the spread recorded turns the range into a
+            # number the ≤2× target can be judged on (r11 verdict
+            # #6). The rest stay single-shot (suite-cost bound).
+            # ann_ivf_search joined r12: its single-shot wall swung
+            # 15.7/18.9/60.7 s across three same-plan runs at
+            # byte-identical work (52.6 MB / 194 tasks every time)
+            # — the widest relative range in the suite
+            _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup",
+                      "ann_ivf_search"}
+            for si, name in enumerate(SPOT_QUERIES):
+                if remaining() < 150:
+                    st["truncated"].append(
+                        f"probe100x:{len(SPOT_QUERIES) - si}_skipped")
+                    print(f"spot phase truncated at {name}",
+                          file=sys.stderr)
+                    break
+                walls = []
+                rd = wr = tk = None
+                for _rep in range(3 if name in _MULTI else 1):
+                    if walls and remaining() < 120:
+                        st["truncated"].append(f"probe100x:{name}_reps")
+                        break
+                    try:
+                        hi0, _snap = _stage_snapshot()
+                    except Exception:  # API moved — wall only
+                        hi0 = None
+                    t0 = time.perf_counter()
+                    qs[name](spark, sdir).count()
+                    walls.append(round(time.perf_counter() - t0, 1))
+                    if hi0 is not None and rd is None:
+                        try:  # bytes are deterministic — 1st run
+                            _hi, snap = _stage_snapshot()
+                            rd, wr, tk = _delta(hi0, snap)
+                        except Exception as ex:
+                            print(f"probe100 metrics skipped for "
+                                  f"{name}: {ex}", file=sys.stderr)
+                    release_pins()
+                    spark.catalog.clearCache()
+                wall = min(walls)
+                st["probe_100x"][name] = wall
+                if rd is not None:
+                    st["probe_100x"][name] = [
+                        wall, round(rd / (1 << 20), 1),
+                        round(wr / (1 << 20), 1), int(tk)]
+                    if len(walls) > 1:
+                        st["probe_100x"][name].append(
+                            round(max(walls) / max(wall, 1e-9), 2))
+                print(f"probe100 {name}: {st['probe_100x'][name]} "
+                      "(s[, shuffle-read MB, shuffle-write MB, "
+                      "tasks[, spread]]) runs="
+                      f"{walls}", file=sys.stderr)
+                emit(f"spot:{name}")
+            # pair stats at 100x too: a spot wall above the linear
+            # fit is only attributable with the work counts beside
+            # it (r10: 147s vs ~79s linear-from-10x read as an
+            # asymptote until slots measured exactly 10.0x/decade)
+            if remaining() > 120:
                 from polars_ds_extension_spark.operators.dedup import (
                     lsh_candidate_stats)
                 from polars_ds_extension_spark.queries_llm import (
                     _docs_with_near_dups)
-                st = lsh_candidate_stats(
+                stt = lsh_candidate_stats(
                     _docs_with_near_dups(spark, sdir), "doc_id", "text")
                 spark.catalog.clearCache()
-                probe_pairs["100x"] = [st["cand_slots"],
-                                       st["cand_distinct"],
-                                       st["max_bucket_size"],
-                                       st["dropped_buckets"],
-                                       st["collapsed"], st["n_mined"]]
-                print(f"lsh pair stats 100x: {st}", file=sys.stderr)
-                # Byte decades (r11): shuffle volume + task counts for
-                # the spot family at 1x and 10x too — bytes are
-                # deterministic (unlike walls), so these run AFTER the
-                # single-shot spots in the same JVM without touching
-                # the wall protocol. With probe_100x's bytes they give
-                # three decades: linear bytes = any wall excess is
-                # waves/constants at fixed cores; a byte JUMP names a
-                # plan-regime transition (measured r11:
-                # near_dup_minhash 8.2 MB -> 72 MB -> 10.3 GB — the
-                # exact-verify join tips from broadcast to sort-merge
-                # at the 100x decade, moving each doc's shingle-hash
-                # array twice ≈ 10 KB/doc, bounded per doc — the plan
-                # a 100 TB corpus runs from the start).
-                from scripts.scale_probe import build_probe_data
-                pdir_b = build_probe_data(spark)  # cached if probes ran
-                for name in SPOT_QUERIES:
-                    try:
-                        for tag, d in (("1x", sf_dir), ("10x", pdir_b)):
-                            hi0, _snap = _stage_snapshot()
-                            qs[name](spark, d).count()
-                            _hi, snap = _stage_snapshot()
-                            rd = sum(v[0] for s, v in snap.items()
-                                     if s > hi0)
-                            tk = sum(v[2] for s, v in snap.items()
-                                     if s > hi0)
-                            probe_bytes.setdefault(name, {})[tag] = [
-                                round(rd / (1 << 20), 1), int(tk)]
-                            release_pins()
-                            spark.catalog.clearCache()
-                        print(f"probe bytes {name}: "
-                              f"{probe_bytes[name]}", file=sys.stderr)
-                    except Exception as ex:
-                        print(f"byte decade skipped for {name}: {ex}",
-                              file=sys.stderr)
-                # forced-shuffle connected-components probe (r11
-                # verdict #3): a 1.25M-edge star graph (shallow
-                # components, the dup-graph shape) run with
-                # small_graph=False — the 100 TB branch that the ≤1M
-                # auto gate otherwise never exercises. Parity with the
-                # broadcast branch is pinned by pytest; this records
-                # the branch's wall + shuffle bytes each round.
+                st["probe_pairs"]["100x"] = [
+                    stt["cand_slots"], stt["cand_distinct"],
+                    stt["max_bucket_size"], stt["dropped_buckets"],
+                    stt["collapsed"], stt["n_mined"]]
+                print(f"lsh pair stats 100x: {stt}", file=sys.stderr)
+                emit("pair_stats_100x")
+            else:
+                st["truncated"].append("pair_stats_100x:skipped")
+            # Byte decades (r11): shuffle volume + task counts for
+            # the spot family at 1x and 10x too — bytes are
+            # deterministic (unlike walls), so these run AFTER the
+            # single-shot spots in the same JVM without touching
+            # the wall protocol. With probe_100x's bytes they give
+            # three decades: linear bytes = any wall excess is
+            # waves/constants at fixed cores; a byte JUMP names a
+            # plan-regime transition (measured r11:
+            # near_dup_minhash 8.2 MB -> 72 MB -> 10.3 GB — the
+            # exact-verify join tips from broadcast to sort-merge
+            # at the 100x decade, moving each doc's shingle-hash
+            # array twice ≈ 10 KB/doc, bounded per doc — the plan
+            # a 100 TB corpus runs from the start).
+            from scripts.scale_probe import build_probe_data
+            pdir_b = build_probe_data(spark)  # cached if probes ran
+            for bi, name in enumerate(SPOT_QUERIES):
+                if remaining() < 90:
+                    st["truncated"].append(
+                        f"probe_bytes:{len(SPOT_QUERIES) - bi}_skipped")
+                    break
+                try:
+                    for tag, d in (("1x", sf_dir), ("10x", pdir_b)):
+                        hi0, _snap = _stage_snapshot()
+                        qs[name](spark, d).count()
+                        _hi, snap = _stage_snapshot()
+                        rd, _wr, tk = _delta(hi0, snap)
+                        st["probe_bytes"].setdefault(name, {})[tag] = [
+                            round(rd / (1 << 20), 1), int(tk)]
+                        release_pins()
+                        spark.catalog.clearCache()
+                    print(f"probe bytes {name}: "
+                          f"{st['probe_bytes'][name]}", file=sys.stderr)
+                except Exception as ex:
+                    print(f"byte decade skipped for {name}: {ex}",
+                          file=sys.stderr)
+            emit("probe_bytes")
+            # forced-shuffle connected-components probe (r11
+            # verdict #3): a 1.25M-edge star graph (shallow
+            # components, the dup-graph shape) run with
+            # small_graph=False — the 100 TB branch that the ≤1M
+            # auto gate otherwise never exercises. Parity with the
+            # broadcast branch is pinned by pytest; this records
+            # the branch's wall + shuffle bytes each round.
+            if remaining() > 100:
                 try:
                     from polars_ds_extension_spark.operators.dedup \
                         import connected_components as _cc
@@ -454,34 +664,36 @@ def main() -> None:
                                 small_graph=False).count()
                     wall = round(time.perf_counter() - t0, 1)
                     _hi, snap = _stage_snapshot()
-                    rd = sum(v[0] for s, v in snap.items() if s > hi0)
-                    wr = sum(v[1] for s, v in snap.items() if s > hi0)
-                    tk = sum(v[2] for s, v in snap.items() if s > hi0)
-                    probe_100x["cc_shuffle_1m"] = [
+                    rd, wr, tk = _delta(hi0, snap)
+                    st["probe_100x"]["cc_shuffle_1m"] = [
                         wall, round(rd / (1 << 20), 1),
                         round(wr / (1 << 20), 1), int(tk)]
                     spark.catalog.clearCache()
                     print(f"probe cc_shuffle_1m: "
-                          f"{probe_100x['cc_shuffle_1m']} labels={n_lab}",
-                          file=sys.stderr)
+                          f"{st['probe_100x']['cc_shuffle_1m']} "
+                          f"labels={n_lab}", file=sys.stderr)
                 except Exception as ex:
                     print(f"cc shuffle probe skipped: {ex}",
                           file=sys.stderr)
-                # vector-index amortization spot (r11 verdict #2): the
-                # r11 persisted-IVF surface exists to amortize
-                # ann_ivf_search's documented Θ(N·√N) per-call index
-                # assignment — demonstrate it AT 100×. The index over
-                # the 2M-vector spot embeddings is built ONCE into a
-                # persisted fixture (dir versioned WITH the spot data);
-                # the probe then times the SAME query batch the
-                # ann_ivf_search spot uses (vec_id < 100) against the
-                # prebuilt artifact — paying only Θ(q·nprobe·N/C·d).
+            else:
+                st["truncated"].append("cc_shuffle_1m:skipped")
+            # vector-index amortization spot (r11 verdict #2): the
+            # r11 persisted-IVF surface exists to amortize
+            # ann_ivf_search's documented Θ(N·√N) per-call index
+            # assignment — demonstrate it AT 100×. The index over
+            # the 2M-vector spot embeddings is built ONCE into a
+            # persisted fixture (dir versioned WITH the spot data);
+            # the probe then times the SAME query batch the
+            # ann_ivf_search spot uses (vec_id < 100) against the
+            # prebuilt artifact — paying only Θ(q·nprobe·N/C·d).
+            if remaining() > 100:
                 try:
                     import math
                     from polars_ds_extension_spark.operators.knn import (
                         build_vector_index, search_vector_index)
                     vdir = f"{sdir}-vecindex"
-                    emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
+                    emb = spark.read.parquet(
+                        f"{sdir}/embeddings.parquet")
                     # gate on the LAST write's _SUCCESS marker, not dir
                     # existence — a crash between the two writes would
                     # otherwise poison the fixture forever (the r12
@@ -504,7 +716,8 @@ def main() -> None:
                               file=sys.stderr)
                     cents = spark.read.parquet(
                         f"{vdir}/centroids.parquet")
-                    cells = spark.read.parquet(f"{vdir}/cells.parquet")
+                    cells = spark.read.parquet(
+                        f"{vdir}/cells.parquet")
                     qbatch = emb.where(F.col("vec_id") < 100)
                     hi0, _snap = _stage_snapshot()
                     t0 = time.perf_counter()
@@ -513,131 +726,31 @@ def main() -> None:
                                         nprobe=2).count()
                     wall = round(time.perf_counter() - t0, 1)
                     _hi, snap = _stage_snapshot()
-                    rd = sum(v[0] for s, v in snap.items() if s > hi0)
-                    wr = sum(v[1] for s, v in snap.items() if s > hi0)
-                    tk = sum(v[2] for s, v in snap.items() if s > hi0)
-                    probe_100x["vector_index_search"] = [
+                    rd, wr, tk = _delta(hi0, snap)
+                    st["probe_100x"]["vector_index_search"] = [
                         wall, round(rd / (1 << 20), 1),
                         round(wr / (1 << 20), 1), int(tk)]
                     release_pins()
                     spark.catalog.clearCache()
                     print(f"probe vector_index_search@100x: "
-                          f"{probe_100x['vector_index_search']} "
+                          f"{st['probe_100x']['vector_index_search']} "
                           "(vs ann_ivf_search one-shot spot above)",
                           file=sys.stderr)
                 except Exception as ex:
                     print(f"vector index spot skipped: {ex}",
                           file=sys.stderr)
-            except Exception as ex:  # pragma: no cover
-                print(f"100x spot probe skipped: {ex}", file=sys.stderr)
+            else:
+                st["truncated"].append("vector_index_search:skipped")
+        except Exception as ex:  # pragma: no cover
+            print(f"100x spot probe skipped: {ex}", file=sys.stderr)
+    elif remaining() <= 240:
+        st["truncated"].append("probe100x:all_skipped")
 
-    # Full-precision record for anyone reading the whole log (stderr so the
-    # driver's stdout tail stays a single parseable line).
-    full = {
-        "metric": "catalog_total_runtime",
-        "value": round(total, 4),
-        "unit": "sec",
-        "queries": per_query,
-        "probe_ratio_10x": probe_ratio,
-        "probe_ratio_10x_dense": probe_ratio_dense,
-        "probe_spread": probe_spread,
-        "probe_abs": probe_abs,
-        "probe_pairs": probe_pairs,
-        "probe_100x": probe_100x,
-        "probe_bytes": probe_bytes,
-        "sf": sf,
-    }
-    print(json.dumps(full), file=sys.stderr)
-
-    # The driver parses only the LAST ~2000 chars of stdout, so stdout is
-    # exactly ONE JSON line that must fit that window in full. The probe
-    # evidence ships IN the parsed line as ONE combined dict —
-    # {query: [ratio, spread, t_small, t_large]}, with @dense keys
-    # carrying the dense-variant ratio — r10 fit fix: the r9 layout
-    # (separate probe_ratio_10x + probe_sbl + dense dicts) repeated
-    # every query name twice and blew the budget to 2164 chars once
-    # probe_pairs/probe_100x joined the line. Per-query catalog timings
-    # remain the trim victim (full set on stderr; the driver's own
-    # CORRECTNESS record re-times the prefix anyway).
-    def _t(v: float) -> float:
-        return round(v, 2) if v < 10 else round(v, 1)
-
-    probe = {}
-    for n in probe_abs:
-        base = n.split("@")[0]
-        r = (probe_ratio_dense.get(base) if n.endswith("@dense")
-             else probe_ratio.get(base))
-        probe[n] = [r, probe_spread.get(n),
-                    _t(probe_abs[n][0]), _t(probe_abs[n][1])]
-
-    def _line(q: dict) -> str:
-        return json.dumps({
-            "metric": "catalog_total_runtime",
-            "value": round(total, 4),
-            "unit": "sec",
-            "queries": q,
-            # {query: [ratio_10x, spread, t_small, t_large]}
-            "probe": probe,
-            # [cand_slots, cand_distinct, max_bucket, dropped,
-            #  collapsed, n_mined] per corpus (collapsed=1: volumes are
-            #  rep-level — the plan the gated query actually runs)
-            "probe_pairs": probe_pairs,
-            "probe_100x": probe_100x,
-            "sf": sf,
-            "n_queries": len(per_query),
-        }, separators=(",", ":"))
-
-    budget = 1900
-    for nd in (2, 1):
-        compact = {k: round(v, nd) for k, v in per_query.items()}
-        if len(_line(compact)) <= budget:
-            break
-    dropped = []
-    # the per-query dict is the budget victim, down to EMPTY — the
-    # probe evidence alone can approach the window now (r10d measured
-    # 1954 with one query left; full per-query timings live on stderr)
-    while len(_line(compact)) > budget and compact:
-        fastest = min(compact, key=lambda k: compact[k])
-        dropped.append((fastest, compact.pop(fastest)))
-    if len(_line(compact)) > budget:
-        # fallback tiers before risking the parse window: spreads to
-        # 1dp, total to 1dp, then absolutes to 1dp (r10d: the probe
-        # evidence alone reached 1904 with queries already empty)
-        for n, v in probe.items():
-            v[1] = round(v[1], 1) if v[1] is not None else None
-        total = round(total, 1)
-    if len(_line(compact)) > budget:
-        for n, v in probe.items():
-            v[2] = round(v[2], 1)
-            v[3] = round(v[3], 1)
-    if len(_line(compact)) > budget:
-        # collapse the r11 probe_100x evidence lists to wall-only —
-        # the shuffle-byte attribution stays in the full stderr record
-        # and the BENCH_LOCAL artifact gen_survey6 reads
-        for n, v in list(probe_100x.items()):
-            if isinstance(v, list):
-                probe_100x[n] = v[0]
-    # last-resort tier (r11: the line measured 2006 chars with every
-    # earlier tier exhausted once the probe set grew to 36+dense and
-    # probe_100x to 8 — a >1900 line loses its HEAD in the driver's
-    # last-2000-char window and the whole artifact fails to parse):
-    # drop 10x-probe entries fastest-large-side-first — the sub-second
-    # rows carry the least scale evidence; probe_pairs and probe_100x
-    # (the 100 TB story) are never dropped
-    probe_dropped = []
-    while len(_line(compact)) > budget and probe:
-        victim = min(probe, key=lambda n: probe[n][3] or 0)
-        probe_dropped.append((victim, probe.pop(victim)))
-    if dropped:  # no silent caps: record what the stdout line lost
-        print("bench stdout-budget dropped: "
-              + ", ".join(f"{k}={v}" for k, v in dropped), file=sys.stderr)
-    if probe_dropped:
-        print("bench stdout-budget dropped probe rows: "
-              + ", ".join(f"{k}={v}" for k, v in probe_dropped),
-              file=sys.stderr)
-    line = _line(compact)
-    print(f"bench stdout line: {len(line)} chars", file=sys.stderr)
-    print(line)
+    # Full-precision record for anyone reading the whole log (stderr so
+    # the driver's stdout tail stays parseable JSON lines only).
+    print(json.dumps(_full_record()), file=sys.stderr)
+    finished.set()
+    emit("final")
     spark.stop()
 
 

@@ -24,6 +24,22 @@ def get_spark(app: str = "polars_ds_extension_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Crash forensics (r12: the driver bench died with "Python
+        # worker exited unexpectedly (crashed)" and NO traceback —
+        # stage 1431, never diagnosed). Both faulthandler confs make
+        # the next worker death name its UDF and line; overhead is one
+        # signal-handler registration per worker.
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
+                "true")
+        # Bound Arrow batches on the pandas-UDF paths: the default
+        # 10000-row batches put ~10k texts + their shingle-hash/
+        # signature intermediates in flight PER WORKER × 32 workers —
+        # the prime suspect for the r12 worker OOM under host memory
+        # pressure. 2048 caps peak per-worker footprint ~5x;
+        # env-overridable per deployment.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         # InferFiltersFromGenerate turns explode(expr) into
         # size(expr)>0 AND expr IS NOT NULL and PUSHES that filter
         # below the projection — duplicating the full evaluation of

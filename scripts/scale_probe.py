@@ -169,6 +169,32 @@ DEFAULT_QUERIES = [
     "event_funnel", "cohort_retention",
 ]
 
+# ---- probe rotation (r12 verdict #3) -------------------------------
+# The full symmetric fresh-JVM min-of-3 matrix grew to ~44 probes ×
+# both sides — enough that the official bench stopped fitting the
+# driver's wall budget (BENCH_r12 died at rc=124 with every number
+# lost). Like the correctness prefix, the probe set now ROTATES:
+#   * ALWAYS_PROBES run every round — the SPOT_QUERIES' 10x legs feed
+#    the 100x two-point fits, and knn_auto_route is the r11 weak row
+#    awaiting its official re-pin;
+#   * NEW_PROBES (edited per round, like queries._STALE) — queries
+#    whose covering code changed this round;
+#   * the remainder rotates in thirds by stable DEFAULT_QUERIES index,
+#    so every probe re-measures within 3 rounds.
+ALWAYS_PROBES = list(SPOT_QUERIES) + ["knn_auto_route"]
+# round 13: pagerank's personalization branch was restructured (the
+# uniform loop is parity-pinned but re-measure its probe)
+NEW_PROBES = ["pagerank"]
+
+
+def probe_rotation(round_no: int, names=None) -> list:
+    names = list(names if names is not None else DEFAULT_QUERIES)
+    keep = set(ALWAYS_PROBES) | set(NEW_PROBES)
+    rot = [n for n in names if n not in keep]
+    sel = {n for i, n in enumerate(rot) if i % 3 == round_no % 3}
+    return [n for n in names if n in keep or n in sel]
+
+
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
 # base dup clusters fuse 10x bigger): measured EVERY round beside the
 # constant-density number — the bucket/cell caps are the defense, and a
