@@ -79,7 +79,10 @@ def main() -> None:
         "probe_abs": {}, "probe_small": {}, "probe_pairs": {},
         "probe_100x": {}, "probe_bytes": {}, "truncated": [],
     }
-    emit_lock = threading.Lock()
+    # RLock, not Lock: the SIGTERM handler runs IN the main thread — if
+    # it lands while main is inside emit(), a plain Lock would deadlock
+    # the handler on its own thread's lock (re-entry just prints twice)
+    emit_lock = threading.RLock()
 
     def _t(v: float) -> float:
         return round(v, 2) if v < 10 else round(v, 1)

@@ -171,6 +171,15 @@ _STALE = frozenset({
     # element-level NULL count (raise-with-diagnosis instead of a bare
     # TypeError); the stats aggregations are unchanged
     "embedding_drift",
+    # round 13: _verify_pairs' engaged (SMJ-regime) branch hints the
+    # verify joins shuffle_hash — sort-merge was sorting the multi-KB
+    # shingle-array rows on both sides of both joins (100x spot: 172 →
+    # 142 s min-of-3 at byte-identical work). Plan-only; values
+    # identical (same inner joins); the sf0.01 oracle path runs the
+    # un-engaged branch unchanged, but the covering kernel changed ->
+    # every near_dup_pairs consumer re-verifies
+    "near_dup_minhash", "near_dup_cluster_dedup",
+    "dup_cluster_downsample", "dup_cluster_sizes",
 })
 
 

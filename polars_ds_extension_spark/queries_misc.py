@@ -1748,6 +1748,68 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", _r(F.col("rank") * 1000).alias("rank_k"))
 
 
+@query("pagerank_personalized", """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
+), sw AS (
+  SELECT t.node, t.w FROM (VALUES ('c1', 2.0), ('c7', 1.0), ('s3', 1.0))
+    AS t(node, w) JOIN deg USING (node)
+), tot AS (SELECT SUM(w) AS tw FROM sw),
+sj AS (
+  SELECT d.node, d.od, COALESCE(sw.w, 0) / tot.tw AS s
+  FROM deg d CROSS JOIN tot LEFT JOIN sw USING (node)
+), p1 AS (
+  SELECT d.node, d.od, d.s, 0.15 * d.s + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM sj d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.s / p.od) AS ir
+    FROM e JOIN sj p ON e.src = p.node GROUP BY e.dst) a USING (node)
+), p2 AS (
+  SELECT d.node, d.od, d.s, 0.15 * d.s + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM sj d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / p.od) AS ir
+    FROM e JOIN p1 p ON e.src = p.node GROUP BY e.dst) a USING (node)
+), p3 AS (
+  SELECT d.node, d.od, 0.15 * d.s + 0.85 * COALESCE(a.ir, 0) AS r
+  FROM sj d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / p.od) AS ir
+    FROM e JOIN p2 p ON e.src = p.node GROUP BY e.dst) a USING (node)
+)
+SELECT node, ROUND(r * 1000, 6) AS rank_k FROM p3
+""")
+def pagerank_personalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators/graph.pagerank with a seed
+    distribution — TrustRank): teleport and dangling mass land on the
+    normalized 3-seed distribution (c1:2, c7:1, s3:1) instead of 1/N,
+    on the same symmetric co-purchase graph and per-iteration plan as
+    the `pagerank` query (the seed column rides the checkpointed nodes
+    frame; seeds are broadcast). The oracle unrolls the same three
+    iterations as CTEs with s(v) from a VALUES seed table normalized
+    over seeds PRESENT in the graph — exactly the operator's contract
+    (symmetric graph → dangling term is 0 in both engines)."""
+    from .operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")) \
+        .unionAll(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    seeds = spark.createDataFrame([("c1", 2.0), ("c7", 1.0), ("s3", 1.0)],
+                                  "node string, w double")
+    pr = G.pagerank(edges, "src", "dst", n_iter=3, damping=0.85,
+                    personalization=seeds)
+    return pr.select("node", _r(F.col("rank") * 1000).alias("rank_k"))
+
+
 @query("group_sample_exact", f"""
 WITH r AS (
   SELECT source, doc_id, n_chars,
