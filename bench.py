@@ -192,7 +192,19 @@ def main() -> None:
 
     def _force_exit(tag: str) -> None:
         st["truncated"].append(tag)
-        emit(tag)
+        # the watchdog leg races the main thread's lock-free st writes
+        # (emit iterates the dicts): a concurrent insert can raise
+        # RuntimeError mid-render. One retry after the write settles,
+        # and the exit itself must NEVER be lost — losing it re-creates
+        # the external rc=124 this thread exists to prevent.
+        try:
+            emit(tag)
+        except Exception:
+            try:
+                time.sleep(0.5)
+                emit(tag)
+            except Exception:  # pragma: no cover
+                pass
         os._exit(0)
 
     def _watchdog() -> None:  # pragma: no cover - timing path
@@ -409,7 +421,9 @@ def main() -> None:
             emit("probe10x_dense")
         except Exception as ex:  # pragma: no cover
             print(f"scale probe skipped: {ex}", file=sys.stderr)
-    elif elapsed() >= 0.45 * budget:
+    elif os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
+        # truncated records BUDGET exhaustion only — an env opt-out is
+        # a deliberate switch, not a provenance event (r13 review)
         st["truncated"].append("probe10x:all_skipped")
 
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
@@ -454,7 +468,7 @@ def main() -> None:
             emit("pair_stats")
         except Exception as ex:  # pragma: no cover
             print(f"pair stats skipped: {ex}", file=sys.stderr)
-    else:
+    elif os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
         st["truncated"].append("pair_stats:skipped")
 
     # 100x spot probe (r9 verdict #5): ONE timed run per query on
@@ -746,7 +760,8 @@ def main() -> None:
                 st["truncated"].append("vector_index_search:skipped")
         except Exception as ex:  # pragma: no cover
             print(f"100x spot probe skipped: {ex}", file=sys.stderr)
-    elif remaining() <= 240:
+    elif os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
+            and os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0":
         st["truncated"].append("probe100x:all_skipped")
 
     # Full-precision record for anyone reading the whole log (stderr so

@@ -190,9 +190,13 @@ NEW_PROBES = ["pagerank"]
 def probe_rotation(round_no: int, names=None) -> list:
     names = list(names if names is not None else DEFAULT_QUERIES)
     keep = set(ALWAYS_PROBES) | set(NEW_PROBES)
-    rot = [n for n in names if n not in keep]
-    sel = {n for i, n in enumerate(rot) if i % 3 == round_no % 3}
-    return [n for n in names if n in keep or n in sel]
+    # cohort by the query's STABLE position in `names` — indexing the
+    # keep-filtered remainder instead would re-class every query after
+    # an edit point whenever NEW_PROBES changes size between rounds
+    # (r13 review finding: simulated rotations left queries unmeasured
+    # for 5 rounds), silently breaking the promised 3-round union
+    return [n for i, n in enumerate(names)
+            if n in keep or i % 3 == round_no % 3]
 
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
