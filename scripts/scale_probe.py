@@ -194,9 +194,15 @@ def probe_rotation(round_no: int, names=None) -> list:
     # keep-filtered remainder instead would re-class every query after
     # an edit point whenever NEW_PROBES changes size between rounds
     # (r13 review finding: simulated rotations left queries unmeasured
-    # for 5 rounds), silently breaking the promised 3-round union
-    return [n for i, n in enumerate(names)
-            if n in keep or i % 3 == round_no % 3]
+    # for 5 rounds), silently breaking the promised 3-round union.
+    # ALWAYS/NEW run FIRST: the wall-budget gate truncates the TAIL of
+    # this list, and losing a rotation member costs one round of a
+    # 3-round cycle while losing a spot-fit leg costs the 100× fit
+    # itself (r13: leakage_safe_split's fit leg fell to the gate).
+    sel = [n for i, n in enumerate(names)
+           if n in keep or i % 3 == round_no % 3]
+    return ([n for n in sel if n in keep]
+            + [n for n in sel if n not in keep])
 
 
 # the adversarial hot-cluster stress (--dense: text copied verbatim so
