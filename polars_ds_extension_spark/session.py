@@ -36,10 +36,19 @@ def get_spark(app: str = "polars_ds_extension_spark",
         # 10000-row batches put ~10k texts + their shingle-hash/
         # signature intermediates in flight PER WORKER × 32 workers —
         # the prime suspect for the r12 worker OOM under host memory
-        # pressure. 2048 caps peak per-worker footprint ~5x;
-        # env-overridable per deployment.
+        # pressure. 4096 balances the two measured regimes: 2048
+        # regressed the IVF-assignment kernel ~1.7× at the 1M-vector
+        # spot (490 numpy calls whose ~185 MFLOP matmul no longer
+        # amortized the per-batch fixed cost: 52.1 s vs 30.2 s at
+        # 10000; 4096 measured 30.4 s — full recovery), while the
+        # text/shingle kernels are neutral-to-faster with smaller
+        # batches (minhash 100×: 172 s at 2048 vs 194 s at 10000).
+        # Value-neutral by construction: every kernel behind this
+        # boundary is per-row (signatures, assignments, distances) —
+        # batch size changes granularity, never results.
+        # Env-overridable per deployment.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4096"))
         # InferFiltersFromGenerate turns explode(expr) into
         # size(expr)>0 AND expr IS NOT NULL and PUSHES that filter
         # below the projection — duplicating the full evaluation of
