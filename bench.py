@@ -17,7 +17,7 @@ from the driver's tail window anyway). Three defenses, layered:
      full-precision record is atomically rewritten to
      BENCH_PARTIAL.json, so a kill at ANY point leaves both a parseable
      tail and an on-disk artifact of everything measured so far.
-  2. WALL BUDGET — $SPARK_GRAFT_BENCH_BUDGET_S (default 2400 s) gates
+  2. WALL BUDGET — $SPARK_GRAFT_BENCH_BUDGET_S (default 3000 s) gates
      every phase: when a tier would not fit, it is SKIPPED with a
      `"truncated": [...]` marker instead of running into the external
      timeout. The bench should never be the thing that hits rc=124.
@@ -61,7 +61,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2400"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
     t_start = time.monotonic()
 
     def elapsed() -> float:
@@ -339,12 +339,18 @@ def main() -> None:
         return min(samples), max(samples)
 
     def _probe_set(names, pdir, out, spread=None, abs_out=None,
-                   gate=0.45, tier="probe10x"):
+                   reserve=0.35, tier="probe10x"):
+        # reserve-based gate: keep `reserve` of the budget for the
+        # tiers behind this one (spots + finalization). An ELAPSED
+        # gate misfires on a degraded host — the catalog can legally
+        # end just under its own 0.50 gate, and elapsed<0.45 then
+        # skipped every probe with half the budget still unspent
+        # (r13: the driver-budget simulation lost all but 1-2 probes).
         qs = catalog.queries()
         for pi, name in enumerate(names):
             if name not in qs:
                 continue
-            if elapsed() > gate * budget:
+            if remaining() < reserve * budget:
                 st["truncated"].append(f"{tier}:{len(names) - pi}_skipped")
                 print(f"{tier} truncated at {name}", file=sys.stderr)
                 return
@@ -382,7 +388,7 @@ def main() -> None:
                   file=sys.stderr)
 
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
-            and elapsed() < 0.45 * budget:
+            and remaining() > 0.35 * budget:
         try:
             from scripts.scale_probe import (DENSE_QUERIES,
                                              build_probe_data,
@@ -401,7 +407,7 @@ def main() -> None:
                 _wu(F.col("id").cast("double"))).count()
             _probe_set(probes, pdir, st["probe_ratio"],
                        st["probe_spread"], st["probe_abs"],
-                       gate=0.45, tier="probe10x")
+                       reserve=0.35, tier="probe10x")
             emit("probe10x")
             # adversarial hot-cluster variant for the dedup family: the
             # bucket/cell caps are the defense; measure them every
@@ -414,7 +420,7 @@ def main() -> None:
             dense_abs: dict = {}
             _probe_set(DENSE_QUERIES, pdir_dense, st["probe_ratio_dense"],
                        dense_spread, dense_abs,
-                       gate=0.55, tier="probe10x_dense")
+                       reserve=0.30, tier="probe10x_dense")
             for n, v in dense_abs.items():
                 st["probe_spread"][f"{n}@dense"] = dense_spread.get(n)
                 st["probe_abs"][f"{n}@dense"] = v
@@ -427,7 +433,7 @@ def main() -> None:
         st["truncated"].append("probe10x:all_skipped")
 
     if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
-            and elapsed() < 0.60 * budget:
+            and remaining() > 0.27 * budget:
         # Candidate-pair evidence for the minhash plan ("no silent
         # caps", r9 verdict): slots / distinct pairs / max bucket on
         # the SAME near-dup corpus the probed queries run, at 1x, 10x
