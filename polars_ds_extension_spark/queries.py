@@ -55,35 +55,20 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 8
-    "add_at": 8, "asof_join": 8, "asof_join_forward": 8, "bicor": 8,
-    "blocked_jaccard": 8, "cat_cross_entropy": 8,
-    "contamination_report": 8, "convolve": 8, "copula_entropy": 8,
-    "curation_pipeline": 8, "curation_pipeline_v2": 8, "decontaminate":
-    8, "dia_profile": 8, "drift_over_time": 8, "dup_char_spans": 8,
-    "dup_spans": 8, "gopher_gate": 8, "histogram": 8, "kaplan_meier": 8,
-    "kmeans": 8, "kmeans_inertia": 8, "knn_entropy": 8, "linear_impute":
-    8, "mad": 8, "mixture_resample": 8, "multi_roc_auc": 8,
-    "near_dup_simhash": 8, "pipeline_poly_impute": 8, "pipeline_qbin":
-    8, "pipeline_transform": 8, "psi": 8, "quality_quantile_filter": 8,
-    "series_entropy": 8, "smooth_spline": 8, "stream_decontaminate": 8,
-    "text_quality": 8, "token_mixture": 8, "tpr_fpr": 8,
-    "transfer_entropy": 8, "winsorize": 8,
     # last stamped in round 9
     "benford": 9, "bigram_lm": 9, "blueprint_dyn_agg": 9,
     "blueprint_lin_impute": 9, "chi2": 9, "classification_metrics": 9,
     "cond_entropy": 9, "cond_indep": 9, "count_uniques": 9,
-    "curation_pipeline_v3": 9, "dcg": 9, "dedup_stats": 9,
-    "dist_kth_nb": 9, "elementwise_math": 9, "entropy": 9,
-    "exact_dedup": 9, "f_test": 9, "gcd_lcm": 9, "integrate_detrend": 9,
-    "is_monotonic": 9, "knn_avg_label": 9, "knn_cosine": 9, "knn_freq":
-    9, "language_id": 9, "mean_family": 9, "normality": 9,
-    "perplexity_gate": 9, "pipeline_blueprint": 9, "pricing_summary": 9,
-    "regression_metrics": 9, "softmax_znorm": 9, "string_cleaning": 9,
-    "string_similarity": 9, "target_encode": 9, "token_stats": 9,
-    "top_ngrams": 9, "ts_autocorr": 9, "ts_moments": 9, "ts_ordered": 9,
-    "ts_streaks": 9, "ttest": 9, "vocab_nearest": 9, "weighted_stats":
-    9, "woe_iv": 9,
+    "curation_pipeline_v3": 9, "dcg": 9, "dedup_stats": 9, "dist_kth_nb": 9,
+    "elementwise_math": 9, "entropy": 9, "exact_dedup": 9, "f_test": 9,
+    "gcd_lcm": 9, "integrate_detrend": 9, "is_monotonic": 9,
+    "knn_avg_label": 9, "knn_cosine": 9, "knn_freq": 9, "language_id": 9,
+    "mean_family": 9, "normality": 9, "perplexity_gate": 9,
+    "pipeline_blueprint": 9, "regression_metrics": 9, "softmax_znorm": 9,
+    "string_cleaning": 9, "string_similarity": 9, "target_encode": 9,
+    "token_stats": 9, "top_ngrams": 9, "ts_autocorr": 9, "ts_moments": 9,
+    "ts_ordered": 9, "ts_streaks": 9, "ttest": 9, "vocab_nearest": 9,
+    "weighted_stats": 9, "woe_iv": 9,
     # last stamped in round 10
     "bm25_score": 10, "chunk_documents": 10, "combinations": 10,
     "eda_describe": 10, "elastic_net": 10, "embedding_ops": 10,
@@ -93,48 +78,63 @@ _GREEN_ROUND = {
     "multimodal_blobs": 10, "multimodal_decode": 10,
     "multimodal_resize": 10, "pii_scrub": 10, "pipeline_encode": 10,
     "pipeline_iv_rankhot": 10, "pq_encode": 10, "product": 10,
-    "quality_classifier": 10, "radius_nb_cnt": 10, "rolling_lin_reg":
-    10, "sample_split": 10, "semantic_decontaminate": 10,
-    "shuffle_shards": 10, "simple_lin_reg": 10, "smooth_spline_natural":
-    10, "snapshot_diff": 10, "source_overlap": 10, "stream_dedup": 10,
-    "stream_running_stats": 10, "stream_sessionize": 10,
-    "stream_windowed_agg": 10, "strip_boilerplate": 10, "tfidf_topk":
-    10, "within_radius_target": 10,
+    "quality_classifier": 10, "radius_nb_cnt": 10, "rolling_lin_reg": 10,
+    "sample_split": 10, "semantic_decontaminate": 10, "shuffle_shards": 10,
+    "simple_lin_reg": 10, "smooth_spline_natural": 10, "snapshot_diff": 10,
+    "source_overlap": 10, "stream_dedup": 10, "stream_running_stats": 10,
+    "stream_sessionize": 10, "stream_windowed_agg": 10,
+    "strip_boilerplate": 10, "tfidf_topk": 10, "within_radius_target": 10,
     # last stamped in round 11
     "ar_coeffs": 11, "array_math": 11, "bpe_tokenize_oracle": 11,
     "chunk_by_tokens": 11, "corr_family": 11, "corr_matrix": 11,
-    "dia_col_validation": 11, "dia_row_validation": 11, "downsample":
-    11, "eda_flags": 11, "float_neighbors": 11, "glm_poisson": 11,
+    "dia_col_validation": 11, "dia_row_validation": 11, "downsample": 11,
+    "eda_flags": 11, "float_neighbors": 11, "glm_poisson": 11,
     "hypertable_rollup": 11, "index_update": 11, "isotonic": 11,
     "jaccard_arrays": 11, "kendall": 11, "ks_2samp": 11,
     "lin_reg_rcond_oracle": 11, "mann_whitney": 11, "mase_full": 11,
     "pca": 11, "permute_entropy": 11, "prebuilt_index_dedup": 11,
     "range_join": 11, "rfft": 11, "roc_auc": 11, "salted_join": 11,
     "sample_exact_n": 11, "select_by_std_cols": 11,
-    "series_entropy_oracle": 11, "similar_count": 11, "singular_values":
-    11, "smooth_spline_oracle": 11, "stream_curation_gate": 11,
+    "series_entropy_oracle": 11, "similar_count": 11, "singular_values": 11,
+    "smooth_spline_oracle": 11, "stream_curation_gate": 11,
     "stream_interval_join": 11, "string_kernels_oracle": 11,
     "volume_neutral": 11, "xi_corr": 11,
     # last stamped in round 12
-    "ann_ivf_search": 12, "batch_sessionize": 12, "bloom_decontaminate":
-    12, "cohort_retention": 12, "dsir_sample": 12,
-    "dup_cluster_downsample": 12, "dup_cluster_sizes": 12,
-    "embedding_drift": 12, "event_funnel": 12, "feature_screen": 12,
-    "fuzzy_entity_dedup": 12, "fuzzy_match": 12, "graph_degrees": 12,
+    "ann_ivf_search": 12, "batch_sessionize": 12, "bloom_decontaminate": 12,
+    "cohort_retention": 12, "dsir_sample": 12, "event_funnel": 12,
+    "feature_screen": 12, "fuzzy_match": 12, "graph_degrees": 12,
     "group_sample_exact": 12, "group_split": 12, "ivf_ann": 12,
-    "ivf_recall": 12, "ivfpq_search": 12, "key_skew": 12, "kfold_split":
-    12, "knn_auto_route": 12, "near_dup_cluster_dedup": 12,
-    "near_dup_minhash": 12, "ngram_diversity": 12, "normalized_dedup":
-    12, "pack_sequences": 12, "pagerank": 12, "pmi_collocations": 12,
-    "pq_search": 12, "recursive_lin_reg": 12, "regional_volume": 12,
+    "ivf_recall": 12, "ivfpq_search": 12, "kfold_split": 12,
+    "knn_auto_route": 12, "ngram_diversity": 12, "normalized_dedup": 12,
+    "pack_sequences": 12, "pmi_collocations": 12, "pq_search": 12,
+    "recursive_lin_reg": 12, "regional_volume": 12,
     "repetition_signals": 12, "rolling_anomaly": 12, "scd2_history": 12,
     "script_profile": 12, "semantic_dedup": 12, "stream_topk": 12,
     "stream_upsert": 12, "time_gapfill": 12, "token_budget_sample": 12,
     "triangle_count": 12, "unicode_clean": 12, "upsert_latest": 12,
     "vector_index_build": 12, "vector_index_search": 12,
     "vector_index_stats": 12, "vector_index_update": 12,
-    "vocab_nearest_metrics": 12, "weighted_sample": 12, "zorder_key":
-    12,
+    "vocab_nearest_metrics": 12, "weighted_sample": 12, "zorder_key": 12,
+    # last stamped in round 13
+    "add_at": 13, "asof_join": 13, "asof_join_forward": 13, "bicor": 13,
+    "blocked_jaccard": 13, "cat_cross_entropy": 13,
+    "contamination_report": 13, "convolve": 13, "copula_entropy": 13,
+    "curation_pipeline": 13, "curation_pipeline_v2": 13,
+    "decontaminate": 13, "dia_profile": 13, "drift_over_time": 13,
+    "dup_char_spans": 13, "dup_cluster_downsample": 13,
+    "dup_cluster_sizes": 13, "dup_spans": 13, "embedding_drift": 13,
+    "fuzzy_entity_dedup": 13, "gopher_gate": 13, "histogram": 13,
+    "kaplan_meier": 13, "key_skew": 13, "kmeans": 13, "kmeans_inertia": 13,
+    "knn_entropy": 13, "linear_impute": 13, "mad": 13,
+    "mixture_resample": 13, "multi_roc_auc": 13,
+    "near_dup_cluster_dedup": 13, "near_dup_minhash": 13,
+    "near_dup_simhash": 13, "pagerank": 13, "pagerank_personalized": 13,
+    "pipeline_poly_impute": 13, "pipeline_qbin": 13,
+    "pipeline_transform": 13, "pricing_summary": 13, "psi": 13,
+    "quality_quantile_filter": 13, "series_entropy": 13,
+    "smooth_spline": 13, "stream_decontaminate": 13, "text_quality": 13,
+    "token_mixture": 13, "tpr_fpr": 13, "transfer_entropy": 13,
+    "winsorize": 13,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -148,38 +148,10 @@ _GREEN_ROUND = {
 # prefix — the change was verified by a full independent mirror run:
 # 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
-    # (r12's stale set fully re-stamped by CORRECTNESS_r12 — all 50
-    # prefix rows hash-green. Round-13 entries accumulate below as
-    # covering code changes.)
-    # round 13 (r12 ADVICE applied): pagerank's personalization branch
-    # pre-aggregates duplicate seeds, raises on negative weights, and
-    # folds seed validation + normalization into the single count
-    # action (uniform path value-identical; parity pytest) -> the
-    # stamped uniform-loop consumer re-verifies
-    "pagerank",
-    # round 13: key_skew_profile's p50/p90/p99 move from F.percentile
-    # (count-multiset buffer in ONE reducer — the exact single-node
-    # sort the house exact-quantile plan exists to avoid) to
-    # plans/ranks.exact_quantiles; values identical (same quantile_cont
-    # interpolation), plan changed
-    "key_skew",
-    # round 13: fuzzy_dedup resolves its integral-id validation through
-    # the analyzed schema (Column ids supported); plan unchanged for
-    # string ids, covering code changed
-    "fuzzy_entity_dedup",
-    # round 13: embedding_group_stats' validation aggregate gains an
-    # element-level NULL count (raise-with-diagnosis instead of a bare
-    # TypeError); the stats aggregations are unchanged
-    "embedding_drift",
-    # round 13: _verify_pairs' engaged (SMJ-regime) branch hints the
-    # verify joins shuffle_hash — sort-merge was sorting the multi-KB
-    # shingle-array rows on both sides of both joins (100x spot: 172 →
-    # 142 s min-of-3 at byte-identical work). Plan-only; values
-    # identical (same inner joins); the sf0.01 oracle path runs the
-    # un-engaged branch unchanged, but the covering kernel changed ->
-    # every near_dup_pairs consumer re-verifies
-    "near_dup_minhash", "near_dup_cluster_dedup",
-    "dup_cluster_downsample", "dup_cluster_sizes",
+    # (r13's stale set fully re-stamped by CORRECTNESS_r13 — all 50
+    # prefix rows hash-green. Round-14 entries accumulate below as
+    # covering code changes. Prefix budget this round: the r9 cohort is
+    # 43 rows and must rotate, so len(new) + len(stale) <= 7.)
 })
 
 
