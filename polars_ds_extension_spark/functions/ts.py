@@ -499,6 +499,80 @@ def query_lempel_ziv(df: DataFrame, x: str, order_by,
     return _series_apply(df, x, order_by, by, _kernel, "lempel_ziv double")
 
 
+def query_series_entropies(df: DataFrame, x: str, order_by,
+                           by: Sequence[str] | None = None,
+                           m: int = 2, r_factor: float = 0.2,
+                           as_ratio: bool = True) -> DataFrame:
+    """Sample entropy, approximate entropy and LZ76 complexity in ONE
+    grouped pass (refs ts_features.py:519/:571/:314) — same math as the
+    three single-metric kernels above, value-identical by construction:
+
+    * one chunked Chebyshev sweep per template length serves BOTH
+      estimators: ``block.sum(axis=1)`` is the per-template match count
+      (self-matches included), whose total feeds SampEn's pair count
+      ``(Σcnt − n)/2`` and whose ``Σ log(cnt/n)/n`` is ApEn's Φ — so the
+      fused kernel does 2 sweeps (m, m+1) where the separate kernels do
+      4, and the series shuffles to the executors ONCE instead of three
+      times (plus a fourth for the group-size count this also returns);
+    * the LZ76 loop is query_lempel_ziv's, inlined verbatim so that
+      kernel's covering code is untouched.
+
+    Output: ``by`` + n_used (group size) + sample_entropy +
+    approx_entropy + lempel_ziv. NaN semantics match the single-metric
+    kernels (entropies need ≥ m+2 points; SampEn NaN when either pair
+    count is zero; LZ NaN only on empty input).
+    """
+    import math
+
+    import numpy as np
+
+    def _sweep(xv, mm: int, r: float):
+        # shared Chebyshev pass: pair count for SampEn + Φ for ApEn
+        n = xv.size - mm + 1
+        chunk = _cheb_chunk(n, None)
+        pairs = 0
+        log_sum = 0.0
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            cnt = _cheb_within(xv, mm, r, s0, s1).sum(axis=1)
+            pairs += int(cnt.sum())
+            log_sum += float(np.log(cnt / n).sum())
+        return (pairs - n) // 2, log_sum / n
+
+    def _kernel(xv: "np.ndarray") -> dict:
+        nan = float("nan")
+        out = {"n_used": [int(xv.size)], "sample_entropy": [nan],
+               "approx_entropy": [nan], "lempel_ziv": [nan]}
+        if xv.size:
+            s = bytes((xv > np.median(xv)).astype(np.uint8))
+            n = len(s)
+            seen: set[bytes] = set()
+            ind, inc = 0, 1
+            while ind + inc <= n:
+                sub = s[ind:ind + inc]
+                if sub in seen:
+                    inc += 1
+                else:
+                    seen.add(sub)
+                    ind += inc
+                    inc = 1
+            out["lempel_ziv"] = [len(seen) / n if as_ratio
+                                 else float(len(seen))]
+        if xv.size >= m + 2:
+            r = r_factor * float(np.std(xv, ddof=0))
+            b, phi_m = _sweep(xv, m, r)
+            a, phi_m1 = _sweep(xv, m + 1, r)
+            if a > 0 and b > 0:
+                out["sample_entropy"] = [-math.log(a / b)]
+            out["approx_entropy"] = [phi_m - phi_m1]
+        return out
+
+    return _series_apply(
+        df, x, order_by, by, _kernel,
+        "n_used bigint, sample_entropy double, approx_entropy double, "
+        "lempel_ziv double")
+
+
 def query_permute_entropy(df: DataFrame, x: str, order_by,
                           by: Sequence[str] | None = None,
                           m: int = 3) -> DataFrame:

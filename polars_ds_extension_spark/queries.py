@@ -152,6 +152,15 @@ _STALE = frozenset({
     # prefix rows hash-green. Round-14 entries accumulate below as
     # covering code changes. Prefix budget this round: the r9 cohort is
     # 43 rows and must rotate, so len(new) + len(stale) <= 7.)
+    # round 14 (r13 verdict #6): series_entropy moves from three
+    # single-metric kernel passes + count + 3 joins to the fused
+    # query_series_entropies kernel (one grouped pass, 2 Chebyshev
+    # sweeps instead of 4). Values identical by construction (shared
+    # _cheb_within/_cheb_chunk math, LZ76 loop inlined verbatim;
+    # fused-vs-separate parity pytest) but the covering kernel is new.
+    # series_entropy_oracle still runs the UNTOUCHED single-metric
+    # kernels, so it stays green.
+    "series_entropy",
 })
 
 

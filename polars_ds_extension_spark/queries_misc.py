@@ -187,18 +187,19 @@ def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The O(n²) entropy kernels are bounded here with a deterministic
     stride sample (≤ ~2k points/group) — entropy estimates converge well
-    before that; the operators themselves take the full series."""
+    before that; the operators themselves take the full series. Since
+    r14 the three metrics come from the FUSED query_series_entropies
+    kernel: one grouped pass (2 Chebyshev sweeps instead of 4, the
+    series shuffled once instead of four times, zero joins) — the
+    single-metric kernels stay pinned by `series_entropy_oracle` and
+    the fused-vs-separate parity pytest."""
     ev = load_table(spark, sf_dir, "events")
     stride = max(1, ev.count() // 10_000)   # ≈2k points per event_type
     ev = ev.where(F.pmod(F.col("event_id"), F.lit(stride)) == 0)
-    se = TS.query_sample_entropy(ev, "value", "event_id", by=["event_type"])
-    ae = TS.query_approx_entropy(ev, "value", "event_id", by=["event_type"])
-    lz = TS.query_lempel_ziv(ev, "value", "event_id", by=["event_type"])
-    n_used = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_used"))
+    ent = TS.query_series_entropies(ev, "value", "event_id",
+                                    by=["event_type"])
     return (
-        n_used.join(se, "event_type").join(ae, "event_type")
-        .join(lz, "event_type")
-        .select("event_type", "n_used",
+        ent.select("event_type", "n_used",
                 (F.col("sample_entropy") >= 0).alias("sampen_nonneg"),
                 (~F.isnan("approx_entropy")
                  & (F.abs("approx_entropy") != float("inf")))

@@ -77,6 +77,35 @@ def test_lempel_ziv_known(spark):
     assert out["lempel_ziv"] == float(len(seen))
 
 
+def test_series_entropies_fused_parity(spark):
+    # the fused single-pass kernel must agree exactly with the three
+    # single-metric kernels (it shares their Chebyshev/LZ76 math)
+    x = np.concatenate([RNG.normal(size=150), RNG.normal(2.0, 0.5, 80)])
+    df = _series_df(spark, x).withColumn(
+        "g", (F.col("i") % 2).cast("string"))
+    fused = (TS.query_series_entropies(df, "x", "i", by=["g"])
+             .orderBy("g").toPandas())
+    se = TS.query_sample_entropy(df, "x", "i", by=["g"]).orderBy("g").toPandas()
+    ae = TS.query_approx_entropy(df, "x", "i", by=["g"]).orderBy("g").toPandas()
+    lz = TS.query_lempel_ziv(df, "x", "i", by=["g"]).orderBy("g").toPandas()
+    assert list(fused["n_used"]) == [115, 115]
+    assert fused["sample_entropy"].values == pytest.approx(
+        se["sample_entropy"].values, rel=1e-15)
+    assert fused["approx_entropy"].values == pytest.approx(
+        ae["approx_entropy"].values, rel=1e-15)
+    assert fused["lempel_ziv"].values == pytest.approx(
+        lz["lempel_ziv"].values, rel=1e-15)
+    # NaN semantics on a too-short group: entropies NaN, LZ defined
+    tiny = TS.query_series_entropies(
+        _series_df(spark, [1.0, 2.0, 3.0]), "x", "i").first()
+    assert tiny["n_used"] == 3
+    # kernel NaN surfaces as null through Arrow, like the single-metric
+    # kernels
+    assert tiny["sample_entropy"] is None
+    assert tiny["approx_entropy"] is None
+    assert tiny["lempel_ziv"] > 0
+
+
 def test_pca_matches_numpy(spark):
     X = RNG.normal(size=(500, 3)) @ np.array(
         [[2.0, 0.3, 0.0], [0.0, 1.0, 0.1], [0.0, 0.0, 0.2]])
