@@ -152,7 +152,8 @@ def pq_encode(df, id_col: str, vec_col: str, codebooks) -> "DataFrame":
 
 def pq_knn_join(queries, q_id: str, q_vec: str,
                 index_codes, i_id: str, codes_col: str,
-                codebooks, k: int = 5) -> "DataFrame":
+                codebooks, k: int = 5,
+                max_index_rows: int | None = None) -> "DataFrame":
     """Approximate top-k by asymmetric distance (ADC): per query build
     the m x K lookup table of exact query-to-centroid distances, then
     score every code row by m table lookups — no decode, no full-dim
@@ -168,11 +169,30 @@ def pq_knn_join(queries, q_id: str, q_vec: str,
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    from .knn import MAX_BROADCAST_INDEX_ROWS
+
+    # Same fail-fast contract as knn._collect_index: the code table is
+    # broadcast-size by contract (m small ints/vector), but an uncapped
+    # collect of a 1e9-row index is tens of GB on the driver — fail
+    # loudly with a pointer at the sharded path instead. The cap is in
+    # ROWS like the knn guard; PQ codes are ~16x narrower than 128-d
+    # float64 vectors, so the same row cap is conservative for memory.
+    cap = MAX_BROADCAST_INDEX_ROWS if max_index_rows is None \
+        else max_index_rows
     rows = index_codes.select(i_id, codes_col).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"PQ code table exceeds the broadcast cap of {cap} rows; "
+            "use ivfpq_knn_join, which shards codes by IVF cell instead "
+            "of broadcasting them")
     ids = np.array([r[0] for r in rows])
-    C = np.array([list(r[1]) for r in rows], dtype=np.int64)
     sc = queries.sparkSession.sparkContext
     books = np.asarray(codebooks)
+    # narrowest dtype that holds code ids 0..K-1 (uint8 for K <= 256):
+    # the collected table briefly co-exists with its broadcast copy on
+    # the driver, so 8x narrower matters exactly when the table is big
+    C = np.array([list(r[1]) for r in rows],
+                 dtype=np.min_scalar_type(max(0, books.shape[1] - 1)))
     bc = sc.broadcast((ids, C, books))
     qf = queries.select(F.col(q_id)).schema.fields
     schema = StructType.fromDDL(

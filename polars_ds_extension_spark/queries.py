@@ -161,6 +161,13 @@ _STALE = frozenset({
     # series_entropy_oracle still runs the UNTOUCHED single-metric
     # kernels, so it stays green.
     "series_entropy",
+    # round 14 (r13 verdict #5): pq_knn_join gains the
+    # _collect_index-style broadcast-cap fail-fast (pointer at
+    # ivfpq_knn_join) and collects codes at the narrowest dtype that
+    # holds 0..K-1 instead of int64. Under the cap the ADC math is
+    # value-identical (codes are exact small ints used only as LUT
+    # indices; recall + cap pytests), but the covering kernel changed.
+    "pq_search",
 })
 
 

@@ -1026,6 +1026,28 @@ def test_collect_index_cap(spark):
         K._collect_index(df, "id", "v", max_rows=10)
 
 
+def test_pq_knn_join_cap(spark):
+    # r13 ADVICE: the ADC path must fail fast past the broadcast cap
+    # with a pointer at the sharded ivfpq path, like knn._collect_index
+    import pytest as _pt
+    from polars_ds_extension_spark.operators import embedding as E
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(30, 8))
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"vid": range(len(X)), "v": list(X)}))
+    books = E.pq_train(sdf, "v", m=4, k=4, seed=1)
+    enc = E.pq_encode(sdf, "vid", "v", books)
+    qdf = sdf.limit(3).select(F.col("vid").alias("q_id"), "v")
+    with _pt.raises(ValueError, match="ivfpq_knn_join"):
+        E.pq_knn_join(qdf, "q_id", "v", enc, "vid", "codes", books,
+                      k=2, max_index_rows=10)
+    # under the cap: unchanged behavior, and the collected codes ride
+    # the narrowest dtype (uint8 at K=4) without changing any value
+    got = E.pq_knn_join(qdf, "q_id", "v", enc, "vid", "codes", books,
+                        k=2).toPandas()
+    assert len(got) == 6 and set(got["rank"]) == {1, 2}
+
+
 def test_knn_join_max_bound(spark):
     from polars_ds_extension_spark.operators import knn as K
     rows = [(0, [0.0]), (1, [1.0]), (2, [10.0])]
