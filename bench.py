@@ -78,6 +78,9 @@ def main() -> None:
         "probe_ratio": {}, "probe_ratio_dense": {}, "probe_spread": {},
         "probe_abs": {}, "probe_small": {}, "probe_pairs": {},
         "probe_100x": {}, "probe_bytes": {}, "truncated": [],
+        # fixed pure-JVM calibration walls (r13 verdict #1): start /
+        # pre-spot / end of run — cross-round host-weather normalizers
+        "calib": {},
     }
     # RLock, not Lock: the SIGTERM handler runs IN the main thread — if
     # it lands while main is inside emit(), a plain Lock would deadlock
@@ -121,9 +124,15 @@ def main() -> None:
                 #  collapsed, n_mined] per corpus
                 "probe_pairs": st["probe_pairs"],
                 "probe_100x": probe_100x,
+                # {phase: wall} for the FIXED pure-JVM no-shuffle job —
+                # divide any wall by calib/its round-N counterpart to
+                # normalize cross-round host weather (r13 verdict #1)
+                "calib": st["calib"],
                 "sf": sf,
                 "n_queries": len(st["per_query"]),
             }
+            if st.get("forced_exit"):
+                d["forced_exit"] = st["forced_exit"]
             if trunc:
                 d["truncated"] = trunc
             return json.dumps(d, separators=(",", ":"))
@@ -163,11 +172,14 @@ def main() -> None:
             "probe_pairs": st["probe_pairs"],
             "probe_100x": st["probe_100x"],
             "probe_bytes": st["probe_bytes"],
+            "calib": st["calib"],
             "truncated": st["truncated"],
             "probe_rotation_round": round_no,
             "budget_s": budget,
             "elapsed_s": round(elapsed(), 1),
             "sf": sf,
+            **({"forced_exit": st["forced_exit"]}
+               if st.get("forced_exit") else {}),
         }
 
     def emit(tag: str) -> None:
@@ -191,6 +203,11 @@ def main() -> None:
     finished = threading.Event()
 
     def _force_exit(tag: str) -> None:
+        # rc stays 0 by the timeout-proof protocol (a nonzero rc makes
+        # the driver discard the artifact), but the record itself says
+        # it was forced (r13 ADVICE: machine-distinguishable from a
+        # clean finish, which never sets this field)
+        st["forced_exit"] = tag
         st["truncated"].append(tag)
         # the watchdog leg races the main thread's lock-free st writes
         # (emit iterates the dicts): a concurrent insert can raise
@@ -241,6 +258,29 @@ def main() -> None:
 
     spark.range(0, 32 * 256, 1, 32).select(
         _wu(F.col("id").cast("double"))).count()
+
+    # Calibration microbench (r13 verdict #1): a FIXED pure-JVM
+    # whole-stage-codegen job — no shuffle, no IO, no Python — whose
+    # only cross-round variable is the host itself. Three rounds of
+    # byte/task-identity arguments about degraded-host walls become one
+    # division: wall_rN / (calib_rN / calib_rM) is the weather-
+    # normalized wall. min-of-3 (same estimator as the probes); run at
+    # the START, before the SPOT phase, and at the END so intra-run
+    # drift (the r13b 7.45→4.76 s same-query decay) is also on record.
+    def _calibrate(phase: str) -> None:
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # ~6e9 modular adds across 32 fixed partitions; AQE has
+            # nothing to re-plan and the result is a single long
+            spark.range(0, 6_000_000_000, 1, 32).selectExpr(
+                "sum(id % 1000003) as s").collect()
+            walls.append(time.perf_counter() - t0)
+        st["calib"][phase] = round(min(walls), 2)
+        print(f"calib [{phase}]: {st['calib'][phase]}s "
+              f"(runs {[round(w, 2) for w in walls]})", file=sys.stderr)
+
+    _calibrate("start")
 
     # Single-shot timings proved too noisy to steer perf work (r4: 8
     # queries "regressed" >2x with zero code change — GC pauses and
@@ -328,12 +368,24 @@ def main() -> None:
     # spread (max/min of the large runs) is recorded so a noisy ratio
     # is visibly noisy instead of silently authoritative.
     # Skipped (never fatal) if the probe data can't be built.
+    # probes whose first fresh-JVM run is dominated by one-time codegen
+    # of their big IVF/iterative plans, not by the data: r13b measured
+    # spreads of 3.3-6.3 on these three (first run 2-3x the rest) while
+    # every other probe sat at 1.1-1.7. One UNTIMED warmup run on each
+    # side keeps min-of-3 comparing compiled plans — symmetric, so the
+    # ratio is unbiased, and the spread criterion (<= 1.3 for
+    # knn_auto_route, r11 verdict #4) grades plan scaling instead of
+    # the C2 compiler.
+    _WARM_FIRST = {"knn_auto_route", "ann_ivf_search", "pagerank"}
+
     def _probe_time(qs, name, d):
         samples = []
-        for _ in range(3):
+        runs = 4 if name in _WARM_FIRST else 3
+        for i in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, d).count()
-            samples.append(time.perf_counter() - t0)
+            if not (runs == 4 and i == 0):
+                samples.append(time.perf_counter() - t0)
             release_pins()
             spark.catalog.clearCache()
         return min(samples), max(samples)
@@ -471,6 +523,35 @@ def main() -> None:
                                    "cast(embedding as array<double>) v"),
                     "vec_id", "v")
                 print(f"srp bucket stats {tag}: {sst}", file=sys.stderr)
+            # IVF cell-occupancy evidence for semantic_dedup (r13
+            # verdict #4): within_pairs is the exact size of the
+            # within-cell quadratic term the GEMM mine runs, on the
+            # same corpus + params as the catalog query (perturbed
+            # dups, first-id sqrt(N) centroids, UNSALTED like
+            # semantic_dedup's default) — a dense-probe wall ratio is
+            # attributable to measured pair volume vs weather.
+            # [n_vectors, n_cells, n_groups, max_group, within_pairs]
+            import math as _math
+
+            from polars_ds_extension_spark.operators.knn import (
+                ivf_cell_stats)
+            for tag, d in (("ivf_1x", sf_dir), ("ivf_10xd", pdir_dense)):
+                emb = load_table(spark, d, "embeddings").select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+                dupv = emb.where(F.col("vec_id") % 7 == 0).select(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("v", lambda x, i: F.when(
+                        i == 0, x * 1.05).otherwise(x)).alias("v"))
+                uv = emb.unionByName(dupv)
+                n_cent = max(16, _math.ceil(_math.sqrt(uv.count())))
+                ist = ivf_cell_stats(uv, "vec_id", "v",
+                                     n_centroids=n_cent, max_cell=None)
+                spark.catalog.clearCache()
+                st["probe_pairs"][tag] = [
+                    ist["n_vectors"], ist["n_cells"], ist["n_groups"],
+                    ist["max_group"], ist["within_pairs"]]
+                print(f"ivf cell stats {tag}: {ist}", file=sys.stderr)
             emit("pair_stats")
         except Exception as ex:  # pragma: no cover
             print(f"pair stats skipped: {ex}", file=sys.stderr)
@@ -529,7 +610,11 @@ def main() -> None:
             and os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0" \
             and remaining() > 240:
         try:
-            from scripts.scale_probe import SPOT_QUERIES, build_spot_data
+            from scripts.scale_probe import (SPOT_QUERIES, build_spot_data,
+                                             spot_rotation)
+            spot_list = spot_rotation(round_no)
+            print(f"spot rotation (round {round_no}): {spot_list}",
+                  file=sys.stderr)
             sdir = build_spot_data(spark)
             # fresh JVM for the spot phase too (r10d): the single-
             # shot absolutes inherited end-of-session heap/JIT
@@ -542,6 +627,7 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             spark.range(0, 32 * 256, 1, 32).select(
                 _wu(F.col("id").cast("double"))).count()
+            _calibrate("spot")
             # page-cache warmup (r11): the spot tables are ~7.5 GB
             # of parquet read exactly once per single-shot — two
             # same-code runs measured top_ngrams 11.2 vs 31.8 s at
@@ -568,17 +654,22 @@ def main() -> None:
             # — the widest relative range in the suite
             _MULTI = {"near_dup_minhash", "near_dup_cluster_dedup",
                       "ann_ivf_search"}
-            for si, name in enumerate(SPOT_QUERIES):
+            for si, name in enumerate(spot_list):
                 if remaining() < 150:
                     st["truncated"].append(
-                        f"probe100x:{len(SPOT_QUERIES) - si}_skipped")
+                        f"probe100x:{len(spot_list) - si}_skipped")
                     print(f"spot phase truncated at {name}",
                           file=sys.stderr)
                     break
                 walls = []
                 rd = wr = tk = None
                 for _rep in range(3 if name in _MULTI else 1):
-                    if walls and remaining() < 120:
+                    # extra reps only while the PENDING spots keep a
+                    # seat: coverage (>=4 spots, r13 verdict #1) beats
+                    # a third rep on a degraded host — reserve ~90 s
+                    # per un-run spot plus the finalization floor
+                    if walls and remaining() < (
+                            120 + 90 * (len(spot_list) - si - 1)):
                         st["truncated"].append(f"probe100x:{name}_reps")
                         break
                     try:
@@ -646,10 +737,10 @@ def main() -> None:
             # a 100 TB corpus runs from the start).
             from scripts.scale_probe import build_probe_data
             pdir_b = build_probe_data(spark)  # cached if probes ran
-            for bi, name in enumerate(SPOT_QUERIES):
+            for bi, name in enumerate(spot_list):
                 if remaining() < 90:
                     st["truncated"].append(
-                        f"probe_bytes:{len(SPOT_QUERIES) - bi}_skipped")
+                        f"probe_bytes:{len(spot_list) - bi}_skipped")
                     break
                 try:
                     for tag, d in (("1x", sf_dir), ("10x", pdir_b)):
@@ -769,6 +860,11 @@ def main() -> None:
     elif os.environ.get("SPARK_GRAFT_PROBE", "1") != "0" \
             and os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0":
         st["truncated"].append("probe100x:all_skipped")
+
+    try:
+        _calibrate("end")
+    except Exception as ex:  # pragma: no cover
+        print(f"end calib skipped: {ex}", file=sys.stderr)
 
     # Full-precision record for anyone reading the whole log (stderr so
     # the driver's stdout tail stays parseable JSON lines only).

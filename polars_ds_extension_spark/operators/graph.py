@@ -73,7 +73,12 @@ def pagerank(
     per-iteration plan shape is unchanged from the uniform case — the
     seed column rides the checkpointed nodes frame. Weights need not
     be normalized (done here); seeds absent from the graph are
-    ignored; an all-zero/empty seed set raises.
+    ignored; an all-zero/empty seed set raises. Duplicate seed rows
+    for one node are summed BEFORE validation, so the non-negativity
+    check applies to each node's NET weight (r13 ADVICE, documented
+    contract): a node listed as (n, 2.0) and (n, -1.0) is a legal net
+    seed of 1.0 — the teleport distribution only needs per-node mass
+    ≥ 0 — while any node whose rows net negative raises.
 
     Output: (node, rank). Deterministic: fixed iteration count, no RNG.
     """

@@ -1451,6 +1451,70 @@ def ivf_cosine_pairs(
             .applyInPandas(_cell_pairs, schema))
 
 
+def ivf_cell_stats(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16,
+    centroids: str | DataFrame = "first",
+    max_cell: int | None = 100_000,
+    seed: int = 42,
+) -> dict:
+    """Measured cell-occupancy evidence for the IVF pair plan
+    (``ivf_cosine_pairs`` / ``semantic_dedup``) — the vector analogue
+    of ``dedup.lsh_candidate_stats``: the within-cell pair term is
+    Σ g·(g−1)/2 over SALTED (cell, salt) groups, so a super-linear
+    semantic-dedup wall with linear within_pairs is constants/weather,
+    while a jump in within_pairs names a fused/hot cluster that the
+    ``max_cell`` salting either bounded (max_group ≤ max_cell) or —
+    when ``max_cell=None``, semantic_dedup's default — didn't.
+
+    Replays ivf_cosine_pairs' assignment + salting VERBATIM (kept in
+    sync by the shared params and tests; duplicated rather than
+    refactored so the mined kernel's covering code is untouched), then
+    ONE group-size aggregation. Returns {n_vectors, n_cells, n_groups,
+    max_group, p99_group, within_pairs}.
+    """
+    if isinstance(centroids, DataFrame):
+        cents, c_id, c_vec = centroids, "centroid_id", "centroid"
+    elif centroids == "first":
+        cents, c_id, c_vec = df.where(F.col(id_col) < n_centroids), id_col, vec_col
+    else:
+        cents = ivf_centroids(df, id_col, vec_col, n_centroids,
+                              method=centroids, seed=seed)
+        c_id, c_vec = "centroid_id", "centroid"
+    tagged = (ivf_assign(df, id_col, vec_col, cents, c_id, c_vec,
+                         carry_vec=False)
+              .select(F.col(id_col).alias("__id"), "centroid_id"))
+    if max_cell is not None:
+        cell_n = F.broadcast(
+            tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
+        tagged = tagged.join(cell_n, "centroid_id").withColumn(
+            "__salt",
+            F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(F.pmod(
+                F.xxhash64(F.col("__id")),
+                F.ceil(F.col("__cn") / max_cell).cast("long"))),
+        ).drop("__cn")
+    else:
+        tagged = tagged.withColumn("__salt", F.lit(0))
+    sizes = (tagged.groupBy("centroid_id", "__salt")
+             .agg(F.count(F.lit(1)).alias("g")))
+    row = sizes.agg(
+        F.sum("g").alias("n_vectors"),
+        F.countDistinct("centroid_id").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("g").alias("max_group"),
+        F.expr("percentile(g, 0.99)").alias("p99_group"),
+        F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("within_pairs"),
+    ).first()
+    return {
+        "n_vectors": int(row["n_vectors"]),
+        "n_cells": int(row["n_cells"]),
+        "n_groups": int(row["n_groups"]),
+        "max_group": int(row["max_group"]),
+        "p99_group": round(float(row["p99_group"]), 1),
+        "within_pairs": int(row["within_pairs"]),
+    }
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame,
                q_id: str = "vec_id",
                n_id: str = "neighbor_id") -> DataFrame:

@@ -39,6 +39,18 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     share of all rows, and `skew_ratio` = max/mean (1.0 ⇒ perfectly
     uniform).
 
+    Contract (r13 ADVICE): this diagnostic is EAGER at call time — the
+    quantile pass runs Spark actions here and embeds p50/p90/p99 as
+    driver-side literals, while max/mean/top1_share stay lazy in the
+    returned frame. The percentiles therefore describe the data AS OF
+    THIS CALL; collecting the returned frame later (or over a
+    nondeterministic source) evaluates the lazy aggregates against the
+    then-current snapshot. Acceptable for a diagnostic — call and
+    collect it in one breath. The per-key counts frame is pinned for
+    the two reductions and stays in the LRU pin registry until the
+    registry evicts it (or `_utils.release_pins()`); it is not unpinned
+    here because the returned frame still reads it.
+
     Returns (n_keys, n_rows, max_cnt, mean_cnt, p50_cnt, p90_cnt,
     p99_cnt, top1_share, skew_ratio).
     """

@@ -182,9 +182,24 @@ DEFAULT_QUERIES = [
 #   * the remainder rotates in thirds by stable DEFAULT_QUERIES index,
 #    so every probe re-measures within 3 rounds.
 ALWAYS_PROBES = list(SPOT_QUERIES) + ["knn_auto_route"]
-# round 13: pagerank's personalization branch was restructured (the
-# uniform loop is parity-pinned but re-measure its probe)
-NEW_PROBES = ["pagerank"]
+# round 14: series_entropy moved to the fused single-pass kernel;
+# near_dup_minhash/cluster's verify kernel and the pq ADC path also
+# changed, but those are ALWAYS/SPOT members already
+NEW_PROBES = ["series_entropy"]
+
+# ---- 100x spot rotation (r13 verdict #1) ----------------------------
+# All 8 spots no longer fit the driver's 2400 s budget on a degraded
+# host (BENCH_r13 carried 2 of 8). Like the 10x probe matrix, the spot
+# set rotates: near_dup_minhash runs EVERY round (the open <=2.0x-of-
+# fit verdict), the rest alternate in halves by stable index, so every
+# spot re-measures within 2 rounds and each round carries >= 4.
+ALWAYS_SPOTS = ["near_dup_minhash"]
+
+
+def spot_rotation(round_no: int) -> list:
+    rest = [q for q in SPOT_QUERIES if q not in ALWAYS_SPOTS]
+    return ALWAYS_SPOTS + [q for i, q in enumerate(rest)
+                           if i % 2 == round_no % 2]
 
 
 def probe_rotation(round_no: int, names=None) -> list:

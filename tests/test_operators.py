@@ -1126,6 +1126,28 @@ def test_semantic_dedup(spark):
     assert salted.count() >= 0  # runs; bounded pair stage
 
 
+def test_ivf_cell_stats_matches_pair_plan(spark):
+    """ivf_cell_stats replays ivf_cosine_pairs' assignment + salting:
+    within_pairs must equal the pair count an UNthresholded mine would
+    emit, and salting must bound max_group."""
+    from polars_ds_extension_spark.operators import knn as K
+
+    rows = [(i, [float(i % 2), 1.0, 0.5 * i]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    stats = K.ivf_cell_stats(df, "vec_id", "v", n_centroids=2,
+                             max_cell=None)
+    assert stats["n_vectors"] == 20 and stats["n_cells"] <= 2
+    # unthresholded mine emits exactly the within-group pair count
+    mined = K.ivf_cosine_pairs(df, "vec_id", "v", min_cosine=-1.0,
+                               n_centroids=2, max_cell=None).count()
+    assert stats["within_pairs"] == mined
+    # salting bounds the biggest group (and therefore the pair term)
+    salted = K.ivf_cell_stats(df, "vec_id", "v", n_centroids=1,
+                              max_cell=5)
+    assert salted["max_group"] <= 2 * 5  # hash salt is uneven, ~cap
+    assert salted["within_pairs"] < stats["within_pairs"] + 190
+
+
 def test_ann_recall_counts_exact_overlap(spark):
     """ann_recall on hand-built neighbor frames: q1 recovers 2/3, q2
     3/3, q3 0/3 -> mean 5/9, min 0."""
