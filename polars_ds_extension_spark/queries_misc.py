@@ -36,6 +36,59 @@ def sample_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stratified_sample", """
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_full,
+       TRUE AS rate_half_ok, TRUE AS rate_fifth_ok,
+       TRUE AS nested_ok, TRUE AS deterministic
+FROM events GROUP BY event_type
+""")
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample (ref sample_and_split.py stratified;
+    functions/sample.py:164) through its HARD INVARIANTS — the
+    series_entropy invariant-oracle pattern for a hash-membership
+    operator whose exact picks no second engine can replay (Spark
+    xxhash64): fraction=1.0 must return the stratum EXACTLY (n_full is
+    value-checked against the oracle's per-stratum COUNT(*)), samples
+    NEST (bucket < 0.2·B ⊂ bucket < 0.5·B by construction — checked as
+    an anti-join count, not trusted), per-stratum rates land within
+    ±0.05 of the requested fraction (hash uniformity at ~10k+ rows per
+    stratum), and a replay with identical params is row-identical.
+    Pure scan-side filters: membership is one hash per row, no shuffle
+    beyond the count aggregates."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    strata, idc = ["event_type"], "event_id"
+    full = SMP.stratified_sample(ev, strata, idc, 1.0)
+    half = SMP.stratified_sample(ev, strata, idc, 0.5)
+    fifth = SMP.stratified_sample(ev, strata, idc, 0.2)
+    replay = SMP.stratified_sample(ev, strata, idc, 0.5)
+
+    def _cnt(df, name):
+        return df.groupBy("event_type").agg(F.count(F.lit(1)).alias(name))
+
+    # nesting + determinism as anti-join counts (0 = invariant holds)
+    escaped = _cnt(fifth.join(half, ["event_type", "event_id"],
+                              "left_anti"), "n_esc")
+    differs = _cnt(half.join(replay, ["event_type", "event_id"],
+                             "left_anti"), "n_diff")
+    out = (_cnt(ev, "n_rows")
+           .join(_cnt(full, "n_full"), "event_type")
+           .join(_cnt(half, "n_half"), "event_type")
+           .join(_cnt(fifth, "n_fifth"), "event_type")
+           .join(escaped, "event_type", "left")
+           .join(differs, "event_type", "left"))
+    return out.select(
+        "event_type", "n_rows", "n_full",
+        (F.abs(F.col("n_half") / F.col("n_rows") - 0.5) < 0.05)
+        .alias("rate_half_ok"),
+        (F.abs(F.col("n_fifth") / F.col("n_rows") - 0.2) < 0.05)
+        .alias("rate_fifth_ok"),
+        F.coalesce(F.col("n_esc"), F.lit(0)).eqNullSafe(0)
+        .alias("nested_ok"),
+        F.coalesce(F.col("n_diff"), F.lit(0)).eqNullSafe(0)
+        .alias("deterministic"))
+
+
 @query("volume_neutral", """
 WITH c AS (
   SELECT MIN(cnt) AS m FROM (
