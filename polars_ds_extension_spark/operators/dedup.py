@@ -582,10 +582,11 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
       production crawl corpus at threshold 0.6 has incidence well
       under 1 and this is where the term pays.
 
-    The engaged verify itself runs the r14 posting-list kernel
-    (`_verify_pairs_posting`: skinny rows only, no shingle array ever
-    crosses a join); the fat-join tail below serves the broadcast-scale
-    regime and the threshold ≤ 0 edge.
+    At engaged scale the verify joins price their OWN exchanges and
+    the base pin moves to DISK_ONLY (r14 — see the inline comments):
+    the two measured killers at the 1M-doc spot were per-task sorts of
+    ~600 MB of array rows (session partition count) and the in-memory
+    pin halving every task's execution grant.
 
     Below the size threshold the r11 lazy single-action plan runs
     unchanged — at broadcast scale the eager count measured as a pure
@@ -645,17 +646,15 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
         # COALESCES below the session setting, it never raises it, and
         # uniform-big partitions don't trip its skew splitter — so the
         # operator prices its own exchanges from the Catalyst size
-        # estimate of the (pruned) shingle projection: ~48 MB of array
-        # rows per task keeps every sort in memory. A posting-list
-        # reformulation (skinny exploded rows, no arrays joined) was
-        # measured strictly worse here: 500M-row exchanges starved the
-        # unified pool beside the pinned base and died in
+        # estimate of the (pruned) shingle projection, targeting
+        # ~16 MB of array rows per task (48 MB/task still spilled
+        # 12 GB — unsafe-row expansion is ~2x the estimate and each of
+        # 32 concurrent tasks gets only ~70 MB of the pool; 16 MB
+        # sorts stay in memory, measured spill 20 GB -> 0). A
+        # posting-list reformulation (skinny exploded rows, no arrays
+        # joined) was measured strictly worse here: 500M-row exchanges
+        # starved the unified pool beside the pinned base and died in
         # UNABLE_TO_ACQUIRE_MEMORY where the fat path merely spilled.
-        # target ~16 MB of array rows per task: the unified pool gives
-        # each of 32 concurrent tasks only ~70 MB while the pinned base
-        # (2.4 GB) sits at the storage floor, and unsafe-row expansion
-        # is ~2x the Catalyst estimate — 48 MB/task still spilled
-        # 12 GB (measured); 16 MB sorts stay in memory
         n_fat = int(min(4096, max(32, _plan_size_mb(sh) * 2 // 16)))
         sh = sh.repartition(n_fat, "__id")
     joined = (

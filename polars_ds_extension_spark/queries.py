@@ -169,10 +169,13 @@ _STALE = frozenset({
     # indices; recall + cap pytests), but the covering kernel changed.
     "pq_search",
     # round 14 (r13 verdict #2): _verify_pairs' engaged branch now
-    # verifies via POSTING LISTS (_verify_pairs_posting — |A∩B| counted
-    # from exploded shingle postings; no multi-KB array ever crosses a
-    # join, killing the 20 GB sort-spill/GC term the r13 SHJ hint only
-    # dented). Values identical (same c/(na+nb−c) integers; engaged≡
+    # SIZES its own verify exchanges (~16 MB of array rows per task,
+    # from the Catalyst estimate — spill 20 GB -> 0 at the 1M-doc
+    # spot) and persists the base pin DISK_ONLY (the in-memory pin sat
+    # at the storage floor and halved every task's execution grant);
+    # the SHJ-hint cap became env-overridable (r13 ADVICE). Spot
+    # min-of-3 117.5 s vs same-session fit 85.2 s = 1.38x (from
+    # 2.39x). Values identical (same joins + jaccard; engaged ≡
     # unengaged parity pytest; the sf0.01 oracle runs the un-engaged
     # fat tail unchanged) but the covering kernel changed -> every
     # near_dup_pairs consumer re-verifies.
