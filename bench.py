@@ -124,6 +124,8 @@ def main() -> None:
                 #  collapsed, n_mined] per corpus
                 "probe_pairs": st["probe_pairs"],
                 "probe_100x": probe_100x,
+                # same-JVM 1x/10x legs for the fit-watched spots
+                "spot_fit": st.get("spot_fit", {}),
                 # {phase: wall} for the FIXED pure-JVM no-shuffle job —
                 # divide any wall by calib/its round-N counterpart to
                 # normalize cross-round host weather (r13 verdict #1)
@@ -171,6 +173,7 @@ def main() -> None:
             "probe_abs": st["probe_abs"],
             "probe_pairs": st["probe_pairs"],
             "probe_100x": st["probe_100x"],
+            "spot_fit": st.get("spot_fit", {}),
             "probe_bytes": st["probe_bytes"],
             "calib": st["calib"],
             "truncated": st["truncated"],
@@ -610,7 +613,9 @@ def main() -> None:
             and os.environ.get("SPARK_GRAFT_PROBE100", "1") != "0" \
             and remaining() > 240:
         try:
-            from scripts.scale_probe import (SPOT_QUERIES, build_spot_data,
+            from scripts.scale_probe import (SPOT_QUERIES,
+                                             build_probe_data,
+                                             build_spot_data,
                                              spot_rotation)
             spot_list = spot_rotation(round_no)
             print(f"spot rotation (round {round_no}): {spot_list}",
@@ -642,6 +647,32 @@ def main() -> None:
                     while _fh.read(1 << 24):
                         pass
             qs = catalog.queries()
+            # Same-JVM fit legs for the fit-watched spot (r14): the
+            # 10x leg measured back in the probe JVM swung 40%+
+            # between sessions on this host (7.4 vs 11.3 s, same code
+            # + data), which swings the extrapolated 100x prediction
+            # ~2x — a ratio-of-fit verdict graded from cross-JVM legs
+            # measures weather, not the plan. The watched spot's 1x
+            # and 10x legs re-measure min-of-3 HERE, minutes and zero
+            # JVMs away from the 100x reps; gen_survey6 prefers these
+            # legs for the fit when present.
+            _FIT_SPOTS = ("near_dup_minhash",)
+            st["spot_fit"] = {}
+            for name in _FIT_SPOTS:
+                if name not in spot_list or name not in qs \
+                        or remaining() < 300:
+                    continue
+                try:
+                    pdir_f = build_probe_data(spark)
+                    t1 = _probe_time(qs, name, sf_dir)[0]
+                    t10 = _probe_time(qs, name, pdir_f)[0]
+                    st["spot_fit"][name] = [round(t1, 2), round(t10, 2)]
+                    print(f"spot fit legs {name}: {t1:.2f}s -> "
+                          f"{t10:.2f}s (same JVM as the 100x reps)",
+                          file=sys.stderr)
+                except Exception as ex:  # pragma: no cover
+                    print(f"spot fit legs skipped for {name}: {ex}",
+                          file=sys.stderr)
             # the two heaviest spots carried ±25% single-shot
             # ranges across r11's four same-code runs (minhash
             # 1.85-2.27× of fit, cluster 1.34-2.76×) — min-of-3
