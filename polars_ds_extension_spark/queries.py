@@ -55,20 +55,6 @@ def query(name: str, sql: str | None = None):
 # first, then greens oldest-stamp-first so every green row re-verifies
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
-    # last stamped in round 9
-    "benford": 9, "bigram_lm": 9, "blueprint_dyn_agg": 9,
-    "blueprint_lin_impute": 9, "chi2": 9, "classification_metrics": 9,
-    "cond_entropy": 9, "cond_indep": 9, "count_uniques": 9,
-    "curation_pipeline_v3": 9, "dcg": 9, "dedup_stats": 9, "dist_kth_nb": 9,
-    "elementwise_math": 9, "entropy": 9, "exact_dedup": 9, "f_test": 9,
-    "gcd_lcm": 9, "integrate_detrend": 9, "is_monotonic": 9,
-    "knn_avg_label": 9, "knn_cosine": 9, "knn_freq": 9, "language_id": 9,
-    "mean_family": 9, "normality": 9, "perplexity_gate": 9,
-    "pipeline_blueprint": 9, "regression_metrics": 9, "softmax_znorm": 9,
-    "string_cleaning": 9, "string_similarity": 9, "target_encode": 9,
-    "token_stats": 9, "top_ngrams": 9, "ts_autocorr": 9, "ts_moments": 9,
-    "ts_ordered": 9, "ts_streaks": 9, "ttest": 9, "vocab_nearest": 9,
-    "weighted_stats": 9, "woe_iv": 9,
     # last stamped in round 10
     "bm25_score": 10, "chunk_documents": 10, "combinations": 10,
     "eda_describe": 10, "elastic_net": 10, "embedding_ops": 10,
@@ -95,46 +81,61 @@ _GREEN_ROUND = {
     "pca": 11, "permute_entropy": 11, "prebuilt_index_dedup": 11,
     "range_join": 11, "rfft": 11, "roc_auc": 11, "salted_join": 11,
     "sample_exact_n": 11, "select_by_std_cols": 11,
-    "series_entropy_oracle": 11, "similar_count": 11, "singular_values": 11,
-    "smooth_spline_oracle": 11, "stream_curation_gate": 11,
-    "stream_interval_join": 11, "string_kernels_oracle": 11,
-    "volume_neutral": 11, "xi_corr": 11,
+    "series_entropy_oracle": 11, "similar_count": 11,
+    "singular_values": 11, "smooth_spline_oracle": 11,
+    "stream_curation_gate": 11, "stream_interval_join": 11,
+    "string_kernels_oracle": 11, "volume_neutral": 11, "xi_corr": 11,
     # last stamped in round 12
-    "ann_ivf_search": 12, "batch_sessionize": 12, "bloom_decontaminate": 12,
-    "cohort_retention": 12, "dsir_sample": 12, "event_funnel": 12,
-    "feature_screen": 12, "fuzzy_match": 12, "graph_degrees": 12,
-    "group_sample_exact": 12, "group_split": 12, "ivf_ann": 12,
-    "ivf_recall": 12, "ivfpq_search": 12, "kfold_split": 12,
+    "ann_ivf_search": 12, "batch_sessionize": 12,
+    "bloom_decontaminate": 12, "cohort_retention": 12, "dsir_sample": 12,
+    "event_funnel": 12, "feature_screen": 12, "fuzzy_match": 12,
+    "graph_degrees": 12, "group_sample_exact": 12, "group_split": 12,
+    "ivf_ann": 12, "ivf_recall": 12, "ivfpq_search": 12, "kfold_split": 12,
     "knn_auto_route": 12, "ngram_diversity": 12, "normalized_dedup": 12,
-    "pack_sequences": 12, "pmi_collocations": 12, "pq_search": 12,
-    "recursive_lin_reg": 12, "regional_volume": 12,
-    "repetition_signals": 12, "rolling_anomaly": 12, "scd2_history": 12,
-    "script_profile": 12, "semantic_dedup": 12, "stream_topk": 12,
-    "stream_upsert": 12, "time_gapfill": 12, "token_budget_sample": 12,
-    "triangle_count": 12, "unicode_clean": 12, "upsert_latest": 12,
-    "vector_index_build": 12, "vector_index_search": 12,
-    "vector_index_stats": 12, "vector_index_update": 12,
-    "vocab_nearest_metrics": 12, "weighted_sample": 12, "zorder_key": 12,
+    "pack_sequences": 12, "pmi_collocations": 12, "recursive_lin_reg": 12,
+    "regional_volume": 12, "repetition_signals": 12, "rolling_anomaly": 12,
+    "scd2_history": 12, "script_profile": 12, "semantic_dedup": 12,
+    "stream_topk": 12, "stream_upsert": 12, "time_gapfill": 12,
+    "token_budget_sample": 12, "triangle_count": 12, "unicode_clean": 12,
+    "upsert_latest": 12, "vector_index_build": 12,
+    "vector_index_search": 12, "vector_index_stats": 12,
+    "vector_index_update": 12, "vocab_nearest_metrics": 12,
+    "weighted_sample": 12, "zorder_key": 12,
     # last stamped in round 13
     "add_at": 13, "asof_join": 13, "asof_join_forward": 13, "bicor": 13,
     "blocked_jaccard": 13, "cat_cross_entropy": 13,
     "contamination_report": 13, "convolve": 13, "copula_entropy": 13,
     "curation_pipeline": 13, "curation_pipeline_v2": 13,
     "decontaminate": 13, "dia_profile": 13, "drift_over_time": 13,
-    "dup_char_spans": 13, "dup_cluster_downsample": 13,
-    "dup_cluster_sizes": 13, "dup_spans": 13, "embedding_drift": 13,
+    "dup_char_spans": 13, "dup_spans": 13, "embedding_drift": 13,
     "fuzzy_entity_dedup": 13, "gopher_gate": 13, "histogram": 13,
     "kaplan_meier": 13, "key_skew": 13, "kmeans": 13, "kmeans_inertia": 13,
     "knn_entropy": 13, "linear_impute": 13, "mad": 13,
-    "mixture_resample": 13, "multi_roc_auc": 13,
-    "near_dup_cluster_dedup": 13, "near_dup_minhash": 13,
-    "near_dup_simhash": 13, "pagerank": 13, "pagerank_personalized": 13,
+    "mixture_resample": 13, "multi_roc_auc": 13, "near_dup_simhash": 13,
+    "pagerank": 13, "pagerank_personalized": 13,
     "pipeline_poly_impute": 13, "pipeline_qbin": 13,
     "pipeline_transform": 13, "pricing_summary": 13, "psi": 13,
-    "quality_quantile_filter": 13, "series_entropy": 13,
-    "smooth_spline": 13, "stream_decontaminate": 13, "text_quality": 13,
-    "token_mixture": 13, "tpr_fpr": 13, "transfer_entropy": 13,
-    "winsorize": 13,
+    "quality_quantile_filter": 13, "smooth_spline": 13,
+    "stream_decontaminate": 13, "text_quality": 13, "token_mixture": 13,
+    "tpr_fpr": 13, "transfer_entropy": 13, "winsorize": 13,
+    # last stamped in round 14
+    "benford": 14, "bigram_lm": 14, "blueprint_dyn_agg": 14,
+    "blueprint_lin_impute": 14, "chi2": 14, "classification_metrics": 14,
+    "cond_entropy": 14, "cond_indep": 14, "count_uniques": 14,
+    "curation_pipeline_v3": 14, "dcg": 14, "dedup_stats": 14,
+    "dist_kth_nb": 14, "dup_cluster_downsample": 14,
+    "dup_cluster_sizes": 14, "elementwise_math": 14, "entropy": 14,
+    "exact_dedup": 14, "f_test": 14, "gcd_lcm": 14,
+    "integrate_detrend": 14, "is_monotonic": 14, "knn_avg_label": 14,
+    "knn_cosine": 14, "knn_freq": 14, "language_id": 14, "mean_family": 14,
+    "near_dup_cluster_dedup": 14, "near_dup_minhash": 14, "normality": 14,
+    "perplexity_gate": 14, "pipeline_blueprint": 14, "pq_search": 14,
+    "regression_metrics": 14, "series_entropy": 14, "softmax_znorm": 14,
+    "stratified_sample": 14, "string_cleaning": 14,
+    "string_similarity": 14, "target_encode": 14, "token_stats": 14,
+    "top_ngrams": 14, "ts_autocorr": 14, "ts_moments": 14,
+    "ts_ordered": 14, "ts_streaks": 14, "ttest": 14, "vocab_nearest": 14,
+    "weighted_stats": 14, "woe_iv": 14,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -148,39 +149,10 @@ _GREEN_ROUND = {
 # prefix — the change was verified by a full independent mirror run:
 # 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
-    # (r13's stale set fully re-stamped by CORRECTNESS_r13 — all 50
-    # prefix rows hash-green. Round-14 entries accumulate below as
-    # covering code changes. Prefix budget this round: the r9 cohort is
-    # 43 rows and must rotate, so len(new) + len(stale) <= 7.)
-    # round 14 (r13 verdict #6): series_entropy moves from three
-    # single-metric kernel passes + count + 3 joins to the fused
-    # query_series_entropies kernel (one grouped pass, 2 Chebyshev
-    # sweeps instead of 4). Values identical by construction (shared
-    # _cheb_within/_cheb_chunk math, LZ76 loop inlined verbatim;
-    # fused-vs-separate parity pytest) but the covering kernel is new.
-    # series_entropy_oracle still runs the UNTOUCHED single-metric
-    # kernels, so it stays green.
-    "series_entropy",
-    # round 14 (r13 verdict #5): pq_knn_join gains the
-    # _collect_index-style broadcast-cap fail-fast (pointer at
-    # ivfpq_knn_join) and collects codes at the narrowest dtype that
-    # holds 0..K-1 instead of int64. Under the cap the ADC math is
-    # value-identical (codes are exact small ints used only as LUT
-    # indices; recall + cap pytests), but the covering kernel changed.
-    "pq_search",
-    # round 14 (r13 verdict #2): _verify_pairs' engaged branch now
-    # SIZES its own verify exchanges (~16 MB of array rows per task,
-    # from the Catalyst estimate — spill 20 GB -> 0 at the 1M-doc
-    # spot) and persists the base pin DISK_ONLY (the in-memory pin sat
-    # at the storage floor and halved every task's execution grant);
-    # the SHJ-hint cap became env-overridable (r13 ADVICE). Spot
-    # min-of-3 117.5 s vs same-session fit 85.2 s = 1.38x (from
-    # 2.39x). Values identical (same joins + jaccard; engaged ≡
-    # unengaged parity pytest; the sf0.01 oracle runs the un-engaged
-    # fat tail unchanged) but the covering kernel changed -> every
-    # near_dup_pairs consumer re-verifies.
-    "near_dup_minhash", "near_dup_cluster_dedup",
-    "dup_cluster_downsample", "dup_cluster_sizes",
+    # (r14's stale set fully re-stamped by CORRECTNESS_r14 — all 50
+    # prefix rows hash-green; folded above. Round-15 entries accumulate
+    # below as covering code changes. Prefix budget this round: the r10
+    # cohort is 40 rows and must rotate, so len(new) + len(stale) <= 10.)
 })
 
 
