@@ -646,7 +646,14 @@ def _verify_pairs(base: DataFrame, cand: DataFrame, threshold: float,
         # COALESCES below the session setting, it never raises it, and
         # uniform-big partitions don't trip its skew splitter — so the
         # operator prices its own exchanges from the Catalyst size
-        # estimate of the (pruned) shingle projection, targeting
+        # estimate of the shingle projection. NB (r14 ADVICE #1): when
+        # the left-semi prune above engaged, this estimate is still the
+        # UNPRUNED corpus size — Spark's default (non-CBO) stats pass a
+        # LEFT SEMI join's left-child sizeInBytes through unchanged —
+        # so low-incidence corpora over-partition past the ~16 MB/task
+        # target. Conservative direction only (smaller tasks, more of
+        # them; the spill bound still holds), accepted over re-pricing
+        # from an incidence bound. Targets
         # ~16 MB of array rows per task (48 MB/task still spilled
         # 12 GB — unsafe-row expansion is ~2x the estimate and each of
         # 32 concurrent tasks gets only ~70 MB of the pool; 16 MB
@@ -1874,7 +1881,7 @@ def semantic_dedup(
     min_cosine: float = 0.95,
     n_centroids: int = 16,
     centroids="first",
-    max_cell: int | None = None,
+    max_cell: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023): IVF-cluster
     the embedding column, mine within-cell pairs with cosine >=
@@ -1883,7 +1890,20 @@ def semantic_dedup(
     each semantic cluster. At 100 TB: n_centroids ~ sqrt(N) keeps the
     per-cell quadratic term flat, ``max_cell`` bounds skewed clusters,
     and the pair set (not the corpus) is all the CC stage ever touches.
-    Returns the deduplicated frame (all original columns)."""
+    Returns the deduplicated frame (all original columns).
+
+    ``max_cell`` defaults to 10_000 (r14 verdict: ivf_cell_stats
+    measured the UNSALTED within-cell pair term quadratic on fused
+    clusters — 54,695 → 1,834,807 pairs at 10× vectors on the dense
+    probe, exactly the shape a duplicate-heavy corpus feeds it). A
+    FIXED cap makes the mined-pair term linear in N — a fused cluster
+    of size s salts into ceil(s/cap) sub-cells, emitting ≤ s·cap/2
+    pairs — and bounds the per-task GEMM at cap²·d/2 flops (~3e12 at
+    d=64: tens of seconds, slab-chunked memory). The cost is recall
+    ACROSS salt sub-cells of an over-cap cluster only — a missed dup
+    pair keeps a duplicate (conservative); under-cap cells (every cell
+    at every measured SF: max 262 at the 10×-dense probe) are exact.
+    Pass ``max_cell=None`` to opt out explicitly."""
     from .knn import ivf_cosine_pairs
 
     pairs = ivf_cosine_pairs(df, id_col, vec_col, min_cosine,

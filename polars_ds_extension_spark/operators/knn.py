@@ -851,9 +851,16 @@ def ivf_centroids(
                     C[j] = X[m].mean(0)
     else:
         raise ValueError(f"unknown centroid method {method!r}")
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(int(i), [float(v) for v in c]) for i, c in enumerate(C)],
         "centroid_id bigint, centroid array<double>")
+    # training provenance for the _ivf stamp (r13 verdict trivia):
+    # the EFFECTIVE pool size — sample(frac).limit(pool_n) can return
+    # fewer than pool_n rows — rides the returned frame as a plain
+    # Python attribute; build_vector_index persists it into the stamp,
+    # every other caller ignores it
+    out._pds_train_meta = f"{method}-pool{X.shape[0]}"
+    return out
 
 
 def ivf_knn_join(
@@ -1144,13 +1151,20 @@ def _ivf_cell_topk(qtag: DataFrame, itag: DataFrame, q_id: str, k: int,
 
 # ----------------------------------------- persisted / updatable IVF index
 
-def _ivf_stamp_of(crows) -> str:
+def _ivf_stamp_of(crows, train: "str | None" = None) -> str:
     """Geometry + content fingerprint of a centroid set:
     "n_centroids/dim/sha1[:12] of the id-ordered, 9dp-rounded centroid
-    matrix". Rides both artifact frames so a probe/update can verify
-    the cells were assigned against EXACTLY these centroids — mixed
-    artifact generations would otherwise return silently wrong
-    neighbors (recall loss indistinguishable from hard queries)."""
+    matrix", plus an optional 4th training-provenance field (r13
+    verdict trivia: e.g. "kmeans-pool1024" — the centroid-training
+    method and EFFECTIVE sample-pool size, persisted with the artifact
+    so drift forensics can ask "was this quantizer trained on a pool
+    representative of today's corpus?" years after the build; "first"
+    centroids and prebuilt frames carry no pool, so their stamp keeps
+    the 3-field format byte-identical to older artifacts). Rides both
+    artifact frames so a probe/update can verify the cells were
+    assigned against EXACTLY these centroids — mixed artifact
+    generations would otherwise return silently wrong neighbors
+    (recall loss indistinguishable from hard queries)."""
     import hashlib
 
     cids = np.array([r[0] for r in crows])
@@ -1158,7 +1172,8 @@ def _ivf_stamp_of(crows) -> str:
     order = np.argsort(cids, kind="stable")
     C = np.round(C[order], 9)
     fp = hashlib.sha1(C.tobytes()).hexdigest()[:12]
-    return f"{len(crows)}/{C.shape[1]}/{fp}"
+    base = f"{len(crows)}/{C.shape[1]}/{fp}"
+    return f"{base}/{train}" if train else base
 
 
 def _check_ivf_stamp(
@@ -1257,7 +1272,8 @@ def build_vector_index(
         raise ValueError(
             "build_vector_index: centroid frame is empty — see "
             "ivf_assign; 'first' centroids require dense 0-based ids")
-    stamp = _ivf_stamp_of(crows)
+    stamp = _ivf_stamp_of(crows,
+                          train=getattr(cents, "_pds_train_meta", None))
     spark = df.sparkSession
     # centroid_id keeps the RESOLVED centroid frame's id type: 'first'
     # centroids carry the corpus id type, but kmeans/sample/prebuilt

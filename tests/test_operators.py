@@ -885,6 +885,34 @@ def test_vector_index_update_equals_rebuild(spark):
     assert got_u == direct
 
 
+def test_ivf_stamp_train_provenance(spark):
+    """r15 (r13 verdict trivia): a kmeans/sample-trained build records
+    the training method + EFFECTIVE sample-pool size as a 4th stamp
+    field for drift forensics; updates copy it verbatim so the stamp
+    contract still holds; 'first'/prebuilt builds keep the legacy
+    3-field format byte-compatible with older persisted artifacts."""
+    rows = _vec_rows(40)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cents, cells = K.build_vector_index(df, "vid", "v", n_centroids=3,
+                                        centroids="kmeans")
+    stamp = cents.select("_ivf").first()[0]
+    parts = stamp.split("/")
+    assert len(parts) == 4 and parts[3] == "kmeans-pool40"
+    assert cells.select("_ivf").distinct().collect()[0][0] == stamp
+    # update copies the 4-field stamp; probing the updated index works
+    batch = spark.createDataFrame(pd.DataFrame(_vec_rows(5, seed=7)))
+    c2, x2 = K.update_vector_index(batch, "vid", "v", cents, cells)
+    assert set(r[0] for r in x2.select("_ivf").distinct().collect()) \
+        == {stamp}
+    q = spark.createDataFrame(pd.DataFrame(_vec_rows(3, seed=13)))
+    assert K.search_vector_index(q, "vid", "v", c2, x2, k=2,
+                                 nprobe=2).count() > 0
+    # legacy format for the SQL-replayable 'first' path
+    fc, _fx = K.build_vector_index(df, "vid", "v", n_centroids=3,
+                                   centroids="first")
+    assert len(fc.select("_ivf").first()[0].split("/")) == 3
+
+
 def test_vector_index_stamp_contract(spark, tmp_path):
     rows = _vec_rows(30)
     df = spark.createDataFrame(pd.DataFrame(rows))
@@ -1124,6 +1152,37 @@ def test_semantic_dedup(spark):
     salted = K.ivf_cosine_pairs(df, "vec_id", "v", min_cosine=0.999,
                                 n_centroids=1, max_cell=3)
     assert salted.count() >= 0  # runs; bounded pair stage
+
+
+def test_semantic_dedup_salted_default(spark):
+    """r15 (r14 verdict #2): semantic_dedup ships the SALTED default —
+    max_cell=10_000 — so the measured-quadratic within-cell term is
+    bounded without opting in. Under the cap (every cell at every test
+    and bench SF) the salt column is constant 0, so the default is
+    RESULT-IDENTICAL to the explicit max_cell=None opt-out."""
+    import inspect
+
+    from polars_ds_extension_spark.operators import dedup as D
+
+    default = inspect.signature(D.semantic_dedup).parameters["max_cell"]
+    assert default.default == 10_000
+
+    # 8 mutually-orthogonal one-hots (pairwise cosine 0), each with an
+    # exact duplicate at id+100 — the pair set is exactly the 8 planted
+    # dups, so keep-min-id returns ids 0..7
+    rows = ([(i, [1.0 if j == i else 0.0 for j in range(8)])
+             for i in range(8)]
+            + [(100 + i, [1.0 if j == i else 0.0 for j in range(8)])
+               for i in range(8)])
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    kept_default = sorted(
+        r["vec_id"] for r in D.semantic_dedup(
+            df, "vec_id", "v", min_cosine=0.999, n_centroids=4).collect())
+    kept_opt_out = sorted(
+        r["vec_id"] for r in D.semantic_dedup(
+            df, "vec_id", "v", min_cosine=0.999, n_centroids=4,
+            max_cell=None).collect())
+    assert kept_default == kept_opt_out == list(range(8))
 
 
 def test_ivf_cell_stats_matches_pair_plan(spark):
