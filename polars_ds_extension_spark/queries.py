@@ -153,6 +153,43 @@ _STALE = frozenset({
     # prefix rows hash-green; folded above. Round-15 entries accumulate
     # below as covering code changes. Prefix budget this round: the r10
     # cohort is 40 rows and must rotate, so len(new) + len(stale) <= 10.)
+    # round 15 (r14 verdict #2): semantic_dedup's default max_cell
+    # None -> 10_000 — the measured-quadratic within-cell term is now
+    # bounded by default. Under the cap (every cell at every SF here:
+    # max 262 at the 10x-dense probe vs cap 10_000) the salt column is
+    # constant 0 and values are identical (parity pytest), but the
+    # plan gains the cell-count broadcast join + salt key, so the
+    # covering kernel changed.
+    "semantic_dedup",
+    # round 15 (r14 verdict #4): series_entropy's catalog query gains
+    # an explicit repartition(8, event_type) before the grouped kernel
+    # (AQE coalesced the tiny shuffle to ONE task running all 5 group
+    # kernels serially — the catalog stamp absorbed host stalls 1:1)
+    # and a per-sf_dir stride memo. Values identical (same rows into
+    # the same kernels; stride is the same count), but the covering
+    # query's plan changed.
+    "series_entropy",
+    # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
+    # joins go inner -> left + coalesce(0), so a stratum whose rows
+    # all hash outside a sample fails its rate flag explicitly instead
+    # of dropping the output row. Values identical on any populated
+    # stratum (left ≡ inner when the right side matches).
+    "stratified_sample",
+    # round 15 (r14 verdict #6 / ADVICE #2): pq_knn_join's broadcast
+    # cap is now checked by a narrow count() BEFORE the collect (the
+    # guard previously fired only after the full driver materialize).
+    # Under the cap the ADC math is untouched — one extra count job,
+    # identical values — but the covering kernel changed.
+    "pq_search",
+    # round 15 (r13 verdict trivia, budgeted by r14 verdict #3): the
+    # _ivf stamp gains an optional 4th training-provenance field
+    # (method + effective kmeans/sample pool size) for drift
+    # forensics. The catalog queries build with centroids='first',
+    # whose stamp keeps the legacy 3-field format byte-identical —
+    # values unchanged — but the stamp function + build path are
+    # covering code for the whole persisted-index family.
+    "vector_index_build", "vector_index_search", "vector_index_stats",
+    "vector_index_update",
 })
 
 
