@@ -182,18 +182,24 @@ DEFAULT_QUERIES = [
 #   * the remainder rotates in thirds by stable DEFAULT_QUERIES index,
 #    so every probe re-measures within 3 rounds.
 ALWAYS_PROBES = list(SPOT_QUERIES) + ["knn_auto_route"]
-# round 14: series_entropy moved to the fused single-pass kernel;
-# near_dup_minhash/cluster's verify kernel and the pq ADC path also
-# changed, but those are ALWAYS/SPOT members already
-NEW_PROBES = ["series_entropy"]
+# round 15: semantic_dedup's default max_cell engaged the salting
+# (plan gains the cell-count broadcast + salt key) and
+# series_entropy's catalog query repartitions the grouped input —
+# both probe-set members re-measure
+NEW_PROBES = ["semantic_dedup", "series_entropy"]
 
 # ---- 100x spot rotation (r13 verdict #1) ----------------------------
 # All 8 spots no longer fit the driver's 2400 s budget on a degraded
 # host (BENCH_r13 carried 2 of 8). Like the 10x probe matrix, the spot
-# set rotates: near_dup_minhash runs EVERY round (the open <=2.0x-of-
-# fit verdict), the rest alternate in halves by stable index, so every
-# spot re-measures within 2 rounds and each round carries >= 4.
-ALWAYS_SPOTS = ["near_dup_minhash"]
+# set rotates: the ALWAYS members run EVERY round, the rest alternate
+# in halves by stable index, so every spot re-measures within 2 rounds
+# and each round carries >= 4. near_dup_minhash graduated its
+# <=2.0x-of-fit criterion in BENCH_r14 but stays ALWAYS (the headline
+# spot); near_dup_cluster_dedup joined r15 with GUARANTEED min-of-3
+# reps (r14 verdict #5: its 3rd rep yielded to the budget gate two
+# rounds running, leaving a single-shot official wall) — bench.py's
+# rep-yield gate exempts ALWAYS_SPOTS members.
+ALWAYS_SPOTS = ["near_dup_minhash", "near_dup_cluster_dedup"]
 
 
 def spot_rotation(round_no: int) -> list:
