@@ -410,12 +410,14 @@ def main() -> None:
     # container that a JVM calib (register-bound; read 1.28-1.42 s flat
     # across a 7.6-18.4 s wall swing) and even an adjacent driver-side
     # numpy calib (clean 0.08 s beside a 17.2 s wall) both miss.
-    # Normalization that IS applied is one-directional: a wall is
-    # shrunk by its adjacent JVM calib's slowdown factor vs the best
-    # calib across both legs (wall / max(1, c/ref)), never inflated —
-    # a naive wall/c division was measured to ADD the calib's own
-    # ~1.5x sampling noise to clean runs (raw spread 1.31 ->
-    # naive-norm 1.55 in the r15 smoke test).
+    # Normalization that IS applied is one-directional WITH A
+    # DEADBAND: a wall is shrunk by its adjacent JVM calib's slowdown
+    # factor vs the best calib across both legs ONLY when that factor
+    # is >= 2x (a genuine stall window — the calib's own clean-run
+    # sampling noise is ~1.5-1.8x, and a naive wall/c division was
+    # measured to ADD that noise to clean runs: raw spread 1.31 ->
+    # naive-norm 1.55 in the r15 smoke test); clean samples pass
+    # through untouched and nothing is ever inflated.
     _CALIB_NORM = {"knn_auto_route"}
 
     def _probe_time(qs, name, d, calib=False):
@@ -495,10 +497,23 @@ def main() -> None:
                 w_s, c_s = st["probe_small_norm"][name]
                 w_l, c_l = sc_l
                 ref = min(c_s + c_l)
-                norm_s = [w / max(1.0, c / ref)
-                          for w, c in zip(w_s, c_s)]
-                norm_l = [w / max(1.0, c / ref)
-                          for w, c in zip(w_l, c_l)]
+                # DEADBAND (r15 review): with ref = global min, a bare
+                # max(1, c/ref) clamp is dead code — every c/ref >= 1,
+                # ref cancels out of both reported ratios, and the
+                # statistics collapse to the naive wall/c division the
+                # protocol rejected (clean-calib sampling noise is
+                # itself ~1.5-1.8x). A sample is corrected ONLY when
+                # its adjacent calib shows a slowdown beyond that
+                # noise band (>= 2x the best calib — a genuine stall
+                # window); clean samples pass through untouched.
+                _DB = 2.0
+
+                def _corr(w: float, c: float) -> float:
+                    f = c / ref
+                    return w / f if f >= _DB else w
+
+                norm_s = [_corr(w, c) for w, c in zip(w_s, c_s)]
+                norm_l = [_corr(w, c) for w, c in zip(w_l, c_l)]
                 st["probe_ratio_calib"][name] = round(
                     min(norm_l) / max(min(norm_s), 1e-9), 1)
                 st["probe_spread_calib"][name] = round(
@@ -638,12 +653,21 @@ def main() -> None:
                 print(f"ivf cell stats {tag} (default max_cell="
                       f"{_cap}): {ist}", file=sys.stderr)
                 # unsalted term stays on record (stderr): the delta vs
-                # the line above is what the shipped default bought
-                iun = ivf_cell_stats(uv, "vec_id", "v",
-                                     n_centroids=n_cent, max_cell=None)
-                spark.catalog.clearCache()
-                print(f"ivf cell stats {tag} (unsalted): {iun}",
-                      file=sys.stderr)
+                # the line above is what the shipped default bought.
+                # Budget-gated (r15 review): the twin repeats the full
+                # assignment pass over the dense union corpus for a
+                # stderr-only line — it must never starve the spot /
+                # byte phases behind it.
+                if remaining() > 180:
+                    iun = ivf_cell_stats(uv, "vec_id", "v",
+                                         n_centroids=n_cent,
+                                         max_cell=None)
+                    spark.catalog.clearCache()
+                    print(f"ivf cell stats {tag} (unsalted): {iun}",
+                          file=sys.stderr)
+                else:
+                    st["truncated"].append(
+                        f"ivf_unsalted_twin:{tag}_skipped")
             emit("pair_stats")
         except Exception as ex:  # pragma: no cover
             print(f"pair stats skipped: {ex}", file=sys.stderr)

@@ -178,24 +178,29 @@ def pq_knn_join(queries, q_id: str, q_vec: str,
     # ROWS like the knn guard; PQ codes are ~16x narrower than 128-d
     # float64 vectors, so the same row cap is conservative for memory.
     #
-    # r15 (r14 verdict #6 / ADVICE #2): the cap is checked by a
-    # narrow-projection count() BEFORE the collect, so an over-cap
-    # table raises without ever materializing on the driver. The knn
-    # brute path's objection to a limit(cap+1) pre-probe (CollectLimit
-    # runs an incremental scale-up that doubled its hot-path wall,
-    # knn.py _collect_index) does not apply here: count() is one
-    # columnar metadata-cheap job, and this guard runs once per call,
-    # not per probe batch. The post-collect length check stays as the
-    # authoritative contract backstop (a source that grows between the
-    # two jobs still fails loudly).
+    # r15 (r14 verdict #6 / ADVICE #2): when the caller supplies an
+    # explicit max_index_rows, the cap is checked by a count() BEFORE
+    # the collect, so an over-cap table raises without materializing
+    # on the driver — the caller opted into paying one extra pass for
+    # that protection. The pre-count is NOT free: index_codes is
+    # usually a mapInPandas encode output, and Spark cannot prune a
+    # count() through mapInPandas, so the pre-check re-runs the full
+    # encode (r15 review) — which is why the DEFAULT path skips it:
+    # under the default cap the table is broadcast-size by contract
+    # and the guard is a fail-fast contract check (fail-AFTER-collect,
+    # like knn._collect_index), not driver-OOM protection. The
+    # post-collect length check stays as the authoritative backstop
+    # either way (a source that grows between the two jobs still
+    # fails loudly).
     cap = MAX_BROADCAST_INDEX_ROWS if max_index_rows is None \
         else max_index_rows
-    n_codes = index_codes.count()
-    if n_codes > cap:
-        raise ValueError(
-            f"PQ code table has {n_codes} rows, exceeding the broadcast "
-            f"cap of {cap}; use ivfpq_knn_join, which shards codes by "
-            "IVF cell instead of broadcasting them")
+    if max_index_rows is not None:
+        n_codes = index_codes.count()
+        if n_codes > cap:
+            raise ValueError(
+                f"PQ code table has {n_codes} rows, exceeding the "
+                f"broadcast cap of {cap}; use ivfpq_knn_join, which "
+                "shards codes by IVF cell instead of broadcasting them")
     rows = index_codes.select(i_id, codes_col).collect()
     if len(rows) > cap:
         raise ValueError(

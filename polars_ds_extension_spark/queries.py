@@ -176,10 +176,11 @@ _STALE = frozenset({
     # stratum (left ≡ inner when the right side matches).
     "stratified_sample",
     # round 15 (r14 verdict #6 / ADVICE #2): pq_knn_join's broadcast
-    # cap is now checked by a narrow count() BEFORE the collect (the
-    # guard previously fired only after the full driver materialize).
-    # Under the cap the ADC math is untouched — one extra count job,
-    # identical values — but the covering kernel changed.
+    # cap gains an OPT-IN count() pre-check when max_index_rows is
+    # user-supplied (the count re-runs the mapInPandas encode, so the
+    # default path stays fail-after-collect by contract — r15 review).
+    # The catalog query runs the default path with identical values,
+    # but the covering kernel changed.
     "pq_search",
     # round 15 (r13 verdict trivia, budgeted by r14 verdict #3): the
     # _ivf stamp gains an optional 4th training-provenance field

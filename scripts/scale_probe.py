@@ -203,9 +203,18 @@ ALWAYS_SPOTS = ["near_dup_minhash", "near_dup_cluster_dedup"]
 
 
 def spot_rotation(round_no: int) -> list:
-    rest = [q for q in SPOT_QUERIES if q not in ALWAYS_SPOTS]
-    return ALWAYS_SPOTS + [q for i, q in enumerate(rest)
-                           if i % 2 == round_no % 2]
+    # cohort by the query's STABLE index in SPOT_QUERIES, not in the
+    # ALWAYS-filtered remainder (r15 review — the same re-classing
+    # failure probe_rotation fixed in r13: growing ALWAYS_SPOTS by one
+    # shifted every later spot's parity and would have left the r14
+    # cohort unmeasured for 3 rounds). With stable indices the old
+    # cadence is preserved exactly: r15 (odd) runs top_ngrams /
+    # prebuilt_index_dedup / leakage_safe_split, r16 (even) runs
+    # ann_ivf_search / index_update / incremental_dedup.
+    sel = [q for i, q in enumerate(SPOT_QUERIES)
+           if q in ALWAYS_SPOTS or i % 2 == round_no % 2]
+    return ([q for q in sel if q in ALWAYS_SPOTS]
+            + [q for q in sel if q not in ALWAYS_SPOTS])
 
 
 def probe_rotation(round_no: int, names=None) -> list:
