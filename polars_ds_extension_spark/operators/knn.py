@@ -1424,6 +1424,17 @@ def ivf_cosine_pairs(
               .select(F.col(id_col).alias("__id"),
                       F.col(vec_col).alias("__vec"), "centroid_id"))
     if max_cell is not None:
+        # r15: the cell census and the pair mine both consume the
+        # assignment output, and Spark does not CSE the two subtrees —
+        # the salted default was paying the Θ(N·C·d) assignment GEMM
+        # TWICE (measured: semantic_dedup 7.7 s unsalted → 12.0 s when
+        # the r15 default engaged the census). Pin the tagged frame so
+        # assignment runs once and the census is a cached-read agg —
+        # the same persisted-heavy-intermediate discipline as the
+        # minhash verify base; LRU-evicted via _utils, released at
+        # harness boundaries by release_pins().
+        from .._utils import pin
+        tagged = pin(tagged)
         cell_n = F.broadcast(
             tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
         tagged = tagged.join(cell_n, "centroid_id").withColumn(
@@ -1501,15 +1512,23 @@ def ivf_cell_stats(
                          carry_vec=False)
               .select(F.col(id_col).alias("__id"), "centroid_id"))
     if max_cell is not None:
+        # same single-assignment-pass discipline as ivf_cosine_pairs
+        # (r15): census + size agg share one pinned assignment output.
+        # This frame is skinny (id, cell) but the assignment feeding it
+        # is the same GEMM. Released below — this helper fully consumes
+        # its frames before returning.
+        from .._utils import pin, unpin
+        pinned = pin(tagged)
         cell_n = F.broadcast(
-            tagged.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
-        tagged = tagged.join(cell_n, "centroid_id").withColumn(
+            pinned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__cn")))
+        tagged = pinned.join(cell_n, "centroid_id").withColumn(
             "__salt",
             F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(F.pmod(
                 F.xxhash64(F.col("__id")),
                 F.ceil(F.col("__cn") / max_cell).cast("long"))),
         ).drop("__cn")
     else:
+        pinned = None
         tagged = tagged.withColumn("__salt", F.lit(0))
     sizes = (tagged.groupBy("centroid_id", "__salt")
              .agg(F.count(F.lit(1)).alias("g")))
@@ -1521,6 +1540,8 @@ def ivf_cell_stats(
         F.expr("percentile(g, 0.99)").alias("p99_group"),
         F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("within_pairs"),
     ).first()
+    if pinned is not None:
+        unpin(pinned)
     return {
         "n_vectors": int(row["n_vectors"]),
         "n_cells": int(row["n_cells"]),

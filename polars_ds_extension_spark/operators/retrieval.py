@@ -233,13 +233,26 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
     vocab = F.broadcast(uni_counts.agg(
         F.count(F.lit(1)).cast("double").alias("__v")))
     bi_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    p = (F.col("c12") + F.lit(add_k)) / (F.col("c1")
-                                         + F.lit(add_k) * F.col("__v"))
+    # r15 (guide §2.3/§2.4): attach the model to the COUNT TABLES, not
+    # the occurrence stream. log P is a per-bigram-TYPE value, so fold
+    # uni_counts (≤ K+1 rows — broadcast by the same contract as the
+    # `kept` vocab map above) and the V scalar into bi_counts first,
+    # then join the corpus-sized bigram stream ONCE on (w1, w2). The
+    # old shape joined the stream twice — the second join re-shuffled
+    # every bigram occurrence by w1; this one reuses the (w1, w2)
+    # exchange the bi_counts agg already paid (ReusedExchange in the
+    # plan) and moves the stream just once before the per-doc agg.
+    # Value-identical: log((c12+k)/(c1+k·V)) on the same doubles,
+    # evaluated per type instead of per occurrence.
+    log_p = F.log((F.col("c12") + F.lit(add_k))
+                  / (F.col("c1") + F.lit(add_k) * F.col("__v")))
+    probs = (bi_counts.join(F.broadcast(uni_counts), "w1")
+             .crossJoin(vocab)
+             .select("w1", "w2", log_p.alias("__lp")))
     return (
-        big.join(bi_counts, ["w1", "w2"]).join(uni_counts, "w1")
-        .crossJoin(vocab)
+        big.join(probs, ["w1", "w2"])
         .groupBy("__id")
-        .agg((-F.avg(F.log(p))).alias("cross_entropy"),
+        .agg((-F.avg("__lp")).alias("cross_entropy"),
              F.count(F.lit(1)).alias("n_bigrams"))
         .select(F.col("__id").alias(id_col), "cross_entropy", "n_bigrams")
     )

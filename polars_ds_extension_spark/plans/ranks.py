@@ -166,16 +166,26 @@ def global_min_rank(df: DataFrame, order_col,
                     by: Sequence[str] | None = None,
                     out_name: str = "rank",
                     n_parts: int | None = None,
-                    total_name: str | None = None) -> DataFrame:
+                    total_name: str | None = None,
+                    tie_name: str | None = None) -> DataFrame:
     """SQL rank() (min rank, ties share) over the WHOLE frame / group —
     without a single-partition sort. ``total_name`` additionally
     attaches the group's row count (free — the per-bucket counts the
     offsets pass already collects sum to it), saving callers that need
-    rank AND size a separate count() scan."""
+    rank AND size a separate count() scan. ``tie_name`` attaches the
+    value's tie-group size, also free: equal values always share a
+    range bucket (the bucketing is tie-preserving by construction), so
+    the count window partitions by (bucket, group, value) — a SUBSET-
+    compatible clustering of the rank window's exchange, and its
+    required sort is a prefix of the rank window's — zero extra
+    exchange, zero extra sort (r15, guide §2.4)."""
     keys = list(by or [])
     part = _ranged(df, order_col, keys, n_parts)
     w_local = Window.partitionBy(_PID, *keys).orderBy(to_col(order_col))
     part = part.withColumn("__loc_r", F.rank().over(w_local).cast("double"))
+    if tie_name is not None:
+        w_ties = Window.partitionBy(_PID, *keys, to_col(order_col))
+        part = part.withColumn(tie_name, F.count(F.lit(1)).over(w_ties))
     part = _pin(part)
     offs = _offsets(part, keys, {"n": F.count(F.lit(1)).cast("double")},
                     with_totals=total_name is not None)
@@ -192,15 +202,16 @@ def global_avg_rank(df: DataFrame, order_col,
                     out_name: str = "avg_rank",
                     n_parts: int | None = None) -> DataFrame:
     """Tie-averaged ranks (scipy `rankdata(average)`) at scale: min rank
-    via the two-pass plan + tie counts via a hash-partitioned window on
-    the value (parallel)."""
+    via the two-pass plan; tie counts ride the SAME bucket window (see
+    global_min_rank ``tie_name``) instead of a second full hash shuffle
+    on the value — one exchange fewer per consumer (r15)."""
     keys = list(by or [])
-    ranked = global_min_rank(df, order_col, keys, "__min_r", n_parts)
-    w_ties = Window.partitionBy(*keys, to_col(order_col))
+    ranked = global_min_rank(df, order_col, keys, "__min_r", n_parts,
+                             tie_name="__tie_n")
     return ranked.withColumn(
         out_name,
-        F.col("__min_r") + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0,
-    ).drop("__min_r")
+        F.col("__min_r") + (F.col("__tie_n") - 1) / 2.0,
+    ).drop("__min_r", "__tie_n")
 
 
 def global_lag(df: DataFrame, order_col, col: str,

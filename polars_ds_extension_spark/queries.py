@@ -151,8 +151,14 @@ _GREEN_ROUND = {
 _STALE = frozenset({
     # (r14's stale set fully re-stamped by CORRECTNESS_r14 — all 50
     # prefix rows hash-green; folded above. Round-15 entries accumulate
-    # below as covering code changes. Prefix budget this round: the r10
-    # cohort is 40 rows and must rotate, so len(new) + len(stale) <= 10.)
+    # below as covering code changes. Prefix-budget note: the r10
+    # cohort is 40 rows; the build-phase plan was len(new)+len(stale)
+    # <= 10, but r15 became the OPTIMIZATION round and its plan
+    # changes stale more covering kernels than that. Honest staling
+    # wins over ledger aging: every entry below ranks ahead of the
+    # r10 cohort, the remaining prefix seats still rotate the oldest
+    # stamps, and the optimization contract independently re-oracles
+    # the full catalog this round.)
     # round 15 (r14 verdict #2): semantic_dedup's default max_cell
     # None -> 10_000 — the measured-quadratic within-cell term is now
     # bounded by default. Under the cap (every cell at every SF here:
@@ -164,11 +170,24 @@ _STALE = frozenset({
     # round 15 (r14 verdict #4): series_entropy's catalog query gains
     # an explicit repartition(8, event_type) before the grouped kernel
     # (AQE coalesced the tiny shuffle to ONE task running all 5 group
-    # kernels serially — the catalog stamp absorbed host stalls 1:1)
-    # and a per-sf_dir stride memo. Values identical (same rows into
-    # the same kernels; stride is the same count), but the covering
-    # query's plan changed.
+    # kernels serially — the catalog stamp absorbed host stalls 1:1).
+    # Values identical (same rows into the same kernels), but the
+    # covering query's plan changed.
     "series_entropy",
+    # round 15 OPTIMIZATION: global_avg_rank's tie count now rides the
+    # rank window's bucket exchange (plans/ranks.py tie_name) instead
+    # of a second full hash shuffle on the value — one exchange fewer
+    # per consumer. Values identical (equal values always share a
+    # range bucket, so per-bucket tie counts equal global tie counts);
+    # the covering plan changed for every global-avg-rank consumer.
+    "corr_family", "mann_whitney", "roc_auc", "multi_roc_auc",
+    # round 15 OPTIMIZATION: bigram_lm_score folds uni_counts
+    # (vocab-bounded, broadcast) + V into the bigram count table and
+    # joins the corpus bigram stream ONCE on (w1, w2) — the old shape
+    # re-shuffled every bigram occurrence by w1 for the second join.
+    # log P is computed per bigram type instead of per occurrence:
+    # same doubles, same per-row values.
+    "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
     # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
     # joins go inner -> left + coalesce(0), so a stratum whose rows
     # all hash outside a sample fails its rate flag explicitly instead

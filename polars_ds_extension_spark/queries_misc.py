@@ -12,9 +12,6 @@ from .sources import load_table
 
 _B = 10_000
 _SCRAMBLE = 2654435761
-# series_entropy's stride (total_rows // 10_000) per sf_dir — a static
-# property of the table, memoized so repeat bench runs skip the scan
-_SE_STRIDE: dict = {}
 
 
 @query("sample_split", f"""
@@ -336,14 +333,10 @@ def series_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition(8, key) below is USER-specified partitioning — AQE
     respects it, and FlatMapGroupsInPandas' ClusteredDistribution is
     satisfied by it, so the 5 kernels run as 5 parallel tasks with no
-    extra exchange. The stride count is memoized per sf_dir (a static
-    property of the table) so repeat bench runs skip the extra scan
-    job."""
+    extra exchange."""
     ev = load_table(spark, sf_dir, "events")
-    if sf_dir not in _SE_STRIDE:
-        # ≈2k points per event_type
-        _SE_STRIDE[sf_dir] = max(1, ev.count() // 10_000)
-    stride = _SE_STRIDE[sf_dir]
+    # ≈2k points per event_type; parquet count() is a metadata-only job
+    stride = max(1, ev.count() // 10_000)
     ev = (ev.where(F.pmod(F.col("event_id"), F.lit(stride)) == 0)
           .repartition(8, "event_type"))
     ent = TS.query_series_entropies(ev, "value", "event_id",
