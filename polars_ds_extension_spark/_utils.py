@@ -92,7 +92,12 @@ def spread(df, min_ratio: int = 2):
 # predecessors) and unpersist the rest. Unpersisting a finished query's
 # pin is always safe — Spark recomputes lineage if it is ever re-read.
 _PINNED: list = []
-_MAX_PINNED = 4
+# 8, not 4 (r15): the composed index-lifecycle queries (build → update
+# → probe in one plan) legitimately hold 5 live pins at once — three
+# minhash bases plus the two bucket artifacts; a window of 4 evicted a
+# pin that was still feeding the final action, silently recomputing
+# the Arrow banding pass it existed to avoid.
+_MAX_PINNED = 8
 
 
 def pin(df):

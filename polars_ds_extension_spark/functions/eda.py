@@ -54,10 +54,18 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             F.max(cc).alias(f"{c}__max"),
         ]
     aggs += quantile_sketch_aggs(cols)  # rides the same scan
-    row = df.agg(*aggs).first().asDict()
-    row.update(df.agg(*[
-        F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
-    ]).first().asDict())
+    # r15 (guide §2.6): the moments+sketch scan and the count_distinct
+    # scan are independent jobs — submit them from two driver threads
+    # so the second scan back-fills executors freed by the first's
+    # tail instead of waiting for it.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_stats = ex.submit(lambda: df.agg(*aggs).first().asDict())
+        f_nd = ex.submit(lambda: df.agg(*[
+            F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols
+        ]).first().asDict())
+        row = f_stats.result()
+        row.update(f_nd.result())
     meds = exact_quantiles(df, {c: [0.5] for c in cols},
                            presketch=quantile_sketch_parse(row, cols))
     for c in cols:

@@ -52,7 +52,17 @@ def combinations_df(df: DataFrame, source: str, k: int = 2,
     vals = df.select(to_col(source).alias("__v")).where(
         F.col("__v").isNotNull())
     if unique:
+        # r15: distinct values are totally ordered by VALUE, so the
+        # rank-banded positional index is redundant — pair directly on
+        # v1 < v2 < ... (identical output: the index was value-ranked).
+        # Skips the whole two-pass rank plan (3 jobs + a pin) that only
+        # the duplicate-disambiguation path below needs.
         vals = vals.distinct()
+        out = vals.select(F.col("__v").alias("v1"))
+        for j in range(2, k + 1):
+            nxt = vals.select(F.col("__v").alias(f"v{j}"))
+            out = out.join(nxt, F.col(f"v{j - 1}") < F.col(f"v{j}"))
+        return out.select(*[f"v{j}" for j in range(1, k + 1)])
     # value-ranked positional index: ties (duplicate values) get distinct
     # consecutive indexes, so duplicates pair exactly once per position
     from pyspark.sql.window import Window

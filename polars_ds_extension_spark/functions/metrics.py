@@ -172,6 +172,17 @@ def query_mase_df(df: DataFrame, actual, pred, train, order_by,
     if keys:
         w = Window.partitionBy(*keys).orderBy("__o")
         diff = tr.withColumn("__prev", F.lag("__t", freq).over(w))
+    elif freq == 1:
+        # r15: lag-1 comes straight from the cross-partition lag plan
+        # (local lag per range bucket + a collected P-sized boundary
+        # map) — the rank + rank-shifted SELF-JOIN below re-shuffled
+        # the whole train series twice more on __rn for the same
+        # neighbor. Same two driver jobs, two exchanges fewer.
+        from ..plans.ranks import global_lag
+        # NB: "__prev" itself is global_lag's internal boundary column
+        # (dropped on return) — use a distinct output name
+        diff = global_lag(tr, "__o", "__t", out_name="__lagt") \
+            .withColumnRenamed("__lagt", "__prev")
     else:
         from ..plans.ranks import global_min_rank
         rn = global_min_rank(tr, "__o", out_name="__rn")

@@ -397,15 +397,20 @@ def ks_2samp(df: DataFrame, x: str, group: str,
             _sf3(ks_sf, F.col("statistic"), F.col("__na"),
                  F.col("__nb")).alias("pvalue"))
     from ..plans import global_cumsum
-    tot = step.agg(F.sum("__a").alias("a"), F.sum("__b").alias("b")).first()
-    cum = global_cumsum(step, "__x", ["__a", "__b"])
-    d = F.abs(F.col("cum___a") / F.lit(float(tot["a"]))
-              - F.col("cum___b") / F.lit(float(tot["b"])))
-    agg = cum.select(d.alias("__d")).agg(F.max("__d").alias("statistic"))
+    # r15: group totals ride the cumsum plan's offsets collect
+    # (with_totals) — the separate .first() aggregation was a full
+    # extra scan job for two scalars the prefix pass already summed.
+    cum = global_cumsum(step, "__x", ["__a", "__b"], with_totals=True)
+    d = F.abs(F.col("cum___a") / F.col("tot___a")
+              - F.col("cum___b") / F.col("tot___b"))
+    agg = cum.select(d.alias("__d"), "tot___a", "tot___b") \
+        .agg(F.max("__d").alias("statistic"),
+             F.max("tot___a").alias("__na"),
+             F.max("tot___b").alias("__nb"))
     return agg.select(
         "statistic",
-        _sf3(ks_sf, F.col("statistic"), F.lit(float(tot["a"])),
-             F.lit(float(tot["b"]))).alias("pvalue"))
+        _sf3(ks_sf, F.col("statistic"), F.col("__na"),
+             F.col("__nb")).alias("pvalue"))
 
 
 def mann_whitney_u(df: DataFrame, x: str, group: str,

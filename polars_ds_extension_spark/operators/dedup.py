@@ -1011,6 +1011,16 @@ def build_near_dup_index(
     # indistinguishable from a clean batch)
     buckets = _index_buckets(ib, max_bucket, tombstones=True).withColumn(
         "_lsh", F.lit(f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}"))
+    # r15: pin the bucket artifact. Production persists this frame to
+    # parquet and every consumer reads the file; composed in-session
+    # use (update/probe on the live frame) instead re-ran the bucket
+    # aggregation once per consumer subtree — the stamp check, the
+    # kept/dropped splits and the probe join each replayed it
+    # (measured: index_update 9.7 s, dominated by repeated bucket
+    # aggs). The frame is skinny (8-byte keys + id arrays, no text)
+    # and disk-spillable.
+    from .._utils import pin
+    buckets = pin(buckets)
     shingles = ib.select(F.col("__id").alias("index_id"),
                          F.col("__th").alias("th"),
                          F.col("__sh").alias("shingles"))
@@ -1181,6 +1191,11 @@ def update_near_dup_index(
             "band", "bh", F.lit(None).cast(ids_t).alias("ids")))
         .withColumn("_lsh",
                     F.lit(f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}")))
+    # r15: pin the updated artifact — same rationale as
+    # build_near_dup_index (a downstream probe's stamp check + band
+    # join would otherwise each replay the merge aggregation).
+    from .._utils import pin
+    out_buckets = pin(out_buckets)
     out_shingles = shingles.unionByName(
         nb.select(F.col("__id").alias("index_id"),
                   F.col("__th").alias("th"),

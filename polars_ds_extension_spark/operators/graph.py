@@ -148,7 +148,20 @@ def pagerank(
     pr = nodes.select("node", "out_deg", "__s",
                       F.col("__s").alias("rank"))
     prev_ckpt = None
+    from .._utils import pin
     for it in range(n_iter):
+        # r15: each iteration consumes pr TWICE — the dangling-mass
+        # broadcast subtree and the contrib join — and Spark does not
+        # CSE the two, so an unpinned pr re-evaluated its whole
+        # iteration chain per consumer (2^k leaf evaluations between
+        # checkpoints; measured: 3-iteration pagerank spent most of
+        # its wall re-running earlier iterations). Pin the node-sized
+        # rank frame per iteration (narrow rows, disk-spillable, LRU-
+        # evicted): the broadcast build materializes it once and every
+        # later read is a cache hit. The eager localCheckpoint below
+        # still truncates lineage every checkpoint_every rounds.
+        if it > 0:
+            pr = pin(pr)
         # dangling mass as a broadcast 1-row scalar (the house
         # with_global_totals shape) — NOT a .first() per iteration,
         # which would run an action (and the whole lineage) n_iter

@@ -1291,6 +1291,14 @@ def build_vector_index(
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("vec"))
              .withColumn("_ivf", F.lit(stamp)))
+    # r15: pin the inverted-file artifact. Production persists it to
+    # parquet; composed in-session use (search/update/stats on the
+    # live frame) re-ran the full assignment GEMM once per consumer
+    # subtree — the _ivf stamp-uniqueness collect alone replayed it
+    # before the search did. Same rationale as build_near_dup_index's
+    # bucket pin.
+    from .._utils import pin
+    cells = pin(cells)
     return cents_out, cells
 
 
@@ -1385,8 +1393,12 @@ def update_vector_index(
                                      lambda x: x.cast("double"))
                          .alias("vec"))
                  .withColumn("_ivf", F.lit(stamp)))
-    return centroids, cells.unionByName(
-        new_cells.select(*cells.columns))
+    # r15: pin the updated artifact (see build_vector_index) — a
+    # downstream probe's stamp check + cell join would otherwise each
+    # replay the batch assignment and the old-cells read.
+    from .._utils import pin
+    return centroids, pin(cells.unionByName(
+        new_cells.select(*cells.columns)))
 
 
 def ivf_cosine_pairs(

@@ -143,9 +143,14 @@ def _offsets(part: DataFrame, by: Sequence[str] | None,
 
 def global_cumsum(df: DataFrame, order_col, value_cols: Sequence[str],
                   by: Sequence[str] | None = None,
-                  n_parts: int | None = None) -> DataFrame:
+                  n_parts: int | None = None,
+                  with_totals: bool = False) -> DataFrame:
     """Adds `cum_<c>` = sum of c over all rows with order_col ≤ this
-    row's (range frame — ties all included), per group. Parallel."""
+    row's (range frame — ties all included), per group. Parallel.
+    ``with_totals`` additionally attaches ``tot_<c>`` (the group's full
+    sum) on every row — free, the offsets collect already sums the
+    per-bucket totals (r15): callers needing cumsum AND the total no
+    longer pay a separate full-scan aggregation job."""
     keys = list(by or [])
     part = _ranged(df, order_col, keys, n_parts)
     w_local = Window.partitionBy(_PID, *keys).orderBy(to_col(order_col)) \
@@ -153,12 +158,15 @@ def global_cumsum(df: DataFrame, order_col, value_cols: Sequence[str],
     for c in value_cols:
         part = part.withColumn(f"__loc_{c}", F.sum(F.col(c)).over(w_local))
     part = _pin(part)
-    offs = _offsets(part, keys, {c: F.sum(F.col(c)) for c in value_cols})
+    offs = _offsets(part, keys, {c: F.sum(F.col(c)) for c in value_cols},
+                    with_totals=with_totals)
     joined = part.join(offs, [_PID, *keys])
     for c in value_cols:
         joined = joined.withColumn(
             f"cum_{c}", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
         ).drop(f"__loc_{c}", f"__off_{c}")
+        if with_totals:
+            joined = joined.withColumnRenamed(f"__tot_{c}", f"tot_{c}")
     return joined.drop(_PID)
 
 

@@ -188,6 +188,22 @@ _STALE = frozenset({
     # log P is computed per bigram type instead of per occurrence:
     # same doubles, same per-row values.
     "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
+    # round 15 OPTIMIZATION: the persisted-artifact frames (near-dup
+    # bucket index, IVF cells) are now pinned by their build/update
+    # operators — in-session consumers (stamp checks, probe joins)
+    # read the cache instead of re-running the bucket agg / assignment
+    # GEMM per subtree. Values identical; covering plans changed.
+    "index_update", "prebuilt_index_dedup",
+    # round 15 OPTIMIZATION: combinations_df's unique path pairs
+    # directly on values (the rank index was redundant for distinct
+    # values); query_mase_df's global freq=1 branch uses the
+    # cross-partition lag plan instead of a rank self-join; ks_2samp's
+    # group totals ride the cumsum offsets collect; onlinelr_merge
+    # overlaps its two independent fold chains; eda_describe overlaps
+    # its two independent scans; pagerank pins the per-iteration rank
+    # frame. Values identical in each; covering plans changed.
+    "combinations", "mase_full", "ks_2samp", "onlinelr_merge",
+    "eda_describe", "pagerank", "pagerank_personalized",
     # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
     # joins go inner -> left + coalesce(0), so a stratum whose rows
     # all hash outside a sample fails its rate flag explicitly instead

@@ -239,12 +239,22 @@ def onlinelr_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     batches = [li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
                for i in range(3)]
-    fwd = MD.OnlineLR(["l_quantity", "l_discount"], "l_extendedprice")
-    for b in batches:
-        fwd.partial_fit(b)
-    rev = MD.OnlineLR(["l_quantity", "l_discount"], "l_extendedprice")
-    for b in reversed(batches):
-        rev.partial_fit(b)
+
+    # r15 (guide §2.6): the forward and reversed folds are independent
+    # job chains — overlap them from two driver threads so the second
+    # chain's scans back-fill the first's stragglers. Each chain still
+    # calls partial_fit sequentially (the API under test).
+    def _fold(bs):
+        m = MD.OnlineLR(["l_quantity", "l_discount"], "l_extendedprice")
+        for b in bs:
+            m.partial_fit(b)
+        return m
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_fwd = ex.submit(_fold, batches)
+        f_rev = ex.submit(_fold, list(reversed(batches)))
+        fwd, rev = f_fwd.result(), f_rev.result()
     c4 = [round(float(v), 4) for v in fwd.coef_]
     order_inv = c4 == [round(float(v), 4) for v in rev.coef_]
     return spark.createDataFrame(
