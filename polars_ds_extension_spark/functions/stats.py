@@ -556,11 +556,12 @@ def corr(df: DataFrame, x: str, y: str, method: str = "pearson",
             ry = F.rank().over(wy) + (F.count(F.lit(1)).over(wty) - 1) / 2.0
             step = df.select(*keys, rx.alias("__rx"), ry.alias("__ry"))
             return step.groupBy(*keys).agg(F.corr("__rx", "__ry").alias("corr"))
-        # global: two-pass range-partitioned ranks, one per column
-        from ..plans import global_avg_rank
+        # global: fused two-column two-pass ranks (r15 — one boundary
+        # agg, one pin, one offsets-grid collect instead of two chained
+        # single-column plans)
+        from ..plans.ranks import global_rank_pair
         step = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
-        step = global_avg_rank(step, "__x", out_name="__rx")
-        step = global_avg_rank(step, "__y", out_name="__ry")
+        step = global_rank_pair(step, "__x", "__y", "__rx", "__ry")
         return step.agg(F.corr("__rx", "__ry").alias("corr"))
     if method == "xi":
         return xi_corr(df, x, y, by=keys or None)

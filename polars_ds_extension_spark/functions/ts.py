@@ -746,10 +746,12 @@ def query_copula_entropy(df: DataFrame, x: str, y: str,
         step = df.select(*keys, F.rank().over(wx).cast("double").alias("__rx"),
                          F.rank().over(wy).cast("double").alias("__ry"))
     else:
-        from ..plans import global_min_rank
+        # fused two-column rank plan (r15): one boundary agg + one pin
+        # + one offsets-grid collect for both min-rank columns
+        from ..plans.ranks import global_rank_pair
         pre = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
-        step = global_min_rank(pre, "__x", out_name="__rx")
-        step = global_min_rank(step, "__y", out_name="__ry")
+        step = global_rank_pair(pre, "__x", "__y", "__rx", "__ry",
+                                avg_ties=False)
     if keys:
         nrow = F.count(F.lit(1)).over(group_window(keys)).cast("double")
     else:

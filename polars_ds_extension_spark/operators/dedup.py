@@ -1021,6 +1021,11 @@ def build_near_dup_index(
     # and disk-spillable.
     from .._utils import pin
     buckets = pin(buckets)
+    # in-session provenance: the stamp is a single literal ON THIS
+    # FRAME OBJECT by construction, so a same-session consumer can
+    # skip the stamp-uniqueness scan (a full job on a live frame);
+    # parquet round-trips drop plain attributes and get the real check
+    buckets._pds_lsh_stamp = f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}"
     shingles = ib.select(F.col("__id").alias("index_id"),
                          F.col("__th").alias("th"),
                          F.col("__sh").alias("shingles"))
@@ -1080,8 +1085,19 @@ def _check_lsh_stamp(buckets: DataFrame, shingle_k: int, n_hashes: int,
     # review lesson applied here too): a bucket frame unioned from two
     # index generations is exactly the mixed artifact the stamp exists
     # to catch, and a sampled row passes whenever it happens to match;
-    # the distinct reads one dictionary-encoded literal column
-    stamps = buckets.select("_lsh").distinct().limit(2).collect()
+    # the distinct reads one dictionary-encoded literal column.
+    # r15: a frame carrying build/update's in-session provenance
+    # attribute is single-stamped BY CONSTRUCTION (the stamp is one
+    # literal projected onto that exact frame object), so the
+    # uniqueness scan — a full job when the artifact is a live frame
+    # rather than parquet — is skipped; the parameter check below
+    # still runs against the attribute's value. Any union/round-trip
+    # produces a new frame object without the attribute.
+    live = getattr(buckets, "_pds_lsh_stamp", None)
+    if live is not None:
+        stamps = [(live,)]
+    else:
+        stamps = buckets.select("_lsh").distinct().limit(2).collect()
     if len(stamps) > 1:
         raise ValueError(
             f"bucket frame carries MULTIPLE '_lsh' stamps "
@@ -1196,6 +1212,9 @@ def update_near_dup_index(
     # join would otherwise each replay the merge aggregation).
     from .._utils import pin
     out_buckets = pin(out_buckets)
+    # in-session provenance (see build_near_dup_index)
+    out_buckets._pds_lsh_stamp = \
+        f"{shingle_k}/{n_hashes}/{bands}/{max_bucket}"
     out_shingles = shingles.unionByName(
         nb.select(F.col("__id").alias("index_id"),
                   F.col("__th").alias("th"),

@@ -1195,6 +1195,16 @@ def _check_ivf_stamp(
     def _uniq(frame: DataFrame, label: str):
         if "_ivf" not in frame.columns:
             return None
+        # r15: frames straight from build/update carry the stamp as an
+        # in-session provenance attribute — single-stamped by
+        # construction (one literal projected onto that exact frame
+        # object), so the uniqueness scan (a full assignment replay on
+        # a live cells frame) is skipped; parquet round-trips and
+        # unions produce new frame objects without the attribute and
+        # get the real check.
+        live = getattr(frame, "_pds_ivf_stamp", None)
+        if live is not None:
+            return live
         got = frame.select("_ivf").distinct().limit(2).collect()
         if len(got) > 1:
             raise ValueError(
@@ -1296,9 +1306,13 @@ def build_vector_index(
     # live frame) re-ran the full assignment GEMM once per consumer
     # subtree — the _ivf stamp-uniqueness collect alone replayed it
     # before the search did. Same rationale as build_near_dup_index's
-    # bucket pin.
+    # bucket pin. The in-session provenance attributes let
+    # _check_ivf_stamp skip the uniqueness scan on these exact frame
+    # objects (single-stamped by construction).
     from .._utils import pin
     cells = pin(cells)
+    cents_out._pds_ivf_stamp = stamp
+    cells._pds_ivf_stamp = stamp
     return cents_out, cells
 
 
@@ -1397,8 +1411,13 @@ def update_vector_index(
     # downstream probe's stamp check + cell join would otherwise each
     # replay the batch assignment and the old-cells read.
     from .._utils import pin
-    return centroids, pin(cells.unionByName(
+    out_cells = pin(cells.unionByName(
         new_cells.select(*cells.columns)))
+    # both generations carry the SAME verified stamp (update requires
+    # and checks it above), so the union is single-stamped by
+    # construction — safe to stamp the provenance attribute
+    out_cells._pds_ivf_stamp = stamp
+    return centroids, out_cells
 
 
 def ivf_cosine_pairs(

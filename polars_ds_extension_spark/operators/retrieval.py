@@ -117,10 +117,13 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
     qlit = F.array(*[F.lit(t) for t in query_terms])
     toks = docs.select(F.col(id_col).alias("__id"),
                        word_tokens(text_col).alias("__w"))
-    # one tiny agg for N and avgdl, embedded as literals
-    stats = toks.agg(F.count(F.lit(1)).alias("n"),
-                     F.avg(F.size("__w")).alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # N and avgdl ride as a broadcast 1-row scalar (r15 — the house
+    # with_global_totals shape) instead of a driver .first(): the
+    # .first() ran the full tokenize scan as a separate blocking job
+    # just to embed two literals. Same doubles either way.
+    stats = F.broadcast(toks.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.size("__w")).alias("__avgdl")))
     hits = (
         toks.select("__id", F.size("__w").alias("__len"),
                     F.explode(F.array_intersect(F.array_distinct("__w"), qlit))
@@ -133,12 +136,13 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
     dfreq = (
         hits.groupBy("term").agg(F.count_distinct("__id").alias("df"))
     )
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tf_norm = (F.col("__tc") * (k1 + 1)) / (
-        F.col("__tc") + k1 * (1 - b + b * F.col("__len") / F.lit(avgdl)))
+        F.col("__tc") + k1 * (1 - b + b * F.col("__len") / F.col("__avgdl")))
     return (
         hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(stats)
         .groupBy("__id").agg(F.sum(idf * tf_norm).alias("bm25"))
         .select(F.col("__id").alias(id_col), "bm25")
     )

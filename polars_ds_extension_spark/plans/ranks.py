@@ -222,6 +222,82 @@ def global_avg_rank(df: DataFrame, order_col,
     ).drop("__min_r", "__tie_n")
 
 
+def global_rank_pair(df: DataFrame, x_col, y_col,
+                     out_x: str, out_y: str,
+                     avg_ties: bool = True,
+                     n_parts: int | None = None) -> DataFrame:
+    """Global ranks of TWO independent columns in one fused plan (r15):
+    spearman/copula-style consumers ranked x then y as two chained
+    two-pass plans — two boundary-sketch jobs, two pins, two offsets
+    collects. Fused: ONE aggregation sketches both columns' bucket
+    boundaries, both local rank windows run in one pinned stage (two
+    exchanges — the two orderings are fundamentally different — but
+    one pin), and ONE collect of the (pid_x × pid_y) count grid gives
+    both offset maps driver-side (the grid is ≤ P² tiny rows; each
+    column's per-bucket counts are its marginals).
+
+    ``avg_ties``: tie-averaged ranks (scipy rankdata 'average', the
+    spearman contract) — tie counts ride each column's own bucket
+    window exactly as global_min_rank(tie_name=...). False = min rank.
+    Output: df columns + out_x + out_y (doubles)."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    xc, yc = to_col(x_col), to_col(y_col)
+    probs = [(i + 1) / n for i in range(n - 1)]
+    if probs:
+        row = df.agg(
+            F.percentile_approx(xc.cast("double"), probs, 10000).alias("bx"),
+            F.percentile_approx(yc.cast("double"), probs, 10000).alias("by"),
+        ).first()
+        bx, by = _finite_bounds(row["bx"]), _finite_bounds(row["by"])
+    else:
+        bx, by = [], []
+
+    def _pid(oc, bounds):
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + (oc.cast("double") >= F.lit(b)).cast("int")
+        return F.when(oc.isNull(), F.lit(-1)).otherwise(pid)
+
+    part = df.withColumn("__px", _pid(xc, bx)).withColumn("__py", _pid(yc, by))
+    wx = Window.partitionBy("__px").orderBy(xc)
+    part = part.withColumn("__lrx", F.rank().over(wx).cast("double"))
+    wy = Window.partitionBy("__py").orderBy(yc)
+    part = part.withColumn("__lry", F.rank().over(wy).cast("double"))
+    if avg_ties:
+        part = part.withColumn(
+            "__tx", F.count(F.lit(1)).over(Window.partitionBy("__px", xc)))
+        part = part.withColumn(
+            "__ty", F.count(F.lit(1)).over(Window.partitionBy("__py", yc)))
+    part = _pin(part)
+    grid = part.groupBy("__px", "__py").agg(
+        F.count(F.lit(1)).cast("double").alias("n")).collect()
+    spark = part.sparkSession
+
+    def _off_frame(axis: str) -> DataFrame:
+        marg: dict[int, float] = {}
+        for r in grid:
+            marg[r[axis]] = marg.get(r[axis], 0.0) + r["n"]
+        run, rows = 0.0, []
+        for pid in sorted(marg):
+            rows.append((pid, run))
+            run += marg[pid]
+        return F.broadcast(spark.createDataFrame(
+            rows, f"{axis} int, __off_{axis} double"))
+
+    joined = part.join(_off_frame("__px"), "__px") \
+                 .join(_off_frame("__py"), "__py")
+    rx = F.col("__lrx") + F.col("__off___px")
+    ry = F.col("__lry") + F.col("__off___py")
+    if avg_ties:
+        rx = rx + (F.col("__tx") - 1) / 2.0
+        ry = ry + (F.col("__ty") - 1) / 2.0
+    out = joined.withColumn(out_x, rx).withColumn(out_y, ry)
+    drop = ["__px", "__py", "__lrx", "__lry", "__off___px", "__off___py"]
+    if avg_ties:
+        drop += ["__tx", "__ty"]
+    return out.drop(*drop)
+
+
 def global_lag(df: DataFrame, order_col, col: str,
                by: Sequence[str] | None = None,
                out_name: str = "lag",

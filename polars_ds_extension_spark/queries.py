@@ -204,6 +204,16 @@ _STALE = frozenset({
     # frame. Values identical in each; covering plans changed.
     "combinations", "mase_full", "ks_2samp", "onlinelr_merge",
     "eda_describe", "pagerank", "pagerank_personalized",
+    # round 15 OPTIMIZATION: artifact frames from build/update carry an
+    # in-session provenance attribute so same-session stamp checks skip
+    # the uniqueness scan (parquet round-trips still get it); spearman/
+    # copula global paths use the fused two-column rank plan
+    # (global_rank_pair — one boundary agg, one pin, one offsets-grid
+    # collect); bm25's N/avgdl ride as a broadcast scalar instead of a
+    # driver first(); degree_stats computes both degrees in one
+    # exploded-indicator pass (one shuffle, no full-outer join).
+    # Values identical in each; covering plans changed.
+    "bm25_score", "graph_degrees",
     # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
     # joins go inner -> left + coalesce(0), so a stratum whose rows
     # all hash outside a sample fails its rate flag explicitly instead
