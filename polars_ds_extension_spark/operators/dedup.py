@@ -876,8 +876,13 @@ def near_dup_against_index(
     # the 10× probe). One count per pin is two cheap scans by contrast.
     # (near_dup_pairs deliberately stays lazy — its single-frame action
     # shares the pin fine, and the extra pass measured net-negative.)
-    nb.count()
-    ib.count()
+    # r15 (guide §2.6): the two pin materializations are independent
+    # jobs — overlap them so the small batch's scan back-fills the
+    # index scan's tail instead of waiting behind it.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fn, _fi = _ex.submit(nb.count), _ex.submit(ib.count)
+        _fn.result(), _fi.result()
     idx_buckets = _index_buckets(ib, max_bucket)
     ish = ib.select(F.col("__id").alias("index_id"),
                     F.col("__sh").alias("shingles"))

@@ -1057,6 +1057,12 @@ def dsir_log_weights(
         F.coalesce("__cr", F.lit(0)).alias("__cr"),
         F.coalesce("__ct", F.lit(0)).alias("__ct"),
     )
+    # r15: totals (inside the ratio broadcast) and the ratio projection
+    # both consume vocab — unpinned, the two corpus/target token
+    # aggregations ran twice. The frame is vocabulary-sized (it
+    # broadcasts downstream), so the pin is trivially bounded.
+    from .._utils import pin
+    vocab = pin(vocab)
     totals = vocab.agg(
         F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt"),
         F.count(F.lit(1)).alias("__v"),

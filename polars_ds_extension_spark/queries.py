@@ -214,6 +214,11 @@ _STALE = frozenset({
     # exploded-indicator pass (one shuffle, no full-outer join).
     # Values identical in each; covering plans changed.
     "bm25_score", "graph_degrees",
+    # round 15 OPTIMIZATION: dsir's vocabulary frame is pinned (totals
+    # + ratio projection both consumed it — the two token aggregations
+    # ran twice); near_dup_against_index overlaps its two pin
+    # materializations from driver threads. Values identical.
+    "dsir_sample", "incremental_dedup",
     # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
     # joins go inner -> left + coalesce(0), so a stratum whose rows
     # all hash outside a sample fails its rate flag explicitly instead

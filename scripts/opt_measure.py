@@ -69,6 +69,8 @@ def main() -> None:
                     .ExplainMode.fromString("formatted")))
             release_pins()
             spark.catalog.clearCache()
+        if runs == 0:
+            continue
         walls = []
         for _ in range(runs):
             spark.sparkContext.setJobDescription(f"opt:{name}")
@@ -83,6 +85,8 @@ def main() -> None:
             finally:
                 release_pins()
                 spark.catalog.clearCache()
+        if not walls:
+            continue
         best = min(walls)
         results[name] = best
         print(f"{best:8.3f}s  {name}  runs="
