@@ -589,10 +589,12 @@ def xi_corr(df: DataFrame, x: str, y: str, by: Sequence[str] | None = None) -> D
         dr = F.abs(F.col("__r") - F.lag("__r").over(wx))
         step2 = step.select(*keys, dr.alias("__dr"))
     else:
-        from ..plans import global_lag, global_min_rank
+        # r15: fused rank-then-lag plan — one boundary agg, one pin,
+        # one grid collect instead of two chained two-pass plans
+        from ..plans.ranks import global_rank_then_lag
         pre = df.select(to_col(x).alias("__x"), to_col(y).alias("__y"))
-        ranked = global_min_rank(pre, "__y", out_name="__r")
-        lagged = global_lag(ranked, "__x", "__r", out_name="__lr")
+        lagged = global_rank_then_lag(pre, "__x", "__y",
+                                      rank_name="__r", lag_name="__lr")
         dr = F.abs(F.col("__r") - F.col("__lr"))
         step2 = lagged.select(dr.alias("__dr"))
     # lag nulls the first row's diff but count() over lit(1) still counts

@@ -298,6 +298,98 @@ def global_rank_pair(df: DataFrame, x_col, y_col,
     return out.drop(*drop)
 
 
+def global_rank_then_lag(df: DataFrame, x_col, y_col,
+                         rank_name: str = "rank",
+                         lag_name: str = "lag_rank",
+                         n_parts: int | None = None) -> DataFrame:
+    """Fused xi-correlation plan (r15): the global min-rank of ``y_col``
+    AND, per row, the PREVIOUS row's y-rank in ``x_col`` order — what
+    xi = 1 − 3·Σ|r_{i+1} − r_i|/(n²−1) consumes. Chaining
+    global_min_rank(y) → global_lag(x) paid two boundary-sketch jobs,
+    two pins and two offset collects; fused: ONE aggregation sketches
+    both columns, both windows run in one pinned stage, and ONE collect
+    of the (pid_x, pid_y) grid (counts + last-by-x row per cell) gives
+    the y-offset map and each x-bucket's boundary rank driver-side.
+    Offsets apply through a P-sized literal map, so the lagged row's
+    offset (a DIFFERENT y-bucket's) needs no second join.
+
+    Contract: ``x_col`` values are unique and non-null (a time/sort
+    index — the same contract as global_lag); ``y_col`` nulls rank
+    first, as in global_min_rank."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    xc, yc = to_col(x_col), to_col(y_col)
+    probs = [(i + 1) / n for i in range(n - 1)]
+    if probs:
+        row = df.agg(
+            F.percentile_approx(xc.cast("double"), probs, 10000).alias("bx"),
+            F.percentile_approx(yc.cast("double"), probs, 10000).alias("by"),
+        ).first()
+        bx, by = _finite_bounds(row["bx"]), _finite_bounds(row["by"])
+    else:
+        bx, by = [], []
+
+    def _pid(oc, bounds):
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + (oc.cast("double") >= F.lit(b)).cast("int")
+        return F.when(oc.isNull(), F.lit(-1)).otherwise(pid)
+
+    part = df.withColumn("__px", _pid(xc, bx)).withColumn("__py", _pid(yc, by))
+    wy = Window.partitionBy("__py").orderBy(yc)
+    part = part.withColumn("__lry", F.rank().over(wy).cast("double"))
+    wx = Window.partitionBy("__px").orderBy(xc)
+    part = part.withColumn(
+        "__prevs", F.lag(F.struct(F.col("__lry"), F.col("__py"))).over(wx))
+    part = _pin(part)
+    grid = part.groupBy("__px", "__py").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.max(xc.cast("double")).alias("__mx"),
+        F.max_by(F.struct(F.col("__lry"), F.col("__py")), xc).alias("__lastr"),
+    ).collect()
+    # y-offset map: prefix sums of the py marginals
+    marg: dict[int, float] = {}
+    for r in grid:
+        marg[r["__py"]] = marg.get(r["__py"], 0.0) + r["n"]
+    run, off_y = 0.0, {}
+    for pid in sorted(marg):
+        off_y[pid] = run
+        run += marg[pid]
+    # per x-bucket: the GLOBAL rank of its last-by-x row, then shift to
+    # the NEXT bucket as its first row's lag value
+    last_of: dict[int, float] = {}
+    for r in grid:
+        mx = r["__mx"]
+        if mx is None:
+            continue
+        cur = last_of.get(r["__px"])
+        if cur is None or mx > cur[0]:
+            last_of[r["__px"]] = (
+                mx, r["__lastr"]["__lry"] + off_y[r["__lastr"]["__py"]])
+    prev_of = {}
+    pxs = sorted(last_of)
+    for i, px in enumerate(pxs):
+        if i > 0:
+            prev_of[px] = last_of[pxs[i - 1]][1]
+    off_items = []
+    for pid, off in off_y.items():
+        off_items += [F.lit(int(pid)), F.lit(float(off))]
+    off_map = F.create_map(*off_items) if off_items else F.create_map()
+    prev_items = []
+    for px, v in prev_of.items():
+        prev_items += [F.lit(int(px)), F.lit(float(v))]
+    prev_map = F.create_map(*prev_items) if prev_items else \
+        F.create_map().cast("map<int,double>")
+    is_first = F.row_number().over(wx) == 1
+    out = part.withColumn(
+        rank_name, F.col("__lry") + F.element_at(off_map, F.col("__py")))
+    out = out.withColumn(
+        lag_name,
+        F.when(is_first, F.element_at(prev_map, F.col("__px")))
+        .otherwise(F.col("__prevs")["__lry"]
+                   + F.element_at(off_map, F.col("__prevs")["__py"])))
+    return out.drop("__px", "__py", "__lry", "__prevs")
+
+
 def global_lag(df: DataFrame, order_col, col: str,
                by: Sequence[str] | None = None,
                out_name: str = "lag",

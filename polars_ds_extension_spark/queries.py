@@ -219,6 +219,12 @@ _STALE = frozenset({
     # ran twice); near_dup_against_index overlaps its two pin
     # materializations from driver threads. Values identical.
     "dsir_sample", "incremental_dedup",
+    # round 15 OPTIMIZATION: xi_corr's global branch uses the fused
+    # rank-then-lag plan (global_rank_then_lag — one boundary agg, one
+    # pin, one grid collect replace the chained rank + lag plans).
+    # Values identical (same min-rank + same lag semantics under the
+    # unique-x contract); covering plan changed (18 -> 10 exchanges).
+    "xi_corr",
     # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
     # joins go inner -> left + coalesce(0), so a stratum whose rows
     # all hash outside a sample fails its rate flag explicitly instead
