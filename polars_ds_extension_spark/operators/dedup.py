@@ -312,6 +312,28 @@ def _minhash_base(df: DataFrame, id_col: str, text_col: str,
         "__bands", minhash_band_hashes(F.col("__sh"), n_hashes, bands)))
 
 
+def _overlap_minhash_bases(frames: "Sequence[tuple[DataFrame, str, str]]",
+                           shingle_k: int = 12, n_hashes: int = 96,
+                           bands: int = 32) -> "list[DataFrame]":
+    """Build and CONCURRENTLY materialize the pinned minhash bases of
+    several INDEPENDENT document frames (guide §2.6: overlap
+    independent jobs). The index-lifecycle composites (build → update →
+    probe in one plan) each need a base per input batch; materializing
+    them serially leaves the executor tail idle between three scans
+    whose inputs share nothing. Callers pass the returned frames to
+    `build_near_dup_index` / `update_near_dup_index` /
+    `near_dup_against_prebuilt` via ``_base=`` (which skips the
+    operator's own build + eager count). Each element of ``frames`` is
+    (df, id_col, text_col)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bases = [_minhash_base(df, i, t, shingle_k, n_hashes, bands)
+             for df, i, t in frames]
+    with ThreadPoolExecutor(max_workers=min(4, len(bases))) as ex:
+        list(ex.map(lambda b: b.count(), bases))
+    return bases
+
+
 def _lsh_buckets(base: DataFrame, max_bucket: int) -> DataFrame:
     """(band, band_hash) buckets of 2..max_bucket members from the
     pinned minhash base — ONE shuffle on the bucket key; the size guard
@@ -981,6 +1003,7 @@ def build_near_dup_index(
     n_hashes: int = 96,
     bands: int = 32,
     max_bucket: int = 200,
+    _base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PERSISTABLE near-dup index once — the one pass over
     the 100 TB corpus that `near_dup_against_index` would otherwise
@@ -1006,10 +1029,17 @@ def build_near_dup_index(
     Probing equals `near_dup_against_index(new, docs, ...)` exactly —
     pinned by the shared `_probe_index` tail and a parity test.
     """
-    ib = _minhash_base(docs, id_col, text_col, shingle_k, n_hashes, bands)
-    # both outputs read the pin (bucket agg + shingle projection);
-    # eager materialization keeps the Arrow banding pass at one run
-    ib.count()
+    # ``_base``: a pre-materialized base from _overlap_minhash_bases —
+    # the composed lifecycle queries overlap the three independent
+    # banding scans instead of serializing them (r16, guide §2.6)
+    if _base is not None:
+        ib = _base
+    else:
+        ib = _minhash_base(docs, id_col, text_col, shingle_k, n_hashes,
+                           bands)
+        # both outputs read the pin (bucket agg + shingle projection);
+        # eager materialization keeps the Arrow banding pass at one run
+        ib.count()
     # the LSH parameters ride the bucket rows as one dictionary-encoded
     # literal so a probe/update with mismatched parameters FAILS
     # instead of silently returning zero matches (recall-0 would be
@@ -1047,6 +1077,7 @@ def near_dup_against_prebuilt(
     shingle_k: int = 12,
     n_hashes: int = 96,
     bands: int = 32,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection against a PREBUILT index (the
     `build_near_dup_index` artifact read back from parquet): the index
@@ -1064,8 +1095,12 @@ def near_dup_against_prebuilt(
     silently returning zero matches.
     """
     buckets = _check_lsh_stamp(buckets, shingle_k, n_hashes, bands)
-    nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
-    nb.count()
+    if _base is not None:  # pre-materialized (see _overlap_minhash_bases)
+        nb = _base
+    else:
+        nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes,
+                           bands)
+        nb.count()
     return _probe_index(nb, buckets, shingles, threshold)
 
 
@@ -1144,6 +1179,7 @@ def update_near_dup_index(
     n_hashes: int = 96,
     bands: int = 32,
     max_bucket: int = 200,
+    _base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a new batch INTO the persisted near-dup index — the write
     half of the daily-crawl loop (probe the batch with
@@ -1189,10 +1225,15 @@ def update_near_dup_index(
             "shingle frame has no 'th' column — the index predates the "
             "updatable artifact format; rebuild it with "
             "build_near_dup_index before updating")
-    nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes, bands)
-    # eager pin: the plan reads it from the bucket-merge and shingle-
-    # append subtrees (same rationale as near_dup_against_index)
-    nb.count()
+    if _base is not None:  # pre-materialized (see _overlap_minhash_bases)
+        nb = _base
+    else:
+        nb = _minhash_base(new, id_col, text_col, shingle_k, n_hashes,
+                           bands)
+        # eager pin: the plan reads it from the bucket-merge and
+        # shingle-append subtrees (same rationale as
+        # near_dup_against_index)
+        nb.count()
     kept = buckets.where(F.col("ids").isNotNull()).select(
         "band", "bh", F.explode("ids").alias("__id"))
     old_mem = kept.join(

@@ -1005,15 +1005,16 @@ def ivf_assign_probe(
         schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
 
     def _batches(it):
+        from .cluster import _dist2_np
+
         ids_c, Cm = bc.value
         pos = np.arange(len(ids_c))
-        # byte-bounded query chunk (cluster._assign_np's bound): the
-        # (chunk × n_centroids × dim) broadcast temporary stays ~256 MB
-        # however many centroids there are — at the auto-route scale
-        # (√N ≳ 2237 centroids, 128d) an unchunked 10k-row Arrow batch
-        # would materialize a ~23 GB slab and OOM the executor exactly
-        # when the scale path activates
-        slab = max(1, (1 << 28) // max(1, Cm.shape[0] * Cm.shape[1] * 8))
+        # row slab bounds the materialized (slab × n_centroids) distance
+        # matrix; the (x−c)² arithmetic itself runs through the cache-
+        # blocked exact kernel (see cluster._dist2_np — r16: kills the
+        # 32-worker memory-bandwidth contention of the old ~256 MB
+        # broadcast temporary, bit-identical values)
+        slab = max(1, (1 << 23) // max(1, Cm.shape[0] * 8))
         for pdf in it:
             if not len(pdf):
                 continue
@@ -1023,7 +1024,7 @@ def ivf_assign_probe(
                 sl = slice(s0, s0 + slab)
                 # direct (x-c)² sum — the same float64 expression the
                 # SQL replay computes (see ivf_assign)
-                d = ((X[sl, None, :] - Cm[None, :, :]) ** 2).sum(2)
+                d = _dist2_np(X[sl], Cm)
                 _, sel = _topk_rows(d, pos, npb)
                 sels.append(sel)
             sel = np.concatenate(sels) if len(sels) > 1 else sels[0]

@@ -56,50 +56,36 @@ def query(name: str, sql: str | None = None):
 # within ~2 rounds. New queries (absent here) automatically sort front.
 _GREEN_ROUND = {
     # last stamped in round 10
-    "bm25_score": 10, "chunk_documents": 10, "combinations": 10,
-    "eda_describe": 10, "elastic_net": 10, "embedding_ops": 10,
-    "fingerprints": 10, "incremental_dedup": 10, "knn_from_target": 10,
-    "leakage_safe_split": 10, "lin_reg_multi": 10, "lin_reg_report": 10,
-    "line_dedup": 10, "logistic_reg": 10, "lsh_recall": 10,
-    "multimodal_blobs": 10, "multimodal_decode": 10,
-    "multimodal_resize": 10, "pii_scrub": 10, "pipeline_encode": 10,
-    "pipeline_iv_rankhot": 10, "pq_encode": 10, "product": 10,
-    "quality_classifier": 10, "radius_nb_cnt": 10, "rolling_lin_reg": 10,
-    "sample_split": 10, "semantic_decontaminate": 10, "shuffle_shards": 10,
+    "elastic_net": 10, "lin_reg_multi": 10, "lin_reg_report": 10,
+    "logistic_reg": 10, "pipeline_encode": 10, "pipeline_iv_rankhot": 10,
+    "product": 10, "rolling_lin_reg": 10, "sample_split": 10,
     "simple_lin_reg": 10, "smooth_spline_natural": 10, "snapshot_diff": 10,
-    "source_overlap": 10, "stream_dedup": 10, "stream_running_stats": 10,
+    "stream_dedup": 10, "stream_running_stats": 10,
     "stream_sessionize": 10, "stream_windowed_agg": 10,
-    "strip_boilerplate": 10, "tfidf_topk": 10, "within_radius_target": 10,
     # last stamped in round 11
     "ar_coeffs": 11, "array_math": 11, "bpe_tokenize_oracle": 11,
-    "chunk_by_tokens": 11, "corr_family": 11, "corr_matrix": 11,
-    "dia_col_validation": 11, "dia_row_validation": 11, "downsample": 11,
-    "eda_flags": 11, "float_neighbors": 11, "glm_poisson": 11,
-    "hypertable_rollup": 11, "index_update": 11, "isotonic": 11,
-    "jaccard_arrays": 11, "kendall": 11, "ks_2samp": 11,
-    "lin_reg_rcond_oracle": 11, "mann_whitney": 11, "mase_full": 11,
-    "pca": 11, "permute_entropy": 11, "prebuilt_index_dedup": 11,
-    "range_join": 11, "rfft": 11, "roc_auc": 11, "salted_join": 11,
-    "sample_exact_n": 11, "select_by_std_cols": 11,
-    "series_entropy_oracle": 11, "similar_count": 11,
-    "singular_values": 11, "smooth_spline_oracle": 11,
+    "chunk_by_tokens": 11, "corr_matrix": 11, "dia_col_validation": 11,
+    "dia_row_validation": 11, "downsample": 11, "eda_flags": 11,
+    "float_neighbors": 11, "glm_poisson": 11, "hypertable_rollup": 11,
+    "isotonic": 11, "jaccard_arrays": 11, "kendall": 11,
+    "lin_reg_rcond_oracle": 11, "pca": 11, "permute_entropy": 11,
+    "range_join": 11, "rfft": 11, "salted_join": 11, "sample_exact_n": 11,
+    "select_by_std_cols": 11, "series_entropy_oracle": 11,
+    "similar_count": 11, "singular_values": 11, "smooth_spline_oracle": 11,
     "stream_curation_gate": 11, "stream_interval_join": 11,
-    "string_kernels_oracle": 11, "volume_neutral": 11, "xi_corr": 11,
+    "string_kernels_oracle": 11, "volume_neutral": 11,
     # last stamped in round 12
     "ann_ivf_search": 12, "batch_sessionize": 12,
-    "bloom_decontaminate": 12, "cohort_retention": 12, "dsir_sample": 12,
-    "event_funnel": 12, "feature_screen": 12, "fuzzy_match": 12,
-    "graph_degrees": 12, "group_sample_exact": 12, "group_split": 12,
-    "ivf_ann": 12, "ivf_recall": 12, "ivfpq_search": 12, "kfold_split": 12,
-    "knn_auto_route": 12, "ngram_diversity": 12, "normalized_dedup": 12,
-    "pack_sequences": 12, "pmi_collocations": 12, "recursive_lin_reg": 12,
-    "regional_volume": 12, "repetition_signals": 12, "rolling_anomaly": 12,
-    "scd2_history": 12, "script_profile": 12, "semantic_dedup": 12,
-    "stream_topk": 12, "stream_upsert": 12, "time_gapfill": 12,
-    "token_budget_sample": 12, "triangle_count": 12, "unicode_clean": 12,
-    "upsert_latest": 12, "vector_index_build": 12,
-    "vector_index_search": 12, "vector_index_stats": 12,
-    "vector_index_update": 12, "vocab_nearest_metrics": 12,
+    "bloom_decontaminate": 12, "cohort_retention": 12, "event_funnel": 12,
+    "feature_screen": 12, "fuzzy_match": 12, "group_sample_exact": 12,
+    "group_split": 12, "ivf_ann": 12, "ivf_recall": 12, "ivfpq_search": 12,
+    "kfold_split": 12, "knn_auto_route": 12, "ngram_diversity": 12,
+    "normalized_dedup": 12, "pack_sequences": 12, "pmi_collocations": 12,
+    "recursive_lin_reg": 12, "regional_volume": 12,
+    "repetition_signals": 12, "rolling_anomaly": 12, "scd2_history": 12,
+    "script_profile": 12, "stream_topk": 12, "stream_upsert": 12,
+    "time_gapfill": 12, "token_budget_sample": 12, "triangle_count": 12,
+    "unicode_clean": 12, "upsert_latest": 12, "vocab_nearest_metrics": 12,
     "weighted_sample": 12, "zorder_key": 12,
     # last stamped in round 13
     "add_at": 13, "asof_join": 13, "asof_join_forward": 13, "bicor": 13,
@@ -111,31 +97,47 @@ _GREEN_ROUND = {
     "fuzzy_entity_dedup": 13, "gopher_gate": 13, "histogram": 13,
     "kaplan_meier": 13, "key_skew": 13, "kmeans": 13, "kmeans_inertia": 13,
     "knn_entropy": 13, "linear_impute": 13, "mad": 13,
-    "mixture_resample": 13, "multi_roc_auc": 13, "near_dup_simhash": 13,
-    "pagerank": 13, "pagerank_personalized": 13,
+    "mixture_resample": 13, "near_dup_simhash": 13,
     "pipeline_poly_impute": 13, "pipeline_qbin": 13,
     "pipeline_transform": 13, "pricing_summary": 13, "psi": 13,
     "quality_quantile_filter": 13, "smooth_spline": 13,
     "stream_decontaminate": 13, "text_quality": 13, "token_mixture": 13,
     "tpr_fpr": 13, "transfer_entropy": 13, "winsorize": 13,
     # last stamped in round 14
-    "benford": 14, "bigram_lm": 14, "blueprint_dyn_agg": 14,
-    "blueprint_lin_impute": 14, "chi2": 14, "classification_metrics": 14,
-    "cond_entropy": 14, "cond_indep": 14, "count_uniques": 14,
-    "curation_pipeline_v3": 14, "dcg": 14, "dedup_stats": 14,
+    "benford": 14, "blueprint_dyn_agg": 14, "blueprint_lin_impute": 14,
+    "chi2": 14, "classification_metrics": 14, "cond_entropy": 14,
+    "cond_indep": 14, "count_uniques": 14, "dcg": 14, "dedup_stats": 14,
     "dist_kth_nb": 14, "dup_cluster_downsample": 14,
     "dup_cluster_sizes": 14, "elementwise_math": 14, "entropy": 14,
     "exact_dedup": 14, "f_test": 14, "gcd_lcm": 14,
     "integrate_detrend": 14, "is_monotonic": 14, "knn_avg_label": 14,
     "knn_cosine": 14, "knn_freq": 14, "language_id": 14, "mean_family": 14,
     "near_dup_cluster_dedup": 14, "near_dup_minhash": 14, "normality": 14,
-    "perplexity_gate": 14, "pipeline_blueprint": 14, "pq_search": 14,
-    "regression_metrics": 14, "series_entropy": 14, "softmax_znorm": 14,
-    "stratified_sample": 14, "string_cleaning": 14,
-    "string_similarity": 14, "target_encode": 14, "token_stats": 14,
-    "top_ngrams": 14, "ts_autocorr": 14, "ts_moments": 14,
-    "ts_ordered": 14, "ts_streaks": 14, "ttest": 14, "vocab_nearest": 14,
+    "pipeline_blueprint": 14, "regression_metrics": 14,
+    "softmax_znorm": 14, "string_cleaning": 14, "string_similarity": 14,
+    "target_encode": 14, "token_stats": 14, "top_ngrams": 14,
+    "ts_autocorr": 14, "ts_moments": 14, "ts_ordered": 14,
+    "ts_streaks": 14, "ttest": 14, "vocab_nearest": 14,
     "weighted_stats": 14, "woe_iv": 14,
+    # last stamped in round 15
+    "bigram_lm": 15, "bm25_score": 15, "chunk_documents": 15,
+    "combinations": 15, "corr_family": 15, "curation_pipeline_v3": 15,
+    "dsir_sample": 15, "eda_describe": 15, "embedding_ops": 15,
+    "fingerprints": 15, "graph_degrees": 15, "incremental_dedup": 15,
+    "index_update": 15, "knn_from_target": 15, "ks_2samp": 15,
+    "leakage_safe_split": 15, "line_dedup": 15, "lsh_recall": 15,
+    "mann_whitney": 15, "mase_full": 15, "multi_roc_auc": 15,
+    "multimodal_blobs": 15, "multimodal_decode": 15,
+    "multimodal_resize": 15, "onlinelr_merge": 15, "pagerank": 15,
+    "pagerank_personalized": 15, "perplexity_gate": 15, "pii_scrub": 15,
+    "pq_encode": 15, "pq_search": 15, "prebuilt_index_dedup": 15,
+    "quality_classifier": 15, "radius_nb_cnt": 15, "random_envelope": 15,
+    "roc_auc": 15, "semantic_decontaminate": 15, "semantic_dedup": 15,
+    "series_entropy": 15, "shuffle_shards": 15, "source_overlap": 15,
+    "stratified_sample": 15, "strip_boilerplate": 15, "tfidf_topk": 15,
+    "vector_index_build": 15, "vector_index_search": 15,
+    "vector_index_stats": 15, "vector_index_update": 15,
+    "within_radius_target": 15, "xi_corr": 15,
 }
 
 # Queries whose covering code changed AFTER their last stamp — their
@@ -149,102 +151,33 @@ _GREEN_ROUND = {
 # prefix — the change was verified by a full independent mirror run:
 # 186/186 hash-green at sf0.01 on the final tree.
 _STALE = frozenset({
-    # (r14's stale set fully re-stamped by CORRECTNESS_r14 — all 50
-    # prefix rows hash-green; folded above. Round-15 entries accumulate
-    # below as covering code changes. Prefix-budget note: the r10
-    # cohort is 40 rows; the build-phase plan was len(new)+len(stale)
-    # <= 10, but r15 became the OPTIMIZATION round and its plan
-    # changes stale more covering kernels than that. Honest staling
-    # wins over ledger aging: every entry below ranks ahead of the
-    # r10 cohort, the remaining prefix seats still rotate the oldest
-    # stamps, and the optimization contract independently re-oracles
-    # the full catalog this round.)
-    # round 15 (r14 verdict #2): semantic_dedup's default max_cell
-    # None -> 10_000 — the measured-quadratic within-cell term is now
-    # bounded by default. Under the cap (every cell at every SF here:
-    # max 262 at the 10x-dense probe vs cap 10_000) the salt column is
-    # constant 0 and values are identical (parity pytest), but the
-    # plan gains the cell-count broadcast join + salt key, so the
-    # covering kernel changed.
-    "semantic_dedup",
-    # round 15 (r14 verdict #4): series_entropy's catalog query gains
-    # an explicit repartition(8, event_type) before the grouped kernel
-    # (AQE coalesced the tiny shuffle to ONE task running all 5 group
-    # kernels serially — the catalog stamp absorbed host stalls 1:1).
-    # Values identical (same rows into the same kernels), but the
-    # covering query's plan changed.
-    "series_entropy",
-    # round 15 OPTIMIZATION: global_avg_rank's tie count now rides the
-    # rank window's bucket exchange (plans/ranks.py tie_name) instead
-    # of a second full hash shuffle on the value — one exchange fewer
-    # per consumer. Values identical (equal values always share a
-    # range bucket, so per-bucket tie counts equal global tie counts);
-    # the covering plan changed for every global-avg-rank consumer.
-    "corr_family", "mann_whitney", "roc_auc", "multi_roc_auc",
-    # round 15 OPTIMIZATION: bigram_lm_score folds uni_counts
-    # (vocab-bounded, broadcast) + V into the bigram count table and
-    # joins the corpus bigram stream ONCE on (w1, w2) — the old shape
-    # re-shuffled every bigram occurrence by w1 for the second join.
-    # log P is computed per bigram type instead of per occurrence:
-    # same doubles, same per-row values.
-    "bigram_lm", "perplexity_gate", "curation_pipeline_v3",
-    # round 15 OPTIMIZATION: the persisted-artifact frames (near-dup
-    # bucket index, IVF cells) are now pinned by their build/update
-    # operators — in-session consumers (stamp checks, probe joins)
-    # read the cache instead of re-running the bucket agg / assignment
-    # GEMM per subtree. Values identical; covering plans changed.
+    # (r15's stale set re-stamped by CORRECTNESS_r15 — all 50 prefix
+    # rows hash-green; folded above. Round-16 OPTIMIZATION entries
+    # accumulate below: every query whose covering kernel/plan changed
+    # this round ranks ahead of the oldest-stamp rotation. The
+    # optimization contract independently re-oracles the full catalog
+    # at sf0.001 + sf0.01 at round end.)
+    # round 16 (r15 verdict #2): global_rank_pair / global_rank_then_lag
+    # collect O(P) per-axis MARGINALS from one grouping-sets agg instead
+    # of the dense (pid_x × pid_y) grid (O(P²) driver rows at cluster
+    # parallelism). Values identical (marginals of the same counts; the
+    # per-x-bucket last row comes from the same max_by, now grouped
+    # server-side); covering plans changed for every fused-rank consumer.
+    "corr_family", "xi_corr", "copula_entropy",
+    # round 16 (r15 verdict #1): the composed index-lifecycle queries
+    # pre-materialize their independent minhash bases CONCURRENTLY
+    # (_overlap_minhash_bases; guide §2.6) and pass them to build/
+    # update/probe via _base=. Same frames, same pins — the serialized
+    # eager counts become overlapped jobs; values identical.
     "index_update", "prebuilt_index_dedup",
-    # round 15 OPTIMIZATION: combinations_df's unique path pairs
-    # directly on values (the rank index was redundant for distinct
-    # values); query_mase_df's global freq=1 branch uses the
-    # cross-partition lag plan instead of a rank self-join; ks_2samp's
-    # group totals ride the cumsum offsets collect; onlinelr_merge
-    # overlaps its two independent fold chains; eda_describe overlaps
-    # its two independent scans; pagerank pins the per-iteration rank
-    # frame. Values identical in each; covering plans changed.
-    "combinations", "mase_full", "ks_2samp", "onlinelr_merge",
-    "eda_describe", "pagerank", "pagerank_personalized",
-    # round 15 OPTIMIZATION: artifact frames from build/update carry an
-    # in-session provenance attribute so same-session stamp checks skip
-    # the uniqueness scan (parquet round-trips still get it); spearman/
-    # copula global paths use the fused two-column rank plan
-    # (global_rank_pair — one boundary agg, one pin, one offsets-grid
-    # collect); bm25's N/avgdl ride as a broadcast scalar instead of a
-    # driver first(); degree_stats computes both degrees in one
-    # exploded-indicator pass (one shuffle, no full-outer join).
-    # Values identical in each; covering plans changed.
-    "bm25_score", "graph_degrees",
-    # round 15 OPTIMIZATION: dsir's vocabulary frame is pinned (totals
-    # + ratio projection both consumed it — the two token aggregations
-    # ran twice); near_dup_against_index overlaps its two pin
-    # materializations from driver threads. Values identical.
-    "dsir_sample", "incremental_dedup",
-    # round 15 OPTIMIZATION: xi_corr's global branch uses the fused
-    # rank-then-lag plan (global_rank_then_lag — one boundary agg, one
-    # pin, one grid collect replace the chained rank + lag plans).
-    # Values identical (same min-rank + same lag semantics under the
-    # unique-x contract); covering plan changed (18 -> 10 exchanges).
-    "xi_corr",
-    # round 15 (r14 ADVICE #3): stratified_sample's sample-side count
-    # joins go inner -> left + coalesce(0), so a stratum whose rows
-    # all hash outside a sample fails its rate flag explicitly instead
-    # of dropping the output row. Values identical on any populated
-    # stratum (left ≡ inner when the right side matches).
-    "stratified_sample",
-    # round 15 (r14 verdict #6 / ADVICE #2): pq_knn_join's broadcast
-    # cap gains an OPT-IN count() pre-check when max_index_rows is
-    # user-supplied (the count re-runs the mapInPandas encode, so the
-    # default path stays fail-after-collect by contract — r15 review).
-    # The catalog query runs the default path with identical values,
-    # but the covering kernel changed.
-    "pq_search",
-    # round 15 (r13 verdict trivia, budgeted by r14 verdict #3): the
-    # _ivf stamp gains an optional 4th training-provenance field
-    # (method + effective kmeans/sample pool size) for drift
-    # forensics. The catalog queries build with centroids='first',
-    # whose stamp keeps the legacy 3-field format byte-identical —
-    # values unchanged — but the stamp function + build path are
-    # covering code for the whole persisted-index family.
+    # round 16 (r15 verdict #4): the exact (x−c)² assignment kernel is
+    # cache-blocked (cluster._dist2_np) — bit-identical distances
+    # (numpy pairwise sum over each element's own contiguous dim-run),
+    # ~dim-fold less DRAM traffic, kills the 32-worker memory-bandwidth
+    # contention diagnosed in r15. Covering kernel for every kmeans/IVF
+    # assignment consumer.
+    "kmeans", "kmeans_inertia", "knn_auto_route", "ann_ivf_search",
+    "ivf_ann", "ivf_recall", "ivfpq_search", "semantic_dedup",
     "vector_index_build", "vector_index_search", "vector_index_stats",
     "vector_index_update",
 })

@@ -219,7 +219,6 @@ def prebuilt_index_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard output end to end."""
     docs = load_table(spark, sf_dir, "documents")
     index = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    buckets, shingles = D.build_near_dup_index(index, "doc_id", "text")
     new = (
         docs.where(F.col("doc_id") % 4 == 1)
         .select((F.col("doc_id") + 400000).alias("doc_id"),
@@ -229,8 +228,14 @@ def prebuilt_index_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") + 500000).alias("doc_id"),
                     F.reverse(F.col("text")).alias("text")))
     )
+    # r16 (guide §2.6): index + probe-batch banding scans are
+    # independent — materialize both pinned bases concurrently
+    bi, bn = D._overlap_minhash_bases(
+        [(index, "doc_id", "text"), (new, "doc_id", "text")])
+    buckets, shingles = D.build_near_dup_index(index, "doc_id", "text",
+                                               _base=bi)
     out = D.near_dup_against_prebuilt(
-        new, buckets, shingles, "doc_id", "text", threshold=0.6)
+        new, buckets, shingles, "doc_id", "text", threshold=0.6, _base=bn)
     return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
 
 
@@ -295,9 +300,6 @@ def index_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
     day2 = (docs.where(F.col("doc_id") % 8 == 2)
             .select((F.col("doc_id") + 600000).alias("doc_id"), "text"))
-    buckets, shingles = D.build_near_dup_index(day1, "doc_id", "text")
-    buckets, shingles = D.update_near_dup_index(
-        day2, buckets, shingles, "doc_id", "text")
     new = (
         docs.where(F.col("doc_id") % 8 == 3)
         .select((F.col("doc_id") + 700000).alias("doc_id"),
@@ -312,8 +314,18 @@ def index_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") + 900000).alias("doc_id"),
                     F.reverse(F.col("text")).alias("text")))
     )
+    # r16 (guide §2.6): the three banding scans (day1 / day2 / probe
+    # batch) are data-independent — materialize their pinned bases
+    # concurrently instead of serializing three eager counts
+    b1, b2, b3 = D._overlap_minhash_bases(
+        [(day1, "doc_id", "text"), (day2, "doc_id", "text"),
+         (new, "doc_id", "text")])
+    buckets, shingles = D.build_near_dup_index(day1, "doc_id", "text",
+                                               _base=b1)
+    buckets, shingles = D.update_near_dup_index(
+        day2, buckets, shingles, "doc_id", "text", _base=b2)
     out = D.near_dup_against_prebuilt(
-        new, buckets, shingles, "doc_id", "text", threshold=0.6)
+        new, buckets, shingles, "doc_id", "text", threshold=0.6, _base=b3)
     return out.select("new_id", "index_id", _r(F.col("jaccard")).alias("jaccard"))
 
 

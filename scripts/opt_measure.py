@@ -26,7 +26,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--plans", default=None,
-                    help="write explain('formatted') to plans/r15/<q>_<TAG>.txt")
+                    help="write explain('formatted') to <plans-dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="plans/r16")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.1"))
@@ -61,9 +62,9 @@ def main() -> None:
             print(f"?? unknown query {name}", file=sys.stderr)
             continue
         if args.plans:
-            os.makedirs("plans/r15", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             df = qs[name](spark, args.sf)
-            with open(f"plans/r15/{name}_{args.plans}.txt", "w") as f:
+            with open(f"{args.plans_dir}/{name}_{args.plans}.txt", "w") as f:
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution
                     .ExplainMode.fromString("formatted")))
