@@ -180,6 +180,15 @@ _STALE = frozenset({
     "ivf_ann", "ivf_recall", "ivfpq_search", "semantic_dedup",
     "vector_index_build", "vector_index_search", "vector_index_stats",
     "vector_index_update",
+    # round 16: the minhash banding kernel (dedup.minhash_bands_batch)
+    # permutes cache-resident doc blocks against all hashes at once for
+    # big batches instead of 96 serial full-array DRAM passes —
+    # bit-identical band hashes (same per-element wrap-mod-2⁶⁴
+    # arithmetic, same per-doc minimum; parity pinned by
+    # test_minhash_bands_size_gate_parity). Covering kernel for every
+    # minhash/LSH consumer (index_update, prebuilt_index_dedup above).
+    "near_dup_minhash", "near_dup_cluster_dedup", "dup_cluster_sizes",
+    "dup_cluster_downsample", "incremental_dedup", "stream_decontaminate",
 })
 
 
