@@ -157,7 +157,8 @@ def pagerank(
     pr = nodes.select("node", "out_deg", "__s",
                       F.col("__s").alias("rank"))
     prev_ckpt = None
-    from .._utils import pin
+    pending_pins: list = []
+    from .._utils import pin, unpin
     for it in range(n_iter):
         # r15: each iteration consumes pr TWICE — the dangling-mass
         # broadcast subtree and the contrib join — and Spark does not
@@ -171,6 +172,7 @@ def pagerank(
         # still truncates lineage every checkpoint_every rounds.
         if it > 0:
             pr = pin(pr)
+            pending_pins.append(pr)
         # dangling mass as a broadcast 1-row scalar (the house
         # with_global_totals shape) — NOT a .first() per iteration,
         # which would run an action (and the whole lineage) n_iter
@@ -202,6 +204,16 @@ def pagerank(
             if prev_ckpt is not None:
                 release_checkpoint(prev_ckpt)
             prev_ckpt = pr
+            # the eager checkpoint truncated lineage, so every
+            # iteration pin behind it is superseded — release them NOW
+            # instead of leaving them to shared-LRU order (r15 advice:
+            # with checkpoint_every > ~_MAX_PINNED, or other pins
+            # interleaved by composed queries, LRU eviction could drop
+            # a pin that was still feeding the next iteration and
+            # silently restore the exponential re-evaluation)
+            for p in pending_pins:
+                unpin(p)
+            pending_pins = []
     return pr.select("node", "rank")
 
 

@@ -1564,16 +1564,20 @@ def ivf_cell_stats(
         tagged = tagged.withColumn("__salt", F.lit(0))
     sizes = (tagged.groupBy("centroid_id", "__salt")
              .agg(F.count(F.lit(1)).alias("g")))
-    row = sizes.agg(
-        F.sum("g").alias("n_vectors"),
-        F.countDistinct("centroid_id").alias("n_cells"),
-        F.count(F.lit(1)).alias("n_groups"),
-        F.max("g").alias("max_group"),
-        F.expr("percentile(g, 0.99)").alias("p99_group"),
-        F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("within_pairs"),
-    ).first()
-    if pinned is not None:
-        unpin(pinned)
+    try:
+        row = sizes.agg(
+            F.sum("g").alias("n_vectors"),
+            F.countDistinct("centroid_id").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("g").alias("max_group"),
+            F.expr("percentile(g, 0.99)").alias("p99_group"),
+            F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("within_pairs"),
+        ).first()
+    finally:
+        # release on the error path too (r15 advice) — a failed .first()
+        # previously leaked the pin until LRU/release_pins
+        if pinned is not None:
+            unpin(pinned)
     return {
         "n_vectors": int(row["n_vectors"]),
         "n_cells": int(row["n_cells"]),

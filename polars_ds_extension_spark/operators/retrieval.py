@@ -250,7 +250,13 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str,
     # evaluated per type instead of per occurrence.
     log_p = F.log((F.col("c12") + F.lit(add_k))
                   / (F.col("c1") + F.lit(add_k) * F.col("__v")))
-    probs = (bi_counts.join(F.broadcast(uni_counts), "w1")
+    # the broadcast hint is only SAFE under the vocab cap (uni_counts
+    # ≤ K+1 rows by construction); with vocab_size=None it is the full
+    # corpus unigram table — unbounded at scale — so let Catalyst pick
+    # the join there (r15 advice)
+    uni_probe = (F.broadcast(uni_counts) if vocab_size is not None
+                 else uni_counts)
+    probs = (bi_counts.join(uni_probe, "w1")
              .crossJoin(vocab)
              .select("w1", "w2", log_p.alias("__lp")))
     return (

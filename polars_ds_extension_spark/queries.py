@@ -189,6 +189,15 @@ _STALE = frozenset({
     # minhash/LSH consumer (index_update, prebuilt_index_dedup above).
     "near_dup_minhash", "near_dup_cluster_dedup", "dup_cluster_sizes",
     "dup_cluster_downsample", "incremental_dedup", "stream_decontaminate",
+    # round 16 (r15 verdict #6): curation_pipeline_v3 pins its LM score
+    # frame (the global-quantile rank plan read it twice, re-training
+    # the bigram LM each time — 63 → 42 driver jobs, values identical).
+    # pagerank releases superseded iteration pins at each eager
+    # checkpoint (r15 advice — storage hygiene, values identical);
+    # bigram_lm_score's unigram broadcast hint is now gated on the
+    # vocab cap (catalog plans unchanged — all callers cap).
+    "curation_pipeline_v3", "pagerank", "pagerank_personalized",
+    "perplexity_gate", "bigram_lm",
 })
 
 

@@ -3152,8 +3152,14 @@ def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._utils import pin
 
     g = pin(base.where(T.gopher_rules("t").getField("pass")))
-    scored = R.bigram_lm_score(g, "doc_id", "t", add_k=0.5) \
-        .select("doc_id", F.round("cross_entropy", 6).alias("ce"))
+    # pin the LM scores too (r16, §5 — the same fix perplexity_gate
+    # carries): the global-quantile rank plan reads its input twice
+    # (range sketch + ranked pass) and re-trained/re-scored the whole
+    # bigram pipeline each time — measured 3.6 s → ~2.1 s for the
+    # lm+cut phase at sf0.1. The pinned frame is (doc_id, ce) — narrow,
+    # per-doc, disk-spillable.
+    scored = pin(R.bigram_lm_score(g, "doc_id", "t", add_k=0.5)
+                 .select("doc_id", F.round("cross_entropy", 6).alias("ce")))
     kept_ids = SMP.filter_by_global_quantile(
         scored, "ce", q=0.9, keep="bottom").select("doc_id")
     kept = g.join(kept_ids, "doc_id")
