@@ -156,6 +156,22 @@ def main() -> None:
             compact = {k: round(v, nd) for k, v in st["per_query"].items()}
             if len(_line(compact)) <= cap:
                 break
+        if len(_line(compact)) > cap:
+            # r16 (r15 verdict #5): when the full per-query dict cannot
+            # fit, jump straight to a STABLE subset — the 10 slowest by
+            # name at 1 decimal — instead of popping fastest-first to
+            # whatever happens to fit. A fast catalog previously left
+            # ≤3 surviving keys chosen by that round's noise, so
+            # consecutive rounds shared almost no names and the
+            # driver's round-over-round per-query comparison
+            # degenerated to one query. Ten 1-dp entries ≈ 220 chars —
+            # they fit unless the probe payload is oversized, in which
+            # case the fastest-first pop below still applies. Timing
+            # methodology and the full-precision records
+            # (BENCH_PARTIAL.json / stderr) are untouched.
+            top = sorted(st["per_query"], key=st["per_query"].get,
+                         reverse=True)[:10]
+            compact = {k: round(st["per_query"][k], 1) for k in top}
         while len(_line(compact)) > cap and compact:
             compact.pop(min(compact, key=lambda k: compact[k]))
         if len(_line(compact)) > cap:

@@ -267,46 +267,13 @@ def minhash_bands_batch(arrays, n_hashes: int = 96,
     hm = flat.view(np.uint64)
     starts = np.zeros(len(arrays), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
     sig = np.zeros((len(arrays), n_hashes), dtype=np.uint64)
-    # r16 (guide §4.2/§5): at probe/production batch sizes, permute
-    # CACHE-RESIDENT doc blocks against all n_hashes at once —
-    # (n_hashes × ≤4096) ≈ 3 MB temporaries — instead of 96 serial
-    # full-array passes, each streaming a |shingles|-sized permutation
-    # temp through DRAM (3 passes × 8 B × 96 hashes ≈ 2.3 KB of
-    # traffic per shingle): measured 2.4 s → 1.5 s wall at 32-way
-    # concurrency on 2M-element tasks, with the old shape's 0.7–2.3 s
-    # task spread (memory-bandwidth contention, the same mechanism as
-    # the r16 assignment-kernel fix) collapsing to 1.0–1.4 s. Small
-    # batches keep the single-pass loop — its temps already fit cache
-    # there and the block loop only adds per-call overhead (measured
-    # breakeven ~0.5M elements; both paths are bit-identical — the
-    # per-element pa[i]·x + pb[i] wrap-mod-2⁶⁴ arithmetic and the
-    # per-doc minimum are unchanged expression-for-expression — so
-    # the size gate can never change a band hash).
-    if total <= 500_000:
-        nonempty = lens > 0
-        for i in range(n_hashes):
-            perm = pa[i] * hm + pb[i]  # wraps mod 2^64: bijective, odd a
-            sig[nonempty, i] = np.minimum.reduceat(perm, starts[nonempty])
-    else:
-        ne_idx = np.flatnonzero(lens > 0)
-        ne_starts = starts[ne_idx]
-        ne_lens = lens[ne_idx]
-        paT, pbT = pa[:, None], pb[:, None]
-        i0, n_ne = 0, len(ne_idx)
-        while i0 < n_ne:
-            # whole nonempty docs per block; an oversized doc rides alone
-            i1 = i0 + 1
-            span = ne_lens[i0]
-            while i1 < n_ne and span + ne_lens[i1] <= 4096:
-                span += ne_lens[i1]
-                i1 += 1
-            s0 = ne_starts[i0]
-            blk = hm[s0:ne_starts[i1 - 1] + ne_lens[i1 - 1]]
-            perm = paT * blk[None, :] + pbT      # (n_hashes × span)
-            sig[ne_idx[i0:i1], :] = np.minimum.reduceat(
-                perm, ne_starts[i0:i1] - s0, axis=1).T
-            i0 = i1
+    for i in range(n_hashes):
+        perm = pa[i] * hm + pb[i]  # wraps mod 2^64: bijective, odd a
+        mins = np.minimum.reduceat(perm, starts[nonempty]) \
+            if nonempty.any() else np.empty(0, dtype=np.uint64)
+        sig[nonempty, i] = mins
     # band hash: wrapping polynomial fold of the band's minima
     out = np.zeros((len(arrays), bands), dtype=np.uint64)
     for b in range(bands):

@@ -180,15 +180,12 @@ _STALE = frozenset({
     "ivf_ann", "ivf_recall", "ivfpq_search", "semantic_dedup",
     "vector_index_build", "vector_index_search", "vector_index_stats",
     "vector_index_update",
-    # round 16: the minhash banding kernel (dedup.minhash_bands_batch)
-    # permutes cache-resident doc blocks against all hashes at once for
-    # big batches instead of 96 serial full-array DRAM passes —
-    # bit-identical band hashes (same per-element wrap-mod-2⁶⁴
-    # arithmetic, same per-doc minimum; parity pinned by
-    # test_minhash_bands_size_gate_parity). Covering kernel for every
-    # minhash/LSH consumer (index_update, prebuilt_index_dedup above).
-    "near_dup_minhash", "near_dup_cluster_dedup", "dup_cluster_sizes",
-    "dup_cluster_downsample", "incremental_dedup", "stream_decontaminate",
+    # (a round-16 cache-blocked variant of the minhash banding kernel
+    # was built, measured bit-identical — and REVERTED: at catalog
+    # batch shapes the single-task blocked path lost ~2×, and its
+    # 32-way contention win is not gateable on batch size alone; see
+    # OPTIMIZATION_r16.md. The shipped kernel is byte-identical to
+    # r15's, so its consumers are not staled here.)
     # round 16 (r15 verdict #6): curation_pipeline_v3 pins its LM score
     # frame (the global-quantile rank plan read it twice, re-training
     # the bigram LM each time — 63 → 42 driver jobs, values identical).

@@ -115,26 +115,6 @@ def test_minhash_bands_order_and_batch_invariance(docs, cut):
     assert np.array_equal(split, base)
 
 
-def test_minhash_bands_size_gate_parity():
-    """r16: the banding kernel picks a small-batch single-pass loop or
-    the cache-blocked path by TOTAL element count (breakeven ~0.5M).
-    Both paths are bit-identical by construction; this pins it by
-    driving the same docs through both sides of the gate — a corpus
-    big enough for the blocked path, and the same rows in small
-    slices that each take the single-pass path."""
-    rng = np.random.default_rng(42)
-    arrays = [rng.integers(-2**63, 2**63 - 1, size=n, dtype=np.int64)
-              for n in list(rng.integers(0, 4000, size=300)) + [0, 1, 9000]]
-    assert sum(len(a) for a in arrays) > 500_000  # blocked path engages
-    whole = minhash_bands_batch(arrays, 96, 32)
-    k = len(arrays) // 2  # each half is under the gate -> single-pass
-    assert sum(len(a) for a in arrays[:k]) <= 500_000
-    assert sum(len(a) for a in arrays[k:]) <= 500_000
-    halves = np.vstack([minhash_bands_batch(arrays[:k], 96, 32),
-                        minhash_bands_batch(arrays[k:], 96, 32)])
-    assert np.array_equal(halves, whole)
-
-
 @settings(max_examples=100, deadline=None)
 @given(SHINGLES.filter(lambda d: len(d) > 0),
        st.sampled_from([(24, 8), (24, 12), (96, 32), (96, 16)]))
